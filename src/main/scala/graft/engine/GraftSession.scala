@@ -1,0 +1,36 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Tuning posture (see SURVEY.md §5): AQE on (runtime coalesce + skew-join
+  * handling stand in for hand-tuned partition counts at 100 TB), shuffle
+  * partitions sized for the local harness via `SPARK_GRAFT_CPUS`, UTC
+  * session time so date semantics match the DuckDB oracle.
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to any builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+      // The testdata's events.ts is TIMESTAMP(NANOS), which Spark's parquet
+      // reader rejects; read it as a long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(cores: Int = 4): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cores]"), cores)
+      .appName("graft")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

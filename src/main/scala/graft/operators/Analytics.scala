@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Analytics core (SURVEY.md §2.7, rows 28–35).
+  *
+  * These are the rollup/funnel/retention workloads the reference serves out
+  * of Doris after ETL; graft answers them directly on the lake. Every query
+  * is a declarative DataFrame plan: aggregations get map-side partial
+  * aggregation, dimension tables stay under the broadcast threshold, and all
+  * scans prune columns at the parquet reader.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style multi-measure pricing summary. Single shuffle on the
+    * two low-cardinality group keys; partial aggregation does nearly all the
+    * work map-side, so this scales linearly in input at 100 TB.
+    */
+  def q1PricingAgg(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style top-k revenue join. customer is the small side (filter on
+    * segment first), so Catalyst broadcasts it; lineitem/orders shuffle once
+    * on orderkey. Top-k via orderBy.limit = per-partition partial top-k.
+    */
+  def q3TopkJoin(t: Tables): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders.filter(col("o_orderdate") < cutoff), col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_shipdate") > cutoff), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style star join: all four dims broadcast; the single big
+    * shuffle joins lineitem⋈orders on orderkey.
+    */
+  def q5StarJoin(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .join(t.region.filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** Ordered event funnel view→click→purchase: each stage is the earliest
+    * qualifying event strictly after the previous stage's timestamp.
+    * Three aggregations sharing the user_id shuffle key.
+    */
+  def qWindowFunnel(t: Tables): DataFrame = {
+    val e = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  /** Cohort retention: users grouped by first-seen day, retained = active
+    * exactly 7 days later. Two aggregations + one join, all keyed on user_id
+    * then cohort day.
+    */
+  def qRetention(t: Tables): DataFrame = {
+    val byDay = t.events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = byDay.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val retained = cohort
+      .join(byDay, cohort("user_id") === byDay("user_id") && byDay("d") === date_add(col("d0"), 7))
+      .groupBy(col("d0")).agg(count(lit(1)).as("retained_7d"))
+    cohort.groupBy(col("d0")).agg(count(lit(1)).as("cohort_size"))
+      .join(retained, Seq("d0"), "left")
+      .select(
+        date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("cohort_size"),
+        coalesce(col("retained_7d"), lit(0L)).as("retained_7d"))
+      .orderBy(col("cohort_day"))
+  }
+
+  /** Daily event rollup — the Doris event_attr day rollup re-expressed. */
+  def qEventCountsDaily(t: Tables): DataFrame =
+    t.events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Per-user lifetime aggregates. */
+  def qUserLtv(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))), 4)
+          .as("ltv"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen")
+      )
+      .orderBy(col("user_id"))
+
+  /** Exact distinct users per event type (the HLL-sketch variant lives in
+    * the bench as approx_count_distinct; exact here for the oracle).
+    */
+  def qDistinctUsers(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1 aggregates every flag/status combination with consistent counts") {
+    val rows = Analytics.q1PricingAgg(t).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = t.lineitem
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <= "1998-09-02")
+      .count()
+    assert(total == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+    }
+  }
+
+  test("q3 returns at most 10 rows sorted by revenue desc") {
+    val rows = Analytics.q3TopkJoin(t).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val r = Analytics.qWindowFunnel(t).collect()(0)
+    val (v, c, p) =
+      (r.getAs[Long]("n_view"), r.getAs[Long]("n_click_after_view"), r.getAs[Long]("n_purchase_after_click"))
+    assert(v >= c && c >= p)
+    assert(v > 0)
+  }
+
+  test("retention cohort sizes sum to the distinct user count") {
+    val rows = Analytics.qRetention(t).collect()
+    val totalCohort = rows.map(_.getAs[Long]("cohort_size")).sum
+    val users = t.events.select("user_id").distinct().count()
+    assert(totalCohort == users)
+    rows.foreach(r => assert(r.getAs[Long]("retained_7d") <= r.getAs[Long]("cohort_size")))
+  }
+
+  test("daily counts cover all events") {
+    val n = Analytics.qEventCountsDaily(t)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(n == t.events.count())
+  }
+
+  test("user ltv only counts purchases") {
+    import org.apache.spark.sql.functions._
+    val ltv = Analytics.qUserLtv(t).agg(round(sum("ltv"), 2)).collect()(0).getDouble(0)
+    val direct = t.events.filter(col("event_type") === "purchase")
+      .agg(round(sum("value"), 2)).collect()(0).getDouble(0)
+    assert(math.abs(ltv - direct) < 0.05)
+  }
+}

@@ -1,0 +1,16 @@
+package graft
+
+import graft.engine.GraftSession
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs (one JVM-wide session; Spark reuses
+  * it across suites via getOrCreate).
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  lazy val sf: String = "/root/testdata/sf0.001"
+  lazy val t: Tables = Tables(spark, sf)
+}

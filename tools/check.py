@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <outDir> <sfDir>
+Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
+sfDir tables, sorts columns by name, and compares values.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out), [cols[i] for i in order]
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_dir = out_dir / name
+        if not spark_dir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        sq = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = [d[0] for d in sq.description]
+        srows = sq.fetchall()
+        try:
+            dq = con.execute(oracle[name])
+            dcols = [d[0] for d in dq.description]
+            drows = dq.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        sc, scn = canon(srows, scols)
+        dc, dcn = canon(drows, dcols)
+        if scn != dcn:
+            print(f"FAIL {name}: columns {scn} != {dcn}")
+            n_fail += 1
+        elif sc != dc:
+            print(f"FAIL {name}: {len(sc)} vs {len(dc)} rows")
+            for a, b in list(zip(sc, dc))[:5]:
+                if a != b:
+                    print(f"  spark={a}\n  duck ={b}")
+            diff = set(sc) ^ set(dc)
+            if diff:
+                print(f"  {len(diff)} differing rows, e.g. {list(diff)[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sc)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
