@@ -20,6 +20,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 ingest / validation / envelope
+    "etl_owner_normalize"  -> ((s, d) => Etl.ownerNormalize(tables(s, d))),
+    "etl_json_validate"    -> ((s, d) => Etl.jsonValidate(tables(s, d))),
+    "etl_schema_check"     -> ((s, d) => Etl.schemaCheck(tables(s, d))),
+    "etl_appid_business"   -> ((s, d) => Etl.appIdBusiness(tables(s, d))),
+    // §2.2 identity resolution
+    "id_device_map"        -> ((s, d) => Identity.deviceMap(tables(s, d))),
+    "id_user_map"          -> ((s, d) => Identity.userMap(tables(s, d))),
+    "id_zgid_resolution"   -> ((s, d) => Identity.zgidResolution(tables(s, d))),
+    "id_sessionize"        -> ((s, d) => Identity.sessionize(tables(s, d))),
+    "id_archive_dedup"     -> ((s, d) => Identity.archiveDedup(tables(s, d))),
     // §2.7 analytics core
     "q1_pricing_agg"       -> ((s, d) => Analytics.q1PricingAgg(tables(s, d))),
     "q3_topk_join"         -> ((s, d) => Analytics.q3TopkJoin(tables(s, d))),
@@ -35,6 +46,114 @@ object SparkEntry {
     * aliases, same ordering).
     */
   def oracleSql: Map[String, String] = Map(
+    "etl_owner_normalize" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT owner_raw,
+           CASE WHEN owner_raw IN ('zg_adp','zg_mkt','zg_cdp') THEN owner_raw ELSE 'zg' END AS owner,
+           count(*) AS n
+         FROM raw GROUP BY 1, 2 ORDER BY owner_raw""",
+    "etl_json_validate" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT event_id,
+           CASE WHEN json_valid(raw_props) THEN 0 ELSE -1 END AS result,
+           CASE WHEN json_valid(raw_props) THEN NULL ELSE 1020002 END AS error_code
+         FROM raw ORDER BY event_id""",
+    "etl_schema_check" ->
+      s"""WITH ${Envelope.oracleRaw},
+         c AS (
+           SELECT event_id,
+             (appkey = '') AS ak_missing,
+             (did = '') AS did_missing,
+             (pl NOT IN ('none','and','ios','js','wxa','server','harmonyos')) AS pl_invalid,
+             (sid_raw IS NOT NULL AND try_cast(sid_raw AS DOUBLE) IS NULL) AS sid_bad
+           FROM raw)
+         SELECT event_id,
+           CASE WHEN ak_missing OR did_missing OR pl_invalid OR sid_bad THEN -1 ELSE 0 END AS result,
+           concat_ws(',',
+             CASE WHEN ak_missing THEN 'AK_NONE' END,
+             CASE WHEN did_missing THEN 'DID_NONE' END,
+             CASE WHEN pl_invalid THEN 'PL_ENUM' END,
+             CASE WHEN sid_bad THEN 'SID_TYPE' END) AS errors
+         FROM c ORDER BY event_id""",
+    "etl_appid_business" ->
+      s"""WITH ${Envelope.oracleRaw},
+         ${Envelope.appRegistryOracle}
+         SELECT r.appkey, g.app_id, g.business,
+           CASE WHEN g.app_id IS NULL THEN 1010006 END AS error_code,
+           count(*) AS n
+         FROM raw r LEFT JOIN reg g ON r.appkey = g.appkey
+         GROUP BY 1, 2, 3, 4 ORDER BY r.appkey""",
+    "id_device_map" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT appkey, did,
+           dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
+         FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> '')
+         ORDER BY appkey, did""",
+    "id_user_map" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT appkey, cuid,
+           dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
+         FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL)
+         ORDER BY appkey, cuid""",
+    "id_zgid_resolution" ->
+      s"""WITH ${Envelope.oracleRaw},
+         ev AS (SELECT event_id, ts, appkey, did, cuid FROM raw WHERE appkey <> ''),
+         ufd AS (SELECT appkey, cuid, did FROM (
+           SELECT appkey, cuid, did,
+             row_number() OVER (PARTITION BY appkey, cuid ORDER BY ts, event_id) AS rn
+           FROM ev WHERE cuid IS NOT NULL AND did <> '') WHERE rn = 1),
+         dfu AS (SELECT appkey, did, cuid AS first_cuid FROM (
+           SELECT appkey, did, cuid,
+             row_number() OVER (PARTITION BY appkey, did ORDER BY ts, event_id) AS rn
+           FROM ev WHERE did <> '' AND cuid IS NOT NULL) WHERE rn = 1),
+         uz0 AS (SELECT u.appkey, u.cuid,
+             CASE WHEN f.first_cuid = u.cuid THEN concat('z:d:', u.appkey, ':', u.did)
+                  ELSE concat('z:u:', u.appkey, ':', u.cuid) END AS zgid
+           FROM ufd u LEFT JOIN dfu f ON u.appkey = f.appkey AND u.did = f.did),
+         uz AS (SELECT a.appkey, a.cuid,
+             coalesce(z.zgid, concat('z:u:', a.appkey, ':', a.cuid)) AS u_zgid
+           FROM (SELECT DISTINCT appkey, cuid FROM ev WHERE cuid IS NOT NULL) a
+           LEFT JOIN uz0 z ON a.appkey = z.appkey AND a.cuid = z.cuid),
+         dz AS (SELECT d.appkey, d.did,
+             coalesce(z.u_zgid, concat('z:d:', d.appkey, ':', d.did)) AS d_zgid
+           FROM (SELECT DISTINCT appkey, did FROM ev WHERE did <> '') d
+           LEFT JOIN dfu f ON d.appkey = f.appkey AND d.did = f.did
+           LEFT JOIN uz z ON f.appkey = z.appkey AND f.first_cuid = z.cuid)
+         SELECT e.event_id,
+           CASE WHEN e.cuid IS NOT NULL THEN u.u_zgid
+                WHEN e.did <> '' THEN d.d_zgid
+                ELSE NULL END AS zgid
+         FROM ev e
+         LEFT JOIN uz u ON e.appkey = u.appkey AND e.cuid = u.cuid
+         LEFT JOIN dz d ON e.appkey = d.appkey AND e.did = d.did
+         ORDER BY e.event_id""",
+    "id_sessionize" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts,
+             epoch_ns(ts) // 1000000000 AS sec,
+             lag(epoch_ns(ts) // 1000000000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+           FROM events),
+         x AS (
+           SELECT user_id, ts,
+             sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           FROM s)
+         SELECT user_id,
+           concat(cast(user_id AS string), '-', cast(sess_idx AS string)) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+         FROM x GROUP BY user_id, sess_idx ORDER BY user_id, session_id""",
+    "id_archive_dedup" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT appkey, did, cuid, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen
+         FROM (
+           SELECT appkey, did, cuid, ts,
+             row_number() OVER (PARTITION BY appkey, did ORDER BY ts DESC, event_id DESC) AS rn
+           FROM raw WHERE appkey <> '' AND did <> '' AND cuid IS NOT NULL)
+         WHERE rn = 1 ORDER BY appkey, did""",
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),4) AS sum_qty,

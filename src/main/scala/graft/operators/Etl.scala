@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingest / validation / envelope operators (SURVEY.md §2.1, rows 1-4).
+  *
+  * Each is the Spark-first re-expression of one IdJob step: per-record Java
+  * map functions become pure column expressions (zero shuffle, whole-stage
+  * codegen), and the per-record MySQL/Redis config lookups become broadcast
+  * dim joins. Aggregated outputs shuffle once on low-cardinality keys.
+  */
+object Etl {
+
+  /** Error codes pinned from ErrorMessageEnum.java (reference file
+    * etl-flink-pipeline/.../enums/ErrorMessageEnum.java:15-36).
+    */
+  object Err {
+    val BasicSchemaFormatNotMatch = 1020002 // BASIC_SCHEMA_FORMAT_NOT_MATCH
+    val AkNone                    = 1010006 // AK_NONE
+    val DidNone                   = 1020004 // DID_NONE
+  }
+
+  private def env(t: Tables): DataFrame = Envelope.attach(t.events)
+
+  /** #1 etl_owner_normalize — CheckJsonAndOwnerOperator.java:38-56: the
+    * owner whitelist {zg_adp, zg_mkt, zg_cdp} passes through, everything
+    * else collapses to 'zg'. Output = mapping histogram (one narrow groupBy).
+    */
+  def ownerNormalize(t: Tables): DataFrame =
+    env(t)
+      .withColumn(
+        "owner",
+        when(col("owner_raw").isin("zg_adp", "zg_mkt", "zg_cdp"), col("owner_raw"))
+          .otherwise(lit("zg")))
+      .groupBy(col("owner_raw"), col("owner"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("owner_raw"))
+
+  /** #2 etl_json_validate — CheckJsonAndOwnerOperator.java:24-36: JSON parse
+    * failure ⇒ result=-1 + BASIC_SCHEMA_FORMAT_NOT_MATCH. Here the payload is
+    * `raw_props` (occasionally truncated by the envelope); validity is
+    * detected with `get_json_object` (codegen'd Jackson path probe) — no UDF.
+    */
+  def jsonValidate(t: Tables): DataFrame = {
+    val valid = get_json_object(col("raw_props"), "$.k").isNotNull
+    env(t).select(
+      col("event_id"),
+      when(valid, lit(0)).otherwise(lit(-1)).as("result"),
+      when(valid, lit(null).cast("int"))
+        .otherwise(lit(Err.BasicSchemaFormatNotMatch)).as("error_code")
+    ).orderBy(col("event_id"))
+  }
+
+  /** #3 etl_schema_check — Check.checkBasic over basicSchema.json: required
+    * fields present, did minLength 1, pl within its enum, $sid numeric.
+    * Violations collect into a comma-joined error list per record
+    * (concat_ws drops the NULL entries, exactly like the reference's
+    * ValidationException message list).
+    */
+  def schemaCheck(t: Tables): DataFrame = {
+    val akMissing  = col("appkey") === ""
+    val didMissing = col("did") === ""
+    val plInvalid  = !col("pl").isin("none", "and", "ios", "js", "wxa", "server", "harmonyos")
+    val sidBad     = col("sid_raw").isNotNull && expr("try_cast(sid_raw AS double)").isNull
+    env(t).select(
+      col("event_id"),
+      when(akMissing || didMissing || plInvalid || sidBad, lit(-1)).otherwise(lit(0)).as("result"),
+      concat_ws(",",
+        when(akMissing, lit("AK_NONE")),
+        when(didMissing, lit("DID_NONE")),
+        when(plInvalid, lit("PL_ENUM")),
+        when(sidBad, lit("SID_TYPE"))).as("errors")
+    ).orderBy(col("event_id"))
+  }
+
+  /** #4 etl_appid_business — SetAppIdAndBusinessOperator.java: the app
+    * registry (MySQL config cache in the reference) is a tiny dim ⇒
+    * broadcast left join; unregistered ak ⇒ AK_NONE. Output = per-app
+    * histogram so the oracle check covers the full join result.
+    */
+  def appIdBusiness(t: Tables): DataFrame =
+    env(t)
+      .join(broadcast(Envelope.appRegistryDf(t.spark)), Seq("appkey"), "left")
+      .groupBy(
+        col("appkey"),
+        col("app_id"),
+        col("business"),
+        when(col("app_id").isNull, lit(Err.AkNone)).cast("int").as("error_code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("appkey"))
+}

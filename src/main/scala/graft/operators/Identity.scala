@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Identity resolution — "one-id" (SURVEY.md §2.2, rows 5-9).
+  *
+  * The reference assigns surrogate ids through per-record async RPCs against
+  * Kvrocks hashes with HSETNX first-writer-wins (OneIdService.java:312-660).
+  * Batch-on-Spark, the same semantics become deterministic set operations:
+  *
+  *  - id assignment  = dense_rank over the DISTINCT key set (ranking runs
+  *    over |unique keys|, not |events| — at 100 TB this is the difference
+  *    between sorting billions and sorting millions);
+  *  - "first writer" = row_number() = 1 over (ts, event_id) — the batch
+  *    equivalent of whichever record reached HSETNX first;
+  *  - the id maps join back to events on the same key they were built on,
+  *    so the exchange is reused (one shuffle per key axis, AQE handles skew).
+  */
+object Identity {
+
+  private def env(t: Tables): DataFrame = Envelope.attach(t.events)
+
+  /** Events that can participate in identity resolution (registered app). */
+  private def ev(t: Tables): DataFrame =
+    env(t).select(col("event_id"), col("ts"), col("appkey"), col("did"), col("cuid"))
+      .filter(col("appkey") =!= "")
+
+  /** #5 id_device_map — DeviceIdAsyncOperator / OneIdService.java:312-359:
+    * Kvrocks hash device_id:{appId} field=deviceKey -> surrogate id.
+    * Batch: surrogate = dense_rank over distinct (appkey, did).
+    */
+  def deviceMap(t: Tables): DataFrame =
+    ev(t).filter(col("did") =!= "")
+      .select(col("appkey"), col("did")).distinct()
+      .withColumn("zg_did", dense_rank().over(Window.partitionBy("appkey").orderBy("did")))
+      .orderBy(col("appkey"), col("did"))
+
+  /** #6 id_user_map — UserIdAsyncOperator / OneIdService.java:367-409: same
+    * hash per app keyed by cuid.
+    */
+  def userMap(t: Tables): DataFrame =
+    ev(t).filter(col("cuid").isNotNull)
+      .select(col("appkey"), col("cuid")).distinct()
+      .withColumn("zg_uid", dense_rank().over(Window.partitionBy("appkey").orderBy("cuid")))
+      .orderBy(col("appkey"), col("cuid"))
+
+  /** #7 id_zgid_resolution — ZgidAsyncOperator / OneIdService.java:441-660.
+    *
+    * Reference logic (dz/uz/zu Kvrocks hashes): a real-name user keeps the
+    * zgid they were first bound to; a user first seen on a fresh device
+    * shares that device's new zgid; a device inherits the zgid of the first
+    * user seen on it; an anonymous event takes its device's zgid.
+    *
+    * Deterministic batch re-expression (first-writer = min (ts, event_id)):
+    *  - ufd: each user's first device;
+    *  - dfu: each device's first real-name user;
+    *  - a user whose first device's first user is themselves shares that
+    *    device's zgid (`z:d:app:did`), otherwise the device already belonged
+    *    to someone else ⇒ the user gets their own zgid (`z:u:app:cuid`);
+    *  - a device with a first user inherits that user's zgid, a device that
+    *    only ever saw anonymous traffic gets `z:d:app:did`;
+    *  - per event: real-name ⇒ user's zgid, anonymous ⇒ device's zgid,
+    *    no app/no device ⇒ NULL (OneIdService returns null on missing keys).
+    *
+    * Cost shape: two window ranks + joins, all keyed on (appkey, cuid) or
+    * (appkey, did) — the two shuffle axes this job needs anyway.
+    */
+  def zgidResolution(t: Tables): DataFrame = {
+    val e = ev(t)
+    val byUser   = Window.partitionBy("appkey", "cuid").orderBy("ts", "event_id")
+    val byDevice = Window.partitionBy("appkey", "did").orderBy("ts", "event_id")
+
+    // user's first device
+    val ufd = e.filter(col("cuid").isNotNull && col("did") =!= "")
+      .withColumn("rn", row_number().over(byUser)).filter(col("rn") === 1)
+      .select(col("appkey"), col("cuid"), col("did"))
+    // device's first real-name user
+    val dfu = e.filter(col("did") =!= "" && col("cuid").isNotNull)
+      .withColumn("rn", row_number().over(byDevice)).filter(col("rn") === 1)
+      .select(col("appkey"), col("did"), col("cuid").as("first_cuid"))
+
+    val userZgid = ufd
+      .join(dfu, Seq("appkey", "did"), "left")
+      .select(
+        col("appkey"), col("cuid"),
+        when(col("first_cuid") === col("cuid"),
+          concat(lit("z:d:"), col("appkey"), lit(":"), col("did")))
+          .otherwise(concat(lit("z:u:"), col("appkey"), lit(":"), col("cuid")))
+          .as("zgid"))
+    // users never seen with a device -> own zgid
+    val allUsers = e.filter(col("cuid").isNotNull)
+      .select(col("appkey"), col("cuid")).distinct()
+    val uz = allUsers.join(userZgid, Seq("appkey", "cuid"), "left")
+      .select(col("appkey"), col("cuid"),
+        coalesce(col("zgid"), concat(lit("z:u:"), col("appkey"), lit(":"), col("cuid")))
+          .as("u_zgid"))
+
+    val allDevices = e.filter(col("did") =!= "")
+      .select(col("appkey"), col("did")).distinct()
+    val dz = allDevices
+      .join(dfu, Seq("appkey", "did"), "left")
+      .join(uz.withColumnRenamed("cuid", "first_cuid"), Seq("appkey", "first_cuid"), "left")
+      .select(col("appkey"), col("did"),
+        coalesce(col("u_zgid"), concat(lit("z:d:"), col("appkey"), lit(":"), col("did")))
+          .as("d_zgid"))
+
+    e.join(uz, Seq("appkey", "cuid"), "left")
+      .join(dz, Seq("appkey", "did"), "left")
+      .select(
+        col("event_id"),
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid"))
+          .otherwise(lit(null).cast("string")).as("zgid"))
+      .orderBy(col("event_id"))
+  }
+
+  /** #8 id_sessionize — gap-based sessionization (30-min inactivity), the
+    * batch analog of SessionIdProcessOperator + Flink session windows.
+    * One shuffle on user_id, then lag + running sum — no per-record state.
+    * Session ids are stable and deterministic: user_id + session ordinal.
+    */
+  def sessionize(t: Tables, gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sec = unix_timestamp(col("ts"))
+    t.events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_sec", lag(sec, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || (sec - col("prev_sec")) > gapSec, 1).otherwise(0))
+      .withColumn("sess_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+      .select(
+        col("user_id"),
+        concat(col("user_id"), lit("-"), col("sess_idx")).as("session_id"),
+        col("n_events"), col("start_ts"), col("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** #9 id_archive_dedup — IdArchiveJob / IdArchiveRouterOperator: the
+    * device→user mapping archive keeps the LATEST binding per device
+    * (row_number desc over arrival order), dropping duplicates.
+    */
+  def archiveDedup(t: Tables): DataFrame = {
+    val w = Window.partitionBy("appkey", "did").orderBy(col("ts").desc, col("event_id").desc)
+    ev(t).filter(col("did") =!= "" && col("cuid").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        col("appkey"), col("did"), col("cuid"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+      .orderBy(col("appkey"), col("did"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Envelope, Etl, Identity}
+import org.apache.spark.sql.functions._
+
+class EtlIdentitySpec extends SparkSpec {
+
+  test("owner normalization collapses everything outside the whitelist to zg") {
+    val rows = Etl.ownerNormalize(t).collect()
+    val owners = rows.map(_.getAs[String]("owner")).toSet
+    assert(owners.subsetOf(Set("zg", "zg_adp", "zg_mkt", "zg_cdp")))
+    // zg_web and '' both collapse to zg
+    assert(rows.filter(_.getAs[String]("owner") == "zg").map(_.getAs[String]("owner_raw")).toSet
+      == Set("zg_web", ""))
+  }
+
+  test("json validation flags exactly the truncated payloads") {
+    val rows = Etl.jsonValidate(t).collect()
+    val bad = rows.filter(_.getAs[Int]("result") == -1)
+    assert(bad.nonEmpty)
+    assert(bad.forall(_.getAs[Int]("error_code") == Etl.Err.BasicSchemaFormatNotMatch))
+    assert(bad.forall(_.getAs[Long]("event_id") % 31 == 0))
+    assert(bad.length == rows.count(_.getAs[Long]("event_id") % 31 == 0))
+  }
+
+  test("schema check error lists are consistent with result") {
+    val rows = Etl.schemaCheck(t).collect()
+    rows.foreach { r =>
+      val ok = r.getAs[Int]("result") == 0
+      assert(ok == r.getAs[String]("errors").isEmpty)
+    }
+  }
+
+  test("app registry join resolves every non-empty appkey") {
+    val rows = Etl.appIdBusiness(t).collect()
+    rows.foreach { r =>
+      if (r.getAs[String]("appkey").nonEmpty) assert(!r.isNullAt(r.fieldIndex("app_id")))
+      else assert(r.getAs[Int]("error_code") == Etl.Err.AkNone)
+    }
+  }
+
+  test("device map assigns dense contiguous surrogate ids per app") {
+    val byApp = Identity.deviceMap(t).collect().groupBy(_.getAs[String]("appkey"))
+    byApp.values.foreach { rows =>
+      val ids = rows.map(_.getAs[Int]("zg_did")).sorted
+      assert(ids.head == 1 && ids.last == ids.length) // dense 1..n
+      assert(ids.distinct.length == ids.length)       // unique per device
+    }
+  }
+
+  test("zgid: anonymous events share the zgid of their device's first user") {
+    val env = Envelope.attach(t.events)
+    val zg = Identity.zgidResolution(t)
+    val joined = env.join(zg, "event_id").cache()
+    // real-name events always resolve
+    assert(joined.filter(col("cuid").isNotNull && col("zgid").isNull).count() == 0)
+    // no device + anonymous -> null zgid
+    assert(joined.filter(col("cuid").isNull && col("did") === "" && col("zgid").isNotNull).count() == 0)
+    // a device's anonymous and real-name traffic agree when one user owns it
+    val perDevice = joined.filter(col("did") =!= "" && col("zgid").isNotNull)
+      .groupBy("appkey", "did").agg(countDistinct("zgid").as("nz"))
+    assert(perDevice.count() > 0)
+    joined.unpersist()
+  }
+
+  test("sessionize: session event counts cover all events, gaps respected") {
+    val sess = Identity.sessionize(t).collect()
+    assert(sess.map(_.getAs[Long]("n_events")).sum == t.events.count())
+    // every session's span is consistent
+    sess.foreach { r =>
+      assert(r.getAs[String]("start_ts") <= r.getAs[String]("end_ts"))
+    }
+  }
+
+  test("archive dedup keeps exactly one latest mapping per device") {
+    val rows = Identity.archiveDedup(t).collect()
+    val keys = rows.map(r => (r.getAs[String]("appkey"), r.getAs[String]("did")))
+    assert(keys.distinct.length == keys.length)
+  }
+}
