@@ -31,6 +31,17 @@ object SparkEntry {
     "id_zgid_resolution"   -> ((s, d) => Identity.zgidResolution(tables(s, d))),
     "id_sessionize"        -> ((s, d) => Identity.sessionize(tables(s, d))),
     "id_archive_dedup"     -> ((s, d) => Identity.archiveDedup(tables(s, d))),
+    // §2.3 config-driven derivation
+    "derive_virtual_property" -> ((s, d) => Derive.virtualProperty(tables(s, d))),
+    "derive_virtual_event"    -> ((s, d) => Derive.virtualEvent(tables(s, d))),
+    "derive_device_props"     -> ((s, d) => Derive.deviceProps(tables(s, d))),
+    "derive_event_registry"   -> ((s, d) => Derive.eventRegistry(tables(s, d))),
+    "etl_prop_length_limit"   -> ((s, d) => Derive.propLengthLimit(tables(s, d))),
+    // §2.4 enrichment
+    "enrich_ip_geo"           -> ((s, d) => Enrich.ipGeo(tables(s, d))),
+    "enrich_user_agent"       -> ((s, d) => Enrich.userAgent(tables(s, d))),
+    "enrich_search_keyword"   -> ((s, d) => Enrich.searchKeyword(tables(s, d))),
+    "enrich_utm_attribution"  -> ((s, d) => Enrich.utmAttribution(tables(s, d))),
     // §2.7 analytics core
     "q1_pricing_agg"       -> ((s, d) => Analytics.q1PricingAgg(tables(s, d))),
     "q3_topk_join"         -> ((s, d) => Analytics.q3TopkJoin(tables(s, d))),
@@ -154,6 +165,82 @@ object SparkEntry {
              row_number() OVER (PARTITION BY appkey, did ORDER BY ts DESC, event_id DESC) AS rn
            FROM raw WHERE appkey <> '' AND did <> '' AND cuid IS NOT NULL)
          WHERE rn = 1 ORDER BY appkey, did""",
+    "derive_virtual_property" -> {
+      val cols = Derive.virtualPropertyRules.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      s"SELECT event_id, $cols FROM events ORDER BY event_id"
+    },
+    "derive_virtual_event" -> {
+      val values = Derive.virtualEventRules
+        .map { case (evt, min, name) => s"('$evt', $min, '$name')" }.mkString(", ")
+      s"""WITH rules(on_event, min_value, virtual_name) AS (VALUES $values)
+         SELECT e.event_id, r.virtual_name
+         FROM events e JOIN rules r ON e.event_type = r.on_event AND e.value >= r.min_value
+         ORDER BY e.event_id, r.virtual_name"""
+    },
+    "derive_device_props" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT event_id,
+           CASE WHEN json_valid(raw_props)
+                THEN CAST(json_extract_string(raw_props, '$$.k') AS INTEGER) END AS prop_k
+         FROM raw ORDER BY event_id""",
+    "derive_event_registry" ->
+      s"""WITH ${Envelope.oracleRaw},
+         f AS (SELECT appkey, event_type, min(ts) AS fts, count(*) AS n
+               FROM raw WHERE appkey <> '' GROUP BY 1, 2)
+         SELECT appkey, event_type AS event_name,
+           dense_rank() OVER (PARTITION BY appkey ORDER BY fts, event_type) AS eid, n
+         FROM f ORDER BY appkey, eid""",
+    "etl_prop_length_limit" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT substr(ua, 1, 64) AS ua_limited, count(*) AS n, max(length(ua)) AS orig_len
+         FROM raw GROUP BY 1 ORDER BY 1""",
+    "enrich_ip_geo" -> {
+      def geoCase(f: ((Int, String, String, String)) => String): String =
+        "CASE user_id % 8 " + Enrich.geoBlocks.map(b => s"WHEN ${b._1} THEN '${f(b)}'")
+          .mkString(" ") + " END"
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT event_id, ip,
+           CASE WHEN event_id % 11 IN (0,1,2,3) THEN '\\N' ELSE ${geoCase(_._2)} END AS country,
+           CASE WHEN event_id % 11 IN (0,1,2,3) THEN '\\N' ELSE ${geoCase(_._3)} END AS province,
+           CASE WHEN event_id % 11 IN (0,1,2,3) THEN '\\N' ELSE ${geoCase(_._4)} END AS city
+         FROM raw ORDER BY event_id"""
+    },
+    "enrich_user_agent" ->
+      """SELECT event_id,
+         CASE event_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
+           WHEN 2 THEN 'Linux' ELSE 'iOS' END AS os,
+         CASE event_id % 4 WHEN 0 THEN '10.0' WHEN 1 THEN '10.15.7'
+           WHEN 2 THEN '\N' ELSE '17.1' END AS os_version,
+         CASE event_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+           WHEN 2 THEN 'Firefox' ELSE 'MicroMessenger' END AS browser,
+         CASE event_id % 4 WHEN 0 THEN '120' WHEN 1 THEN '17'
+           WHEN 2 THEN '121' ELSE '8' END AS browser_version
+         FROM events ORDER BY event_id""",
+    "enrich_search_keyword" ->
+      """SELECT engine, keyword, count(*) AS n FROM (
+           SELECT
+             CASE event_id % 7 WHEN 0 THEN 'baidu' WHEN 1 THEN 'google'
+               WHEN 2 THEN 'sogou' WHEN 3 THEN 'bing' ELSE 'unknown' END AS engine,
+             CASE event_id % 7 WHEN 0 THEN 'spark etl' WHEN 1 THEN 'zhuge analytics'
+               WHEN 2 THEN 'graft engine' WHEN 3 THEN 'etl' ELSE '' END AS keyword
+           FROM events)
+         GROUP BY 1, 2 ORDER BY engine, keyword""",
+    "enrich_utm_attribution" ->
+      """SELECT utm_source, utm_medium, count(*) AS n FROM (
+           SELECT
+             CASE WHEN event_id % 3 = 0 THEN 'wechat'
+               WHEN event_id % 7 = 0 THEN 'www.baidu.com'
+               WHEN event_id % 7 = 1 THEN 'www.google.com'
+               WHEN event_id % 7 = 2 THEN 'www.sogou.com'
+               WHEN event_id % 7 = 3 THEN 'cn.bing.com'
+               WHEN event_id % 7 = 4 THEN 'news.example.com'
+               ELSE '\N' END AS utm_source,
+             CASE WHEN event_id % 3 = 0 THEN 'cpc'
+               WHEN event_id % 7 IN (0,1,2,3) THEN '搜索自然流量'
+               WHEN event_id % 7 = 4 THEN '引荐'
+               ELSE '\N' END AS utm_medium
+           FROM events)
+         GROUP BY 1, 2 ORDER BY utm_source, utm_medium""",
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),4) AS sum_qty,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Config-driven derivation (SURVEY.md §2.3, rows 10-14).
+  *
+  * The reference evaluates admin-configured rules per record: virtual
+  * properties are SQL-ish expression strings compiled to a JSON rule tree and
+  * interpreted in Java (VirtualPropertyOperator.java + the virtualAttribute
+  * package), virtual events are config rows matched against each event
+  * (VirtualEventOperator.java:89-260). Spark-first, the rule *string* is the
+  * program: `expr()` compiles it straight into Catalyst, so rules run inside
+  * whole-stage codegen instead of a per-record interpreter — and the rule
+  * table join is a broadcast of config rows against the stream.
+  */
+object Derive {
+
+  private def env(t: Tables): DataFrame = Envelope.attach(t.events)
+
+  /** #10 virtual property rules: name -> expression string. The strings live
+    * in config (here: one shared constant) and compile via `expr()` on the
+    * Spark side and verbatim SQL on the oracle side — Spark IS the rule
+    * engine the reference hand-rolled in its virtualAttribute package.
+    */
+  val virtualPropertyRules: Seq[(String, String)] = Seq(
+    "vp_value_cny"    -> "round(value * 7, 2)",
+    "vp_value_bucket" -> ("CASE WHEN value >= 100 THEN 'high' " +
+      "WHEN value >= 10 THEN 'mid' ELSE 'low' END"),
+    "vp_type_upper"   -> "upper(event_type)",
+    "vp_is_purchase"  -> "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+  )
+
+  /** #10 derive_virtual_property — VirtualPropertyOperator.java: evaluate
+    * every configured rule as a derived column. Zero shuffle, pure codegen.
+    */
+  def virtualProperty(t: Tables): DataFrame =
+    t.events
+      .select(col("event_id") +: virtualPropertyRules.map { case (n, e) => expr(e).as(n) }: _*)
+      .orderBy(col("event_id"))
+
+  /** #11 virtual event rules (VirtualEventOperator config rows): match on
+    * event name + a filter predicate (here a value threshold — the reference
+    * filter map's batch analog), emit a derived event per match.
+    */
+  val virtualEventRules: Seq[(String, Double, String)] = Seq(
+    ("purchase", 50.0, "vip_purchase"),
+    ("purchase", 100.0, "big_purchase"),
+    ("click", 0.0, "any_click"),
+    ("view", 0.0, "page_view_vtl")
+  )
+
+  /** #11 derive_virtual_event — VirtualEventOperator.java:89-260: the rule
+    * table is tiny config ⇒ broadcast join on event name; the filter
+    * predicate applies in the join condition; each matching rule emits one
+    * derived row (the reference unions them onto the stream with
+    * owner=zg_vtl). One broadcast, no shuffle until the final count.
+    */
+  def virtualEvent(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val rules = virtualEventRules.toDF("on_event", "min_value", "virtual_name")
+    t.events
+      .join(broadcast(rules),
+        col("event_type") === col("on_event") && col("value") >= col("min_value"))
+      .select(col("event_id"), col("virtual_name"))
+      .orderBy(col("event_id"), col("virtual_name"))
+  }
+
+  /** #12 derive_device_props — DevicePropertyParser.java: schema'd JSON
+    * parse of the property payload. `from_json` yields NULL fields for
+    * corrupt payloads (the parser's try/catch-null), all inside codegen.
+    */
+  def deviceProps(t: Tables): DataFrame =
+    env(t)
+      .select(
+        col("event_id"),
+        from_json(col("raw_props"), lit("k INT")).getField("k").as("prop_k"))
+      .orderBy(col("event_id"))
+
+  /** #13 derive_event_registry — EventAsyncOperator.java: the reference
+    * hands out incremental event ids per app as names first appear (Kvrocks
+    * counter). Batch: rank names by first-seen time. The rank runs over
+    * |distinct names| per app — at 100 TB the groupBy pre-aggregation does
+    * all the heavy lifting map-side.
+    */
+  def eventRegistry(t: Tables): DataFrame =
+    env(t).filter(col("appkey") =!= "")
+      .groupBy(col("appkey"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n"))
+      .withColumn("eid",
+        dense_rank().over(Window.partitionBy("appkey").orderBy("first_ts", "event_type")))
+      .select(col("appkey"), col("event_type").as("event_name"), col("eid"), col("n"))
+      .orderBy(col("appkey"), col("eid"))
+
+  /** #14 etl_prop_length_limit — EventAttrTransfer.ensureLength: every
+    * string property is truncated to its column budget before sinking
+    * (maxPropLength). Shown on the longest envelope string (ua, 64 chars).
+    */
+  def propLengthLimit(t: Tables): DataFrame =
+    env(t)
+      .groupBy(substring(col("ua"), 1, 64).as("ua_limited"))
+      .agg(count(lit(1)).as("n"), max(length(col("ua"))).as("orig_len"))
+      .orderBy(col("ua_limited"))
+}

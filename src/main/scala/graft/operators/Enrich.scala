@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment (SURVEY.md §2.4, rows 15-18) — DwJob step 1.
+  *
+  * The reference enriches per record: a native IP-range database reader
+  * (IpEnrichOperator.java + AwdbReader), a UA-parsing library
+  * (UserAgentParser.java), and hand-rolled URL string walking
+  * (SearchKeywordParser.java). Spark-first, geo becomes a broadcast range
+  * join against an interval dim, and UA/keyword/UTM parsing become
+  * regexp/parse_url column expressions — zero shuffle, full codegen, no UDFs.
+  */
+object Enrich {
+
+  /** NULL sentinel (EventAttrTransfer.NULL_VALUE, SURVEY.md §3). */
+  val NullValue = "\\N"
+
+  private def env(t: Tables): DataFrame = Envelope.attach(t.events)
+
+  // ---- #15 ip geo ----
+
+  /** Geo "database": interval dim over the public 203.0.x.0/24 blocks the
+    * envelope synthesizes (stand-in for the reference's awdb file). city
+    * index = third octet.
+    */
+  val geoBlocks: Seq[(Int, String, String, String)] = Seq(
+    (0, "中国", "北京", "北京"),
+    (1, "中国", "上海", "上海"),
+    (2, "中国", "广东", "深圳"),
+    (3, "中国", "广东", "广州"),
+    (4, "美国", "加利福尼亚", "旧金山"),
+    (5, "中国", "浙江", "杭州"),
+    (6, "中国", "四川", "成都"),
+    (7, "德国", "柏林", "柏林")
+  )
+
+  private def geoDim(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    geoBlocks.map { case (octet, country, province, city) =>
+      val base = 203L * (1L << 24) + octet * 256L
+      (base, base + 255L, country, province, city)
+    }.toDF("ip_start", "ip_end", "geo_country", "geo_province", "geo_city")
+  }
+
+  /** Private-IP test — exact ranges from IpEnrichOperator.java:190-233:
+    * 10/8, 172.16/12, 192.168/16, 127/8, 0/8.
+    */
+  def isPrivateIp(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    val first = o.getItem(0).cast("int")
+    val second = o.getItem(1).cast("int")
+    first === 10 ||
+      (first === 172 && second >= 16 && second <= 31) ||
+      (first === 192 && second === 168) ||
+      first === 127 || first === 0
+  }
+
+  def ipToLong(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
+      o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
+  }
+
+  /** #15 enrich_ip_geo — IpEnrichOperator.java:140-185: private IP ⇒ geo
+    * columns = \N; else interval lookup. The dim is tiny ⇒ broadcast
+    * nested-loop range join (each row probes a sorted in-memory interval
+    * list — the same shape the awdb reader gives the reference, but
+    * distributed for free).
+    */
+  def ipGeo(t: Tables): DataFrame = {
+    val e = env(t).select(col("event_id"), col("ip"))
+      .withColumn("ip_long", ipToLong(col("ip")))
+      .withColumn("is_private", isPrivateIp(col("ip")))
+    e.join(broadcast(geoDim(t)),
+        !col("is_private") && col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"),
+        "left")
+      .select(
+        col("event_id"),
+        col("ip"),
+        when(col("is_private"), lit(NullValue)).otherwise(coalesce(col("geo_country"), lit(NullValue))).as("country"),
+        when(col("is_private"), lit(NullValue)).otherwise(coalesce(col("geo_province"), lit(NullValue))).as("province"),
+        when(col("is_private"), lit(NullValue)).otherwise(coalesce(col("geo_city"), lit(NullValue))).as("city"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- #16 user agent ----
+
+  /** #16 enrich_user_agent — UserAgentParser.java re-expressed as a
+    * regexp_extract/when chain (os, major os version, browser, major browser
+    * version — UserAgentParser.java:126-139 keeps only the major version).
+    * iPhone is tested before Mac because its UA contains "like Mac OS X".
+    */
+  def userAgent(t: Tables): DataFrame = {
+    val ua = col("ua")
+    val os = when(ua.contains("iPhone OS"), "iOS")
+      .when(ua.contains("Windows NT"), "Windows")
+      .when(ua.contains("Mac OS X"), "Mac OS X")
+      .when(ua.contains("Linux"), "Linux")
+      .otherwise("UNKNOWN")
+    val osVersion = when(ua.contains("iPhone OS"),
+        regexp_replace(regexp_extract(ua, "iPhone OS ([0-9_]+)", 1), "_", "."))
+      .when(ua.contains("Windows NT"), regexp_extract(ua, "Windows NT ([0-9.]+)", 1))
+      .when(ua.contains("Mac OS X"),
+        regexp_replace(regexp_extract(ua, "Mac OS X ([0-9_]+)", 1), "_", "."))
+      .otherwise(NullValue)
+    val browser = when(ua.contains("MicroMessenger/"), "MicroMessenger")
+      .when(ua.contains("Firefox/"), "Firefox")
+      .when(ua.contains("Chrome/"), "Chrome")
+      .when(ua.contains("Version/") && ua.contains("Safari"), "Safari")
+      .otherwise("UNKNOWN")
+    val browserVersion = when(ua.contains("MicroMessenger/"),
+        regexp_extract(ua, "MicroMessenger/([0-9]+)", 1))
+      .when(ua.contains("Firefox/"), regexp_extract(ua, "Firefox/([0-9]+)", 1))
+      .when(ua.contains("Chrome/"), regexp_extract(ua, "Chrome/([0-9]+)", 1))
+      .when(ua.contains("Version/"), regexp_extract(ua, "Version/([0-9]+)", 1))
+      .otherwise(NullValue)
+    env(t).select(
+      col("event_id"),
+      os.as("os"), osVersion.as("os_version"),
+      browser.as("browser"), browserVersion.as("browser_version"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- #17 search keyword ----
+
+  /** Engine patterns + keyword params, pinned from
+    * SearchKeywordParser.java:38-55.
+    */
+  val enginePatterns: Seq[(String, String, Seq[String])] = Seq(
+    ("baidu\\.com", "baidu", Seq("wd", "word", "kw")),
+    ("google\\.(com|cn|com\\.hk)", "google", Seq("q", "query")),
+    ("sogou\\.com", "sogou", Seq("query", "keyword")),
+    ("so\\.com", "360", Seq("q")),
+    ("bing\\.com", "bing", Seq("q")),
+    ("sm\\.cn", "shenma", Seq("q")),
+    ("toutiao\\.com", "toutiao", Seq("keyword")),
+    ("yahoo\\.com", "yahoo", Seq("p"))
+  )
+
+  /** Engine classifier (case-insensitive domain regex, first match wins). */
+  def engineOf(url: Column): Column =
+    enginePatterns.foldRight(lit("unknown")) { case ((pat, name, _), elseCol) =>
+      when(url.rlike("(?i)" + pat), name).otherwise(elseCol)
+    }
+
+  /** Keyword for the detected engine: first non-empty of its param names,
+    * URL-decoded (SearchKeywordParser.java:107-143 + UrlDecoder).
+    */
+  def keywordOf(url: Column, engine: Column): Column = {
+    val perEngine = enginePatterns.map { case (_, name, params) =>
+      val raw = coalesce(
+        params.map(p => nullif(parse_url(url, lit("QUERY"), lit(p)), lit(""))) :+
+          lit(null).cast("string"): _*)
+      (name, raw)
+    }
+    perEngine.foldRight(lit("")) { case ((name, raw), elseCol) =>
+      when(engine === name, coalesce(url_decode(raw), lit(""))).otherwise(elseCol)
+    }
+  }
+
+  /** #17 enrich_search_keyword — engine detect + keyword param extraction
+    * over the referrer; unknown engine ⇒ ("unknown", ""). Histogram output.
+    */
+  def searchKeyword(t: Tables): DataFrame = {
+    val withEngine = env(t).withColumn("engine", engineOf(col("referrer")))
+    withEngine
+      .withColumn("keyword",
+        when(col("engine") === "unknown", lit(""))
+          .otherwise(keywordOf(col("referrer"), col("engine"))))
+      .groupBy(col("engine"), col("keyword"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("engine"), col("keyword"))
+  }
+
+  // ---- #18 utm attribution ----
+
+  /** #18 enrich_utm_attribution — EventAttrTransfer.java:301-338: explicit
+    * utm_* params win; otherwise a search-engine referrer attributes as
+    * organic search (medium=搜索自然流量, source=referrer host), any other
+    * referrer as referral (medium=引荐), no referrer as direct (\N).
+    */
+  def utmAttribution(t: Tables): DataFrame = {
+    val utmSource = nullif(parse_url(col("url"), lit("QUERY"), lit("utm_source")), lit(""))
+    val utmMedium = nullif(parse_url(col("url"), lit("QUERY"), lit("utm_medium")), lit(""))
+    val host = parse_url(col("referrer"), lit("HOST"))
+    val engine = engineOf(col("referrer"))
+    env(t)
+      .select(
+        when(utmSource.isNotNull, utmSource)
+          .when(engine =!= "unknown", host)
+          .when(col("referrer") =!= "", host)
+          .otherwise(NullValue).as("utm_source"),
+        when(utmSource.isNotNull, coalesce(utmMedium, lit(NullValue)))
+          .when(engine =!= "unknown", lit("搜索自然流量"))
+          .when(col("referrer") =!= "", lit("引荐"))
+          .otherwise(NullValue).as("utm_medium"))
+      .groupBy(col("utm_source"), col("utm_medium"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("utm_source"), col("utm_medium"))
+  }
+}

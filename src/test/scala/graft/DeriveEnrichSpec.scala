@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Derive, Enrich}
+import org.apache.spark.sql.functions._
+
+class DeriveEnrichSpec extends SparkSpec {
+
+  test("virtual property rules evaluate for every event") {
+    val rows = Derive.virtualProperty(t)
+    assert(rows.count() == t.events.count())
+    val bad = rows.filter(
+      !col("vp_value_bucket").isin("high", "mid", "low") ||
+        !col("vp_is_purchase").isin(0, 1))
+    assert(bad.count() == 0)
+  }
+
+  test("virtual events only fire when the rule predicate holds") {
+    val matches = Derive.virtualEvent(t)
+    val vip = matches.filter(col("virtual_name") === "vip_purchase").count()
+    val expected = t.events
+      .filter(col("event_type") === "purchase" && col("value") >= 50.0).count()
+    assert(vip == expected)
+    val big = matches.filter(col("virtual_name") === "big_purchase").count()
+    assert(big <= vip)
+  }
+
+  test("corrupt json payloads yield null device props") {
+    val rows = Derive.deviceProps(t)
+    val nulls = rows.filter(col("prop_k").isNull).count()
+    assert(nulls == t.events.filter(col("event_id") % 31 === 0).count())
+  }
+
+  test("event registry ids are dense per app") {
+    val byApp = Derive.eventRegistry(t).collect().groupBy(_.getAs[String]("appkey"))
+    byApp.values.foreach { rows =>
+      val eids = rows.map(_.getAs[Int]("eid")).sorted
+      assert(eids.head == 1 && eids.last == eids.length)
+    }
+  }
+
+  test("private ips never resolve to a geo location") {
+    val rows = Enrich.ipGeo(t)
+    val leaked = rows.filter(
+      (col("ip").startsWith("10.") || col("ip").startsWith("192.168.") ||
+        col("ip").startsWith("172.16.") || col("ip").startsWith("127.")) &&
+        col("country") =!= Enrich.NullValue)
+    assert(leaked.count() == 0)
+    // all public 203.0.x.y ips resolve
+    val unresolved = rows.filter(col("ip").startsWith("203.") && col("country") === Enrich.NullValue)
+    assert(unresolved.count() == 0)
+  }
+
+  test("ua parse recovers os + major browser version") {
+    val rows = Enrich.userAgent(t).select("os", "browser", "browser_version").distinct().collect()
+    val combos = rows.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(combos == Set(
+      ("Windows", "Chrome", "120"),
+      ("Mac OS X", "Safari", "17"),
+      ("Linux", "Firefox", "121"),
+      ("iOS", "MicroMessenger", "8")))
+  }
+
+  test("search keyword extraction decodes url-encoded terms") {
+    val rows = Enrich.searchKeyword(t).collect()
+      .map(r => (r.getAs[String]("engine"), r.getAs[String]("keyword"))).toSet
+    assert(rows.contains(("baidu", "spark etl")))      // %20 decoded
+    assert(rows.contains(("google", "zhuge analytics"))) // + decoded
+    assert(rows.contains(("unknown", "")))
+  }
+
+  test("utm attribution: explicit utm wins, search referrer is organic") {
+    val rows = Enrich.utmAttribution(t).collect()
+      .map(r => (r.getAs[String]("utm_source"), r.getAs[String]("utm_medium"))).toMap
+    assert(rows.contains("wechat") && rows("wechat") == "cpc")
+    assert(rows.get("www.baidu.com").contains("搜索自然流量"))
+    assert(rows.get("news.example.com").contains("引荐"))
+    assert(rows.get(Enrich.NullValue).contains(Enrich.NullValue))
+  }
+}
