@@ -42,6 +42,17 @@ object SparkEntry {
     "enrich_user_agent"       -> ((s, d) => Enrich.userAgent(tables(s, d))),
     "enrich_search_keyword"   -> ((s, d) => Enrich.searchKeyword(tables(s, d))),
     "enrich_utm_attribution"  -> ((s, d) => Enrich.utmAttribution(tables(s, d))),
+    // §2.5 routing / data quality / dims / sink
+    "route_by_dt"              -> ((s, d) => Route.routeByDt(tables(s, d))),
+    "route_event_attr"         -> ((s, d) => Route.routeEventAttr(tables(s, d))),
+    "dq_validate"              -> ((s, d) => Route.dqValidate(tables(s, d))),
+    "dq_error_stats"           -> ((s, d) => Route.dqErrorStats(tables(s, d))),
+    "dim_platform"             -> ((s, d) => Route.dimPlatform(tables(s, d))),
+    "sink_partitioned_parquet" -> ((s, d) => Route.sinkPartitionedParquet(tables(s, d))),
+    // §2.6 ads / attribution
+    "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
+    "adv_first_last_touch" -> ((s, d) => Adv.firstLastTouch(tables(s, d))),
+    "adv_conversion"       -> ((s, d) => Adv.conversion(tables(s, d))),
     // §2.7 analytics core
     "q1_pricing_agg"       -> ((s, d) => Analytics.q1PricingAgg(tables(s, d))),
     "q3_topk_join"         -> ((s, d) => Analytics.q3TopkJoin(tables(s, d))),
@@ -241,6 +252,97 @@ object SparkEntry {
                ELSE '\N' END AS utm_medium
            FROM events)
          GROUP BY 1, 2 ORDER BY utm_source, utm_medium""",
+    "route_by_dt" -> {
+      val cases = Route.dtRoutes.map { case (dt, r) => s"WHEN '$dt' THEN '$r'" }.mkString(" ")
+      val bl = Route.appBlacklist.map(a => s"'$a'").mkString(", ")
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT CASE dt $cases ELSE 'drop' END AS route, count(*) AS n
+         FROM raw WHERE appkey NOT IN ($bl) GROUP BY 1 ORDER BY route"""
+    },
+    "route_event_attr" -> {
+      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         dim(pl, platform_id) AS (VALUES $dims)
+         SELECT event_id, strftime(ts, '%Y%m%d') AS day_id,
+           epoch_ns(ts) // 1000000000 AS begin_date,
+           concat(strftime(ts, '%H'), '0', strftime(ts, '%M')) AS time_id,
+           concat(strftime(ts, '%Y'), '-',
+             lpad(cast(weekofyear(CAST(ts AS DATE)) AS string), 2, '0')) AS year_week,
+           coalesce(d.platform_id, 0) AS platform_id,
+           event_type AS event_name
+         FROM raw r LEFT JOIN dim d ON r.pl = d.pl
+         WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
+         ORDER BY event_id"""
+    },
+    "dq_validate" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT event_id,
+           CASE WHEN appkey = '' OR (did = '' AND cuid IS NULL) THEN ${Route.Err.ZgZgidNone}
+                WHEN did = '' THEN ${Route.Err.ZgDidNone}
+                WHEN sdk NOT IN ('zg_server','zg-cdp')
+                     AND (ts < TIMESTAMP '${Route.dqWindowStart}'
+                          OR ts >= TIMESTAMP '${Route.dqWindowEnd}') THEN ${Route.Err.EventTimeExceedsRange}
+                ELSE 0 END AS error_code
+         FROM raw ORDER BY event_id""",
+    "dq_error_stats" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT appkey,
+           CASE WHEN appkey = '' OR (did = '' AND cuid IS NULL) THEN ${Route.Err.ZgZgidNone}
+                WHEN did = '' THEN ${Route.Err.ZgDidNone}
+                WHEN sdk NOT IN ('zg_server','zg-cdp')
+                     AND (ts < TIMESTAMP '${Route.dqWindowStart}'
+                          OR ts >= TIMESTAMP '${Route.dqWindowEnd}') THEN ${Route.Err.EventTimeExceedsRange}
+                ELSE 0 END AS error_code,
+           count(*) AS n
+         FROM raw GROUP BY 1, 2 ORDER BY appkey, error_code""",
+    "dim_platform" -> {
+      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         dim(pl, platform_id) AS (VALUES $dims)
+         SELECT r.pl, coalesce(d.platform_id, 0) AS platform_id, count(*) AS n
+         FROM raw r LEFT JOIN dim d ON r.pl = d.pl
+         GROUP BY 1, 2 ORDER BY r.pl"""
+    },
+    "adv_click_join" ->
+      s"""WITH ${Envelope.oracleRaw},
+         e AS (SELECT * FROM raw WHERE appkey <> '' AND did <> ''),
+         c AS (SELECT appkey, did, event_id AS click_id, ts AS click_ts
+               FROM e WHERE event_type = 'click'),
+         v AS (SELECT appkey, did, event_id AS conv_id, ts AS conv_ts
+               FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT v.conv_id, c.click_id,
+                 row_number() OVER (PARTITION BY v.conv_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+               FROM v JOIN c ON v.appkey = c.appkey AND v.did = c.did
+               WHERE c.click_ts <= v.conv_ts
+                 AND epoch_ns(v.conv_ts) // 1000000000
+                     - epoch_ns(c.click_ts) // 1000000000 <= ${Adv.lookbackSec})
+         SELECT conv_id, click_id FROM j WHERE rn = 1 ORDER BY conv_id""",
+    "adv_first_last_touch" ->
+      s"""WITH s AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 3 = 0 THEN 'wechat'
+               WHEN event_id % 7 = 0 THEN 'www.baidu.com'
+               WHEN event_id % 7 = 1 THEN 'www.google.com'
+               WHEN event_id % 7 = 2 THEN 'www.sogou.com'
+               WHEN event_id % 7 = 3 THEN 'cn.bing.com'
+               WHEN event_id % 7 = 4 THEN 'news.example.com'
+               ELSE '\\N' END AS source
+           FROM events),
+         f AS (SELECT user_id, source,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+           FROM s)
+         SELECT user_id,
+           max(CASE WHEN rf = 1 THEN source END) AS first_source,
+           max(CASE WHEN rl = 1 THEN source END) AS last_source,
+           count(*) AS n_touch
+         FROM f GROUP BY user_id ORDER BY user_id""",
+    "adv_conversion" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS conv_day,
+         count(*) AS n_raw, round(sum(value), 4) AS conv_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1, 2 ORDER BY user_id, conv_day""",
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),4) AS sum_qty,

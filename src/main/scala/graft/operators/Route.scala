@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Routing / data quality / dims / sink (SURVEY.md §2.5, rows 19-24) —
+  * DwJob step 2: DataRouterOperator splits the stream per message type into
+  * the four Doris tables, DataValidator/TimeValidator gate what lands, and
+  * Dims maps enum strings to dim codes. Batch-on-Spark: routing is a
+  * `when` chain (one pass, codegen), validation is pure column predicates,
+  * dims are broadcast joins, and the Doris sink becomes a day-partitioned
+  * parquet writer.
+  */
+object Route {
+
+  private def env(t: Tables): DataFrame = Envelope.attach(t.events)
+
+  /** Error codes pinned from ErrorMessageEnum.java:32-36. */
+  object Err {
+    val ZgZgidNone            = 1030001
+    val ZgDidNone             = 1030003
+    val EventTimeExceedsRange = 1030005
+    val NoneError             = 0
+  }
+
+  /** Blacklisted apps (data_access_filter config in the reference). */
+  val appBlacklist: Seq[String] = Seq("app_blocked")
+
+  /** dt -> sink route (DataRouterOperator.java:255-295). */
+  val dtRoutes: Seq[(String, String)] = Seq(
+    "zgid" -> "user", "pl" -> "device", "usr" -> "user_prop",
+    "evt" -> "event_attr", "vtl" -> "event_attr", "mkt" -> "event_attr",
+    "ss" -> "event_attr", "se" -> "event_attr", "abp" -> "event_attr")
+
+  /** #19 route_by_dt — message-type routing + app blacklist. Single narrow
+    * groupBy; the real split at scale is `df.filter(route === ...)` per sink
+    * over one cached pass.
+    */
+  def routeByDt(t: Tables): DataFrame = {
+    val route = dtRoutes.foldRight(lit("drop")) { case ((dt, r), other) =>
+      when(col("dt") === dt, r).otherwise(other)
+    }
+    env(t)
+      .filter(!col("appkey").isin(appBlacklist: _*))
+      .select(route.as("route"))
+      .groupBy(col("route")).agg(count(lit(1)).as("n"))
+      .orderBy(col("route"))
+  }
+
+  /** Platform dim (dim.json "sdk" dim / Dims.sdk): key -> code, unknown -> 0. */
+  val platformDim: Seq[(String, Int)] = Seq(
+    "none" -> 0, "and" -> 1, "ios" -> 2, "js" -> 3,
+    "wxa" -> 4, "server" -> 5, "harmonyos" -> 6)
+
+  def platformId(t: Tables, plCol: String = "pl"): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    broadcast(platformDim.toDF(plCol, "platform_id"))
+  }
+
+  /** #20 route_event_attr — EventAttrTransfer.fillBasicFieldsFromMap time
+    * components: day id `yyyyMMdd`, epoch seconds, time id (HH + "0" + mm,
+    * EventAttrTransfer.java:249-251), ISO year-week, platform dim code.
+    * Pure expressions + one broadcast join.
+    */
+  def routeEventAttr(t: Tables): DataFrame =
+    env(t)
+      .filter(col("dt").isin("evt", "vtl", "mkt", "ss", "se", "abp"))
+      .join(platformId(t), Seq("pl"), "left")
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyyMMdd").as("day_id"),
+        unix_timestamp(col("ts")).as("begin_date"),
+        concat(date_format(col("ts"), "HH"), lit("0"), date_format(col("ts"), "mm")).as("time_id"),
+        concat(date_format(col("ts"), "yyyy"), lit("-"),
+          lpad(weekofyear(col("ts")).cast("string"), 2, "0")).as("year_week"),
+        coalesce(col("platform_id"), lit(0)).as("platform_id"),
+        col("event_type").as("event_name"))
+      .orderBy(col("event_id"))
+
+  /** DQ time window, pinned for determinism (TimeValidator takes
+    * (subDays=7, addDays=1) around "today"; we pin today = 2024-06-30 so the
+    * oracle is reproducible — SURVEY.md §3).
+    */
+  val dqWindowStart = "2024-06-23 00:00:00"
+  val dqWindowEnd   = "2024-07-02 00:00:00" // exclusive
+
+  /** #21 dq_validate — DataValidator.java:40-80 first-failure-wins checks:
+    * zgid ⇒ did ⇒ time-range (ct/tz always present here), with the
+    * TimeValidator.java:40-60 sdk exemption for zg_server / zg-cdp.
+    */
+  def dqValidate(t: Tables): DataFrame = {
+    val zgidMissing = col("appkey") === "" || (col("did") === "" && col("cuid").isNull)
+    val didMissing  = col("did") === ""
+    val timeExempt  = col("sdk").isin("zg_server", "zg-cdp")
+    val timeBad     = !timeExempt &&
+      (col("ts") < lit(dqWindowStart).cast("timestamp") ||
+        col("ts") >= lit(dqWindowEnd).cast("timestamp"))
+    env(t).select(
+      col("event_id"),
+      when(zgidMissing, lit(Err.ZgZgidNone))
+        .when(didMissing, lit(Err.ZgDidNone))
+        .when(timeBad, lit(Err.EventTimeExceedsRange))
+        .otherwise(lit(Err.NoneError)).as("error_code"))
+      .orderBy(col("event_id"))
+  }
+
+  /** #22 dq_error_stats — the DQ Kafka topic re-expressed as a stats table:
+    * error-code counts per app (IdResultProcessFunction / DataQuality
+    * KafkaService). Reuses #21's predicate column, one shuffle on (app, code).
+    */
+  def dqErrorStats(t: Tables): DataFrame = {
+    val codes = dqValidate(t)
+    env(t).select(col("event_id"), col("appkey"))
+      .join(codes, "event_id")
+      .groupBy(col("appkey"), col("error_code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("appkey"), col("error_code"))
+  }
+
+  /** #23 dim_platform — Dims.sdk (dim.json): enum string -> code, unknown
+    * -> 0. Broadcast join + histogram.
+    */
+  def dimPlatform(t: Tables): DataFrame =
+    env(t)
+      .join(platformId(t), Seq("pl"), "left")
+      .groupBy(col("pl"), coalesce(col("platform_id"), lit(0)).as("platform_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pl"))
+
+  /** #24 sink_partitioned_parquet — the Doris sink's batch analog: write
+    * event_attr rows day-partitioned (partition pruning for every downstream
+    * day-ranged query), read the sink back, return per-day counts.
+    * Repartition by the partition column first so each day writes one file
+    * instead of shuffle-partitions × days small files. Rows-only check.
+    */
+  def sinkPartitionedParquet(t: Tables): DataFrame = {
+    val out = s"/tmp/graft_sink/${java.util.UUID.randomUUID().toString.take(8)}"
+    val rows = env(t)
+      .withColumn("day_id", date_format(col("ts"), "yyyyMMdd"))
+      .select("event_id", "day_id", "event_type", "value")
+    rows.repartition(col("day_id"))
+      .write.mode("overwrite").partitionBy("day_id").parquet(out)
+    t.spark.read.parquet(out)
+      .groupBy(col("day_id").cast("string").as("day_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day_id"))
+  }
+}

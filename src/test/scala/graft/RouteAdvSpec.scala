@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Adv, Envelope, Route}
+import org.apache.spark.sql.functions._
+
+class RouteAdvSpec extends SparkSpec {
+
+  test("routing covers every event and only known sinks") {
+    val rows = Route.routeByDt(t).collect()
+    val routes = rows.map(_.getAs[String]("route")).toSet
+    assert(routes.subsetOf(Set("user", "device", "user_prop", "event_attr", "drop")))
+    assert(rows.map(_.getAs[Long]("n")).sum == t.events.count())
+  }
+
+  test("event_attr time components are internally consistent") {
+    val rows = Route.routeEventAttr(t).limit(100).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("day_id").length == 8)
+      assert(r.getAs[String]("time_id").length == 5)
+      assert(r.getAs[String]("year_week").matches("\\d{4}-\\d{2}"))
+      assert(r.getAs[Int]("platform_id") >= 0 && r.getAs[Int]("platform_id") <= 6)
+    }
+  }
+
+  test("dq validation: exempt sdks never fail on time") {
+    val env = Envelope.attach(t.events).select("event_id", "sdk")
+    val joined = Route.dqValidate(t).join(env, "event_id")
+    val badExempt = joined.filter(
+      col("sdk").isin("zg_server", "zg-cdp") &&
+        col("error_code") === Route.Err.EventTimeExceedsRange)
+    assert(badExempt.count() == 0)
+    // the pinned window makes most in-range events fail (events span a year)
+    assert(joined.filter(col("error_code") === Route.Err.NoneError).count() > 0)
+  }
+
+  test("partitioned sink roundtrips all event_attr rows") {
+    val back = Route.sinkPartitionedParquet(t)
+    assert(back.agg(sum("n")).collect()(0).getLong(0) == t.events.count())
+  }
+
+  test("click attribution: every attributed click precedes its conversion") {
+    val env = Envelope.attach(t.events).select(col("event_id"), col("ts"))
+    val attributed = Adv.clickJoin(t)
+      .join(env.withColumnRenamed("event_id", "conv_id").withColumnRenamed("ts", "conv_ts"), "conv_id")
+      .join(env.withColumnRenamed("event_id", "click_id").withColumnRenamed("ts", "click_ts"), "click_id")
+    assert(attributed.filter(col("click_ts") > col("conv_ts")).count() == 0)
+    // one attribution per conversion
+    val n = attributed.count()
+    assert(attributed.select("conv_id").distinct().count() == n)
+  }
+
+  test("first/last touch covers every user exactly once") {
+    val rows = Adv.firstLastTouch(t)
+    assert(rows.count() == t.events.select("user_id").distinct().count())
+    assert(rows.filter(col("first_source").isNull || col("last_source").isNull).count() == 0)
+  }
+
+  test("conversions dedup to one row per user-day") {
+    val rows = Adv.conversion(t).collect()
+    val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("conv_day")))
+    assert(keys.distinct.length == keys.length)
+    assert(rows.map(_.getAs[Long]("n_raw")).sum ==
+      t.events.filter(col("event_type") === "purchase").count())
+  }
+}
