@@ -61,8 +61,23 @@ object SparkEntry {
     "q_retention"          -> ((s, d) => Analytics.qRetention(tables(s, d))),
     "q_event_counts_daily" -> ((s, d) => Analytics.qEventCountsDaily(tables(s, d))),
     "q_user_ltv"           -> ((s, d) => Analytics.qUserLtv(tables(s, d))),
-    "q_distinct_users"     -> ((s, d) => Analytics.qDistinctUsers(tables(s, d)))
+    "q_distinct_users"     -> ((s, d) => Analytics.qDistinctUsers(tables(s, d))),
+    // §2.8 LLM-pipeline extensions
+    "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(tables(s, d))),
+    "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(tables(s, d))),
+    "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
+    "sim_ann_cosine_topk" -> ((s, d) => Sim.cosineTopK(tables(s, d))),
+    "sim_ann_lsh"         -> ((s, d) => Sim.lshTopK(tables(s, d))),
+    "text_langid"         -> ((s, d) => TextAnalysis.langId(tables(s, d))),
+    "text_quality_score"  -> ((s, d) => TextAnalysis.qualityScore(tables(s, d))),
+    "text_token_count"    -> ((s, d) => TextAnalysis.tokenCount(tables(s, d))),
+    "text_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(tables(s, d))),
+    "mm_binary_columns"   -> ((s, d) => Multimodal.binaryColumns(tables(s, d)))
   )
+
+  /** DuckDB list literal for a stopword set. */
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
     * aliases, same ordering).
@@ -424,6 +439,69 @@ object SparkEntry {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+         min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY h""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+         s0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d3),
+         sh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s FROM s0),
+         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT da, db, CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) AS jac
+               FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id)
+         SELECT da, db, floor(jac * 10000) / 10000 AS jaccard
+         FROM j WHERE jac >= ${Dedup.jaccardTau} ORDER BY da, db""",
+    "sim_ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+               WHERE vec_id < ${Sim.nQueries}),
+         p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+                 list_dot_product(qv, v) / (qn * nrm) AS cos
+               FROM q JOIN n ON n.vec_id <> q.query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM p)
+         SELECT query_id, neighbor_id, rank, floor(cos * 10000) / 10000 AS cos_sim
+         FROM r WHERE rank <= ${Sim.topK} ORDER BY query_id, rank""",
+    "text_langid" -> {
+      val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(w, x -> x IN (${inList(ws)}))) AS ${lang}_n"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents)
+         SELECT doc_id, $hits,
+           CASE WHEN en_n + es_n + de_n = 0 THEN 'unknown'
+                WHEN en_n >= es_n AND en_n >= de_n THEN 'en'
+                WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+         FROM d ORDER BY doc_id"""
+    },
+    "text_quality_score" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         s AS (SELECT doc_id, len(w) AS n_words,
+                 len(list_filter(w, x -> x IN (${inList(TextAnalysis.stopwords.head._2)}))) AS stop_hits
+               FROM d)
+         SELECT doc_id, n_words,
+           floor(CAST(stop_hits AS DOUBLE) / n_words * 10000) / 10000 AS stop_ratio,
+           floor((CAST(least(n_words, 50) AS DOUBLE) / 50 * 0.5
+                  + CAST(stop_hits AS DOUBLE) / n_words * 0.5) * 10000) / 10000 AS quality
+         FROM s ORDER BY doc_id""",
+    "text_token_count" ->
+      s"""WITH s AS (SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS ws_tokens,
+             len(regexp_extract_all(text, '${TextAnalysis.bpePattern}')) AS bpe_tokens,
+             length(text) AS n_chars
+           FROM documents)
+         SELECT doc_id, ws_tokens, bpe_tokens,
+           floor(CAST(n_chars AS DOUBLE) / bpe_tokens * 10000) / 10000 AS chars_per_token
+         FROM s ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication over the `documents` table (SURVEY.md §2.8, rows 36-39) —
+  * the training-data-pipeline extension: exact, n-gram Jaccard, MinHash+LSH
+  * and SimHash near-dup detection, all expressed as declarative plans.
+  *
+  * Scale posture (100 TB): exact dedup is one map-side-combined groupBy on a
+  * 16-byte hash; shingle explosion is bounded by words-per-doc; LSH band
+  * buckets cap the candidate-pair join so nothing ever goes quadratic in the
+  * corpus — only within-bucket.
+  */
+object Dedup {
+
+  /** Shared tokenization: lowercase, trim, split on whitespace runs. */
+  def withWords(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+
+  /** Distinct word-3-gram shingles per doc. */
+  def shingles(t: Tables): DataFrame =
+    withWords(t.documents)
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+
+  /** #36 dedup_exact — md5 of normalized text, keep the lowest doc_id per
+    * group. One hash-keyed groupBy with full map-side partial aggregation.
+    */
+  def exact(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .orderBy(col("h"))
+
+  /** Jaccard similarity threshold for #37. */
+  val jaccardTau = 0.2
+
+  /** #37 dedup_ngram_jaccard — candidate pairs = docs sharing ≥1 shingle
+    * (the shingle posting list IS the bucket — no all-pairs join), Jaccard =
+    * |∩| / (|A|+|B|−|∩|) ≥ τ. floor-rounding (not round) so the oracle can
+    * never disagree on a decimal tie.
+    */
+  def ngramJaccard(t: Tables): DataFrame = {
+    val sh = shingles(t)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("c", "ca"), "da")
+      .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("c", "cb"), "db")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("ca") + col("cb") - col("shared")))
+      .filter(col("jaccard") >= jaccardTau)
+      .select(col("da"), col("db"),
+        (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ---- #38 minhash ----
+
+  val minhashK = 16    // hashes per signature
+  val bandSize = 4     // -> 4 bands of 4
+  private val MersennePrime = 2147483647L
+
+  /** MinHash signatures: explode k hash slots over the shingle set, take the
+    * min per (doc, slot). Portable permutations of a base xxhash64.
+    */
+  def minhashSignatures(t: Tables): DataFrame =
+    shingles(t)
+      .withColumn("h0", pmod(xxhash64(col("s")), lit(MersennePrime)))
+      .select(col("doc_id"), col("h0"), explode(expr(s"sequence(0, ${minhashK - 1})")).as("j"))
+      .withColumn("hj",
+        pmod(col("h0") * (col("j") * 2 + 3) + col("j") * 2654435761L + 1, lit(MersennePrime)))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("hj")).as("mh"))
+
+  /** #38 dedup_minhash_lsh — band the signature (bandSize consecutive
+    * minhashes hashed together), bucket-join within bands, estimate Jaccard
+    * as the fraction of agreeing minhashes. Per-doc output (signature id +
+    * candidate count) so the rows-only check always has rows; pair-level
+    * semantics are asserted in the spec.
+    */
+  def minhashLsh(t: Tables): DataFrame = {
+    val sig = minhashSignatures(t)
+    val bands = sig
+      .withColumn("band", (col("j") / bandSize).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(concat_ws("-",
+        sort_array(collect_list(concat_ws(":", col("j"), col("mh")))))).as("band_key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val nCand = cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    sig.groupBy("doc_id")
+      .agg(xxhash64(concat_ws("-",
+        sort_array(collect_list(concat_ws(":", col("j"), col("mh")))))).as("sig_id"))
+      .join(nCand, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sig_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Estimated Jaccard between all LSH candidate pairs (used by the spec and
+    * available as the dedup decision input): fraction of the k minhashes
+    * that agree.
+    */
+  def minhashCandidatePairs(t: Tables): DataFrame = {
+    val sig = minhashSignatures(t)
+    val bands = sig
+      .withColumn("band", (col("j") / bandSize).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(concat_ws("-",
+        sort_array(collect_list(concat_ws(":", col("j"), col("mh")))))).as("band_key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    cand
+      .join(sig.select(col("doc_id").as("da"), col("j"), col("mh").as("mha")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("j"), col("mh").as("mhb")), Seq("db", "j"))
+      .groupBy(col("da"), col("db"))
+      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)).cast("double") / minhashK)
+        .as("est_jaccard"))
+  }
+
+  // ---- #39 simhash ----
+
+  /** 64-bit SimHash per doc: per-token xxhash64, bit-position vote counts
+    * (64 parallel aggregates in one groupBy — stays in codegen), bit i set
+    * iff more than half the tokens have it set.
+    */
+  def simhashDocs(t: Tables): DataFrame = {
+    val toks = withWords(t.documents)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"b$i"))
+    val agged = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), bitCols: _*)
+    val simhash = (0 until 64).map { i =>
+      when(col(s"b$i") * 2 > col("n_tok"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** Hamming threshold for "near" pairs. */
+  val simhashMaxHamming = 10
+
+  /** #39 dedup_simhash — band the 64-bit fingerprint into 4×16-bit chunks,
+    * bucket-join, exact hamming (bit_count of xor) within buckets. Per-doc
+    * output (hex fingerprint + near-pair count) for the rows-only check.
+    */
+  def simhash(t: Tables): DataFrame = {
+    val docs = simhashDocs(t)
+    val bands = docs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("band", "band_val")))
+    val near = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= simhashMaxHamming)
+    val nNear = near.select(col("da").as("doc_id"))
+      .union(near.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    docs.join(nNear, Seq("doc_id"), "left")
+      .select(col("doc_id"), hex(col("simhash")).as("simhash_hex"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+}

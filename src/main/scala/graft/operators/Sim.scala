@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.8, rows
+  * 40-41): brute-force cosine top-k as the correctness baseline, random-
+  * hyperplane LSH bucketing as the scale path (bucket equi-join instead of
+  * cross join — at 100 TB the bucket turns an O(N·Q) scan into O(N·Q/2^b)).
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions over
+  * array<double> — codegen'd, no UDFs.
+  */
+object Sim {
+
+  /** Sequential-fold dot product (same summation order as a plain loop, so
+    * an external oracle computing left-to-right matches bit-for-bit).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  private def vecs(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  val topK = 5
+  val nQueries = 10 // vec_id < 10 are the query set
+
+  /** #40 sim_ann_cosine_topk — exact cosine top-k per query vector.
+    * Query side is tiny ⇒ broadcast; per-vector norms computed once.
+    * floor-rounding for oracle stability.
+    */
+  def cosineTopK(t: Tables): DataFrame = {
+    val e = vecs(t).withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val nHyperplanes = 8
+
+  /** Deterministic pseudo-random hyperplane j component d: sin(j*1009+d*31).
+    * (No RNG in the plan — reproducible across runs and engines.)
+    */
+  def bucketOf(v: Column): Column =
+    (0 until nHyperplanes).map { j =>
+      val proj = aggregate(
+        zip_with(v, expr(s"transform(sequence(0, 63), d -> sin($j * 1009 + d * 31))"),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** #41 sim_ann_lsh — random-hyperplane bucketing, then exact cosine only
+    * within the bucket (equi-join on bucket id). Output: per-vector best
+    * in-bucket neighbor (approximate NN). Rows-only; recall vs #40 is
+    * asserted in the spec.
+    */
+  def lshTopK(t: Tables): DataFrame = {
+    val e = vecs(t)
+      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("nrm", norm(col("v")))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("neighbor_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+      .select(col("vec_id"), col("bucket"), col("neighbor_id"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+}

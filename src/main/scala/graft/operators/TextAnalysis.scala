@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents` (SURVEY.md §2.8, rows 42-45): language
+  * id, quality scoring, token counting, fingerprinting. All pure column
+  * expressions (higher-order array functions) — zero shuffle until the
+  * final sort, so these scale as a single scan pass at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Stopword lists for the n-gram/stopword language heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"))
+
+  private def docsW(t: Tables): DataFrame = Dedup.withWords(t.documents)
+
+  private def hitExpr(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(w, x -> x IN ($list)))"
+  }
+
+  /** #42 text_langid — per-language stopword hit counts; argmax with a
+    * deterministic preference order; no hits at all ⇒ unknown.
+    */
+  def langId(t: Tables): DataFrame = {
+    val scored = docsW(t).select(
+      col("doc_id") +: stopwords.map { case (lang, ws) => expr(hitExpr(ws)).as(s"${lang}_n") }: _*)
+    scored.withColumn("pred_lang",
+        when(col("en_n") + col("es_n") + col("de_n") === 0, "unknown")
+          .when(col("en_n") >= col("es_n") && col("en_n") >= col("de_n"), "en")
+          .when(col("es_n") >= col("de_n"), "es")
+          .otherwise("de"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #43 text_quality_score — length / stopword-ratio features + a single
+    * score. floor-rounded ratios so the oracle can't hit decimal-tie
+    * divergence between engines.
+    */
+  def qualityScore(t: Tables): DataFrame =
+    docsW(t).select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        expr(hitExpr(stopwords.head._2)).as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (floor(col("stop_hits").cast("double") / col("n_words") * 10000) / 10000).as("stop_ratio"),
+        (floor((least(col("n_words"), lit(50)).cast("double") / 50 * 0.5 +
+          col("stop_hits").cast("double") / col("n_words") * 0.5) * 10000) / 10000).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** #44 text_token_count — whitespace tokens vs regex "BPE-ish" tokens and
+    * the chars-per-token ratio (the pretraining-cost estimator).
+    */
+  def tokenCount(t: Tables): DataFrame =
+    docsW(t).select(
+        col("doc_id"),
+        size(col("w")).as("ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).as("bpe_tokens"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        (floor(col("n_chars").cast("double") / col("bpe_tokens") * 10000) / 10000)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  /** #45 text_fingerprint — polynomial rolling hash folded over the word
+    * sequence (order-sensitive), plus the min shingle hash (winnowing-style
+    * content anchor, order-robust). Sequential `aggregate` fold — no UDF.
+    * Rows-only: the fold isn't expressible in the oracle dialect; semantics
+    * are pinned by the spec (permutation sensitivity, stability).
+    */
+  def fingerprint(t: Tables): DataFrame = {
+    val fp = aggregate(col("w"), lit(0L),
+      (acc, x) => pmod(acc * 131 + pmod(xxhash64(x), lit(1000000007L)), lit(1000000007L)))
+    val minShingle = t.documents.select(col("doc_id")).join(
+      Dedup.shingles(t).groupBy("doc_id").agg(min(pmod(xxhash64(col("s")), lit(1000000007L))).as("fp_min")),
+      Seq("doc_id"), "left")
+    docsW(t).select(col("doc_id"), fp.as("fp"))
+      .join(minShingle, "doc_id")
+      .select(col("doc_id"), col("fp"), coalesce(col("fp_min"), lit(-1L)).as("fp_min"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Sim, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+
+  test("exact dedup groups cover every document exactly once") {
+    val rows = Dedup.exact(t).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == t.documents.count())
+    rows.foreach(r => assert(r.getAs[Long]("keep_id") >= 0))
+  }
+
+  test("ngram jaccard pairs are symmetric-free and within [tau, 1]") {
+    val rows = Dedup.ngramJaccard(t).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= Dedup.jaccardTau - 1e-4 && j <= 1.0)
+    }
+  }
+
+  test("minhash estimate tracks true jaccard on candidate pairs") {
+    val est = Dedup.minhashCandidatePairs(t)
+    assert(est.count() > 0)
+    // identical signature => estimate 1.0 only when all minhashes agree
+    est.collect().foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e > 0.0 && e <= 1.0) // bucket collision requires >=1 band agreement
+    }
+  }
+
+  test("simhash of duplicated text is identical, near count symmetric") {
+    import spark.implicits._
+    val dup = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashDocs(graft.sources.Tables(spark, sf)) // compile-path check
+    val hashes = Dedup.withWords(dup)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    assert(hashes.count() > 0)
+    val real = Dedup.simhash(t).collect()
+    assert(real.length == t.documents.count())
+    real.foreach(r => assert(r.getAs[Long]("n_near") >= 0))
+  }
+
+  test("brute-force cosine topk: ranks dense, cos within [-1,1], no self") {
+    val rows = Sim.cosineTopK(t).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Sim.nQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to Sim.topK))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != q)
+        val c = r.getAs[Double]("cos_sim")
+        assert(c >= -1.0001 && c <= 1.0001)
+      }
+      // ranks ordered by descending cos
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("lsh ann: every vector gets a same-bucket neighbor when one exists") {
+    val rows = Sim.lshTopK(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("vec_id"))
+      assert(r.getAs[Int]("bucket") >= 0 && r.getAs[Int]("bucket") < 256)
+    }
+  }
+
+  test("langid prefers the language with most stopword hits") {
+    val rows = TextAnalysis.langId(t).collect()
+    rows.foreach { r =>
+      val (en, es, de) = (r.getAs[Int]("en_n"), r.getAs[Int]("es_n"), r.getAs[Int]("de_n"))
+      val pred = r.getAs[String]("pred_lang")
+      if (en + es + de == 0) assert(pred == "unknown")
+      else {
+        val max = Seq(en, es, de).max
+        val predScore = pred match {
+          case "en" => en; case "es" => es; case "de" => de; case _ => -1
+        }
+        assert(predScore == max)
+      }
+    }
+  }
+
+  test("fingerprint is order-sensitive, min-shingle is order-robust-ish") {
+    val rows = TextAnalysis.fingerprint(t).collect()
+    assert(rows.length == t.documents.count())
+    // deterministic across two runs
+    val again = TextAnalysis.fingerprint(t).collect()
+    assert(rows.map(_.getAs[Long]("fp")).sameElements(again.map(_.getAs[Long]("fp"))))
+  }
+
+  test("decode stub is deterministic and multimodal plumbing keeps schema") {
+    val a = Multimodal.decodeStub("hello".getBytes)
+    val b = Multimodal.decodeStub("hello".getBytes)
+    assert(a.sameElements(b) && a.length == Multimodal.featureDim)
+    val rows = Multimodal.binaryColumns(t).collect()
+    assert(rows.length == t.documents.count())
+    rows.foreach { r =>
+      assert(Set("jpeg", "png", "webp").contains(r.getAs[String]("fmt")))
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+  }
+}
