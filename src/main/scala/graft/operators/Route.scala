@@ -90,34 +90,37 @@ object Route {
     * zgid ⇒ did ⇒ time-range (ct/tz always present here), with the
     * TimeValidator.java:40-60 sdk exemption for zg_server / zg-cdp.
     */
-  def dqValidate(t: Tables): DataFrame = {
+  def dqValidate(t: Tables): DataFrame =
+    env(t).select(col("event_id"), errorCodeCol.as("error_code"))
+      .orderBy(col("event_id"))
+
+  /** The #21 validation verdict as a single column expression (shared by
+    * dq_validate and dq_error_stats so the stats path needs no self-join —
+    * one scan, one narrow shuffle).
+    */
+  private def errorCodeCol = {
     val zgidMissing = col("appkey") === "" || (col("did") === "" && col("cuid").isNull)
     val didMissing  = col("did") === ""
     val timeExempt  = col("sdk").isin("zg_server", "zg-cdp")
     val timeBad     = !timeExempt &&
       (col("ts") < lit(dqWindowStart).cast("timestamp") ||
         col("ts") >= lit(dqWindowEnd).cast("timestamp"))
-    env(t).select(
-      col("event_id"),
-      when(zgidMissing, lit(Err.ZgZgidNone))
-        .when(didMissing, lit(Err.ZgDidNone))
-        .when(timeBad, lit(Err.EventTimeExceedsRange))
-        .otherwise(lit(Err.NoneError)).as("error_code"))
-      .orderBy(col("event_id"))
+    when(zgidMissing, lit(Err.ZgZgidNone))
+      .when(didMissing, lit(Err.ZgDidNone))
+      .when(timeBad, lit(Err.EventTimeExceedsRange))
+      .otherwise(lit(Err.NoneError))
   }
 
   /** #22 dq_error_stats — the DQ Kafka topic re-expressed as a stats table:
     * error-code counts per app (IdResultProcessFunction / DataQuality
-    * KafkaService). Reuses #21's predicate column, one shuffle on (app, code).
+    * KafkaService). Inlines #21's verdict expression: one scan, one shuffle
+    * on the tiny (app, code) key space.
     */
-  def dqErrorStats(t: Tables): DataFrame = {
-    val codes = dqValidate(t)
-    env(t).select(col("event_id"), col("appkey"))
-      .join(codes, "event_id")
-      .groupBy(col("appkey"), col("error_code"))
+  def dqErrorStats(t: Tables): DataFrame =
+    env(t)
+      .groupBy(col("appkey"), errorCodeCol.as("error_code"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("appkey"), col("error_code"))
-  }
 
   /** #23 dim_platform — Dims.sdk (dim.json): enum string -> code, unknown
     * -> 0. Broadcast join + histogram.

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.operators.{Envelope, Route}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the Flink jobs (SURVEY.md §2.9).
+  *
+  * The reference runs IdJob → DwJob as per-record Flink operators with async
+  * state RPCs (main/IdJob.java:22-43, main/DwJob.java:414-428). Streaming-
+  * on-Spark: the same chain is `readStream` → the *identical* column
+  * expressions used in batch (validation, enrichment, routing are all pure
+  * exprs, so batch and streaming share one implementation) → watermarked
+  * windowed aggregation for DQ stats → `flatMapGroupsWithState` for the one
+  * genuinely stateful step (sessionization).
+  *
+  * At scale: stateless stages are shard-parallel with no state store;
+  * only sessionization keys state by user — the same single-shuffle posture
+  * as the batch sessionizer (#8).
+  */
+object EventStreamPipeline {
+
+  /** Events schema as the streaming source sees it (ts = TIMESTAMP(NANOS)
+    * arrives as long under nanosAsLong; converted right after read, exactly
+    * like sources.Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** The IdJob+DwJob chain as one streaming transform: envelope → owner
+    * normalization → DQ verdict → route. All stateless column work —
+    * identical semantics to the batch operators (#1, #19, #21).
+    */
+  def pipeline(events: DataFrame): DataFrame = {
+    val route = Route.dtRoutes.foldRight(lit("drop")) { case ((dt, r), other) =>
+      when(col("dt") === dt, r).otherwise(other)
+    }
+    Envelope.attach(events)
+      .withColumn("owner",
+        when(col("owner_raw").isin("zg_adp", "zg_mkt", "zg_cdp"), col("owner_raw"))
+          .otherwise(lit("zg")))
+      .withColumn("route", route)
+  }
+
+  /** Watermarked hourly DQ counts (the DQ Kafka topic as a live aggregate).
+    * 1-day watermark bounds state; late events beyond it are dropped.
+    */
+  def dqWindowCounts(enriched: DataFrame): DataFrame =
+    enriched
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour"), col("route"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("route"), col("n"))
+
+  // ---- stateful sessionization (streaming analog of #8 id_sessionize) ----
+
+  case class SessionState(lastSec: Long, nEvents: Int, nSessions: Int)
+  case class SessionUpdate(userId: Long, nSessions: Int, nEvents: Int)
+
+  val gapSec = 1800L
+
+  /** Gap-based sessionization with explicit keyed state — the streaming
+    * analog of SessionIdProcessOperator + Flink session windows. Emits the
+    * running per-user session count each batch (Update mode).
+    */
+  def sessionize(events: DataFrame): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
+          sorted.foreach { sec =>
+            val newSession = st.lastSec == Long.MinValue || sec - st.lastSec > gapSec
+            st = SessionState(sec, st.nEvents + 1, st.nSessions + (if (newSession) 1 else 0))
+          }
+          state.update(st)
+          Iterator(SessionUpdate(userId, st.nSessions, st.nEvents))
+      }
+  }
+}
