@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, Etl, Identity}
+
+/** Plan audits (SURVEY.md §5): the properties that make these plans survive
+  * a 100× scale-up, asserted against the optimized physical plan so a
+  * regression (lost pushdown, lost broadcast, lost partial agg) fails CI —
+  * the durable form of the `.explain("formatted")` check.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter reaches the parquet scan (PushedFilters)") {
+    val p = plan(Analytics.q1PricingAgg(t))
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), s"filter not pushed:\n$p")
+  }
+
+  test("q1: scan prunes to only the columns the query touches") {
+    val p = plan(Analytics.q1PricingAgg(t))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val p = plan(Analytics.q5StarJoin(t))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
+  }
+
+  test("app registry join is a broadcast, not a shuffle") {
+    val p = plan(Etl.appIdBusiness(t))
+    assert(p.contains("BroadcastHashJoin"), s"registry join shuffled:\n$p")
+  }
+
+  test("aggregations keep map-side partial aggregation") {
+    val p = plan(Analytics.qEventCountsDaily(t))
+    val nHashAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nHashAgg >= 2, s"no partial aggregation:\n$p") // partial + final
+  }
+
+  test("envelope ops prune the events scan to used columns only") {
+    // jsonValidate touches only event_id + props; the envelope's other
+    // derived columns must not widen the scan
+    val p = plan(Etl.jsonValidate(t))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("user_id"), s"scan reads unused columns: $readSchema")
+  }
+
+  test("device map ranks distinct keys, not raw events") {
+    val p = plan(Identity.deviceMap(t))
+    // the aggregate (distinct) must appear below the window rank
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"distinct should run before rank (deeper in plan):\n$p")
+  }
+
+  test("exact dedup aggregates map-side on the hash key") {
+    val p = plan(Dedup.exact(t))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+  }
+
+  test("whole-stage codegen covers the envelope expression work") {
+    val df = Etl.schemaCheck(t)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages appear as "*(n)" prefixes in the simple plan string
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+  }
+}
