@@ -33,11 +33,12 @@ object Sim {
     * floor-rounding for oracle stability.
     */
   def cosineTopK(t: Tables): DataFrame = {
-    val e = vecs(t).withColumn("nrm", norm(col("v")))
+    graft.functions.VectorExpressions.register(t.spark)
+    val e = vecs(t)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
@@ -66,14 +67,14 @@ object Sim {
     * asserted in the spec.
     */
   def lshTopK(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val e = vecs(t)
       .withColumn("bucket", bucketOf(col("v")))
-      .withColumn("nrm", norm(col("v")))
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("neighbor_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        expr("graft_cosine(a.v, b.v)").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
