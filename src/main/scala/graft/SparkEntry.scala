@@ -62,6 +62,7 @@ object SparkEntry {
     "q_event_counts_daily" -> ((s, d) => Analytics.qEventCountsDaily(tables(s, d))),
     "q_user_ltv"           -> ((s, d) => Analytics.qUserLtv(tables(s, d))),
     "q_distinct_users"     -> ((s, d) => Analytics.qDistinctUsers(tables(s, d))),
+    "q_distinct_users_approx" -> ((s, d) => Analytics.qDistinctUsersApprox(tables(s, d))),
     // §2.8 LLM-pipeline extensions
     "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(tables(s, d))),

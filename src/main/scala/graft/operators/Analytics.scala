@@ -138,4 +138,16 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
+
+  /** HLL-sketch variant of #35: approx_count_distinct mergeable partial
+    * sketches — at 100 TB this is the difference between shuffling every
+    * distinct key and shuffling a few KB of sketch per group. Rows-only
+    * (sketch estimates aren't oracle-portable); the spec bounds its error
+    * against the exact count.
+    */
+  def qDistinctUsersApprox(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .orderBy(col("event_type"))
 }

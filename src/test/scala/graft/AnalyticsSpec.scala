@@ -46,6 +46,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(n == t.events.count())
   }
 
+  test("approx distinct users within 5% of exact") {
+    val exact = Analytics.qDistinctUsers(t).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    Analytics.qDistinctUsersApprox(t).collect().foreach { r =>
+      val e = exact(r.getAs[String]("event_type")).toDouble
+      val a = r.getAs[Long]("n_users_approx").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("user ltv only counts purchases") {
     import org.apache.spark.sql.functions._
     val ltv = Analytics.qUserLtv(t).agg(round(sum("ltv"), 2)).collect()(0).getDouble(0)
