@@ -8,6 +8,9 @@ object Bench {
       .tune(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (codegen compiler, parquet footers, broadcast infra)
+    // so per-query numbers measure the queries, not JVM cold start
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -47,7 +47,10 @@ object Dedup {
     * never disagree on a decimal tie.
     */
   def ngramJaccard(t: Tables): DataFrame = {
-    val sh = shingles(t)
+    // the shingle set feeds three plan branches (posting-list self-join +
+    // two count lookups); persist it so the explode runs once — at scale
+    // this is a checkpoint of the posting list, not a luxury
+    val sh = shingles(t).persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -89,7 +92,7 @@ object Dedup {
     * semantics are asserted in the spec.
     */
   def minhashLsh(t: Tables): DataFrame = {
-    val sig = minhashSignatures(t)
+    val sig = minhashSignatures(t).persist()
     val bands = sig
       .withColumn("band", (col("j") / bandSize).cast("int"))
       .groupBy(col("doc_id"), col("band"))
@@ -116,7 +119,7 @@ object Dedup {
     * that agree.
     */
   def minhashCandidatePairs(t: Tables): DataFrame = {
-    val sig = minhashSignatures(t)
+    val sig = minhashSignatures(t).persist()
     val bands = sig
       .withColumn("band", (col("j") / bandSize).cast("int"))
       .groupBy(col("doc_id"), col("band"))

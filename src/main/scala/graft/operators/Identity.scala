@@ -69,7 +69,7 @@ object Identity {
     * (appkey, did) — the two shuffle axes this job needs anyway.
     */
   def zgidResolution(t: Tables): DataFrame = {
-    val e = ev(t)
+    val e = ev(t).persist() // five plan branches read the filtered envelope
     val byUser   = Window.partitionBy("appkey", "cuid").orderBy("ts", "event_id")
     val byDevice = Window.partitionBy("appkey", "did").orderBy("ts", "event_id")
 
