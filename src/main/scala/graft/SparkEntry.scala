@@ -28,6 +28,7 @@ object SparkEntry {
     "etl_json_validate"    -> ((s, d) => Etl.jsonValidate(tables(s, d))),
     "etl_schema_check"     -> ((s, d) => Etl.schemaCheck(tables(s, d))),
     "etl_appid_business"   -> ((s, d) => Etl.appIdBusiness(tables(s, d))),
+    "gate_blacklist"       -> ((s, d) => Etl.gateBlacklist(tables(s, d))),
     // §2.2 identity resolution
     "id_device_map"        -> ((s, d) => Identity.deviceMap(tables(s, d))),
     "id_user_map"          -> ((s, d) => Identity.userMap(tables(s, d))),
@@ -162,6 +163,24 @@ object SparkEntry {
            count(*) AS n
          FROM raw r LEFT JOIN reg g ON r.appkey = g.appkey
          GROUP BY 1, 2, 3, 4 ORDER BY r.appkey""",
+    "gate_blacklist" -> {
+      val ips = Etl.ipBlacklist.map { case (a, i) => s"('$a', '$i')" }.mkString(", ")
+      val uas = Etl.uaBlacklist.map { case (a, u) => s"('$a', '$u')" }.mkString(", ")
+      val aks = Etl.akBlacklist.map(a => s"'$a'").mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         ipb(appkey, ip) AS (VALUES $ips),
+         uab(appkey, ua) AS (VALUES $uas)
+         SELECT r.appkey,
+           CASE WHEN i.ip IS NOT NULL THEN ${Etl.Err.IpBlock}
+                WHEN u.ua IS NOT NULL THEN ${Etl.Err.UaBlock}
+                ELSE 0 END AS error_code,
+           count(*) AS n
+         FROM raw r
+         LEFT JOIN ipb i ON r.appkey = i.appkey AND r.ip = i.ip
+         LEFT JOIN uab u ON r.appkey = u.appkey AND r.ua = u.ua
+         WHERE r.appkey NOT IN ($aks)
+         GROUP BY 1, 2 ORDER BY r.appkey, error_code"""
+    },
     "id_device_map" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT appkey, did,

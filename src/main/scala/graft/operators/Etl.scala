@@ -20,6 +20,43 @@ object Etl {
     val BasicSchemaFormatNotMatch = 1020002 // BASIC_SCHEMA_FORMAT_NOT_MATCH
     val AkNone                    = 1010006 // AK_NONE
     val DidNone                   = 1020004 // DID_NONE
+    val IpBlock                   = 1010001 // IP_BLOCK
+    val UaBlock                   = 1010002 // UA_BLOCK
+  }
+
+  /** Per-app gate blacklists (GateFlatMapFunction.java:46-58: the
+    * data_access_filter config — exact-match ip and ua sets per app, plus a
+    * global blocked-ak list whose messages are dropped outright).
+    */
+  val ipBlacklist: Seq[(String, String)] = Seq(
+    ("app0", "10.1.2.3"),
+    ("app1", "192.168.0.5"),
+    ("app2", "203.0.2.17"))
+  val uaBlacklist: Seq[(String, String)] = Seq(
+    ("app1", "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0"))
+  val akBlacklist: Seq[String] = Seq("app_blocked")
+
+  /** gate_blacklist — GateFlatMapFunction.java:155-213: blocked ak ⇒ message
+    * dropped; ip in the app's blacklist ⇒ IP_BLOCK; else ua in the app's
+    * blacklist ⇒ UA_BLOCK; else pass. Blacklists are config-sized ⇒ two
+    * broadcast left joins; output is the gate verdict histogram per app.
+    */
+  def gateBlacklist(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val ipB = broadcast(ipBlacklist.toDF("appkey", "ip").withColumn("ip_blocked", lit(true)))
+    val uaB = broadcast(uaBlacklist.toDF("appkey", "ua").withColumn("ua_blocked", lit(true)))
+    env(t)
+      .filter(!col("appkey").isin(akBlacklist: _*))
+      .join(ipB, Seq("appkey", "ip"), "left")
+      .join(uaB, Seq("appkey", "ua"), "left")
+      .groupBy(
+        col("appkey"),
+        when(col("ip_blocked"), lit(Err.IpBlock))
+          .when(col("ua_blocked"), lit(Err.UaBlock))
+          .otherwise(lit(0)).as("error_code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("appkey"), col("error_code"))
   }
 
   private def env(t: Tables): DataFrame = Envelope.attach(t.events)

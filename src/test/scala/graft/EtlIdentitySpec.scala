@@ -39,6 +39,19 @@ class EtlIdentitySpec extends SparkSpec {
     }
   }
 
+  test("gate: blocked ips/uas flagged per app, blocked aks dropped") {
+    val rows = Etl.gateBlacklist(t).collect()
+    // blacklisted app never appears
+    assert(!rows.exists(r => Etl.akBlacklist.contains(r.getAs[String]("appkey"))))
+    // app0's blocked ip (10.1.2.3) exists in traffic => IP_BLOCK rows
+    val app0Blocked = rows.filter(r =>
+      r.getAs[String]("appkey") == "app0" && r.getAs[Int]("error_code") == Etl.Err.IpBlock)
+    assert(app0Blocked.nonEmpty && app0Blocked.head.getAs[Long]("n") > 0)
+    // ua block only ever fires for apps with a ua blacklist entry
+    rows.filter(_.getAs[Int]("error_code") == Etl.Err.UaBlock)
+      .foreach(r => assert(Etl.uaBlacklist.exists(_._1 == r.getAs[String]("appkey"))))
+  }
+
   test("device map assigns dense contiguous surrogate ids per app") {
     val byApp = Identity.deviceMap(t).collect().groupBy(_.getAs[String]("appkey"))
     byApp.values.foreach { rows =>
