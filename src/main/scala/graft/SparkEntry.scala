@@ -50,6 +50,9 @@ object SparkEntry {
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
     // §2.5 routing / data quality / dims / sink
     "route_by_dt"              -> ((s, d) => Route.routeByDt(tables(s, d))),
+    "route_user_row"           -> ((s, d) => Route.routeUserRow(tables(s, d))),
+    "route_device_row"         -> ((s, d) => Route.routeDeviceRow(tables(s, d))),
+    "route_user_prop_row"      -> ((s, d) => Route.routeUserPropRow(tables(s, d))),
     "route_event_attr"         -> ((s, d) => Route.routeEventAttr(tables(s, d))),
     "dq_validate"              -> ((s, d) => Route.dqValidate(tables(s, d))),
     "dq_error_stats"           -> ((s, d) => Route.dqErrorStats(tables(s, d))),
@@ -357,6 +360,49 @@ object SparkEntry {
          WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
          ORDER BY event_id"""
     },
+    "route_user_row" -> {
+      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         $zgidCtes,
+         zg AS ($zgidSelect),
+         dim(pl, platform_id) AS (VALUES $dims)
+         SELECT r.event_id, z.zgid, r.did,
+           coalesce(r.cuid, '\\N') AS user_id,
+           epoch_ns(r.ts) // 1000000000 AS begin_date,
+           coalesce(d.platform_id, 0) AS platform_id
+         FROM raw r
+         JOIN zg z ON r.event_id = z.event_id
+         LEFT JOIN dim d ON r.pl = d.pl
+         WHERE r.dt = 'zgid' AND r.did <> '' AND z.zgid IS NOT NULL
+         ORDER BY r.event_id"""
+    },
+    "route_device_row" -> {
+      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         dim(pl, platform_id) AS (VALUES $dims)
+         SELECT r.event_id, r.did,
+           coalesce(d.platform_id, 0) AS platform_id,
+           CASE WHEN r.event_id % 4 = 3 THEN 'Mobile' ELSE 'Desktop' END AS device_type,
+           CASE WHEN r.event_id % 4 IN (1, 3) THEN 'Apple' ELSE '\\N' END AS device_brand,
+           CASE WHEN json_valid(r.raw_props)
+                THEN CAST(json_extract_string(r.raw_props, '$$.k') AS INTEGER) END AS prop_k
+         FROM raw r LEFT JOIN dim d ON r.pl = d.pl
+         WHERE r.dt = 'pl' ORDER BY r.event_id"""
+    },
+    "route_user_prop_row" ->
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT event_id, cuid, 'k' AS prop_name,
+           json_extract_string(raw_props, '$$.k') AS prop_value,
+           epoch_ns(ts) // 1000000000 AS last_update
+         FROM raw
+         WHERE dt = 'usr' AND cuid IS NOT NULL AND json_valid(raw_props)
+           AND json_extract_string(raw_props, '$$.k') IS NOT NULL
+         UNION ALL
+         SELECT event_id, cuid, 'app_user_id' AS prop_name,
+           cuid AS prop_value,
+           epoch_ns(ts) // 1000000000 AS last_update
+         FROM raw WHERE dt = 'usr' AND cuid IS NOT NULL
+         ORDER BY event_id, prop_name""",
     "dq_validate" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT event_id,

@@ -79,6 +79,65 @@ object Route {
         col("event_type").as("event_name"))
       .orderBy(col("event_id"))
 
+  /** route_user_row — UserTransfer.java:40-84 (dt=zgid → user table): needs
+    * device key + resolved zgid (skip otherwise), carries user id, epoch
+    * seconds, platform code. The zgid join is the identity shuffle the
+    * pipeline already paid for.
+    */
+  def routeUserRow(t: Tables): DataFrame = {
+    val zg = Identity.zgidResolution(t)
+    env(t).filter(col("dt") === "zgid" && col("did") =!= "")
+      .join(zg, Seq("event_id"))
+      .filter(col("zgid").isNotNull)
+      .join(platformId(t), Seq("pl"), "left")
+      .select(
+        col("event_id"), col("zgid"), col("did"),
+        coalesce(col("cuid"), lit("\\N")).as("user_id"),
+        unix_timestamp(col("ts")).as("begin_date"),
+        coalesce(col("platform_id"), lit(0)).as("platform_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** route_device_row — DeviceTransfer.java:85-104 (dt=pl → device table):
+    * device key, platform code, parsed device property, and the
+    * UserAgentParser.inferDeviceType fallback (UserAgentParser.java:207-243:
+    * iOS→Mobile/Apple, Windows/Mac/Linux→Desktop, Mac→Apple).
+    */
+  def routeDeviceRow(t: Tables): DataFrame = {
+    val ua = col("ua")
+    val deviceType = when(ua.contains("iPhone OS"), "Mobile").otherwise("Desktop")
+    val brand = when(ua.contains("iPhone OS") || (ua.contains("Mac OS X") && !ua.contains("iPhone")), "Apple")
+      .otherwise(lit("\\N"))
+    env(t).filter(col("dt") === "pl")
+      .join(platformId(t), Seq("pl"), "left")
+      .select(
+        col("event_id"), col("did"),
+        coalesce(col("platform_id"), lit(0)).as("platform_id"),
+        deviceType.as("device_type"),
+        brand.as("device_brand"),
+        from_json(col("raw_props"), lit("k INT")).getField("k").as("prop_k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** route_user_prop_row — UserPropertyTransfer.java:125-162 (dt=usr →
+    * user_property table): one row per custom property plus the implicit
+    * app_user_id property row the reference always emits for real-name
+    * users. Union of two projections over one scan.
+    */
+  def routeUserPropRow(t: Tables): DataFrame = {
+    val base = env(t).filter(col("dt") === "usr" && col("cuid").isNotNull)
+    val custom = base
+      .select(col("event_id"), col("cuid"), lit("k").as("prop_name"),
+        get_json_object(col("raw_props"), "$.k").as("prop_value"),
+        unix_timestamp(col("ts")).as("last_update"))
+      .filter(col("prop_value").isNotNull)
+    val appUserId = base
+      .select(col("event_id"), col("cuid"), lit("app_user_id").as("prop_name"),
+        col("cuid").as("prop_value"),
+        unix_timestamp(col("ts")).as("last_update"))
+    custom.union(appUserId).orderBy(col("event_id"), col("prop_name"))
+  }
+
   /** DQ time window, pinned for determinism (TimeValidator takes
     * (subDays=7, addDays=1) around "today"; we pin today = 2024-06-30 so the
     * oracle is reproducible — SURVEY.md §3).
