@@ -38,6 +38,7 @@ object SparkEntry {
     // §2.3 config-driven derivation
     "derive_virtual_property" -> ((s, d) => Derive.virtualProperty(tables(s, d))),
     "derive_virtual_event"    -> ((s, d) => Derive.virtualEvent(tables(s, d))),
+    "derive_rule_tree"        -> ((s, d) => Derive.ruleTree(tables(s, d))),
     "derive_device_props"     -> ((s, d) => Derive.deviceProps(tables(s, d))),
     "derive_event_registry"   -> ((s, d) => Derive.eventRegistry(tables(s, d))),
     "etl_prop_length_limit"   -> ((s, d) => Derive.propLengthLimit(tables(s, d))),
@@ -274,6 +275,12 @@ object SparkEntry {
          FROM events e JOIN rules r ON e.event_type = r.on_event AND e.value >= r.min_value
          ORDER BY e.event_id, r.virtual_name"""
     },
+    "derive_rule_tree" ->
+      """SELECT event_id,
+         CASE WHEN value >= 100 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS rt_bucket,
+         CAST(floor(value * 0.05 + 1) AS BIGINT) AS rt_fee,
+         concat(upper(event_type), '-evt') AS rt_label
+         FROM events ORDER BY event_id""",
     "derive_device_props" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT event_id,

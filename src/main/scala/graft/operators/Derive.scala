@@ -41,6 +41,48 @@ object Derive {
       .select(col("event_id") +: virtualPropertyRules.map { case (n, e) => expr(e).as(n) }: _*)
       .orderBy(col("event_id"))
 
+  /** Virtual-attribute rules in the reference's ACTUAL config format — the
+    * JSON expression trees SqlToJsonExpressionConverter produces and the
+    * admin UI stores. Compiled by graft.functions.RuleCompiler into Catalyst
+    * columns (the Spark-first replacement for the per-record Java
+    * interpreter in VirtualAttributeExpressionEvaluator.java).
+    */
+  val ruleTrees: Seq[(String, String)] = Seq(
+    // multi-branch CASE over a numeric field
+    "rt_bucket" ->
+      """{"type":"condition","conditions":[
+        {"condition":{"type":"operation","operator":"greater_equal","operands":[
+           {"type":"field","field":"value"},{"type":"constant","value":100,"dataType":"number"}]},
+         "value":{"type":"constant","value":"high","dataType":"string"}},
+        {"condition":{"type":"operation","operator":"greater_equal","operands":[
+           {"type":"field","field":"value"},{"type":"constant","value":10,"dataType":"number"}]},
+         "value":{"type":"constant","value":"mid","dataType":"string"}}],
+        "defaultValue":{"type":"constant","value":"low","dataType":"string"}}""",
+    // arithmetic + function composition
+    "rt_fee" ->
+      """{"type":"function","function":"floor","parameters":[
+        {"type":"operation","operator":"add","operands":[
+          {"type":"operation","operator":"multiply","operands":[
+            {"type":"field","field":"value"},
+            {"type":"constant","value":0.05,"dataType":"number"}]},
+          {"type":"constant","value":1,"dataType":"number"}]}]}""",
+    // string functions
+    "rt_label" ->
+      """{"type":"function","function":"concat","parameters":[
+        {"type":"function","function":"upper","parameters":[
+          {"type":"field","field":"event_type"}]},
+        {"type":"constant","value":"-evt","dataType":"string"}]}""")
+
+  /** derive_rule_tree — #10 in the reference's own rule format: each stored
+    * JSON tree compiles once to a Column; evaluation is codegen'd.
+    */
+  def ruleTree(t: Tables): DataFrame =
+    t.events.select(
+      col("event_id") +: ruleTrees.map { case (name, json) =>
+        graft.functions.RuleCompiler.compile(json).as(name)
+      }: _*)
+      .orderBy(col("event_id"))
+
   /** #11 virtual event rules (VirtualEventOperator config rows): match on
     * event name + a filter predicate (here a value threshold — the reference
     * filter map's batch analog), emit a derived event per match.
