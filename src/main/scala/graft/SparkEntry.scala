@@ -73,6 +73,8 @@ object SparkEntry {
     "q_user_ltv"           -> ((s, d) => Analytics.qUserLtv(tables(s, d))),
     "q_distinct_users"     -> ((s, d) => Analytics.qDistinctUsers(tables(s, d))),
     "q_distinct_users_approx" -> ((s, d) => Analytics.qDistinctUsersApprox(tables(s, d))),
+    "q_event_path"         -> ((s, d) => Analytics.qEventPath(tables(s, d))),
+    "q_user_segment"       -> ((s, d) => Analytics.qUserSegment(tables(s, d))),
     // §2.8 LLM-pipeline extensions
     "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(tables(s, d))),
@@ -561,6 +563,27 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_event_path" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+           FROM events)
+         SELECT prev_event, event_type AS next_event, count(*) AS n
+         FROM s WHERE prev_event IS NOT NULL
+         GROUP BY 1, 2 ORDER BY prev_event, next_event""",
+    "q_user_segment" ->
+      """WITH a AS (
+           SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS monetary
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           datediff('day', CAST(last_ts AS DATE), DATE '2024-07-01') AS recency_days,
+           frequency, monetary,
+           CASE WHEN frequency >= 100 AND monetary >= 1000 THEN 'vip'
+                WHEN monetary >= 100 THEN 'paying'
+                WHEN frequency >= 10 THEN 'active'
+                ELSE 'casual' END AS segment
+         FROM a ORDER BY user_id""",
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
          min(doc_id) AS keep_id, count(*) AS n

@@ -139,6 +139,46 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** Path analysis (Zhuge's 路径分析 feature, served off the event_attr
+    * rollups): next-event transition matrix per user ordered by time. One
+    * shuffle on user_id shared by the lag window, then a tiny groupBy.
+    */
+  def qEventPath(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_event", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_event").isNotNull)
+      .groupBy(col("prev_event"), col("event_type").as("next_event"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_event"), col("next_event"))
+  }
+
+  /** RFM user segmentation (user-group feature): recency bucketed against a
+    * pinned "today" (2024-07-01, same pin discipline as the DQ window),
+    * frequency and monetary from one pass.
+    */
+  def qUserSegment(t: Tables): DataFrame = {
+    val pinnedNow = lit("2024-07-01 00:00:00").cast("timestamp")
+    t.events
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4)
+          .as("monetary"))
+      .select(
+        col("user_id"),
+        datediff(pinnedNow.cast("date"), col("last_ts").cast("date")).as("recency_days"),
+        col("frequency"), col("monetary"),
+        when(col("frequency") >= 100 && col("monetary") >= 1000, "vip")
+          .when(col("monetary") >= 100, "paying")
+          .when(col("frequency") >= 10, "active")
+          .otherwise("casual").as("segment"))
+      .orderBy(col("user_id"))
+  }
+
   /** HLL-sketch variant of #35: approx_count_distinct mergeable partial
     * sketches — at 100 TB this is the difference between shuffling every
     * distinct key and shuffling a few KB of sketch per group. Rows-only
