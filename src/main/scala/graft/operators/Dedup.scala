@@ -73,41 +73,47 @@ object Dedup {
   val bandSize = 4     // -> 4 bands of 4
   private val MersennePrime = 2147483647L
 
-  /** MinHash signatures: explode k hash slots over the shingle set, take the
-    * min per (doc, slot). Portable permutations of a base xxhash64.
+  /** Wide MinHash signatures: ONE groupBy over the shingle set with k
+    * conditional min-aggregates (columns mh0..mh{k-1}) — no k× row
+    * explosion, no per-(doc,slot) shuffle, everything map-side-combined.
+    * Portable permutations of a base xxhash64.
     */
-  def minhashSignatures(t: Tables): DataFrame =
-    shingles(t)
-      .withColumn("h0", pmod(xxhash64(col("s")), lit(MersennePrime)))
-      .select(col("doc_id"), col("h0"), explode(expr(s"sequence(0, ${minhashK - 1})")).as("j"))
-      .withColumn("hj",
-        pmod(col("h0") * (col("j") * 2 + 3) + col("j") * 2654435761L + 1, lit(MersennePrime)))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("hj")).as("mh"))
+  def minhashSignaturesWide(t: Tables): DataFrame = {
+    val h0 = pmod(xxhash64(col("s")), lit(MersennePrime))
+    val mins = (0 until minhashK).map { j =>
+      min(pmod(h0 * (2 * j + 3) + j * 2654435761L + 1, lit(MersennePrime))).as(s"mh$j")
+    }
+    shingles(t).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
-  /** #38 dedup_minhash_lsh — band the signature (bandSize consecutive
-    * minhashes hashed together), bucket-join within bands, estimate Jaccard
-    * as the fraction of agreeing minhashes. Per-doc output (signature id +
-    * candidate count) so the rows-only check always has rows; pair-level
-    * semantics are asserted in the spec.
-    */
-  def minhashLsh(t: Tables): DataFrame = {
-    val sig = minhashSignatures(t).persist()
-    val bands = sig
-      .withColumn("band", (col("j") / bandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(concat_ws("-",
-        sort_array(collect_list(concat_ws(":", col("j"), col("mh")))))).as("band_key"))
-    val cand = bands.as("a").join(bands.as("b"),
+  private def bandKeys = (0 until minhashK / bandSize).map { b =>
+    xxhash64(concat_ws(":",
+      (b * bandSize until (b + 1) * bandSize).map(j => col(s"mh$j")): _*))
+  }
+
+  /** Candidate pairs: docs agreeing on at least one full band. */
+  private def candidates(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+  }
+
+  /** #38 dedup_minhash_lsh — band the signature (bandSize consecutive
+    * minhashes hashed together), bucket-join within bands. Per-doc output
+    * (signature id + candidate count) so the rows-only check always has
+    * rows; pair-level semantics are asserted in the spec.
+    */
+  def minhashLsh(t: Tables): DataFrame = {
+    val sig = minhashSignaturesWide(t).persist()
+    val cand = candidates(sig)
     val nCand = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    sig.groupBy("doc_id")
-      .agg(xxhash64(concat_ws("-",
-        sort_array(collect_list(concat_ws(":", col("j"), col("mh")))))).as("sig_id"))
+    sig.select(col("doc_id"),
+        xxhash64(concat_ws(":", (0 until minhashK).map(j => col(s"mh$j")): _*)).as("sig_id"))
       .join(nCand, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sig_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
@@ -116,25 +122,18 @@ object Dedup {
 
   /** Estimated Jaccard between all LSH candidate pairs (used by the spec and
     * available as the dedup decision input): fraction of the k minhashes
-    * that agree.
+    * that agree — a single wide-row expression, no re-join per slot.
     */
   def minhashCandidatePairs(t: Tables): DataFrame = {
-    val sig = minhashSignatures(t).persist()
-    val bands = sig
-      .withColumn("band", (col("j") / bandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(concat_ws("-",
-        sort_array(collect_list(concat_ws(":", col("j"), col("mh")))))).as("band_key"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    cand
-      .join(sig.select(col("doc_id").as("da"), col("j"), col("mh").as("mha")), Seq("da"))
-      .join(sig.select(col("doc_id").as("db"), col("j"), col("mh").as("mhb")), Seq("db", "j"))
-      .groupBy(col("da"), col("db"))
-      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)).cast("double") / minhashK)
-        .as("est_jaccard"))
+    val sig = minhashSignaturesWide(t).persist()
+    val agree = (0 until minhashK)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates(sig).as("c")
+      .join(sig.as("a"), col("c.da") === col("a.doc_id"))
+      .join(sig.as("b"), col("c.db") === col("b.doc_id"))
+      .select(col("c.da").as("da"), col("c.db").as("db"),
+        (agree.cast("double") / minhashK).as("est_jaccard"))
   }
 
   // ---- #39 simhash ----
