@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Keeps every read a plain parquet scan so Catalyst can push filters and
   * prune columns at the source (SURVEY.md §5).
   */
-final case class Tables(spark: SparkSession, dir: String) {
+case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame     = t("region")

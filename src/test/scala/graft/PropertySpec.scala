@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.RuleCompiler
+import graft.operators.{Dedup, Identity}
+import scala.util.Random
+
+/** Property-style invariants over generated inputs (seeded, deterministic) —
+  * the guarantees the operators must hold for ANY data, not just the
+  * driver's testdata.
+  */
+class PropertySpec extends SparkSpec {
+
+  test("rule compiler arithmetic agrees with direct evaluation on random inputs") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    (1 to 10).foreach { _ =>
+      val v = rnd.nextDouble() * 2000 - 1000
+      val m = rnd.nextDouble() * 99 + 1
+      val rule =
+        s"""{"type":"operation","operator":"add","operands":[
+           {"type":"operation","operator":"multiply","operands":[
+             {"type":"field","field":"value"},
+             {"type":"constant","value":$m,"dataType":"number"}]},
+           {"type":"constant","value":1,"dataType":"number"}]}"""
+      val got = Seq(v).toDF("value")
+        .select(RuleCompiler.compile(rule)).collect()(0).getDouble(0)
+      assert(got == v * m + 1)
+    }
+  }
+
+  test("sessionize: count conservation + session count == gaps>30min for random streams") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val secs = List.fill(n)(rnd.nextLong().abs % 100000L)
+      val df = secs.zipWithIndex
+        .map { case (s, i) => (i.toLong, 1L, new java.sql.Timestamp(s * 1000L)) }
+        .toDF("event_id", "user_id", "ts")
+      val t2 = new graft.sources.Tables(spark, sf) { override def events = df }
+      val sess = Identity.sessionize(t2).collect()
+      assert(sess.map(_.getAs[Long]("n_events")).sum == secs.length)
+      val sorted = secs.sorted
+      val expected = 1 + sorted.sliding(2).count {
+        case List(a, b) => b - a > 1800
+        case _          => false
+      }
+      assert(sess.length == expected, s"secs=$sorted")
+    }
+  }
+
+  test("minhash signatures are bounded and identical texts collide") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    (1 to 3).foreach { _ =>
+      val words = List.fill(12)(vocab(rnd.nextInt(vocab.length)))
+      val text = words.mkString(" ")
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+      val sig = Dedup.minhashSignaturesWide(t2).collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (0 until Dedup.minhashK).map(j => r.getAs[Long](s"mh$j"))))
+        .toMap
+      // identical text => identical full signature
+      assert(sig(1L) == sig(2L))
+      sig.values.flatten.foreach(v => assert(v >= 0 && v < 2147483647L))
+    }
+  }
+
+  test("exact dedup groups duplicated corpus correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick  brown fox"), // double space normalizes away
+      (2L, " the quick brown fox "),
+      (3L, "THE QUICK BROWN FOX"),
+      (4L, "something else")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val groups = Dedup.exact(t2).collect()
+    assert(groups.length == 2)
+    val dupGroup = groups.find(_.getAs[Long]("n") == 3).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+}
