@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
     "sim_ann_cosine_topk" -> ((s, d) => Sim.cosineTopK(tables(s, d))),
+    "dedup_embedding_cosine" -> ((s, d) => Sim.embeddingNearDup(tables(s, d))),
     "sim_ann_lsh"         -> ((s, d) => Sim.lshTopK(tables(s, d))),
     "text_langid"         -> ((s, d) => TextAnalysis.langId(tables(s, d))),
     "text_quality_score"  -> ((s, d) => TextAnalysis.qualityScore(tables(s, d))),
@@ -615,6 +616,14 @@ object SparkEntry {
                FROM p)
          SELECT query_id, neighbor_id, rank, floor(cos * 10000) / 10000 AS cos_sim
          FROM r WHERE rank <= ${Sim.topK} ORDER BY query_id, rank""",
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT va, vb, floor(cos * 10000) / 10000 AS cos_sim
+         FROM p WHERE cos >= ${Sim.nearDupTau} ORDER BY va, vb""",
     "text_langid" -> {
       val hits = TextAnalysis.stopwords.map { case (lang, ws) =>
         s"len(list_filter(w, x -> x IN (${inList(ws)}))) AS ${lang}_n"

@@ -47,6 +47,26 @@ object Sim {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cosine threshold for embedding near-dup pairs. */
+  val nearDupTau = 0.4
+
+  /** dedup_embedding_cosine — embedding-space near-duplicate pairs: all
+    * (a, b) with cosine ≥ τ. This is the exact correctness baseline (the
+    * oracle-checkable form); at corpus scale the same τ-filter runs inside
+    * the hyperplane buckets of `lshTopK`'s plan instead of the full
+    * cross-product.
+    */
+  def embeddingNearDup(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val e = vecs(t)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr("graft_cosine(a.v, b.v)"))
+      .filter(col("cos") >= nearDupTau)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("va"), col("vb"))
+  }
+
   val nHyperplanes = 8
 
   /** Deterministic pseudo-random hyperplane j component d: sin(j*1009+d*31).
