@@ -72,6 +72,24 @@ object RawEnvelope {
         lit(-1).as("result"),
         lit(1020002).as("error_code")) // BASIC_SCHEMA_FORMAT_NOT_MATCH
 
+  /** Reserved mkt/abp attribute names (EventAttrTransfer.getAttrSet). */
+  val reservedAttrs: Set[String] = Set("eid", "ct", "sid", "uuid", "net", "cr", "vn", "dru")
+
+  /** Custom-property classification — EventAttrTransfer.java:170-190: for
+    * `evt` items custom props are the `_`-prefixed keys; for `mkt`/`abp`
+    * they are keys neither `$`-prefixed nor in the reserved attr set.
+    * One explode over the pr map, pure predicate columns.
+    */
+  def customProps(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("appkey"), col("dt"), explode(col("pr")).as(Seq("prop_key", "prop_value")))
+      .withColumn("is_custom",
+        when(col("dt") === "evt", col("prop_key").startsWith("_"))
+          .when(col("dt").isin("mkt", "abp"),
+            !col("prop_key").startsWith("$") &&
+              !col("prop_key").isin(reservedAttrs.toSeq.map(lit): _*))
+          .otherwise(lit(false)))
+
   /** Streaming ingest from Kafka — the direct analog of the reference's
     * FlinkKafkaConsumer source (IdJob.java:22-30). Not exercisable in this
     * environment (no broker); the parse/flatten chain it feeds is fully

@@ -50,6 +50,20 @@ class RawEnvelopeSpec extends SparkSpec {
     }
   }
 
+  test("custom-prop classification follows the evt/mkt-abp rules") {
+    val mkt = good.replace("\"dt\":\"evt\"", "\"dt\":\"mkt\"")
+      .replace("\"$eid\":\"buy\"", "\"$eid\":\"buy\",\"channel\":\"wx\",\"eid\":\"x\"")
+    val rows = RawEnvelope.customProps(RawEnvelope.parse(df(good, mkt))).collect()
+    def customs(dt: String) = rows.filter(r =>
+      r.getAs[String]("dt") == dt && r.getAs[Boolean]("is_custom"))
+      .map(_.getAs[String]("prop_key")).toSet
+    assert(customs("evt") == Set("_price"))          // _-prefixed only
+    // mkt: anything not $-prefixed and not reserved, including _-keys
+    // (EventAttrTransfer.java:175-178)
+    assert(customs("mkt") == Set("channel", "_price"))
+    assert(customs("usr").isEmpty)                   // other dts never custom
+  }
+
   test("kafka source factory wires the parse chain (connector absent here)") {
     // the spark-sql-kafka connector jar is not shipped in this environment;
     // the factory must fail at source resolution, not in our parse chain
