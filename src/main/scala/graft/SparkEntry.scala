@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(tables(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(tables(s, d))),
+    "dedup_groups"        -> ((s, d) => Dedup.dupGroups(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
     "sim_ann_cosine_topk" -> ((s, d) => Sim.cosineTopK(tables(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Sim.embeddingNearDup(tables(s, d))),

@@ -136,6 +136,47 @@ object Dedup {
         (agree.cast("double") / minhashK).as("est_jaccard"))
   }
 
+  /** dedup_groups — transitive duplicate GROUPS: connected components over
+    * the near-dup pair graph (a pair list alone under-deletes: A~B, B~C ⇒
+    * {A,B,C} is one dup group even if A!~C). Iterative min-label
+    * propagation, converging in O(component diameter) joins — the
+    * driver-side loop only orchestrates; all data work is distributed
+    * joins/aggregations (at production scale the same loop runs
+    * large-star/small-star with checkpoints every few rounds).
+    * Output: every paired doc with its group id (min doc_id reachable) and
+    * group size; rows-only (iterative fixpoints aren't oracle SQL).
+    */
+  def dupGroups(t: Tables): DataFrame = {
+    val pairs = ngramJaccard(t).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .persist()
+    var labels = edges.select(col("da").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 20) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("da"), col("label").as("la")), "da")
+        .groupBy(col("db").as("doc_id"))
+        .agg(min(col("la")).as("nlabel"))
+      val next = labels
+        .join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- #39 simhash ----
 
   /** 64-bit SimHash per doc: per-token xxhash64, bit-position vote counts

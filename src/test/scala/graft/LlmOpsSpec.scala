@@ -30,6 +30,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dup groups: transitive closure on a crafted A~B~C chain") {
+    import spark.implicits._
+    // A~B and B~C share 2/3+ shingles, A and C share fewer — the pair list
+    // alone splits them, the component must unite them
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w2 w3 w4 w5 w6 w7"),
+      (3L, "w3 w4 w5 w6 w7 w8"),
+      (4L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val groups = Dedup.dupGroups(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(!groups.contains(4L)) // no near-dup edges -> not in any group
+  }
+
   test("simhash of duplicated text is identical, near count symmetric") {
     import spark.implicits._
     val dup = Seq((1L, "the quick brown fox jumps over the lazy dog"),
