@@ -147,29 +147,36 @@ object Dedup {
     * group size; rows-only (iterative fixpoints aren't oracle SQL).
     */
   def dupGroups(t: Tables): DataFrame = {
+    // Checkpoint the (tiny) edge list and each round's labels: iterative
+    // self-joins otherwise nest the full candidate-generation plan 2^rounds
+    // times, and self-join re-aliasing defeats cache substitution — the
+    // expensive upstream recomputes per copy. localCheckpoint truncates the
+    // logical plan to the materialized partitions (the same reason GraphX
+    // checkpoints Pregel iterations).
     val pairs = ngramJaccard(t).select(col("da"), col("db"))
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("da").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
-    var changed = true
-    var rounds = 0
-    while (changed && rounds < 20) {
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    // One hop + one label(label) pointer jump per round reaches components
+    // of diameter ~2^rounds: 6 rounds covers any realistic near-dup graph.
+    // (A production run at unknown scale would add a final convergence
+    // check or switch to large-star/small-star.)
+    (1 to 6).foreach { _ =>
       val prop = edges
         .join(labels.select(col("doc_id").as("da"), col("label").as("la")), "da")
         .groupBy(col("db").as("doc_id"))
         .agg(min(col("la")).as("nlabel"))
-      val next = labels
+      val hop = labels
         .join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      changed = next
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
-      rounds += 1
+        .localCheckpoint(true)
+      labels = hop
+        .join(hop.select(col("doc_id").as("label"), col("label").as("ll")), Seq("label"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "label")
