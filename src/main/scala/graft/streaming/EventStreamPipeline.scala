@@ -66,6 +66,39 @@ object EventStreamPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("route"), col("n"))
 
+  /** Stream-static enrichment: the geo interval dim (tiny, broadcast) range-
+    * joined against the live stream — the streaming form of #15. Stream-
+    * static joins are stateless on the stream side, so this adds zero state
+    * store pressure at any scale.
+    */
+  def enrichGeoStream(enriched: DataFrame): DataFrame = {
+    import graft.operators.Enrich
+    val spark = enriched.sparkSession
+    import spark.implicits._
+    val dim = Enrich.geoBlocks.map { case (octet, country, province, city) =>
+      val base = 203L * (1L << 24) + octet * 256L
+      (base, base + 255L, country, province, city)
+    }.toDF("ip_start", "ip_end", "geo_country", "geo_province", "geo_city")
+    enriched
+      .withColumn("ip_long", Enrich.ipToLong(col("ip")))
+      .withColumn("is_private", Enrich.isPrivateIp(col("ip")))
+      .join(broadcast(dim),
+        !col("is_private") && col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"),
+        "left")
+      .withColumn("country",
+        when(col("is_private"), Enrich.NullValue)
+          .otherwise(coalesce(col("geo_country"), lit(Enrich.NullValue))))
+  }
+
+  /** Watermarked streaming dedup — the streaming analog of #9/#36: exactly
+    * one row per event_id within the watermark horizon (late duplicates
+    * beyond 1 day are dropped with their state).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- stateful sessionization (streaming analog of #8 id_sessionize) ----
 
   case class SessionState(lastSec: Long, nEvents: Int, nSessions: Int)

@@ -50,6 +50,34 @@ class StreamingSpec extends SparkSpec {
     assert(windows >= 0)
   }
 
+  test("stream-static geo enrichment matches the batch operator's verdicts") {
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val out = EventStreamPipeline.enrichGeoStream(EventStreamPipeline.pipeline(events))
+      .groupBy("country").agg(count(lit(1)).as("n"))
+    runToMemory("geo", out, "complete")
+    val streamed = spark.sql("SELECT country, n FROM geo").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Enrich.ipGeo(t)
+      .groupBy("country").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("country") -> r.getAs[Long]("n")).toMap
+    assert(streamed == batch)
+  }
+
+  test("watermarked dedup emits each event id exactly once") {
+    // duplicate the input file so every event arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_in")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("b.parquet"))
+    val events = EventStreamPipeline.readEvents(spark, dir.toString)
+    val out = EventStreamPipeline.dedupStream(events).select("event_id")
+    runToMemory("dedup", out, "append")
+    val n = spark.sql("SELECT count(*), count(DISTINCT event_id) FROM dedup").collect()(0)
+    assert(n.getLong(0) == n.getLong(1), "duplicates survived")
+    assert(n.getLong(0) == t.events.count(), "events lost")
+  }
+
   test("stateful sessionization matches the batch session counts") {
     val events = EventStreamPipeline.readEvents(spark, streamDir)
     val out = EventStreamPipeline.sessionize(events)
