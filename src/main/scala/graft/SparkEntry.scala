@@ -63,11 +63,13 @@ object SparkEntry {
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
     "adv_first_last_touch" -> ((s, d) => Adv.firstLastTouch(tables(s, d))),
     "adv_conversion"       -> ((s, d) => Adv.conversion(tables(s, d))),
+    "adv_multi_touch"      -> ((s, d) => Adv.multiTouch(tables(s, d))),
     // §2.7 analytics core
     "q1_pricing_agg"       -> ((s, d) => Analytics.q1PricingAgg(tables(s, d))),
     "q3_topk_join"         -> ((s, d) => Analytics.q3TopkJoin(tables(s, d))),
     "q5_star_join"         -> ((s, d) => Analytics.q5StarJoin(tables(s, d))),
     "q_window_funnel"      -> ((s, d) => Analytics.qWindowFunnel(tables(s, d))),
+    "q_funnel_windowed"    -> ((s, d) => Analytics.qFunnelWindowed(tables(s, d))),
     "q_retention"          -> ((s, d) => Analytics.qRetention(tables(s, d))),
     "q_event_counts_daily" -> ((s, d) => Analytics.qEventCountsDaily(tables(s, d))),
     "q_user_ltv"           -> ((s, d) => Analytics.qUserLtv(tables(s, d))),
@@ -483,6 +485,46 @@ object SparkEntry {
          count(*) AS n_raw, round(sum(value), 4) AS conv_value
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1, 2 ORDER BY user_id, conv_day""",
+    "q_funnel_windowed" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type='view' GROUP BY user_id
+         ), c AS (
+           SELECT e.user_id, min(e.ts) AS c_ts, min(v.v_ts) AS v_ts2
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type='click' AND e.ts > v.v_ts
+             AND epoch_ns(e.ts) // 1000000000 <= epoch_ns(v.v_ts) // 1000000000 + 604800
+           GROUP BY e.user_id
+         ), p AS (
+           SELECT e.user_id, min(e.ts) AS p_ts
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type='purchase' AND e.ts > c.c_ts
+             AND epoch_ns(e.ts) // 1000000000 <= epoch_ns(c.v_ts2) // 1000000000 + 604800
+           GROUP BY e.user_id
+         )
+         SELECT (SELECT count(*) FROM v) AS n_view,
+                (SELECT count(*) FROM c) AS n_click_7d,
+                (SELECT count(*) FROM p) AS n_purchase_7d""",
+    "adv_multi_touch" ->
+      s"""WITH s AS (
+           SELECT user_id,
+             CASE WHEN event_id % 3 = 0 THEN 'wechat'
+               WHEN event_id % 7 = 0 THEN 'www.baidu.com'
+               WHEN event_id % 7 = 1 THEN 'www.google.com'
+               WHEN event_id % 7 = 2 THEN 'www.sogou.com'
+               WHEN event_id % 7 = 3 THEN 'cn.bing.com'
+               WHEN event_id % 7 = 4 THEN 'news.example.com'
+               ELSE '\\N' END AS source
+           FROM events),
+         touches AS (SELECT user_id, source FROM s WHERE source <> '\\N'),
+         conv AS (SELECT user_id, sum(value) AS conv_value FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id),
+         pu AS (SELECT user_id, count(*) AS n_touch FROM touches GROUP BY user_id)
+         SELECT t.source,
+           floor(sum(c.conv_value / pu.n_touch) * 10000) / 10000 AS credit,
+           count(*) AS n_touches
+         FROM touches t JOIN pu ON t.user_id = pu.user_id
+         JOIN conv c ON t.user_id = c.user_id
+         GROUP BY t.source ORDER BY t.source""",
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),4) AS sum_qty,

@@ -74,6 +74,29 @@ object Adv {
       .orderBy(col("user_id"))
   }
 
+  /** adv_multi_touch — linear multi-touch attribution: every touch (event
+    * with a known traffic source) of a converting user shares conversion
+    * credit equally. Touch counting and crediting ride one user_id shuffle.
+    * floor-rounded so the oracle can't tie-diverge.
+    */
+  def multiTouch(t: Tables): DataFrame = {
+    val touches = env(t)
+      .select(col("user_id"), sourceCol.as("source"))
+      .filter(col("source") =!= Enrich.NullValue)
+    val conversions = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("conv_value"))
+    val perUser = touches.groupBy(col("user_id")).agg(count(lit(1)).as("n_touch"))
+    touches
+      .join(perUser, "user_id")
+      .join(conversions, "user_id")
+      .groupBy(col("source"))
+      .agg(
+        (floor(sum(col("conv_value") / col("n_touch")) * 10000) / 10000).as("credit"),
+        count(lit(1)).as("n_touches"))
+      .orderBy(col("source"))
+  }
+
   /** #27 adv_conversion — AdvConvertEventFlatMapFunction: conversion event
     * extraction, deduped to one row per (user, conversion event, day).
     */

@@ -91,6 +91,28 @@ object Analytics {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
   }
 
+  /** Time-bounded funnel (windowFunnel semantics): stages must complete
+    * within `windowSec` of the stage-1 event. Same shuffle shape as the
+    * unbounded funnel — the window constraint rides the existing joins.
+    */
+  def qFunnelWindowed(t: Tables, windowSec: Long = 7L * 86400L): DataFrame = {
+    val e = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val deadline = unix_timestamp(col("v_ts")) + windowSec
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v_ts") && unix_timestamp(col("ts")) <= deadline)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"), min(col("v_ts")).as("v_ts2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("c_ts") && unix_timestamp(col("ts")) <= unix_timestamp(col("v_ts2")) + windowSec)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_7d")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_7d")))
+  }
+
   /** Cohort retention: users grouped by first-seen day, retained = active
     * exactly 7 days later. Two aggregations + one join, all keyed on user_id
     * then cohort day.
