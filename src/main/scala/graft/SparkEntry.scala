@@ -76,6 +76,7 @@ object SparkEntry {
     "q_distinct_users"     -> ((s, d) => Analytics.qDistinctUsers(tables(s, d))),
     "q_distinct_users_approx" -> ((s, d) => Analytics.qDistinctUsersApprox(tables(s, d))),
     "q_event_path"         -> ((s, d) => Analytics.qEventPath(tables(s, d))),
+    "q_rolling_active"     -> ((s, d) => Analytics.qRollingActive(tables(s, d))),
     "q_user_segment"       -> ((s, d) => Analytics.qUserSegment(tables(s, d))),
     // §2.8 LLM-pipeline extensions
     "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
@@ -607,6 +608,14 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_rolling_active" ->
+      """WITH bd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         days AS (SELECT DISTINCT d AS day FROM bd)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS wau,
+           count(*) AS active_user_days
+         FROM days JOIN bd ON bd.d <= days.day AND bd.d >= days.day - INTERVAL 6 DAY
+         GROUP BY days.day ORDER BY day""",
     "q_event_path" ->
       """WITH s AS (
            SELECT user_id, event_type,

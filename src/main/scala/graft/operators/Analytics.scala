@@ -161,6 +161,24 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** Rolling 7-day active users per day (DAU/WAU board): distinct
+    * (user, day) first — the shuffle runs over |users × days|, not events —
+    * then a bounded self-join over the 7-day window (rolling DISTINCT can't
+    * be a window-frame sum). Day span is bounded, so the join fans out ≤7×.
+    */
+  def qRollingActive(t: Tables): DataFrame = {
+    val byDay = t.events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val days = byDay.select(col("d").as("day")).distinct()
+    days.join(byDay, col("d") <= col("day") && col("d") >= date_sub(col("day"), 6))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(col("user_id")).as("wau"),
+        count(lit(1)).as("active_user_days"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("wau"), col("active_user_days"))
+      .orderBy(col("day"))
+  }
+
   /** Path analysis (Zhuge's 路径分析 feature, served off the event_attr
     * rollups): next-event transition matrix per user ordered by time. One
     * shuffle on user_id shared by the lag window, then a tiny groupBy.
