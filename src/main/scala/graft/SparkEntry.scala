@@ -77,6 +77,7 @@ object SparkEntry {
     "q_distinct_users_approx" -> ((s, d) => Analytics.qDistinctUsersApprox(tables(s, d))),
     "q_event_path"         -> ((s, d) => Analytics.qEventPath(tables(s, d))),
     "q_rolling_active"     -> ((s, d) => Analytics.qRollingActive(tables(s, d))),
+    "q_session_stats"      -> ((s, d) => Analytics.qSessionStats(tables(s, d))),
     "q_user_segment"       -> ((s, d) => Analytics.qUserSegment(tables(s, d))),
     // §2.8 LLM-pipeline extensions
     "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
@@ -608,6 +609,28 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_session_stats" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts,
+             epoch_ns(ts) // 1000000000 AS sec,
+             lag(epoch_ns(ts) // 1000000000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+           FROM events),
+         x AS (
+           SELECT user_id, ts, sec,
+             sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           FROM s),
+         sess AS (
+           SELECT user_id, sess_idx, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d') AS day,
+             max(sec) - min(sec) AS dur_sec
+           FROM x GROUP BY user_id, sess_idx)
+         SELECT day, count(*) AS n_sessions,
+           floor(avg(dur_sec) * 100) / 100 AS avg_dur_sec,
+           floor(avg(n_events) * 100) / 100 AS avg_events
+         FROM sess GROUP BY day ORDER BY day""",
     "q_rolling_active" ->
       """WITH bd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
          days AS (SELECT DISTINCT d AS day FROM bd)

@@ -161,6 +161,24 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** Session stats rollup (the 会话分析 board): per-day session counts,
+    * mean session length in seconds and mean events per session, built on
+    * the #8 sessionizer output — one extra narrow groupBy over sessions.
+    * floor-rounded means for oracle stability.
+    */
+  def qSessionStats(t: Tables): DataFrame =
+    Identity.sessionize(t)
+      .withColumn("day", substring(col("start_ts"), 1, 10))
+      .withColumn("dur_sec",
+        unix_timestamp(col("end_ts"), "yyyy-MM-dd HH:mm:ss") -
+          unix_timestamp(col("start_ts"), "yyyy-MM-dd HH:mm:ss"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        (floor(avg(col("dur_sec")) * 100) / 100).as("avg_dur_sec"),
+        (floor(avg(col("n_events")) * 100) / 100).as("avg_events"))
+      .orderBy(col("day"))
+
   /** Rolling 7-day active users per day (DAU/WAU board): distinct
     * (user, day) first — the shuffle runs over |users × days|, not events —
     * then a bounded self-join over the 7-day window (rolling DISTINCT can't

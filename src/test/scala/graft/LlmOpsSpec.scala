@@ -62,6 +62,37 @@ class LlmOpsSpec extends SparkSpec {
     real.foreach(r => assert(r.getAs[Long]("n_near") >= 0))
   }
 
+  test("minhash estimate is statistically close to true jaccard on candidates") {
+    val est = Dedup.minhashCandidatePairs(t)
+      .select(col("da"), col("db"), col("est_jaccard"))
+    val sh = Dedup.shingles(t)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    val truth = shared
+      .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("c", "ca"), "da")
+      .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("c", "cb"), "db")
+      .select(col("da"), col("db"),
+        (col("shared").cast("double") / (col("ca") + col("cb") - col("shared"))).as("true_j"))
+    val joined = est.join(truth, Seq("da", "db"), "left")
+      .select(col("est_jaccard"), coalesce(col("true_j"), lit(0.0)).as("true_j"))
+      .collect()
+    assert(joined.nonEmpty)
+    val mae = joined.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / joined.length
+    // k=16 minhash has ~1/sqrt(16)=0.25 per-pair std dev; the mean error
+    // over all candidate pairs must be well inside that
+    assert(mae < 0.3, s"minhash mean abs error $mae")
+  }
+
+  test("lsh hyperplane buckets are reasonably balanced") {
+    val buckets = Sim.lshTopK(t).groupBy("bucket").count().collect()
+    val sizes = buckets.map(_.getAs[Long]("count"))
+    assert(sizes.max <= math.max(20L, sizes.sum / sizes.length * 10),
+      s"degenerate bucket: max=${sizes.max} of ${sizes.sum}")
+  }
+
   test("brute-force cosine topk: ranks dense, cos within [-1,1], no self") {
     val rows = Sim.cosineTopK(t).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
