@@ -58,6 +58,7 @@ object SparkEntry {
     "dq_validate"              -> ((s, d) => Route.dqValidate(tables(s, d))),
     "dq_error_stats"           -> ((s, d) => Route.dqErrorStats(tables(s, d))),
     "dim_platform"             -> ((s, d) => Route.dimPlatform(tables(s, d))),
+    "dim_network"              -> ((s, d) => Route.dimNetwork(tables(s, d))),
     "sink_partitioned_parquet" -> ((s, d) => Route.sinkPartitionedParquet(tables(s, d))),
     // §2.6 ads / attribution
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
@@ -446,6 +447,14 @@ object SparkEntry {
          SELECT r.pl, coalesce(d.platform_id, 0) AS platform_id, count(*) AS n
          FROM raw r LEFT JOIN dim d ON r.pl = d.pl
          GROUP BY 1, 2 ORDER BY r.pl"""
+    },
+    "dim_network" -> {
+      val dims = Route.networkDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         dim(net, network_id) AS (VALUES $dims)
+         SELECT r.net, coalesce(d.network_id, 0) AS network_id, count(*) AS n
+         FROM raw r LEFT JOIN dim d ON r.net = d.net
+         GROUP BY 1, 2 ORDER BY r.net"""
     },
     "adv_click_join" ->
       s"""WITH ${Envelope.oracleRaw},

@@ -76,6 +76,9 @@ object Envelope {
       "THEN concat('https://shop.example.com/p/', cast(event_id % 97 AS string), " +
       "'?utm_source=wechat&utm_medium=cpc&utm_campaign=spring') " +
       "ELSE concat('https://shop.example.com/p/', cast(event_id % 97 AS string)) END"),
+    // pr.$net — network type (dim.json "network" dim keys + one unknown).
+    "net" -> ("CASE event_id % 6 WHEN 0 THEN 'none' WHEN 1 THEN '2g' WHEN 2 THEN '3g' " +
+      "WHEN 3 THEN '4g' WHEN 4 THEN 'wifi' ELSE '5g' END"),
     // pr payload — occasionally truncated to exercise JSON validation
     // (CheckJsonAndOwnerOperator.java:24-32).
     "raw_props" -> ("CASE WHEN event_id % 31 = 0 THEN substr(props, 1, length(props) - 1) " +

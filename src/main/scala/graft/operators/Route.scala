@@ -191,6 +191,23 @@ object Route {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("pl"))
 
+  /** Network dim (dim.json "network": none/2g/3g/4g/wifi; unknown -> 0). */
+  val networkDim: Seq[(String, Int)] = Seq(
+    "none" -> 0, "2g" -> 1, "3g" -> 2, "4g" -> 3, "wifi" -> 4)
+
+  /** dim_network — Dims.getDimId("network") / EventAttrTransfer
+    * .ensureNetwork: enum string -> code, unknown -> 0, broadcast join.
+    */
+  def dimNetwork(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    env(t)
+      .join(broadcast(networkDim.toDF("net", "network_id")), Seq("net"), "left")
+      .groupBy(col("net"), coalesce(col("network_id"), lit(0)).as("network_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("net"))
+  }
+
   /** #24 sink_partitioned_parquet — the Doris sink's batch analog: write
     * event_attr rows day-partitioned (partition pruning for every downstream
     * day-ranged query), read the sink back, return per-day counts.
