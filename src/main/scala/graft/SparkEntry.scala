@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Sim.embeddingNearDup(tables(s, d))),
     "sim_ann_lsh"         -> ((s, d) => Sim.lshTopK(tables(s, d))),
     "text_langid"         -> ((s, d) => TextAnalysis.langId(tables(s, d))),
+    "text_langid_ngram"   -> ((s, d) => TextAnalysis.langIdNgram(tables(s, d))),
     "text_quality_score"  -> ((s, d) => TextAnalysis.qualityScore(tables(s, d))),
     "text_token_count"    -> ((s, d) => TextAnalysis.tokenCount(tables(s, d))),
     "text_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(tables(s, d))),
@@ -719,6 +720,18 @@ object SparkEntry {
                 WHEN en_n >= es_n AND en_n >= de_n THEN 'en'
                 WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
          FROM d ORDER BY doc_id"""
+    },
+    "text_langid_ngram" -> {
+      val hits = TextAnalysis.bigramProfiles.map { case (lang, ps) =>
+        val list = ps.map(p => s"'$p'").mkString(", ")
+        s"len(list_filter(list_transform(generate_series(1, length(text) - 1), " +
+          s"i -> substr(text, i, 2)), x -> x IN ($list))) AS ${lang}_bg"
+      }.mkString(", ")
+      s"""SELECT doc_id, $hits,
+         CASE WHEN en_bg + es_bg + de_bg = 0 THEN 'unknown'
+              WHEN en_bg >= es_bg AND en_bg >= de_bg THEN 'en'
+              WHEN es_bg >= de_bg THEN 'es' ELSE 'de' END AS pred_lang_ngram
+         FROM documents ORDER BY doc_id"""
     },
     "text_quality_score" ->
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

@@ -38,6 +38,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-bigram profiles per language (the n-gram half of the
+    * language-ID heuristic; stopwords are the word half).
+    */
+  val bigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on"),
+    "es" -> Seq("de", "la", "el", "en", "os", "as", "ue"),
+    "de" -> Seq("ch", "ei", "ie", "un", "au", "be", "st"))
+
+  /** text_langid_ngram — #42's n-gram variant: score = count of the doc's
+    * character bigrams that hit each language's profile. The bigram array
+    * is a `transform(sequence(...))` expression — still zero-shuffle
+    * codegen'd column work.
+    */
+  def langIdNgram(t: Tables): DataFrame = {
+    def hits(profile: Seq[String]): String = {
+      val list = profile.map(p => s"'$p'").mkString(", ")
+      "size(filter(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)), " +
+        s"x -> x IN ($list)))"
+    }
+    val scored = t.documents.select(
+      col("doc_id") +: bigramProfiles.map { case (lang, ps) =>
+        expr(hits(ps)).as(s"${lang}_bg")
+      }: _*)
+    scored.withColumn("pred_lang_ngram",
+        when(col("en_bg") + col("es_bg") + col("de_bg") === 0, "unknown")
+          .when(col("en_bg") >= col("es_bg") && col("en_bg") >= col("de_bg"), "en")
+          .when(col("es_bg") >= col("de_bg"), "es")
+          .otherwise("de"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #43 text_quality_score — length / stopword-ratio features + a single
     * score. floor-rounded ratios so the oracle can't hit decimal-tie
     * divergence between engines.
