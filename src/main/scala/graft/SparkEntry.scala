@@ -79,6 +79,7 @@ object SparkEntry {
     "q_event_path"         -> ((s, d) => Analytics.qEventPath(tables(s, d))),
     "q_rolling_active"     -> ((s, d) => Analytics.qRollingActive(tables(s, d))),
     "q_session_stats"      -> ((s, d) => Analytics.qSessionStats(tables(s, d))),
+    "q_bounce_rate"        -> ((s, d) => Analytics.qBounceRate(tables(s, d))),
     "q_user_segment"       -> ((s, d) => Analytics.qUserSegment(tables(s, d))),
     // §2.8 LLM-pipeline extensions
     "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
@@ -94,6 +95,7 @@ object SparkEntry {
     "text_quality_score"  -> ((s, d) => TextAnalysis.qualityScore(tables(s, d))),
     "text_token_count"    -> ((s, d) => TextAnalysis.tokenCount(tables(s, d))),
     "text_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(tables(s, d))),
+    "text_pii_scrub"      -> ((s, d) => TextAnalysis.piiScrub(tables(s, d))),
     "mm_binary_columns"   -> ((s, d) => Multimodal.binaryColumns(tables(s, d)))
   )
 
@@ -641,6 +643,28 @@ object SparkEntry {
            floor(avg(dur_sec) * 100) / 100 AS avg_dur_sec,
            floor(avg(n_events) * 100) / 100 AS avg_events
          FROM sess GROUP BY day ORDER BY day""",
+    "q_bounce_rate" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts,
+             epoch_ns(ts) // 1000000000 AS sec,
+             lag(epoch_ns(ts) // 1000000000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+           FROM events),
+         x AS (
+           SELECT user_id, ts,
+             sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           FROM s),
+         sess AS (
+           SELECT user_id, sess_idx, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d') AS day
+           FROM x GROUP BY user_id, sess_idx)
+         SELECT day, count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+           floor(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000) / 10000 AS bounce_rate
+         FROM sess GROUP BY day ORDER BY day""",
     "q_rolling_active" ->
       """WITH bd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
          days AS (SELECT DISTINCT d AS day FROM bd)
@@ -670,6 +694,18 @@ object SparkEntry {
                 WHEN frequency >= 10 THEN 'active'
                 ELSE 'casual' END AS segment
          FROM a ORDER BY user_id""",
+    "text_pii_scrub" -> {
+      val ordered = TextAnalysis.piiPatterns
+        .sortBy { case (name, _, _) => if (name == "card") 0 else 1 }
+      val nested = ordered.foldLeft("text") { case (c, (_, pat, repl)) =>
+        s"regexp_replace($c, '$pat', '$repl', 'g')"
+      }
+      val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat')) AS n_$name"
+      }.mkString(", ")
+      s"""SELECT doc_id, md5($nested) AS clean_md5, $counts
+         FROM documents ORDER BY doc_id"""
+    },
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
          min(doc_id) AS keep_id, count(*) AS n

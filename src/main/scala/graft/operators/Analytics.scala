@@ -179,6 +179,21 @@ object Analytics {
         (floor(avg(col("n_events")) * 100) / 100).as("avg_events"))
       .orderBy(col("day"))
 
+  /** Bounce rate per day: share of sessions with a single event. Rides the
+    * #8 sessionizer; one extra narrow aggregate.
+    */
+  def qBounceRate(t: Tables): DataFrame =
+    Identity.sessionize(t)
+      .withColumn("day", substring(col("start_ts"), 1, 10))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        (floor(col("n_bounce").cast("double") / col("n_sessions") * 10000) / 10000)
+          .as("bounce_rate"))
+      .orderBy(col("day"))
+
   /** Rolling 7-day active users per day (DAU/WAU board): distinct
     * (user, day) first — the shuffle runs over |users × days|, not events —
     * then a bounded self-join over the 7-day window (rolling DISTINCT can't

@@ -102,6 +102,37 @@ object TextAnalysis {
           .as("chars_per_token"))
       .orderBy(col("doc_id"))
 
+  /** PII patterns for training-data scrubbing (emails, international-ish
+    * phone numbers, 16-digit card-like numbers). Java/RE2-compatible.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9][0-9 -]{7,14}[0-9]", "<PHONE>"),
+    ("card",  "[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}", "<CARD>"))
+
+  /** text_pii_scrub — redact PII spans with typed placeholders and report
+    * per-doc hit counts. Chained regexp_replace — pure codegen'd column
+    * work, the standard pre-tokenization scrub pass of a training-data
+    * pipeline. (Card before phone: a card number must not be half-eaten by
+    * the phone pattern.)
+    */
+  def piiScrub(t: Tables): DataFrame = {
+    val ordered = piiPatterns.sortBy { case (name, _, _) => if (name == "card") 0 else 1 }
+    val scrubbed = ordered.foldLeft(col("text")) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    // Scala function API, not expr(): the patterns contain backslashes that
+    // a Spark SQL string literal would unescape differently than the oracle
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as(s"n_$name")
+    }
+    t.documents
+      .select(col("doc_id") +: scrubbed.as("clean_text") +: counts: _*)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_email"), col("n_phone"), col("n_card"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #45 text_fingerprint — polynomial rolling hash folded over the word
     * sequence (order-sensitive), plus the min shingle hash (winnowing-style
     * content anchor, order-robust). Sequential `aggregate` fold — no UDF.

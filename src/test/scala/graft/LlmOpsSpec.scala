@@ -119,6 +119,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("pii scrub redacts emails, phones and card numbers with typed tags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or +86 138-0013-8000 now"),
+      (2L, "card 4111 1111 1111 1111 on file"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val out = TextAnalysis.piiScrub(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_email"), r.getAs[Int]("n_phone"), r.getAs[Int]("n_card"))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 >= 1)
+    assert(out(2L)._3 == 1)
+    assert(out(3L) == ((0, 0, 0)))
+    // the scrubbed text must not contain the raw values
+    // card first, like the operator — a phone pattern must not eat card digits
+    val ordered = graft.operators.TextAnalysis.piiPatterns
+      .sortBy { case (name, _, _) => if (name == "card") 0 else 1 }
+    val clean = docs.select(col("doc_id"),
+      ordered.foldLeft(col("text")) {
+        case (c, (_, p, r)) => regexp_replace(c, p, r)
+      }.as("ct")).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ct")).toMap
+    assert(!clean(1L).contains("example.co.uk") && clean(1L).contains("<EMAIL>"))
+    assert(!clean(2L).contains("4111") && clean(2L).contains("<CARD>"))
+  }
+
   test("langid prefers the language with most stopword hits") {
     val rows = TextAnalysis.langId(t).collect()
     rows.foreach { r =>
