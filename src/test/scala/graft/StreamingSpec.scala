@@ -63,6 +63,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming virtual events match the batch rule matches") {
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val out = EventStreamPipeline.virtualEventsStream(events)
+      .groupBy("virtual_name").agg(count(lit(1)).as("n"))
+    runToMemory("vtl", out, "complete")
+    val streamed = spark.sql("SELECT virtual_name, n FROM vtl").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Derive.virtualEvent(t)
+      .groupBy("virtual_name").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("virtual_name") -> r.getAs[Long]("n")).toMap
+    assert(streamed == batch)
+  }
+
   test("watermarked dedup emits each event id exactly once") {
     // duplicate the input file so every event arrives twice
     val dir = java.nio.file.Files.createTempDirectory("graft_dup_in")
