@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Headline subset for the final JSON line. The driver captures only the
+    * tail of the build output, so the line must stay well under ~1.5 KB —
+    * a map of all 65+ queries gets front-truncated into unparseable JSON
+    * (that is exactly what happened to BENCH_r01). Full per-query timings
+    * still go to stderr for humans; `value` covers ALL queries.
+    */
+  private val headline = Seq(
+    "q1_pricing_agg", "q3_topk_join", "q5_star_join",
+    "q_window_funnel", "q_funnel_windowed", "q_retention", "q_rolling_active",
+    "id_device_map", "id_zgid_resolution", "id_sessionize",
+    "pipeline_event_attr", "route_event_attr", "enrich_search_keyword",
+    "dq_error_stats", "adv_click_join", "adv_multi_touch",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_groups",
+    "dedup_minhash_lsh", "dedup_simhash",
+    "sim_ann_cosine_topk", "dedup_embedding_cosine", "sim_ann_lsh",
+    "text_quality_score", "sink_partitioned_parquet")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,12 +33,18 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // release per-query persist()ed frames so cached blocks can't
+      // accumulate across the 65-query session
+      spark.sqlContext.clearCache()
+      System.err.println(f"[bench] $name%-28s $sec%8.3f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

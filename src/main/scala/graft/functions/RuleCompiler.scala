@@ -62,28 +62,39 @@ object RuleCompiler {
       case "function" =>
         val ps = Option(n.get("parameters"))
           .map(_.elements().asScala.map(node(_, f)).toSeq).getOrElse(Seq.empty)
-        n.get("function").asText() match {
+        val fnName = n.get("function").asText()
+        // functions whose Nth parameter must be a literal in the rule tree
+        // (Spark needs the value at plan time); a field/expression node there
+        // is rejected with a CLEAR error instead of an NPE/ClassCastException
+        def constParam(i: Int): JsonNode = {
+          val p = n.get("parameters").get(i)
+          if (p == null || p.get("type") == null || p.get("type").asText() != "constant")
+            throw new IllegalArgumentException(
+              s"unsupported rule: function '$fnName' requires a constant parameter at position $i " +
+                s"(got ${Option(p).flatMap(x => Option(x.get("type"))).map(_.asText()).getOrElse("nothing")})")
+          p.get("value")
+        }
+        fnName match {
           case "upper"         => upper(ps(0))
           case "lower"         => lower(ps(0))
           case "length"        => length(ps(0))
           case "concat"        => concat(ps: _*)
-          case "substring"     => substr(ps(0), ps(1), ps(2))
+          // reference VirtualAttributeExpressionEvaluator executeFunction:
+          // 2-param form is substring(start-1) to end of string
+          case "substring"     =>
+            if (ps.length >= 3) substr(ps(0), ps(1), ps(2)) else substr(ps(0), ps(1))
           case "abs"           => abs(ps(0))
           case "round"         =>
-            if (ps.length > 1) {
-              val scale = n.get("parameters").get(1).get("value").asInt()
-              round(ps(0), scale)
-            } else round(ps(0))
+            if (ps.length > 1) round(ps(0), constParam(1).asInt()) else round(ps(0))
           case "ceil"          => ceil(ps(0))
           case "floor"         => floor(ps(0))
           case "coalesce"      => coalesce(ps: _*)
           case "nullif"        => nullif(ps(0), ps(1))
-          case "date_format"   => date_format(ps(0), n.get("parameters").get(1).get("value").asText())
+          case "date_format"   => date_format(ps(0), constParam(1).asText())
           case "from_unixtime" => from_unixtime(ps(0))
           case "date_diff"     => datediff(ps(0), ps(1))
           case "get_json_string" =>
-            val path = "$." + n.get("parameters").get(1).get("value").asText()
-            get_json_object(ps(0), path)
+            get_json_object(ps(0), "$." + constParam(1).asText())
           case fn => throw new IllegalArgumentException(s"unsupported function: $fn")
         }
 

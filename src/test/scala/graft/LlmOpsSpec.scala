@@ -20,6 +20,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("hot shingles never generate candidates but still count in jaccard") {
+    import spark.implicits._
+    // 60 docs share the ubiquitous "c1 c2 c3" shingle (df=62 > cap=8) but
+    // are otherwise unique; docs 100/101 are true near-dups. The hot shingle
+    // must be excluded from PAIR GENERATION (no 62² blowup, no spurious
+    // pairs) yet still counted in the EXACT jaccard of surviving pairs.
+    val filler = (1 to 60).map(i => (i.toLong, s"c1 c2 c3 f${i}a f${i}b f${i}c"))
+    val dups = Seq(
+      (100L, "c1 c2 c3 a b c d"),
+      (101L, "c1 c2 c3 a b c e"))
+    val docs = (filler ++ dups).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = Dedup.ngramJaccard(t2).collect()
+    assert(rows.length == 1, s"expected only the true pair: ${rows.mkString(",")}")
+    assert(rows.head.getAs[Long]("da") == 100L && rows.head.getAs[Long]("db") == 101L)
+    // shingles(100)={c1c2c3,c2c3a,c3ab,abc,bcd}, shingles(101) likewise with
+    // bce: shared=4 INCLUDING the hot c1c2c3, union=6 -> 0.6666 (a rare-only
+    // count would give 3/7=0.4285 — this pins the hot correction)
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 0.6666) < 1e-9)
+  }
+
+  test("blocked embedding near-dup equals brute force, no nested-loop join") {
+    val blocked = Sim.embeddingNearDup(t).collect()
+    val brute = Sim.embeddingNearDupBrute(t).collect()
+    assert(blocked.map(_.toString).toSeq == brute.map(_.toString).toSeq)
+    val p = Sim.embeddingNearDup(t).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"exact near-dup still nested-loop:\n$p")
+  }
+
   test("minhash estimate tracks true jaccard on candidate pairs") {
     val est = Dedup.minhashCandidatePairs(t)
     assert(est.count() > 0)

@@ -59,6 +59,20 @@ class PlanAuditSpec extends SparkSpec {
       s"distinct should run before rank (deeper in plan):\n$p")
   }
 
+  test("id maps never window an unbounded key set on appkey alone") {
+    // the skew shape VERDICT r1 flagged: rank over partitionBy(appkey)
+    // orderBy(key) puts one app's whole key set through a single task.
+    // The two-phase scheme ranks within (range-partition, appkey) instead;
+    // only the tiny per-partition offset window may partition on appkey.
+    for (df <- Seq(Identity.deviceMap(t), Identity.userMap(t))) {
+      val p = plan(df)
+      assert(p.contains("SPARK_PARTITION_ID"), s"two-phase marker missing:\n$p")
+      val badWindow =
+        "windowspecdefinition\\(appkey#\\d+, (did|cuid)#\\d+".r.findFirstIn(p)
+      assert(badWindow.isEmpty, s"single-app window over key column:\n$p")
+    }
+  }
+
   test("exact dedup aggregates map-side on the hash key") {
     val p = plan(Dedup.exact(t))
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
