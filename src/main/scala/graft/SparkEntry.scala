@@ -102,6 +102,28 @@ object SparkEntry {
   /** DuckDB list literal for a stopword set. */
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Expected UA-parse results per Envelope.uaSet index — the oracle's
+    * independently hand-derived truth table for the regexp-based parser
+    * (os, os_version, browser, browser_version, device_type, device_brand).
+    */
+  private val uaExpected: Seq[(String, String, String, String, String, String)] = Seq(
+    ("Windows", "10.0", "Chrome", "120", "Desktop", "Microsoft"),
+    ("Mac OS X", "10.15.7", "Safari", "17", "Desktop", "Apple"),
+    ("Linux", "\\N", "Firefox", "121", "Desktop", "\\N"),
+    ("iOS", "17.1", "MicroMessenger", "8", "Mobile", "Apple"),
+    ("Windows", "10.0", "Edge", "120", "Desktop", "Microsoft"),
+    ("Android", "12", "Chrome", "118", "Mobile", "Huawei"),
+    ("iOS", "16.6", "Safari", "16", "Tablet", "Apple"),
+    ("Android", "11", "UCBrowser", "15", "Mobile", "Redmi"),
+    ("Android", "13", "QQBrowser", "14", "Mobile", "Samsung"),
+    ("Windows", "10.0", "Opera", "105", "Desktop", "Microsoft"))
+
+  /** CASE over event_id % 10 for one field of the UA truth table. */
+  private def uaCase(f: ((String, String, String, String, String, String)) => String,
+                     idCol: String = "event_id"): String =
+    s"CASE $idCol % 10 " + uaExpected.zipWithIndex
+      .map { case (row, i) => s"WHEN $i THEN '${f(row)}'" }.mkString(" ") + " END"
+
   /** zgid-resolution CTE chain (shared by id_zgid_resolution and the
     * end-to-end pipeline oracle).
     */
@@ -227,10 +249,8 @@ object SparkEntry {
            epoch_ns(r.ts) // 1000000000 AS begin_date,
            coalesce(d.platform_id, 0) AS platform_id,
            r.event_type AS event_name,
-           CASE r.event_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
-             WHEN 2 THEN 'Linux' ELSE 'iOS' END AS os,
-           CASE r.event_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
-             WHEN 2 THEN 'Firefox' ELSE 'MicroMessenger' END AS browser,
+           ${uaCase(_._1, "r.event_id")} AS os,
+           ${uaCase(_._3, "r.event_id")} AS browser,
            CASE WHEN r.event_id % 3 = 0 THEN 'wechat'
              WHEN r.event_id % 7 = 0 THEN 'www.baidu.com'
              WHEN r.event_id % 7 = 1 THEN 'www.google.com'
@@ -322,15 +342,13 @@ object SparkEntry {
          FROM raw ORDER BY event_id"""
     },
     "enrich_user_agent" ->
-      """SELECT event_id,
-         CASE event_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X'
-           WHEN 2 THEN 'Linux' ELSE 'iOS' END AS os,
-         CASE event_id % 4 WHEN 0 THEN '10.0' WHEN 1 THEN '10.15.7'
-           WHEN 2 THEN '\N' ELSE '17.1' END AS os_version,
-         CASE event_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
-           WHEN 2 THEN 'Firefox' ELSE 'MicroMessenger' END AS browser,
-         CASE event_id % 4 WHEN 0 THEN '120' WHEN 1 THEN '17'
-           WHEN 2 THEN '121' ELSE '8' END AS browser_version
+      s"""SELECT event_id,
+         ${uaCase(_._1)} AS os,
+         ${uaCase(_._2)} AS os_version,
+         ${uaCase(_._3)} AS browser,
+         ${uaCase(_._4)} AS browser_version,
+         ${uaCase(_._5)} AS device_type,
+         ${uaCase(_._6)} AS device_brand
          FROM events ORDER BY event_id""",
     "enrich_search_keyword" ->
       """SELECT engine, keyword, count(*) AS n FROM (
@@ -401,8 +419,8 @@ object SparkEntry {
          dim(pl, platform_id) AS (VALUES $dims)
          SELECT r.event_id, r.did,
            coalesce(d.platform_id, 0) AS platform_id,
-           CASE WHEN r.event_id % 4 = 3 THEN 'Mobile' ELSE 'Desktop' END AS device_type,
-           CASE WHEN r.event_id % 4 IN (1, 3) THEN 'Apple' ELSE '\\N' END AS device_brand,
+           ${uaCase(_._5, "r.event_id")} AS device_type,
+           ${uaCase(_._6, "r.event_id")} AS device_brand,
            CASE WHEN json_valid(r.raw_props)
                 THEN CAST(json_extract_string(r.raw_props, '$$.k') AS INTEGER) END AS prop_k
          FROM raw r LEFT JOIN dim d ON r.pl = d.pl

@@ -89,39 +89,112 @@ object Enrich {
 
   // ---- #16 user agent ----
 
-  /** #16 enrich_user_agent — UserAgentParser.java re-expressed as a
-    * regexp_extract/when chain (os, major os version, browser, major browser
-    * version — UserAgentParser.java:126-139 keeps only the major version).
-    * iPhone is tested before Mac because its UA contains "like Mac OS X".
+  /** UA parsing as reusable codegen'd column expressions — the Spark-first
+    * re-expression of UserAgentParser.java:65-243 (which delegates to a UA
+    * library + `inferDeviceType` fallback). Order is load-bearing:
+    * iPhone/iPad before Mac (their UAs contain "like Mac OS X"), Android
+    * before Linux (Android UAs contain "Linux"), the embedded-browser
+    * tokens (WeChat/Edge/UC/QQ/Opera) before Chrome/Safari (their UAs
+    * contain both).
+    */
+  object Ua {
+    def os(ua: Column): Column =
+      when(ua.contains("iPhone OS") || ua.contains("iPad"), "iOS")
+        .when(ua.contains("Android"), "Android")
+        .when(ua.contains("HarmonyOS"), "HarmonyOS")
+        .when(ua.contains("Windows NT"), "Windows")
+        .when(ua.contains("Mac OS X"), "Mac OS X")
+        .when(ua.contains("Linux"), "Linux")
+        .otherwise("UNKNOWN")
+
+    /** Version string per family; `_` normalized to `.` (Apple UAs). */
+    def osVersion(ua: Column): Column =
+      when(ua.contains("iPhone OS") || ua.contains("iPad"),
+        regexp_replace(regexp_extract(ua, "OS ([0-9_]+)", 1), "_", "."))
+        .when(ua.contains("Android"), regexp_extract(ua, "Android ([0-9.]+)", 1))
+        .when(ua.contains("HarmonyOS"), regexp_extract(ua, "HarmonyOS ([0-9.]+)", 1))
+        .when(ua.contains("Windows NT"), regexp_extract(ua, "Windows NT ([0-9.]+)", 1))
+        .when(ua.contains("Mac OS X"),
+          regexp_replace(regexp_extract(ua, "Mac OS X ([0-9_.]+)", 1), "_", "."))
+        .otherwise(NullValue)
+
+    /** Browser token precedence mirrors the reference library's matcher
+      * order: embedded/branded browsers win over their WebKit carriers.
+      */
+    val browserTokens: Seq[(String, String)] = Seq(
+      "MicroMessenger/" -> "MicroMessenger",
+      "Edg/"            -> "Edge",
+      "UCBrowser/"      -> "UCBrowser",
+      "MQQBrowser/"     -> "QQBrowser",
+      "OPR/"            -> "Opera",
+      "Firefox/"        -> "Firefox",
+      "Chrome/"         -> "Chrome")
+
+    def browser(ua: Column): Column =
+      browserTokens.foldRight(
+        when(ua.contains("Version/") && ua.contains("Safari"), "Safari")
+          .otherwise("UNKNOWN")) { case ((tok, name), other) =>
+        when(ua.contains(tok), name).otherwise(other)
+      }
+
+    /** Major version only (UserAgentParser.java:126-139). */
+    def browserVersion(ua: Column): Column =
+      browserTokens.foldRight(
+        when(ua.contains("Version/"), regexp_extract(ua, "Version/([0-9]+)", 1))
+          .otherwise(NullValue)) { case ((tok, _), other) =>
+        when(ua.contains(tok), regexp_extract(ua, tok + "([0-9]+)", 1)).otherwise(other)
+      }
+
+    /** Device type incl. the inferDeviceType fallback
+      * (UserAgentParser.java:207-243): iPad ⇒ Tablet, iPhone ⇒ Mobile,
+      * Android w/o "Mobile" token ⇒ Tablet, desktop OSes ⇒ Desktop.
+      */
+    def deviceType(ua: Column): Column =
+      when(ua.contains("iPad"), "Tablet")
+        .when(ua.contains("iPhone"), "Mobile")
+        .when(ua.contains("Android") && ua.contains("Mobile"), "Mobile")
+        .when(ua.contains("Android"), "Tablet")
+        .when(ua.contains("HarmonyOS"), "Mobile")
+        .when(ua.contains("Windows NT") || ua.contains("Mac OS X") || ua.contains("Linux"),
+          "Desktop")
+        .otherwise("UNKNOWN")
+
+    /** Android vendor tokens → standardized brand (the UA-visible subset of
+      * DevicePropertyParser.java's BRAND_MAPPING).
+      */
+    val androidBrands: Seq[(String, String)] = Seq(
+      "HUAWEI" -> "Huawei", "HONOR" -> "Honor",
+      "Redmi" -> "Redmi", "Xiaomi" -> "Xiaomi",
+      "OPPO" -> "OPPO", "OnePlus" -> "OnePlus", "realme" -> "Realme",
+      "vivo" -> "Vivo", "iQOO" -> "iQOO",
+      "SAMSUNG" -> "Samsung", "SM-" -> "Samsung")
+
+    /** Brand = OS manufacturer unless an Android vendor token is present
+      * (UserAgentParser.java:150-176: manufacturer of the OS, Apple filled
+      * by inferDeviceType for iOS/Mac).
+      */
+    def deviceBrand(ua: Column): Column = {
+      val androidVendor = androidBrands.foldRight(lit("Google")) {
+        case ((tok, name), other) => when(ua.contains(tok), name).otherwise(other)
+      }
+      when(ua.contains("iPhone") || ua.contains("iPad") || ua.contains("Mac OS X"), "Apple")
+        .when(ua.contains("Android"), androidVendor)
+        .when(ua.contains("Windows NT"), "Microsoft")
+        .otherwise(NullValue)
+    }
+  }
+
+  /** #16 enrich_user_agent — the full UA parse: os + version, browser +
+    * major version, device type and brand. Pure regexp/when expressions,
+    * zero shuffle, whole-stage codegen.
     */
   def userAgent(t: Tables): DataFrame = {
     val ua = col("ua")
-    val os = when(ua.contains("iPhone OS"), "iOS")
-      .when(ua.contains("Windows NT"), "Windows")
-      .when(ua.contains("Mac OS X"), "Mac OS X")
-      .when(ua.contains("Linux"), "Linux")
-      .otherwise("UNKNOWN")
-    val osVersion = when(ua.contains("iPhone OS"),
-        regexp_replace(regexp_extract(ua, "iPhone OS ([0-9_]+)", 1), "_", "."))
-      .when(ua.contains("Windows NT"), regexp_extract(ua, "Windows NT ([0-9.]+)", 1))
-      .when(ua.contains("Mac OS X"),
-        regexp_replace(regexp_extract(ua, "Mac OS X ([0-9_]+)", 1), "_", "."))
-      .otherwise(NullValue)
-    val browser = when(ua.contains("MicroMessenger/"), "MicroMessenger")
-      .when(ua.contains("Firefox/"), "Firefox")
-      .when(ua.contains("Chrome/"), "Chrome")
-      .when(ua.contains("Version/") && ua.contains("Safari"), "Safari")
-      .otherwise("UNKNOWN")
-    val browserVersion = when(ua.contains("MicroMessenger/"),
-        regexp_extract(ua, "MicroMessenger/([0-9]+)", 1))
-      .when(ua.contains("Firefox/"), regexp_extract(ua, "Firefox/([0-9]+)", 1))
-      .when(ua.contains("Chrome/"), regexp_extract(ua, "Chrome/([0-9]+)", 1))
-      .when(ua.contains("Version/"), regexp_extract(ua, "Version/([0-9]+)", 1))
-      .otherwise(NullValue)
     env(t).select(
       col("event_id"),
-      os.as("os"), osVersion.as("os_version"),
-      browser.as("browser"), browserVersion.as("browser_version"))
+      Ua.os(ua).as("os"), Ua.osVersion(ua).as("os_version"),
+      Ua.browser(ua).as("browser"), Ua.browserVersion(ua).as("browser_version"),
+      Ua.deviceType(ua).as("device_type"), Ua.deviceBrand(ua).as("device_brand"))
       .orderBy(col("event_id"))
   }
 

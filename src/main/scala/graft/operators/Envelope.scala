@@ -18,6 +18,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Envelope {
 
+  /** The synthesized UA corpus (index = event_id % 10): public real-world
+    * agent strings covering the reference UA parser's matrix — os families
+    * (Windows/Mac/iOS/Android/Linux), desktop + CN-mobile browsers
+    * (Chrome/Safari/Firefox/Edge/Opera/MicroMessenger/UCBrowser/QQBrowser),
+    * device types (Desktop/Mobile/Tablet) and Android vendor brands.
+    */
+  val uaSet: Seq[String] = Seq(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.109 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 MicroMessenger/8.0.47",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Linux; Android 12; HUAWEI Mate 40) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Linux; U; Android 11; zh-CN; Redmi Note 9 Build/RP1A.200720.011) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/78.0.3904.108 UCBrowser/15.5.8.1258 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; SAMSUNG SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.5481.154 Mobile Safari/537.36 MQQBrowser/14.2",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0")
+
   /** name -> SQL expression (shared Spark/DuckDB dialect subset: CASE/WHEN,
     * %, concat, cast(AS string), substr, length). Failure cases (empty ak,
     * empty did, corrupt JSON, non-numeric sid, invalid pl) are injected at
@@ -56,12 +74,12 @@ object Envelope {
     "ip" -> ("CASE event_id % 11 WHEN 0 THEN '10.1.2.3' WHEN 1 THEN '192.168.0.5' " +
       "WHEN 2 THEN '172.16.9.8' WHEN 3 THEN '127.0.0.1' " +
       "ELSE concat('203.0.', cast(user_id % 8 AS string), '.', cast(event_id % 250 AS string)) END"),
-    // ua — four fixed real-world agents for UserAgentParser re-expression.
-    "ua" -> ("CASE event_id % 4 " +
-      "WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.109 Safari/537.36' " +
-      "WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15' " +
-      "WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0' " +
-      "ELSE 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 MicroMessenger/8.0.47' END"),
+    // ua — ten fixed real-world agents exercising the UserAgentParser
+    // matrix (UserAgentParser.java:65-243): desktop Chrome/Safari/Firefox/
+    // Edge/Opera, mobile WeChat/UC/QQ, Android vendor brands, iPad tablet.
+    "ua" -> ("CASE event_id % 10 " +
+      uaSet.zipWithIndex.map { case (ua, i) => s"WHEN $i THEN '$ua'" }.mkString(" ") +
+      " ELSE '' END"),
     // referrer — search engines (SearchKeywordParser.java:38-58 engine set),
     // a plain referral, and direct (empty).
     "referrer" -> ("CASE event_id % 7 " +

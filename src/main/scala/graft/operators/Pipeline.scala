@@ -25,15 +25,8 @@ object Pipeline {
 
     // enrichment columns (same exprs as #15-#18)
     val ua = col("ua")
-    val os = when(ua.contains("iPhone OS"), "iOS")
-      .when(ua.contains("Windows NT"), "Windows")
-      .when(ua.contains("Mac OS X"), "Mac OS X")
-      .when(ua.contains("Linux"), "Linux").otherwise("UNKNOWN")
-    val browser = when(ua.contains("MicroMessenger/"), "MicroMessenger")
-      .when(ua.contains("Firefox/"), "Firefox")
-      .when(ua.contains("Chrome/"), "Chrome")
-      .when(ua.contains("Version/") && ua.contains("Safari"), "Safari")
-      .otherwise("UNKNOWN")
+    val os = Enrich.Ua.os(ua)
+    val browser = Enrich.Ua.browser(ua)
     val utmSource = nullif(parse_url(col("url"), lit("QUERY"), lit("utm_source")), lit(""))
     val utmMedium = nullif(parse_url(col("url"), lit("QUERY"), lit("utm_medium")), lit(""))
     val host = parse_url(col("referrer"), lit("HOST"))

@@ -99,22 +99,19 @@ object Route {
   }
 
   /** route_device_row — DeviceTransfer.java:85-104 (dt=pl → device table):
-    * device key, platform code, parsed device property, and the
-    * UserAgentParser.inferDeviceType fallback (UserAgentParser.java:207-243:
-    * iOS→Mobile/Apple, Windows/Mac/Linux→Desktop, Mac→Apple).
+    * device key, platform code, parsed device property, and the full UA
+    * device matrix (Enrich.Ua re-expresses UserAgentParser.java:150-243
+    * incl. the inferDeviceType fallback).
     */
   def routeDeviceRow(t: Tables): DataFrame = {
     val ua = col("ua")
-    val deviceType = when(ua.contains("iPhone OS"), "Mobile").otherwise("Desktop")
-    val brand = when(ua.contains("iPhone OS") || (ua.contains("Mac OS X") && !ua.contains("iPhone")), "Apple")
-      .otherwise(lit("\\N"))
     env(t).filter(col("dt") === "pl")
       .join(platformId(t), Seq("pl"), "left")
       .select(
         col("event_id"), col("did"),
         coalesce(col("platform_id"), lit(0)).as("platform_id"),
-        deviceType.as("device_type"),
-        brand.as("device_brand"),
+        Enrich.Ua.deviceType(ua).as("device_type"),
+        Enrich.Ua.deviceBrand(ua).as("device_brand"),
         from_json(col("raw_props"), lit("k INT")).getField("k").as("prop_k"))
       .orderBy(col("event_id"))
   }

@@ -50,14 +50,23 @@ class DeriveEnrichSpec extends SparkSpec {
     assert(unresolved.count() == 0)
   }
 
-  test("ua parse recovers os + major browser version") {
-    val rows = Enrich.userAgent(t).select("os", "browser", "browser_version").distinct().collect()
-    val combos = rows.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+  test("ua parse recovers os/browser/device across the full matrix") {
+    val rows = Enrich.userAgent(t)
+      .select("os", "os_version", "browser", "browser_version", "device_type", "device_brand")
+      .distinct().collect()
+    val combos = rows.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getString(4), r.getString(5))).toSet
     assert(combos == Set(
-      ("Windows", "Chrome", "120"),
-      ("Mac OS X", "Safari", "17"),
-      ("Linux", "Firefox", "121"),
-      ("iOS", "MicroMessenger", "8")))
+      ("Windows", "10.0", "Chrome", "120", "Desktop", "Microsoft"),
+      ("Mac OS X", "10.15.7", "Safari", "17", "Desktop", "Apple"),
+      ("Linux", Enrich.NullValue, "Firefox", "121", "Desktop", Enrich.NullValue),
+      ("iOS", "17.1", "MicroMessenger", "8", "Mobile", "Apple"),
+      ("Windows", "10.0", "Edge", "120", "Desktop", "Microsoft"),
+      ("Android", "12", "Chrome", "118", "Mobile", "Huawei"),
+      ("iOS", "16.6", "Safari", "16", "Tablet", "Apple"),
+      ("Android", "11", "UCBrowser", "15", "Mobile", "Redmi"),
+      ("Android", "13", "QQBrowser", "14", "Mobile", "Samsung"),
+      ("Windows", "10.0", "Opera", "105", "Desktop", "Microsoft")))
   }
 
   test("search keyword extraction decodes url-encoded terms") {
