@@ -29,6 +29,8 @@ object SparkEntry {
     "etl_schema_check"     -> ((s, d) => Etl.schemaCheck(tables(s, d))),
     "etl_appid_business"   -> ((s, d) => Etl.appIdBusiness(tables(s, d))),
     "gate_blacklist"       -> ((s, d) => Etl.gateBlacklist(tables(s, d))),
+    "gate_resolve"         -> ((s, d) => Gate.gateResolve(tables(s, d))),
+    "gate_resolve_stats"   -> ((s, d) => Gate.gateResolveStats(tables(s, d))),
     // §2.2 identity resolution
     "id_device_map"        -> ((s, d) => Identity.deviceMap(tables(s, d))),
     "id_user_map"          -> ((s, d) => Identity.userMap(tables(s, d))),
@@ -124,6 +126,48 @@ object SparkEntry {
     s"CASE $idCol % 10 " + uaExpected.zipWithIndex
       .map { case (row, i) => s"WHEN $i THEN '${f(row)}'" }.mkString(" ") + " END"
 
+  /** DuckDB mirror of Gate.gateResolve's resolver chain: probes + verdict
+    * in CTE `v`, with the caller supplying the final SELECT over it.
+    */
+  private def gateResolveOracle(finalSelect: String): String = {
+    val num = "('UBIGINT','BIGINT','DOUBLE')"
+    s"""WITH ${Envelope.oracleRaw},
+       g AS (SELECT event_id, json_valid(gate_msg) AS okj,
+               CASE WHEN json_valid(gate_msg) THEN gate_msg ELSE '{}' END AS gm
+             FROM raw),
+       p AS (SELECT event_id, okj,
+           gm::JSON->>'Ip' AS ip_s, json_type(gm::JSON->'Ip') AS ip_t,
+           gm::JSON->>'Now' AS now_s, json_type(gm::JSON->'Now') AS now_t,
+           gm::JSON->>'Header' AS header_s, json_type(gm::JSON->'Header') AS header_t,
+           gm::JSON->>'Args' AS args_s, json_type(gm::JSON->'Args') AS args_t
+         FROM g),
+       q AS (SELECT *,
+           coalesce(CASE WHEN header_t = 'VARCHAR' AND json_valid(header_s)
+                         THEN header_s::JSON->>'user-agent' END, 'DEFAULT') AS hdr_ua,
+           CASE WHEN args_t = 'VARCHAR' AND json_valid(args_s)
+                THEN args_s::JSON->>'event' END AS arg_event,
+           CASE WHEN args_t = 'VARCHAR' AND json_valid(args_s)
+                THEN args_s::JSON->>'compress' END AS arg_compress,
+           CASE WHEN args_t = 'VARCHAR' AND json_valid(args_s)
+                THEN args_s::JSON->>'encrypt' END AS arg_encrypt
+         FROM p),
+       v AS (SELECT event_id, ip_s, now_s, hdr_ua,
+           CASE WHEN NOT okj THEN 'JSON_BAD'
+                WHEN ip_s IS NULL OR ip_t IN $num THEN 'IP_BAD'
+                WHEN now_s IS NULL OR now_t NOT IN $num THEN 'NOW_BAD'
+                WHEN header_s IS NULL OR header_t IN $num THEN 'HEADER_BAD'
+                WHEN args_s IS NULL OR args_t IN $num
+                     OR (arg_event IS NULL AND arg_compress IS NULL
+                         AND arg_encrypt IS NULL) THEN 'ARGS_BAD'
+                WHEN arg_encrypt IS NOT NULL AND arg_encrypt NOT IN ('0','1') THEN 'ENCRYPT_BAD'
+                WHEN arg_compress IS NOT NULL AND arg_compress NOT IN ('0','1') THEN 'COMPRESS_BAD'
+                WHEN arg_encrypt = '1' THEN 'ENCRYPT_UNSUPPORTED'
+                WHEN NOT json_valid(arg_event) THEN 'EVENT_BAD'
+                ELSE 'OK' END AS verdict
+         FROM q)
+       $finalSelect"""
+  }
+
   /** zgid-resolution CTE chain (shared by id_zgid_resolution and the
     * end-to-end pipeline oracle).
     */
@@ -176,23 +220,57 @@ object SparkEntry {
            CASE WHEN json_valid(raw_props) THEN 0 ELSE -1 END AS result,
            CASE WHEN json_valid(raw_props) THEN NULL ELSE 1020002 END AS error_code
          FROM raw ORDER BY event_id""",
-    "etl_schema_check" ->
+    "etl_schema_check" -> {
+      // DuckDB mirror of Etl.schemaMatrix over the same probe columns
+      val duckPreds = Map(
+        "DATA_NONE"    -> "j_data IS NULL",
+        "DATA_DT_NONE" -> "j_data IS NOT NULL AND j_dt IS NULL",
+        "DATA_PR_NONE" -> "j_data IS NOT NULL AND j_pr IS NULL",
+        "SID_TYPE"     -> "j_sid IS NOT NULL AND try_cast(j_sid AS DOUBLE) IS NULL",
+        "CT_TYPE"      -> "j_ct IS NOT NULL AND try_cast(j_ct AS DOUBLE) IS NULL",
+        "TZ_NONE"      -> "j_tz IS NULL",
+        "AK_NONE"      -> "j_ak IS NULL",
+        "DEBUG_NONE"   -> "j_debug IS NULL",
+        "DEBUG_TYPE"   -> "j_debug IS NOT NULL AND try_cast(j_debug AS BIGINT) IS NULL",
+        "SLN_NONE"     -> "j_sln IS NULL",
+        "OWNER_NONE"   -> "j_owner IS NULL",
+        "PL_ENUM"      -> ("j_pl IS NULL OR j_pl NOT IN " +
+          "('none','and','ios','js','wxa','server','harmonyos')"),
+        "SDK_NONE"     -> "j_sdk IS NULL",
+        "SDKV_NONE"    -> "j_sdkv IS NULL",
+        "USR_NONE"     -> "j_usr IS NULL",
+        "DID_NONE"     -> "j_did IS NULL OR length(j_did) < 1",
+        "DID_LEN"      -> "j_did IS NOT NULL AND length(j_did) > 100",
+        "UT_NONE"      -> "j_ut IS NULL",
+        "IP_NONE"      -> "j_ip IS NULL",
+        "UA_NONE"      -> "j_ua IS NULL")
+      val cases = Etl.schemaMatrix
+        .map { case (tag, _) => s"CASE WHEN ${duckPreds(tag)} THEN '$tag' END" }
+        .mkString(", ")
       s"""WITH ${Envelope.oracleRaw},
-         c AS (
-           SELECT event_id,
-             (appkey = '') AS ak_missing,
-             (did = '') AS did_missing,
-             (pl NOT IN ('none','and','ios','js','wxa','server','harmonyos')) AS pl_invalid,
-             (sid_raw IS NOT NULL AND try_cast(sid_raw AS DOUBLE) IS NULL) AS sid_bad
-           FROM raw)
+         p AS (SELECT event_id, okj,
+             jm::JSON->'data' AS j_data,
+             jm::JSON->'data'->0->>'dt' AS j_dt,
+             jm::JSON->'data'->0->'pr' AS j_pr,
+             json_extract_string(jm, '$$.data[0].pr."$$sid"') AS j_sid,
+             json_extract_string(jm, '$$.data[0].pr."$$ct"') AS j_ct,
+             jm::JSON->>'tz' AS j_tz, jm::JSON->>'ak' AS j_ak,
+             jm::JSON->>'debug' AS j_debug, jm::JSON->>'sln' AS j_sln,
+             jm::JSON->>'owner' AS j_owner, jm::JSON->>'pl' AS j_pl,
+             jm::JSON->>'sdk' AS j_sdk, jm::JSON->>'sdkv' AS j_sdkv,
+             jm::JSON->'usr' AS j_usr, jm::JSON->'usr'->>'did' AS j_did,
+             jm::JSON->>'ut' AS j_ut, jm::JSON->>'ip' AS j_ip, jm::JSON->>'ua' AS j_ua
+           FROM (SELECT event_id, json_valid(msg) AS okj,
+                   CASE WHEN json_valid(msg) THEN msg ELSE '{}' END AS jm
+                 FROM raw)),
+         e AS (SELECT event_id,
+             CASE WHEN NOT okj THEN 'BASIC_SCHEMA_FORMAT_NOT_MATCH'
+                  ELSE concat_ws(',', $cases) END AS errors
+           FROM p)
          SELECT event_id,
-           CASE WHEN ak_missing OR did_missing OR pl_invalid OR sid_bad THEN -1 ELSE 0 END AS result,
-           concat_ws(',',
-             CASE WHEN ak_missing THEN 'AK_NONE' END,
-             CASE WHEN did_missing THEN 'DID_NONE' END,
-             CASE WHEN pl_invalid THEN 'PL_ENUM' END,
-             CASE WHEN sid_bad THEN 'SID_TYPE' END) AS errors
-         FROM c ORDER BY event_id""",
+           CASE WHEN errors <> '' THEN -1 ELSE 0 END AS result, errors
+         FROM e ORDER BY event_id"""
+    },
     "etl_appid_business" ->
       s"""WITH ${Envelope.oracleRaw},
          ${Envelope.appRegistryOracle}
@@ -219,6 +297,14 @@ object SparkEntry {
          WHERE r.appkey NOT IN ($aks)
          GROUP BY 1, 2 ORDER BY r.appkey, error_code"""
     },
+    "gate_resolve" -> gateResolveOracle(
+      """SELECT event_id, verdict,
+         CASE WHEN verdict = 'OK' THEN ip_s ELSE '\N' END AS ip_out,
+         CASE WHEN verdict = 'OK' THEN cast(now_s AS BIGINT) END AS st,
+         CASE WHEN verdict = 'OK' THEN hdr_ua ELSE '\N' END AS ua_out
+         FROM v ORDER BY event_id"""),
+    "gate_resolve_stats" -> gateResolveOracle(
+      "SELECT verdict, count(*) AS n FROM v GROUP BY verdict ORDER BY verdict"),
     "id_device_map" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT appkey, did,

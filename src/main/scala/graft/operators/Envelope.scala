@@ -103,17 +103,105 @@ object Envelope {
       "ELSE props END")
   )
 
-  /** Spark side: events + envelope columns, all as codegen'd expressions. */
-  def attach(events: DataFrame): DataFrame =
-    events.selectExpr("*" +: defs.map { case (n, e) => s"$e AS $n" }: _*)
+  /** Layer-2 envelope columns (may reference layer-1 names as columns): the
+    * COMPLETE zg wire messages, built as JSON strings with injected
+    * violations at fixed prime moduli so the full basicSchema matrix and
+    * the MsgResolver gate parse have real work to do. Same single SQL text
+    * runs in Spark and DuckDB (no backslash literals — the escape backslash
+    * comes from chr(92)).
+    */
+  val derivedDefs: Seq[(String, String)] = {
+    // the inner zg envelope message (basicSchema.json shape):
+    // {"data":[{"dt":..,"pr":{"$sid":..,"$ct":..}}],"tz":..,"ak":..,
+    //  "debug":..,"sln":..,"owner":..,"pl":..,"sdk":..,"sdkv":..,
+    //  "usr":{"did":..,"cuid":..},"ut":..,"ip":..,"ua":..}
+    // violations: %47 data missing, %71 item missing pr, %17 $sid string,
+    // %19 $ct string, %41 tz missing, %37 debug string, %23 sdkv missing,
+    // %101 did overlong (maxLength 100), %29 ut missing, %43 trailing
+    // garbage (parse failure). ak=''/did=''/pl='windows' ride the layer-1
+    // columns.
+    val msgBody =
+      // parse-failure injection is a PREFIX: Jackson-based parsers accept
+      // trailing garbage after a complete value, DuckDB's json_valid does
+      // not — a leading junk char is rejected identically by both
+      "concat(CASE WHEN event_id % 43 = 0 THEN 'x' ELSE '' END, '{'," +
+        " CASE WHEN event_id % 47 = 0 THEN '' ELSE concat('\"data\":[{\"dt\":\"', dt, '\",'," +
+        "   CASE WHEN event_id % 71 = 0 THEN '\"x\":1}],' ELSE concat('\"pr\":{'," +
+        "     CASE WHEN sid_raw IS NULL THEN ''" +
+        "          WHEN event_id % 17 = 0 THEN concat('\"$sid\":\"', sid_raw, '\",')" +
+        "          ELSE concat('\"$sid\":', sid_raw, ',') END," +
+        "     '\"$ct\":', CASE WHEN event_id % 19 = 0 THEN '\"late\"'" +
+        "                      ELSE cast(1700000000000 + event_id AS string) END," +
+        "     '}}],') END) END," +
+        " CASE WHEN event_id % 41 = 0 THEN '' ELSE '\"tz\":\"Asia/Shanghai\",' END," +
+        " '\"ak\":\"', appkey, '\",'," +
+        " '\"debug\":', CASE WHEN event_id % 37 = 0 THEN '\"x\"' ELSE '0' END, ','," +
+        " '\"sln\":\"itn\",\"owner\":\"', owner_raw, '\",\"pl\":\"', pl, '\",\"sdk\":\"', sdk, '\",'," +
+        " CASE WHEN event_id % 23 = 0 THEN '' ELSE '\"sdkv\":\"3.2.1\",' END," +
+        " '\"usr\":{\"did\":\"', CASE WHEN event_id % 101 = 0 THEN repeat('x', 120) ELSE did END, '\"'," +
+        " CASE WHEN cuid IS NULL THEN '' ELSE concat(',\"cuid\":\"', cuid, '\"') END, '},'," +
+        " CASE WHEN event_id % 29 = 0 THEN '' ELSE '\"ut\":\"0\",' END," +
+        " '\"ip\":\"', ip, '\",\"ua\":\"', ua, '\"}')"
+    Seq("msg" -> msgBody)
+  }
 
-  /** Oracle side: the same snippets as a CTE body. Use as
-    * s"WITH ${Envelope.oracleRaw}, ... SELECT ...".
+  /** JSON-string embedding escape, dialect-portable (no backslash literals:
+    * the backslash char comes from chr(92)): backslashes doubled first,
+    * then quotes escaped.
+    */
+  private def escJson(x: String): String =
+    s"replace(replace($x, chr(92), concat(chr(92), chr(92))), '\"', concat(chr(92), '\"'))"
+
+  /** Layer-3 columns (may reference msg): the outer gate transport message
+    * (MsgResolver.java:33-98): {"Ip":<str>,"Now":<num>,"Header":"<json
+    * str>","Args":"<json str>"}. Header/Args are JSON-STRING fields whose
+    * content is itself JSON, so embedded payloads are escaped with escJson
+    * (the Args event payload ends up double-escaped, exactly like the wire
+    * format). violations (%61): 0 Ip number, 1 Now string, 2 Header number,
+    * 3 Args empty object, 4 compress invalid, 5 encrypt=1 (crypto
+    * boundary), 6 header without user-agent; %67 trailing garbage.
+    */
+  val gateDefs: Seq[(String, String)] = {
+    val headerJson = "concat('{\"user-agent\":\"', ua, '\"}')"
+    val argsJson =
+      "concat('{\"event\":\"', " + escJson("msg") + ", '\",'," +
+        " '\"compress\":\"', CASE WHEN event_id % 61 = 4 THEN '9' ELSE '0' END, '\",'," +
+        " '\"encrypt\":\"',  CASE WHEN event_id % 61 = 5 THEN '1' ELSE '0' END, '\"}')"
+    val gateBody =
+      "concat(CASE WHEN event_id % 67 = 0 THEN 'x' ELSE '' END, '{'," +
+        " '\"Ip\":', CASE WHEN event_id % 61 = 0 THEN '123' ELSE concat('\"', ip, '\"') END, ','," +
+        " '\"Now\":', CASE WHEN event_id % 61 = 1 THEN '\"abc\"'" +
+        "                  ELSE cast(1700000000 + event_id AS string) END, ','," +
+        " '\"Header\":', CASE WHEN event_id % 61 = 2 THEN '123'" +
+        "                     WHEN event_id % 61 = 6 THEN concat('\"', " + escJson("'{\"x\":1}'") + ", '\"')" +
+        "                     ELSE concat('\"', " + escJson(headerJson) + ", '\"') END, ','," +
+        " '\"Args\":', CASE WHEN event_id % 61 = 3 THEN concat('\"', " + escJson("'{}'") + ", '\"')" +
+        "                   ELSE concat('\"', " + escJson(argsJson) + ", '\"') END," +
+        " '}')"
+    Seq("gate_msg" -> gateBody)
+  }
+
+  /** Spark side: events + envelope columns, all as codegen'd expressions
+    * (layers 2/3 in follow-up projections so they can reference earlier
+    * names).
+    */
+  def attach(events: DataFrame): DataFrame =
+    events
+      .selectExpr("*" +: defs.map { case (n, e) => s"$e AS $n" }: _*)
+      .selectExpr("*" +: derivedDefs.map { case (n, e) => s"$e AS $n" }: _*)
+      .selectExpr("*" +: gateDefs.map { case (n, e) => s"$e AS $n" }: _*)
+
+  /** Oracle side: the same snippets as a three-layer CTE. Use as
+    * s"WITH ${Envelope.oracleRaw}, ... SELECT ... FROM raw".
     */
   def oracleRaw: String =
-    "raw AS (SELECT events.*, " +
+    "raw0 AS (SELECT events.*, " +
       defs.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
-      " FROM events)"
+      " FROM events), raw1 AS (SELECT raw0.*, " +
+      derivedDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+      " FROM raw0), raw AS (SELECT raw1.*, " +
+      gateDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+      " FROM raw1)"
 
   // ---- app registry dim (SetAppIdAndBusinessOperator's MySQL cache) ----
 

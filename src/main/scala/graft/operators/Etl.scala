@@ -94,26 +94,67 @@ object Etl {
     ).orderBy(col("event_id"))
   }
 
-  /** #3 etl_schema_check — Check.checkBasic over basicSchema.json: required
-    * fields present, did minLength 1, pl within its enum, $sid numeric.
-    * Violations collect into a comma-joined error list per record
-    * (concat_ws drops the NULL entries, exactly like the reference's
-    * ValidationException message list).
+  /** The basicSchema.json validation matrix, applied to a PARSED message:
+    * each entry is (error tag, SQL predicate over the probe columns below).
+    * Mirrors CheckJSONSchemaUtil.checkBasic field-for-field: every root
+    * `required` member, debug integer type, pl enum, usr.did minLength 1 /
+    * maxLength 100, data[0] pr presence, pr.$sid / pr.$ct number types.
+    * Presence checks that the synthesized corpus never violates (ak, sln,
+    * owner, sdk, usr, ip, ua, data[0].dt) are still evaluated — the matrix
+    * is the contract, the corpus only samples it.
+    */
+  val schemaMatrix: Seq[(String, String)] = Seq(
+    "DATA_NONE"    -> "j_data IS NULL",
+    "DATA_DT_NONE" -> "j_data IS NOT NULL AND get_json_object(msg, '$.data[0].dt') IS NULL",
+    "DATA_PR_NONE" -> "j_data IS NOT NULL AND j_pr IS NULL",
+    "SID_TYPE"     -> "j_sid IS NOT NULL AND try_cast(j_sid AS DOUBLE) IS NULL",
+    "CT_TYPE"      -> "j_ct IS NOT NULL AND try_cast(j_ct AS DOUBLE) IS NULL",
+    "TZ_NONE"      -> "get_json_object(msg, '$.tz') IS NULL",
+    "AK_NONE"      -> "get_json_object(msg, '$.ak') IS NULL",
+    "DEBUG_NONE"   -> "j_debug IS NULL",
+    "DEBUG_TYPE"   -> "j_debug IS NOT NULL AND try_cast(j_debug AS BIGINT) IS NULL",
+    "SLN_NONE"     -> "get_json_object(msg, '$.sln') IS NULL",
+    "OWNER_NONE"   -> "get_json_object(msg, '$.owner') IS NULL",
+    "PL_ENUM"      -> ("j_pl IS NULL OR j_pl NOT IN " +
+      "('none','and','ios','js','wxa','server','harmonyos')"),
+    "SDK_NONE"     -> "get_json_object(msg, '$.sdk') IS NULL",
+    "SDKV_NONE"    -> "get_json_object(msg, '$.sdkv') IS NULL",
+    "USR_NONE"     -> "get_json_object(msg, '$.usr') IS NULL",
+    "DID_NONE"     -> "j_did IS NULL OR length(j_did) < 1",
+    "DID_LEN"      -> "j_did IS NOT NULL AND length(j_did) > 100",
+    "UT_NONE"      -> "get_json_object(msg, '$.ut') IS NULL",
+    "IP_NONE"      -> "get_json_object(msg, '$.ip') IS NULL",
+    "UA_NONE"      -> "get_json_object(msg, '$.ua') IS NULL")
+
+  /** #3 etl_schema_check — the FULL basicSchema.json field/type matrix
+    * (CheckJSONSchemaUtil.checkBasic) over the complete synthesized wire
+    * message: unparseable ⇒ the format error alone (the reference's
+    * JSONException catch); otherwise every matrix violation collects into
+    * a comma-joined error list (the ValidationException message list).
     */
   def schemaCheck(t: Tables): DataFrame = {
-    val akMissing  = col("appkey") === ""
-    val didMissing = col("did") === ""
-    val plInvalid  = !col("pl").isin("none", "and", "ios", "js", "wxa", "server", "harmonyos")
-    val sidBad     = col("sid_raw").isNotNull && expr("try_cast(sid_raw AS double)").isNull
-    env(t).select(
+    val probes = env(t).selectExpr(
+      "event_id", "msg",
+      "try_parse_json(msg) IS NOT NULL AS okj",
+      "get_json_object(msg, '$.data') AS j_data",
+      "get_json_object(msg, '$.data[0].pr') AS j_pr",
+      "from_json(msg, 'data ARRAY<STRUCT<pr STRUCT<`$sid` STRING, `$ct` STRING>>>')" +
+        ".data[0].pr.`$sid` AS j_sid",
+      "from_json(msg, 'data ARRAY<STRUCT<pr STRUCT<`$sid` STRING, `$ct` STRING>>>')" +
+        ".data[0].pr.`$ct` AS j_ct",
+      "get_json_object(msg, '$.debug') AS j_debug",
+      "get_json_object(msg, '$.pl') AS j_pl",
+      "get_json_object(msg, '$.usr.did') AS j_did")
+    val errorList = concat_ws(",",
+      schemaMatrix.map { case (tag, pred) => expr(s"CASE WHEN $pred THEN '$tag' END") }: _*)
+    probes.select(
       col("event_id"),
-      when(akMissing || didMissing || plInvalid || sidBad, lit(-1)).otherwise(lit(0)).as("result"),
-      concat_ws(",",
-        when(akMissing, lit("AK_NONE")),
-        when(didMissing, lit("DID_NONE")),
-        when(plInvalid, lit("PL_ENUM")),
-        when(sidBad, lit("SID_TYPE"))).as("errors")
-    ).orderBy(col("event_id"))
+      when(!col("okj"), lit("BASIC_SCHEMA_FORMAT_NOT_MATCH")).otherwise(errorList).as("errors"))
+      .select(
+        col("event_id"),
+        when(col("errors") =!= "", lit(-1)).otherwise(lit(0)).as("result"),
+        col("errors"))
+      .orderBy(col("event_id"))
   }
 
   /** #4 etl_appid_business — SetAppIdAndBusinessOperator.java: the app

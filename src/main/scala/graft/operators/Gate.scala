@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gate transport envelope (MsgResolver.java:33-98 + DecodeService) — the
+  * wire format the GateJob actually receives: an outer JSON message
+  * `{Ip: string, Now: number, Header: json-string, Args: json-string}`
+  * whose Args carries the (optionally zlib-compressed, optionally
+  * encrypted) zg event payload as an escaped JSON string.
+  *
+  * Spark-first: the per-record try/catch resolver chain becomes a single
+  * pass of pure column expressions — parse probes (`try_parse_json`,
+  * single-field typed `from_json` to distinguish JSON numbers from
+  * strings), first-failure-wins verdict, payload decode. Zero shuffle,
+  * whole-stage codegen except the zlib inflate (a native expression).
+  *
+  * Crypto boundary: MsgResolver's encrypt=1 path decrypts SM2/SM4- or
+  * RSA/AES-wrapped payloads with platform key material that is not public;
+  * those messages get a distinct ENCRYPT_UNSUPPORTED verdict here instead
+  * (the reject-split shape is identical, only the recovery differs).
+  */
+object Gate {
+
+  private def env(t: Tables): DataFrame = Envelope.attach(t.events)
+
+  /** gate_resolve — per-message resolver verdict + the fields a resolved
+    * message contributes downstream (ip, st, ua — MsgResolver.java:93-95).
+    * Verdicts mirror the reference's ResolveException sites in evaluation
+    * order; ip/st/ua are only populated for fully-resolved messages.
+    */
+  def gateResolve(t: Tables): DataFrame = {
+    graft.functions.CodecExpressions.register(t.spark)
+    resolveFrom(env(t))
+  }
+
+  /** The resolver chain over any frame carrying (event_id, gate_msg) —
+    * shared by the synthesized-corpus operator and literal-message specs.
+    * Caller must have registered CodecExpressions on the session.
+    */
+  def resolveFrom(df: DataFrame): DataFrame = {
+    val probes = df.selectExpr(
+      "event_id",
+      "try_parse_json(gate_msg) IS NOT NULL AS okj",
+      "get_json_object(gate_msg, '$.Ip') AS ip_s",
+      "from_json(gate_msg, 'Ip DOUBLE').Ip AS ip_num",
+      "get_json_object(gate_msg, '$.Now') AS now_s",
+      "from_json(gate_msg, 'Now DOUBLE').Now AS now_num",
+      "get_json_object(gate_msg, '$.Header') AS header_s",
+      "from_json(gate_msg, 'Header DOUBLE').Header AS header_num",
+      "get_json_object(gate_msg, '$.Args') AS args_s",
+      "from_json(gate_msg, 'Args DOUBLE').Args AS args_num")
+    val fields = probes.selectExpr(
+      "*",
+      // user-agent defaults to 'DEFAULT' when absent (MsgResolver.java:64-71)
+      "coalesce(get_json_object(header_s, \"$['user-agent']\"), 'DEFAULT') AS hdr_ua",
+      "get_json_object(args_s, '$.event') AS arg_event",
+      "get_json_object(args_s, '$.compress') AS arg_compress",
+      "get_json_object(args_s, '$.encrypt') AS arg_encrypt")
+    val content = when(col("arg_compress") === "1",
+      expr("graft_zlib_inflate(arg_event)")).otherwise(col("arg_event"))
+    val argsEmpty =
+      col("arg_event").isNull && col("arg_compress").isNull && col("arg_encrypt").isNull
+    val verdict =
+      when(!col("okj"), "JSON_BAD")
+        .when(col("ip_s").isNull || col("ip_num").isNotNull, "IP_BAD")
+        .when(col("now_s").isNull || col("now_num").isNull, "NOW_BAD")
+        .when(col("header_s").isNull || col("header_num").isNotNull, "HEADER_BAD")
+        .when(col("args_s").isNull || col("args_num").isNotNull || argsEmpty, "ARGS_BAD")
+        .when(col("arg_encrypt").isNotNull && !col("arg_encrypt").isin("0", "1"), "ENCRYPT_BAD")
+        .when(col("arg_compress").isNotNull && !col("arg_compress").isin("0", "1"), "COMPRESS_BAD")
+        .when(col("arg_encrypt") === "1", "ENCRYPT_UNSUPPORTED")
+        .when(expr("try_parse_json(c)").isNull, "EVENT_BAD")
+        .otherwise("OK")
+    fields
+      .withColumn("c", content)
+      .withColumn("verdict", verdict)
+      .select(
+        col("event_id"),
+        col("verdict"),
+        when(col("verdict") === "OK", col("ip_s")).otherwise(Enrich.NullValue).as("ip_out"),
+        when(col("verdict") === "OK", col("now_s").cast("bigint")).as("st"),
+        when(col("verdict") === "OK", col("hdr_ua")).otherwise(Enrich.NullValue).as("ua_out"))
+      .orderBy(col("event_id"))
+  }
+
+  /** gate_resolve_stats — verdict histogram (the gate job's DQ view). */
+  def gateResolveStats(t: Tables): DataFrame =
+    gateResolve(t).groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .orderBy(col("verdict"))
+}

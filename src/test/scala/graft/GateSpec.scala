@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Envelope, Etl, Gate}
+import org.apache.spark.sql.functions._
+
+/** Gate transport envelope (MsgResolver re-expression) on literal wire
+  * messages, including the zlib-compressed payload path the DuckDB oracle
+  * cannot cover.
+  */
+class GateSpec extends SparkSpec {
+
+  private def resolveLiteral(msgs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    graft.functions.CodecExpressions.register(spark)
+    val env = msgs.toDF("event_id", "gate_msg")
+    Gate.resolveFrom(env).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("verdict"), r.getAs[String]("ip_out"),
+          Option(r.getAs[java.lang.Long]("st")), r.getAs[String]("ua_out"))).toMap
+  }
+
+  private def deflateB64(s: String): String = {
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(s.getBytes("UTF-8")); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+  }
+
+  private def gate(ip: String, args: String): String = {
+    val header = """{\"user-agent\":\"UA-X\"}"""
+    s"""{"Ip":"$ip","Now":1700000000,"Header":"$header","Args":"${args
+      .replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+  }
+
+  test("gate resolve: happy path, compressed path, and every reject stage") {
+    val plain = """{"ak":"app1","data":[{"dt":"evt","pr":{}}]}"""
+    val zl = deflateB64(plain)
+    val msgs = Seq(
+      1L -> gate("1.2.3.4", s"""{"event":"${plain.replace("\"", "\\\"")}","compress":"0"}"""),
+      2L -> gate("1.2.3.4", s"""{"event":"$zl","compress":"1"}"""),
+      // the reference repairs url-mangled '+' -> ' ' before decode
+      3L -> gate("1.2.3.4", s"""{"event":"${zl.replace('+', ' ')}","compress":"1"}"""),
+      4L -> "not json at all",
+      5L -> s"""{"Ip":5,"Now":1,"Header":"{}","Args":"{\\"event\\":\\"x\\"}"}""",
+      6L -> s"""{"Ip":"1.2.3.4","Now":"later","Header":"{}","Args":"{\\"event\\":\\"x\\"}"}""",
+      7L -> s"""{"Ip":"1.2.3.4","Now":1,"Header":7,"Args":"{\\"event\\":\\"x\\"}"}""",
+      8L -> s"""{"Ip":"1.2.3.4","Now":1,"Header":"{}","Args":"{}"}""",
+      9L -> gate("1.2.3.4", s"""{"event":"$zl","compress":"7"}"""),
+      10L -> gate("1.2.3.4", s"""{"event":"$zl","compress":"0","encrypt":"1"}"""),
+      11L -> gate("1.2.3.4", s"""{"event":"NOTB64***","compress":"1"}"""),
+      12L -> gate("1.2.3.4", s"""{"event":"not json","compress":"0"}"""))
+    val r = resolveLiteral(msgs)
+    assert(r(1L)._1 == "OK" && r(1L)._2 == "1.2.3.4" && r(1L)._3.contains(1700000000L))
+    assert(r(1L)._4 == "UA-X")
+    assert(r(2L)._1 == "OK", s"zlib path: ${r(2L)}")
+    assert(r(3L)._1 == "OK", s"space-mangled zlib path: ${r(3L)}")
+    assert(r(4L)._1 == "JSON_BAD")
+    assert(r(5L)._1 == "IP_BAD")
+    assert(r(6L)._1 == "NOW_BAD")
+    assert(r(7L)._1 == "HEADER_BAD")
+    assert(r(8L)._1 == "ARGS_BAD")
+    assert(r(9L)._1 == "COMPRESS_BAD")
+    assert(r(10L)._1 == "ENCRYPT_UNSUPPORTED")
+    assert(r(11L)._1 == "EVENT_BAD") // zlib decode failure = reject, like the reference
+    assert(r(12L)._1 == "EVENT_BAD")
+  }
+
+  test("header without user-agent falls back to DEFAULT") {
+    val plain = """{"a":1}"""
+    val m = s"""{"Ip":"9.9.9.9","Now":2,"Header":"{\\"x\\":\\"1\\"}","Args":"{\\"event\\":\\"${plain
+      .replace("\"", "\\\\\\\"")}\\"}"}"""
+    val r = resolveLiteral(Seq(20L -> m))
+    assert(r(20L)._1 == "OK" && r(20L)._4 == "DEFAULT")
+  }
+
+  test("synthesized gate corpus: every verdict appears, OK dominates") {
+    val counts = Gate.gateResolveStats(t).collect()
+      .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n")).toMap
+    for (v <- Seq("OK", "JSON_BAD", "IP_BAD", "NOW_BAD", "HEADER_BAD",
+        "ARGS_BAD", "COMPRESS_BAD", "ENCRYPT_UNSUPPORTED", "EVENT_BAD"))
+      assert(counts.contains(v), s"verdict $v never produced; got $counts")
+    assert(counts("OK") > counts.values.sum / 2)
+  }
+
+  test("full schema matrix flags each synthesized violation class") {
+    val errs = Etl.schemaCheck(t).collect()
+      .flatMap(_.getAs[String]("errors").split(",")).filter(_.nonEmpty).toSet
+    for (tag <- Seq("BASIC_SCHEMA_FORMAT_NOT_MATCH", "DATA_NONE", "DATA_PR_NONE",
+        "SID_TYPE", "CT_TYPE", "TZ_NONE", "DEBUG_TYPE", "PL_ENUM", "SDKV_NONE",
+        "DID_NONE", "DID_LEN", "UT_NONE"))
+      assert(errs.contains(tag), s"violation $tag never flagged; got $errs")
+    // presence checks for always-present fields must never fire
+    for (tag <- Seq("AK_NONE", "SLN_NONE", "OWNER_NONE", "SDK_NONE", "USR_NONE",
+        "IP_NONE", "UA_NONE", "DATA_DT_NONE", "DEBUG_NONE"))
+      assert(!errs.contains(tag), s"spurious violation $tag; got $errs")
+  }
+}
