@@ -38,6 +38,15 @@ class RouteAdvSpec extends SparkSpec {
     assert(back.agg(sum("n")).collect()(0).getLong(0) == t.events.count())
   }
 
+  test("salted sink spreads a heavy day over multiple bounded files") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
+    Route.sinkPartitionedParquet(t, Some(out)).collect()
+    val dayDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("day_id="))
+    assert(dayDirs.nonEmpty)
+    val maxFiles = dayDirs.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles > 1, "one day still funnels through a single writer")
+  }
+
   test("click attribution: every attributed click precedes its conversion") {
     val env = Envelope.attach(t.events).select(col("event_id"), col("ts"))
     val attributed = Adv.clickJoin(t)

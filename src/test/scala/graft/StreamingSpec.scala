@@ -91,6 +91,23 @@ class StreamingSpec extends SparkSpec {
     assert(n.getLong(0) == t.events.count(), "events lost")
   }
 
+  test("streaming sink writes day-partitioned parquet that reads back whole") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val q = EventStreamPipeline.sinkToParquet(events, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == t.events.count(), "sink lost or duplicated rows")
+    // day partitioning materialized on disk
+    val dayDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("day_id="))
+    assert(dayDirs.nonEmpty, "no day_id partition directories")
+    // a heavy day fans out over multiple bounded files, not one writer
+    val maxFiles = dayDirs.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles > 1, s"heavy day wrote a single file")
+  }
+
   test("stateful sessionization matches the batch session counts") {
     val events = EventStreamPipeline.readEvents(spark, streamDir)
     val out = EventStreamPipeline.sessionize(events)
