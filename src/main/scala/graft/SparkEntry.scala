@@ -49,6 +49,9 @@ object SparkEntry {
     "enrich_user_agent"       -> ((s, d) => Enrich.userAgent(tables(s, d))),
     "enrich_search_keyword"   -> ((s, d) => Enrich.searchKeyword(tables(s, d))),
     "enrich_utm_attribution"  -> ((s, d) => Enrich.utmAttribution(tables(s, d))),
+    "enrich_baidu_eqid"       -> ((s, d) => Enrich.baiduEqidKeyword(tables(s, d))),
+    "derive_device_property_full" -> ((s, d) => Derive.devicePropertyFull(tables(s, d))),
+    "adv_app_ad_latest"       -> ((s, d) => Adv.appAdLatest(tables(s, d))),
     // end-to-end: the full IdJob→DwJob chain in one plan
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
     // §2.5 routing / data quality / dims / sink
@@ -343,9 +346,10 @@ object SparkEntry {
              WHEN r.event_id % 7 = 2 THEN 'www.sogou.com'
              WHEN r.event_id % 7 = 3 THEN 'cn.bing.com'
              WHEN r.event_id % 7 = 4 THEN 'news.example.com'
+             WHEN r.event_id % 7 = 5 THEN 'www.baidu.com'
              ELSE '\\N' END AS utm_source,
            CASE WHEN r.event_id % 3 = 0 THEN 'cpc'
-             WHEN r.event_id % 7 IN (0,1,2,3) THEN '搜索自然流量'
+             WHEN r.event_id % 7 IN (0,1,2,3,5) THEN '搜索自然流量'
              WHEN r.event_id % 7 = 4 THEN '引荐'
              ELSE '\\N' END AS utm_medium
          FROM raw r
@@ -440,11 +444,106 @@ object SparkEntry {
       """SELECT engine, keyword, count(*) AS n FROM (
            SELECT
              CASE event_id % 7 WHEN 0 THEN 'baidu' WHEN 1 THEN 'google'
-               WHEN 2 THEN 'sogou' WHEN 3 THEN 'bing' ELSE 'unknown' END AS engine,
+               WHEN 2 THEN 'sogou' WHEN 3 THEN 'bing' WHEN 5 THEN 'baidu'
+               ELSE 'unknown' END AS engine,
              CASE event_id % 7 WHEN 0 THEN 'spark etl' WHEN 1 THEN 'zhuge analytics'
                WHEN 2 THEN 'graft engine' WHEN 3 THEN 'etl' ELSE '' END AS keyword
            FROM events)
          GROUP BY 1, 2 ORDER BY engine, keyword""",
+    "enrich_baidu_eqid" -> {
+      val cacheMax = Enrich.baiduEqidCache.size
+      s"""SELECT concat('eq', cast(event_id % 50 AS string)) AS eqid,
+           CASE WHEN event_id % 50 < $cacheMax
+                THEN concat('kw', cast(event_id % 50 AS string)) ELSE '\\N' END AS keyword,
+           (event_id % 50 < $cacheMax) AS cache_hit,
+           count(*) AS n
+         FROM events WHERE event_id % 7 = 5
+         GROUP BY 1, 2, 3 ORDER BY eqid"""
+    },
+    "derive_device_property_full" -> {
+      val brandChain = graft.operators.Derive.brandMapping
+        .map { case (k, v) => s"WHEN contains(lb, '$k') THEN '$v'" }.mkString(" ")
+      def anyKw(c: String, kws: Seq[String]) =
+        kws.map(k => s"contains(upper($c), '$k')").mkString("(", " OR ", ")")
+      val fold = anyKw("sm", graft.operators.Derive.foldableKeywords)
+      val flag = anyKw("sm", graft.operators.Derive.flagshipKeywords)
+      val foldRaw = anyKw("dev_model", graft.operators.Derive.foldableKeywords)
+      s"""WITH ${Envelope.oracleRaw},
+         d AS (SELECT event_id, dev_brand, dev_model, lower(trim(dev_brand)) AS lb,
+             regexp_replace(regexp_replace(trim(dev_model), '\\s+', ' ', 'g'),
+               '[^a-zA-Z0-9 +\\-]', '', 'g') AS sm
+           FROM raw),
+         b AS (SELECT *, CASE $brandChain
+             ELSE concat(upper(substr(dev_brand, 1, 1)), lower(substr(dev_brand, 2))) END AS sb
+           FROM d),
+         c AS (SELECT *,
+             CASE WHEN $fold THEN 'Foldable'
+                  WHEN $flag THEN 'Flagship'
+                  WHEN sb = 'Apple' THEN
+                    CASE WHEN contains(upper(sm), 'SE') THEN 'Entry-level' ELSE 'Mid-range' END
+                  WHEN sb = 'Redmi' THEN
+                    CASE WHEN contains(upper(sm), 'K') OR contains(upper(sm), 'NOTE')
+                         THEN 'Mid-range' ELSE 'Entry-level' END
+                  ELSE 'Mid-range' END AS cat
+           FROM b)
+         SELECT event_id,
+           CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN' ELSE sb END AS std_brand,
+           CASE WHEN trim(dev_brand) = '' THEN '' ELSE sm END AS std_model,
+           CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN' ELSE cat END AS category,
+           CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN'
+                WHEN cat IN ('Foldable','Flagship') THEN 'Premium'
+                WHEN cat = 'Entry-level' THEN 'Budget'
+                WHEN sb = 'Apple' THEN 'Premium'
+                WHEN sb IN ('Redmi','Realme') THEN 'Budget'
+                ELSE 'Mid' END AS price_range,
+           CASE WHEN trim(dev_brand) = '' THEN false
+                ELSE regexp_matches(dev_model, '(?i)5G|全网通') END AS is_5g,
+           CASE WHEN trim(dev_brand) = '' THEN false ELSE $foldRaw END AS is_foldable,
+           CASE WHEN trim(dev_brand) = '' THEN ''
+                ELSE regexp_extract(sm, '(20[12][0-9])', 1) END AS release_year
+         FROM c ORDER BY event_id"""
+    },
+    "adv_app_ad_latest" -> {
+      val orig = Adv.adIdOriginExclude.map(s => s"'$s'").mkString(", ")
+      val md5s = Adv.adIdMd5Exclude.map(s => s"'$s'").mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         apps(appkey, ad_app_id) AS (VALUES ('app0', 201), ('app1', 202)),
+         clicks AS (
+           SELECT r.event_id AS lid, a.ad_app_id, r.ip, r.ua,
+             CASE r.event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
+               WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
+               WHEN 4 THEN md5(concat('m', cast(r.user_id AS string)))
+               ELSE concat('muid-', cast(r.user_id AS string)) END AS muid_raw,
+             CASE WHEN r.event_id % 7 = 0 THEN '(null)'
+               ELSE concat('oaid-', cast(r.user_id AS string)) END AS oaid_raw,
+             CASE WHEN r.event_id % 2 = 0 THEN (1700000000 + r.event_id) * 1000
+               ELSE 1700000000000 + r.event_id END AS click_time
+           FROM raw r JOIN apps a ON r.appkey = a.appkey
+           WHERE r.event_type = 'click'),
+         n AS (SELECT *,
+             CASE WHEN click_time < 10000000000 THEN click_time * 1000
+                  ELSE click_time END AS ct,
+             CASE WHEN muid_raw IN ($orig) OR lower(muid_raw) IN ($md5s) THEN ''
+                  WHEN length(muid_raw) = 32 THEN lower(muid_raw)
+                  ELSE md5(muid_raw) END AS muid,
+             CASE WHEN oaid_raw IN ($orig) OR lower(oaid_raw) IN ($md5s) THEN ''
+                  WHEN length(oaid_raw) = 32 THEN lower(oaid_raw)
+                  ELSE md5(oaid_raw) END AS oaid
+           FROM clicks),
+         k AS (
+           SELECT concat('adtfad:', cast(ad_app_id AS string), ':', muid) AS match_key,
+                  lid, ct FROM n WHERE muid <> ''
+           UNION ALL
+           SELECT concat('adtfad:', cast(ad_app_id AS string), ':', oaid), lid, ct
+           FROM n WHERE oaid <> ''
+           UNION ALL
+           SELECT concat('adtfad:', cast(ad_app_id AS string), ':', ip, ua), lid, ct
+           FROM n WHERE ip <> ''),
+         l AS (SELECT match_key, lid, ct,
+             row_number() OVER (PARTITION BY match_key ORDER BY ct DESC, lid DESC) AS rn
+           FROM k)
+         SELECT match_key, lid, ct FROM l WHERE rn = 1 ORDER BY match_key"""
+    },
     "enrich_utm_attribution" ->
       """SELECT utm_source, utm_medium, count(*) AS n FROM (
            SELECT
@@ -454,9 +553,10 @@ object SparkEntry {
                WHEN event_id % 7 = 2 THEN 'www.sogou.com'
                WHEN event_id % 7 = 3 THEN 'cn.bing.com'
                WHEN event_id % 7 = 4 THEN 'news.example.com'
+               WHEN event_id % 7 = 5 THEN 'www.baidu.com'
                ELSE '\N' END AS utm_source,
              CASE WHEN event_id % 3 = 0 THEN 'cpc'
-               WHEN event_id % 7 IN (0,1,2,3) THEN '搜索自然流量'
+               WHEN event_id % 7 IN (0,1,2,3,5) THEN '搜索自然流量'
                WHEN event_id % 7 = 4 THEN '引荐'
                ELSE '\N' END AS utm_medium
            FROM events)
@@ -587,6 +687,7 @@ object SparkEntry {
                WHEN event_id % 7 = 2 THEN 'www.sogou.com'
                WHEN event_id % 7 = 3 THEN 'cn.bing.com'
                WHEN event_id % 7 = 4 THEN 'news.example.com'
+               WHEN event_id % 7 = 5 THEN 'www.baidu.com'
                ELSE '\\N' END AS source
            FROM events),
          f AS (SELECT user_id, source,
@@ -631,6 +732,7 @@ object SparkEntry {
                WHEN event_id % 7 = 2 THEN 'www.sogou.com'
                WHEN event_id % 7 = 3 THEN 'cn.bing.com'
                WHEN event_id % 7 = 4 THEN 'news.example.com'
+               WHEN event_id % 7 = 5 THEN 'www.baidu.com'
                ELSE '\\N' END AS source
            FROM events),
          touches AS (SELECT user_id, source FROM s WHERE source <> '\\N'),

@@ -100,6 +100,76 @@ object Adv {
       .orderBy(col("source"))
   }
 
+  /** Sentinel values third-party ad platforms send instead of real device
+    * ids, plus their lowercase MD5s — both excluded from key generation
+    * (AdvSaveAppAdDataFlatMapFunction.java:52-63).
+    */
+  val adIdOriginExclude: Seq[String] = Seq("", "0", "NULL", "null", "(null)")
+  val adIdMd5Exclude: Seq[String] = Seq(
+    "cfcd208495d565ef66e7dff9f98764da", "6c3e226b4d4795d518ab341b0824ec29",
+    "37a6259cc0c1dae299a7866489dff0bd", "d41d8cd98f00b204e9800998ecf8427e",
+    "a4d2f177eb466a7d08f8f2b340b77129")
+
+  /** Device-id normalization for ad match keys
+    * (AdvSaveAppAdDataFlatMapFunction.setMuidProcess): sentinels and their
+    * MD5s ⇒ no key; 32-char values pass through lowercased; anything else
+    * is MD5'd.
+    */
+  private def normId(c: org.apache.spark.sql.Column) =
+    when(c.isin(adIdOriginExclude: _*) || lower(c).isin(adIdMd5Exclude: _*), lit(""))
+      .when(length(c) === 32, lower(c))
+      .otherwise(md5(c))
+
+  /** adv_app_ad_latest — AdvSaveAppAdDataFlatMapFunction.java:122-313, the
+    * landing ad-data save: every adtf click from a REGISTERED advertising
+    * app contributes one match key per available device id (muid / oaid,
+    * normalized) plus the fuzzy ip+ua key; per key the LATEST click (max
+    * click_time, 10-digit second timestamps normalized to ms) wins — the
+    * Redis maxCt/data state pair re-expressed as one groupBy-latest. The
+    * reference's per-minute MySQL registry poll is the broadcast dim join.
+    */
+  def appAdLatest(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val advApps = broadcast(Seq(("app0", 201), ("app1", 202))
+      .toDF("appkey", "ad_app_id"))
+    // the adtf click payload synthesized from click events: raw ids carry
+    // the platforms' sentinel junk; click_time mixes second/ms precision
+    val clicks = env(t)
+      .filter(col("event_type") === "click" && col("appkey") =!= "")
+      .join(advApps, Seq("appkey"))
+      .selectExpr(
+        "event_id AS lid", "ad_app_id", "ip", "ua",
+        """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
+           WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
+           WHEN 4 THEN md5(concat('m', cast(user_id AS string)))
+           ELSE concat('muid-', cast(user_id AS string)) END AS muid_raw""",
+        """CASE WHEN event_id % 7 = 0 THEN '(null)'
+           ELSE concat('oaid-', cast(user_id AS string)) END AS oaid_raw""",
+        // 10-digit second timestamps are normalized to ms (java:251-253)
+        """CASE WHEN event_id % 2 = 0 THEN (1700000000 + event_id) * 1000
+           ELSE 1700000000000 + event_id END AS click_time""")
+      .withColumn("ct",
+        when(col("click_time") < 10000000000L, col("click_time") * 1000)
+          .otherwise(col("click_time")))
+    val keys =
+      clicks.select(concat(lit("adtfad:"), col("ad_app_id"), lit(":"), normId(col("muid_raw")))
+          .as("match_key"), col("lid"), col("ct"),
+          normId(col("muid_raw")).as("part"))
+        .union(clicks.select(concat(lit("adtfad:"), col("ad_app_id"), lit(":"), normId(col("oaid_raw")))
+          .as("match_key"), col("lid"), col("ct"),
+          normId(col("oaid_raw")).as("part")))
+        .union(clicks.select(concat(lit("adtfad:"), col("ad_app_id"), lit(":"), col("ip"), col("ua"))
+          .as("match_key"), col("lid"), col("ct"),
+          col("ip").as("part")))
+        .filter(col("part") =!= "")
+    val latest = Window.partitionBy("match_key").orderBy(col("ct").desc, col("lid").desc)
+    keys
+      .withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+      .select(col("match_key"), col("lid"), col("ct"))
+      .orderBy(col("match_key"))
+  }
+
   /** #27 adv_conversion — AdvConvertEventFlatMapFunction: conversion event
     * extraction, deduped to one row per (user, conversion event, day).
     */

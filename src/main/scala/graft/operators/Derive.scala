@@ -122,6 +122,83 @@ object Derive {
         from_json(col("raw_props"), lit("k INT")).getField("k").as("prop_k"))
       .orderBy(col("event_id"))
 
+  // ---- full device-property parse (DevicePropertyParser.java) ----
+
+  /** Brand standardization map (DevicePropertyParser.java:29-68), in a
+    * DETERMINISTIC order (the Java HashMap's contains-fallback iterates in
+    * unspecified order; here declaration order is the contract).
+    */
+  val brandMapping: Seq[(String, String)] = Seq(
+    "huawei" -> "Huawei", "honor" -> "Honor", "荣耀" -> "Honor",
+    "xiaomi" -> "Xiaomi", "redmi" -> "Redmi", "红米" -> "Redmi",
+    "oppo" -> "OPPO", "realme" -> "Realme", "oneplus" -> "OnePlus",
+    "vivo" -> "Vivo", "iqoo" -> "iQOO",
+    "apple" -> "Apple", "iphone" -> "Apple",
+    "samsung" -> "Samsung",
+    "meizu" -> "Meizu", "魅族" -> "Meizu",
+    "lenovo" -> "Lenovo", "联想" -> "Lenovo",
+    "zte" -> "ZTE", "中兴" -> "ZTE",
+    "nubia" -> "Nubia", "努比亚" -> "Nubia",
+    "黑鲨" -> "BlackShark", "黑莓" -> "BlackBerry",
+    "mi" -> "Xiaomi")
+
+  val flagshipKeywords: Seq[String] = Seq(
+    "PRO", "ULTRA", "MAX", "PLUS", "MATE", "FIND", "X", "PRO+", "GT", "ACE",
+    "旗舰", "折叠")
+  val foldableKeywords: Seq[String] = Seq("FOLD", "FLIP", "MIX FOLD", "MATE X", "折叠")
+
+  /** derive_device_property_full — the COMPLETE DevicePropertyParser.java
+    * surface as pure column expressions: brand standardization (exact then
+    * contains fallback then capitalize), model normalization (whitespace
+    * collapse + special-char strip), device category (foldable / flagship /
+    * Apple + Redmi special cases), price range, 5G detection (raw model,
+    * incl. 全网通), foldable flag, release-year extraction. Empty raw brand
+    * ⇒ the parser's setDefaults row.
+    */
+  def devicePropertyFull(t: Tables): DataFrame = {
+    val rawBrand = col("dev_brand")
+    val rawModel = col("dev_model")
+    val lb = lower(trim(rawBrand))
+    val stdBrand = brandMapping.foldRight(
+      // capitalize fallback (DevicePropertyParser.java:307-312)
+      concat(upper(substring(rawBrand, 1, 1)), lower(expr("substring(dev_brand, 2)")))) {
+      case ((key, std), other) => when(lb.contains(key), std).otherwise(other)
+    }
+    val stdModel = regexp_replace(
+      regexp_replace(trim(rawModel), "\\s+", " "), "[^a-zA-Z0-9 +\\-]", "")
+    def containsAny(c: org.apache.spark.sql.Column, kws: Seq[String]) =
+      kws.map(k => upper(c).contains(k)).reduce(_ || _)
+    val isFoldable = containsAny(rawModel, foldableKeywords)
+    val category =
+      when(containsAny(stdModel, foldableKeywords), "Foldable")
+        .when(containsAny(stdModel, flagshipKeywords), "Flagship")
+        .when(stdBrand === "Apple",
+          when(upper(stdModel).contains("SE"), "Entry-level").otherwise("Mid-range"))
+        .when(stdBrand === "Redmi",
+          when(upper(stdModel).contains("K") || upper(stdModel).contains("NOTE"),
+            "Mid-range").otherwise("Entry-level"))
+        .otherwise("Mid-range")
+    val priceRange =
+      when(category.isin("Foldable", "Flagship"), "Premium")
+        .when(category === "Entry-level", "Budget")
+        .when(stdBrand === "Apple", "Premium")
+        .when(stdBrand.isin("Redmi", "Realme"), "Budget")
+        .otherwise("Mid")
+    val is5g = rawModel.rlike("(?i)5G|全网通")
+    val year = regexp_extract(stdModel, "(20[12][0-9])", 1)
+    val empty = trim(rawBrand) === ""
+    env(t).select(
+      col("event_id"),
+      when(empty, "UNKNOWN").otherwise(stdBrand).as("std_brand"),
+      when(empty, "").otherwise(stdModel).as("std_model"),
+      when(empty, "UNKNOWN").otherwise(category).as("category"),
+      when(empty, "UNKNOWN").otherwise(priceRange).as("price_range"),
+      when(empty, false).otherwise(is5g).as("is_5g"),
+      when(empty, false).otherwise(isFoldable).as("is_foldable"),
+      when(empty, "").otherwise(year).as("release_year"))
+      .orderBy(col("event_id"))
+  }
+
   /** #13 derive_event_registry — EventAsyncOperator.java: the reference
     * hands out incremental event ids per app as names first appear (Kvrocks
     * counter). Batch: rank names by first-seen time. The rank runs over

@@ -249,6 +249,37 @@ object Enrich {
       .orderBy(col("engine"), col("keyword"))
   }
 
+  // ---- baidu encrypted-referrer keyword (BaiduKeywordService) ----
+
+  /** The keyword cache dim — the service's L1/L2 (Caffeine/Redis) cache
+    * re-expressed as a joinable table. The L3 leg (the baidu eqid HTTP API)
+    * is an external call with non-public credentials; cache misses surface
+    * as \N + cache_hit=false, which is exactly what the reference emits
+    * when all three levels miss.
+    */
+  val baiduEqidCache: Seq[(String, String)] =
+    (0 until 25).map(i => (s"eq$i", s"kw$i"))
+
+  /** enrich_baidu_eqid — BaiduKeywordService.java: baidu /link redirects
+    * hide the search keyword behind an eqid; resolution = extract the eqid
+    * param and join the (broadcast) cache dim. Histogram output per
+    * (eqid, keyword, hit).
+    */
+  def baiduEqidKeyword(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val cache = broadcast(baiduEqidCache.toDF("eqid", "bd_keyword"))
+    env(t)
+      .filter(col("referrer").rlike("(?i)baidu\\.com/link"))
+      .withColumn("eqid", parse_url(col("referrer"), lit("QUERY"), lit("eqid")))
+      .join(cache, Seq("eqid"), "left")
+      .groupBy(col("eqid"),
+        coalesce(col("bd_keyword"), lit(NullValue)).as("keyword"),
+        col("bd_keyword").isNotNull.as("cache_hit"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("eqid"))
+  }
+
   // ---- #18 utm attribution ----
 
   /** #18 enrich_utm_attribution — EventAttrTransfer.java:301-338: explicit

@@ -81,14 +81,27 @@ object Envelope {
       uaSet.zipWithIndex.map { case (ua, i) => s"WHEN $i THEN '$ua'" }.mkString(" ") +
       " ELSE '' END"),
     // referrer — search engines (SearchKeywordParser.java:38-58 engine set),
-    // a plain referral, and direct (empty).
+    // a plain referral, an encrypted baidu /link?eqid= redirect (the
+    // BaiduKeywordService input shape), and direct (empty).
     "referrer" -> ("CASE event_id % 7 " +
       "WHEN 0 THEN 'https://www.baidu.com/s?wd=spark%20etl' " +
       "WHEN 1 THEN 'https://www.google.com/search?q=zhuge+analytics' " +
       "WHEN 2 THEN 'https://www.sogou.com/web?query=graft+engine' " +
       "WHEN 3 THEN 'https://cn.bing.com/search?q=etl' " +
       "WHEN 4 THEN 'https://news.example.com/article/42' " +
+      "WHEN 5 THEN concat('https://www.baidu.com/link?url=xYz&eqid=eq', " +
+      "cast(event_id % 50 AS string)) " +
       "ELSE '' END"),
+    // raw device brand/model pairs as the SDK reports them — vendor casing,
+    // CN aliases, sentinels — for the DevicePropertyParser re-expression.
+    "dev_brand" -> ("CASE event_id % 12 WHEN 0 THEN 'huawei' WHEN 1 THEN 'HONOR' " +
+      "WHEN 2 THEN 'xiaomi' WHEN 3 THEN '红米' WHEN 4 THEN 'OPPO' WHEN 5 THEN 'vivo' " +
+      "WHEN 6 THEN 'iphone' WHEN 7 THEN 'SAMSUNG' WHEN 8 THEN '魅族' " +
+      "WHEN 9 THEN '联想' WHEN 10 THEN 'Transsion' ELSE '' END"),
+    "dev_model" -> ("CASE event_id % 9 WHEN 0 THEN 'Mate 60 Pro' WHEN 1 THEN 'Nova  12' " +
+      "WHEN 2 THEN 'Redmi Note 13' WHEN 3 THEN 'K70 5G' WHEN 4 THEN 'Find X7 Ultra' " +
+      "WHEN 5 THEN 'Y100 (2023)' WHEN 6 THEN 'iPhone 15 Pro Max' " +
+      "WHEN 7 THEN 'Galaxy Z Fold5' ELSE 'SE 全网通' END"),
     // current page url — with/without utm params (EventAttrTransfer.java:290-330).
     "url" -> ("CASE WHEN event_id % 3 = 0 " +
       "THEN concat('https://shop.example.com/p/', cast(event_id % 97 AS string), " +

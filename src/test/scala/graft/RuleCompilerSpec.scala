@@ -11,6 +11,27 @@ class RuleCompilerSpec extends SparkSpec {
       .select(RuleCompiler.compile(rule).as("r")).collect().map(_.get(0))
   }
 
+  test("substring supports the reference's 2-parameter to-end-of-string form") {
+    // VirtualAttributeExpressionEvaluator executeFunction: 2 params ->
+    // str.substring(start-1), i.e. from position to end
+    val rule =
+      """{"type":"function","function":"substring","parameters":[
+        {"type":"field","field":"event_type"},
+        {"type":"constant","value":3,"dataType":"number"}]}"""
+    assert(eval(rule, (0.0, "purchase"))(0) == "rchase")
+  }
+
+  test("non-constant parameter where a literal is required fails clearly") {
+    val rule =
+      """{"type":"function","function":"round","parameters":[
+        {"type":"field","field":"value"},
+        {"type":"field","field":"value"}]}"""
+    val e = intercept[IllegalArgumentException] {
+      RuleCompiler.compile(rule)
+    }
+    assert(e.getMessage.contains("constant parameter"))
+  }
+
   test("simple condition node compiles to when/otherwise") {
     val rule =
       """{"type":"condition",
