@@ -52,6 +52,8 @@ object SparkEntry {
     "enrich_baidu_eqid"       -> ((s, d) => Enrich.baiduEqidKeyword(tables(s, d))),
     "derive_device_property_full" -> ((s, d) => Derive.devicePropertyFull(tables(s, d))),
     "adv_app_ad_latest"       -> ((s, d) => Adv.appAdLatest(tables(s, d))),
+    "adv_attribute_event"     -> ((s, d) => Adv.attributeEvent(tables(s, d))),
+    "sim_ann_ivf"             -> ((s, d) => Sim.ivfTopK(tables(s, d))),
     // end-to-end: the full IdJob→DwJob chain in one plan
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
     // §2.5 routing / data quality / dims / sink
@@ -128,6 +130,50 @@ object SparkEntry {
                      idCol: String = "event_id"): String =
     s"CASE $idCol % 10 " + uaExpected.zipWithIndex
       .map { case (row, i) => s"WHEN $i THEN '${f(row)}'" }.mkString(" ") + " END"
+
+  private def advOrigList: String = operators.Adv.adIdOriginExclude.map(s => s"'$s'").mkString(", ")
+  private def advMd5List: String = operators.Adv.adIdMd5Exclude.map(s => s"'$s'").mkString(", ")
+
+  /** Shared DuckDB CTE chain for the ad-state operators (mirrors
+    * Adv.appAdLatest): registered apps → synthesized adtf clicks →
+    * normalized ids → match keys → latest-per-key rank in `l`.
+    */
+  private def advAdStateCtes: String =
+    s"""apps(appkey, ad_app_id) AS (VALUES ('app0', 201), ('app1', 202)),
+       clicks AS (
+         SELECT r.event_id AS lid, a.ad_app_id, r.ip, r.ua,
+           CASE r.event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
+             WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
+             WHEN 4 THEN md5(concat('m', cast(r.user_id AS string)))
+             ELSE concat('muid-', cast(r.user_id AS string)) END AS muid_raw,
+           CASE WHEN r.event_id % 7 = 0 THEN '(null)'
+             ELSE concat('oaid-', cast(r.user_id AS string)) END AS oaid_raw,
+           CASE WHEN r.event_id % 2 = 0 THEN (1700000000 + r.event_id) * 1000
+             ELSE 1700000000000 + r.event_id END AS click_time
+         FROM raw r JOIN apps a ON r.appkey = a.appkey
+         WHERE r.event_type = 'click'),
+       nrm AS (SELECT *,
+           CASE WHEN click_time < 10000000000 THEN click_time * 1000
+                ELSE click_time END AS ct,
+           CASE WHEN muid_raw IN ($advOrigList) OR lower(muid_raw) IN ($advMd5List) THEN ''
+                WHEN length(muid_raw) = 32 THEN lower(muid_raw)
+                ELSE md5(muid_raw) END AS muid,
+           CASE WHEN oaid_raw IN ($advOrigList) OR lower(oaid_raw) IN ($advMd5List) THEN ''
+                WHEN length(oaid_raw) = 32 THEN lower(oaid_raw)
+                ELSE md5(oaid_raw) END AS oaid
+         FROM clicks),
+       kk AS (
+         SELECT concat('adtfad:', cast(ad_app_id AS string), ':', muid) AS match_key,
+                lid, ct FROM nrm WHERE muid <> ''
+         UNION ALL
+         SELECT concat('adtfad:', cast(ad_app_id AS string), ':', oaid), lid, ct
+         FROM nrm WHERE oaid <> ''
+         UNION ALL
+         SELECT concat('adtfad:', cast(ad_app_id AS string), ':', ip, ua), lid, ct
+         FROM nrm WHERE ip <> ''),
+       l AS (SELECT match_key, lid, ct,
+           row_number() OVER (PARTITION BY match_key ORDER BY ct DESC, lid DESC) AS rn
+         FROM kk)"""
 
   /** DuckDB mirror of Gate.gateResolve's resolver chain: probes + verdict
     * in CTE `v`, with the caller supplying the final SELECT over it.
@@ -503,47 +549,39 @@ object SparkEntry {
                 ELSE regexp_extract(sm, '(20[12][0-9])', 1) END AS release_year
          FROM c ORDER BY event_id"""
     },
-    "adv_app_ad_latest" -> {
-      val orig = Adv.adIdOriginExclude.map(s => s"'$s'").mkString(", ")
-      val md5s = Adv.adIdMd5Exclude.map(s => s"'$s'").mkString(", ")
+    "adv_app_ad_latest" ->
       s"""WITH ${Envelope.oracleRaw},
-         apps(appkey, ad_app_id) AS (VALUES ('app0', 201), ('app1', 202)),
-         clicks AS (
-           SELECT r.event_id AS lid, a.ad_app_id, r.ip, r.ua,
+         $advAdStateCtes
+         SELECT match_key, lid, ct FROM l WHERE rn = 1 ORDER BY match_key""",
+    "adv_attribute_event" ->
+      s"""WITH ${Envelope.oracleRaw},
+         $advAdStateCtes,
+         state AS (SELECT match_key, lid, ct FROM l WHERE rn = 1),
+         probes AS (
+           SELECT r.event_id, a.ad_app_id, r.ip, r.ua,
              CASE r.event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
                WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
                WHEN 4 THEN md5(concat('m', cast(r.user_id AS string)))
-               ELSE concat('muid-', cast(r.user_id AS string)) END AS muid_raw,
-             CASE WHEN r.event_id % 7 = 0 THEN '(null)'
-               ELSE concat('oaid-', cast(r.user_id AS string)) END AS oaid_raw,
-             CASE WHEN r.event_id % 2 = 0 THEN (1700000000 + r.event_id) * 1000
-               ELSE 1700000000000 + r.event_id END AS click_time
+               ELSE concat('muid-', cast(r.user_id AS string)) END AS muid_raw
            FROM raw r JOIN apps a ON r.appkey = a.appkey
-           WHERE r.event_type = 'click'),
-         n AS (SELECT *,
-             CASE WHEN click_time < 10000000000 THEN click_time * 1000
-                  ELSE click_time END AS ct,
-             CASE WHEN muid_raw IN ($orig) OR lower(muid_raw) IN ($md5s) THEN ''
+           WHERE r.event_type = 'purchase'),
+         pn AS (SELECT *,
+             CASE WHEN muid_raw IN (${advOrigList}) OR lower(muid_raw) IN (${advMd5List}) THEN ''
                   WHEN length(muid_raw) = 32 THEN lower(muid_raw)
-                  ELSE md5(muid_raw) END AS muid,
-             CASE WHEN oaid_raw IN ($orig) OR lower(oaid_raw) IN ($md5s) THEN ''
-                  WHEN length(oaid_raw) = 32 THEN lower(oaid_raw)
-                  ELSE md5(oaid_raw) END AS oaid
-           FROM clicks),
-         k AS (
-           SELECT concat('adtfad:', cast(ad_app_id AS string), ':', muid) AS match_key,
-                  lid, ct FROM n WHERE muid <> ''
-           UNION ALL
-           SELECT concat('adtfad:', cast(ad_app_id AS string), ':', oaid), lid, ct
-           FROM n WHERE oaid <> ''
-           UNION ALL
-           SELECT concat('adtfad:', cast(ad_app_id AS string), ':', ip, ua), lid, ct
-           FROM n WHERE ip <> ''),
-         l AS (SELECT match_key, lid, ct,
-             row_number() OVER (PARTITION BY match_key ORDER BY ct DESC, lid DESC) AS rn
-           FROM k)
-         SELECT match_key, lid, ct FROM l WHERE rn = 1 ORDER BY match_key"""
-    },
+                  ELSE md5(muid_raw) END AS muid
+           FROM probes)
+         SELECT p.event_id,
+           coalesce(se.lid, sf.lid) AS matched_lid,
+           CASE WHEN se.lid IS NOT NULL THEN 'exact'
+                WHEN sf.lid IS NOT NULL THEN 'fuzzy'
+                ELSE 'none' END AS match_type
+         FROM pn p
+         LEFT JOIN state se
+           ON p.muid <> '' AND se.match_key =
+              concat('adtfad:', cast(p.ad_app_id AS string), ':', p.muid)
+         LEFT JOIN state sf
+           ON sf.match_key = concat('adtfad:', cast(p.ad_app_id AS string), ':', p.ip, p.ua)
+         ORDER BY p.event_id""",
     "enrich_utm_attribution" ->
       """SELECT utm_source, utm_medium, count(*) AS n FROM (
            SELECT

@@ -170,6 +170,56 @@ object Adv {
       .orderBy(col("match_key"))
   }
 
+  /** adv_attribute_event — the AdvProcessFunction leg: app events from
+    * registered advertising apps look up the stored ad state by the SAME
+    * match keys the save leg wrote (exact muid first, fuzzy ip+ua second —
+    * the reference's key-priority probe) and take that key's latest click.
+    * The per-record Redis MGET becomes a join against the `appAdLatest`
+    * state frame on match_key — the state is bounded by |ad clicks|, so at
+    * scale this is a shuffle join on the key axis, broadcast when the
+    * campaign window keeps it small.
+    */
+  def attributeEvent(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val advApps = broadcast(Seq(("app0", 201), ("app1", 202))
+      .toDF("appkey", "ad_app_id"))
+    // materialize the ad state once: it feeds BOTH key probes below, and an
+    // unmaterialized plan would re-run the whole save leg per join branch
+    val state = appAdLatest(t).localCheckpoint(true)
+    // conversion-side events from registered advertising apps, probing with
+    // the same synthesized id fields as the save leg
+    val probes = env(t)
+      .filter(col("event_type") === "purchase" && col("appkey") =!= "")
+      .join(advApps, Seq("appkey"))
+      .selectExpr(
+        "event_id", "ad_app_id", "ip", "ua",
+        """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
+           WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
+           WHEN 4 THEN md5(concat('m', cast(user_id AS string)))
+           ELSE concat('muid-', cast(user_id AS string)) END AS muid_raw""")
+      .withColumn("muid", normId(col("muid_raw")))
+      .withColumn("muid_key",
+        when(col("muid") =!= "",
+          concat(lit("adtfad:"), col("ad_app_id"), lit(":"), col("muid"))))
+      .withColumn("ipua_key",
+        concat(lit("adtfad:"), col("ad_app_id"), lit(":"), col("ip"), col("ua")))
+    probes
+      .join(state.withColumnsRenamed(Map(
+        "match_key" -> "muid_key", "lid" -> "lid_exact", "ct" -> "ct_exact")),
+        Seq("muid_key"), "left")
+      .join(state.withColumnsRenamed(Map(
+        "match_key" -> "ipua_key", "lid" -> "lid_fuzzy", "ct" -> "ct_fuzzy")),
+        Seq("ipua_key"), "left")
+      .select(
+        col("event_id"),
+        coalesce(col("lid_exact"), col("lid_fuzzy")).as("matched_lid"),
+        when(col("lid_exact").isNotNull, "exact")
+          .when(col("lid_fuzzy").isNotNull, "fuzzy")
+          .otherwise("none").as("match_type"))
+      .orderBy(col("event_id"))
+  }
+
   /** #27 adv_conversion — AdvConvertEventFlatMapFunction: conversion event
     * extraction, deduped to one row per (user, conversion event, day).
     */

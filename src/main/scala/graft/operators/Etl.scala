@@ -105,26 +105,26 @@ object Etl {
     */
   val schemaMatrix: Seq[(String, String)] = Seq(
     "DATA_NONE"    -> "j_data IS NULL",
-    "DATA_DT_NONE" -> "j_data IS NOT NULL AND get_json_object(msg, '$.data[0].dt') IS NULL",
+    "DATA_DT_NONE" -> "j_data IS NOT NULL AND j_dt0 IS NULL",
     "DATA_PR_NONE" -> "j_data IS NOT NULL AND j_pr IS NULL",
     "SID_TYPE"     -> "j_sid IS NOT NULL AND try_cast(j_sid AS DOUBLE) IS NULL",
     "CT_TYPE"      -> "j_ct IS NOT NULL AND try_cast(j_ct AS DOUBLE) IS NULL",
-    "TZ_NONE"      -> "get_json_object(msg, '$.tz') IS NULL",
-    "AK_NONE"      -> "get_json_object(msg, '$.ak') IS NULL",
+    "TZ_NONE"      -> "j_tz IS NULL",
+    "AK_NONE"      -> "j_ak IS NULL",
     "DEBUG_NONE"   -> "j_debug IS NULL",
     "DEBUG_TYPE"   -> "j_debug IS NOT NULL AND try_cast(j_debug AS BIGINT) IS NULL",
-    "SLN_NONE"     -> "get_json_object(msg, '$.sln') IS NULL",
-    "OWNER_NONE"   -> "get_json_object(msg, '$.owner') IS NULL",
+    "SLN_NONE"     -> "j_sln IS NULL",
+    "OWNER_NONE"   -> "j_owner IS NULL",
     "PL_ENUM"      -> ("j_pl IS NULL OR j_pl NOT IN " +
       "('none','and','ios','js','wxa','server','harmonyos')"),
-    "SDK_NONE"     -> "get_json_object(msg, '$.sdk') IS NULL",
-    "SDKV_NONE"    -> "get_json_object(msg, '$.sdkv') IS NULL",
-    "USR_NONE"     -> "get_json_object(msg, '$.usr') IS NULL",
+    "SDK_NONE"     -> "j_sdk IS NULL",
+    "SDKV_NONE"    -> "j_sdkv IS NULL",
+    "USR_NONE"     -> "j_usr IS NULL",
     "DID_NONE"     -> "j_did IS NULL OR length(j_did) < 1",
     "DID_LEN"      -> "j_did IS NOT NULL AND length(j_did) > 100",
-    "UT_NONE"      -> "get_json_object(msg, '$.ut') IS NULL",
-    "IP_NONE"      -> "get_json_object(msg, '$.ip') IS NULL",
-    "UA_NONE"      -> "get_json_object(msg, '$.ua') IS NULL")
+    "UT_NONE"      -> "j_ut IS NULL",
+    "IP_NONE"      -> "j_ip IS NULL",
+    "UA_NONE"      -> "j_ua IS NULL")
 
   /** #3 etl_schema_check — the FULL basicSchema.json field/type matrix
     * (CheckJSONSchemaUtil.checkBasic) over the complete synthesized wire
@@ -136,15 +136,22 @@ object Etl {
     val probes = env(t).selectExpr(
       "event_id", "msg",
       "try_parse_json(msg) IS NOT NULL AS okj",
-      "get_json_object(msg, '$.data') AS j_data",
-      "get_json_object(msg, '$.data[0].pr') AS j_pr",
-      "from_json(msg, 'data ARRAY<STRUCT<pr STRUCT<`$sid` STRING, `$ct` STRING>>>')" +
-        ".data[0].pr.`$sid` AS j_sid",
-      "from_json(msg, 'data ARRAY<STRUCT<pr STRUCT<`$sid` STRING, `$ct` STRING>>>')" +
-        ".data[0].pr.`$ct` AS j_ct",
-      "get_json_object(msg, '$.debug') AS j_debug",
-      "get_json_object(msg, '$.pl') AS j_pl",
-      "get_json_object(msg, '$.usr.did') AS j_did")
+      // ONE typed parse serves every probe column — per-field get_json_object
+      // calls would each re-parse the whole multi-KB message
+      "from_json(msg, 'data ARRAY<STRUCT<dt STRING, pr STRUCT<`$sid` STRING, `$ct` STRING>>>, " +
+        "tz STRING, ak STRING, debug STRING, sln STRING, owner STRING, pl STRING, " +
+        "sdk STRING, sdkv STRING, usr STRUCT<did STRING>, ut STRING, ip STRING, ua STRING') AS m")
+      .selectExpr(
+        "event_id", "msg", "okj",
+        "to_json(m.data) AS j_data",
+        "m.data[0].dt AS j_dt0",
+        "to_json(m.data[0].pr) AS j_pr",
+        "m.data[0].pr.`$sid` AS j_sid",
+        "m.data[0].pr.`$ct` AS j_ct",
+        "m.tz AS j_tz", "m.ak AS j_ak", "m.debug AS j_debug", "m.sln AS j_sln",
+        "m.owner AS j_owner", "m.pl AS j_pl", "m.sdk AS j_sdk", "m.sdkv AS j_sdkv",
+        "to_json(m.usr) AS j_usr", "m.usr.did AS j_did", "m.ut AS j_ut",
+        "m.ip AS j_ip", "m.ua AS j_ua")
     val errorList = concat_ws(",",
       schemaMatrix.map { case (tag, pred) => expr(s"CASE WHEN $pred THEN '$tag' END") }: _*)
     probes.select(

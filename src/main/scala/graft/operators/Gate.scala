@@ -32,25 +32,31 @@ object Gate {
     */
   def gateResolve(t: Tables): DataFrame = {
     graft.functions.CodecExpressions.register(t.spark)
-    resolveFrom(env(t))
+    resolveFrom(env(t)).orderBy(col("event_id"))
   }
 
   /** The resolver chain over any frame carrying (event_id, gate_msg) —
     * shared by the synthesized-corpus operator and literal-message specs.
     * Caller must have registered CodecExpressions on the session.
+    *
+    * The outer message is parsed exactly TWICE (one string-typed struct for
+    * presence/extraction, one double-typed struct whose per-field nulls
+    * distinguish JSON numbers from strings) plus the validity probe —
+    * parsing each probe separately re-reads the whole multi-KB message per
+    * field and showed up as the bench's slowest per-row cost.
     */
   def resolveFrom(df: DataFrame): DataFrame = {
     val probes = df.selectExpr(
       "event_id",
       "try_parse_json(gate_msg) IS NOT NULL AS okj",
-      "get_json_object(gate_msg, '$.Ip') AS ip_s",
-      "from_json(gate_msg, 'Ip DOUBLE').Ip AS ip_num",
-      "get_json_object(gate_msg, '$.Now') AS now_s",
-      "from_json(gate_msg, 'Now DOUBLE').Now AS now_num",
-      "get_json_object(gate_msg, '$.Header') AS header_s",
-      "from_json(gate_msg, 'Header DOUBLE').Header AS header_num",
-      "get_json_object(gate_msg, '$.Args') AS args_s",
-      "from_json(gate_msg, 'Args DOUBLE').Args AS args_num")
+      "from_json(gate_msg, 'Ip STRING, Now STRING, Header STRING, Args STRING') AS js",
+      "from_json(gate_msg, 'Ip DOUBLE, Now DOUBLE, Header DOUBLE, Args DOUBLE') AS jn")
+      .selectExpr(
+        "event_id", "okj",
+        "js.Ip AS ip_s", "jn.Ip AS ip_num",
+        "js.Now AS now_s", "jn.Now AS now_num",
+        "js.Header AS header_s", "jn.Header AS header_num",
+        "js.Args AS args_s", "jn.Args AS args_num")
     val fields = probes.selectExpr(
       "*",
       // user-agent defaults to 'DEFAULT' when absent (MsgResolver.java:64-71)
@@ -82,11 +88,15 @@ object Gate {
         when(col("verdict") === "OK", col("ip_s")).otherwise(Enrich.NullValue).as("ip_out"),
         when(col("verdict") === "OK", col("now_s").cast("bigint")).as("st"),
         when(col("verdict") === "OK", col("hdr_ua")).otherwise(Enrich.NullValue).as("ua_out"))
-      .orderBy(col("event_id"))
   }
 
-  /** gate_resolve_stats — verdict histogram (the gate job's DQ view). */
-  def gateResolveStats(t: Tables): DataFrame =
-    gateResolve(t).groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+  /** gate_resolve_stats — verdict histogram (the gate job's DQ view).
+    * Aggregates the UNSORTED resolver output: a global sort before a
+    * groupBy is pure waste.
+    */
+  def gateResolveStats(t: Tables): DataFrame = {
+    graft.functions.CodecExpressions.register(t.spark)
+    resolveFrom(env(t)).groupBy(col("verdict")).agg(count(lit(1)).as("n"))
       .orderBy(col("verdict"))
+  }
 }

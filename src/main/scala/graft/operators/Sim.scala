@@ -108,6 +108,55 @@ object Sim {
       .orderBy(col("va"), col("vb"))
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  val ivfLists = 16  // coarse centroids (≈ sqrt(N) in prod, trained on a sample)
+  val ivfProbes = 4  // lists probed per query
+
+  /** sim_ann_ivf — IVF-style ANN: k-means coarse centroids partition the
+    * corpus into inverted lists; a query ranks centroids by cosine and
+    * probes only the `ivfProbes` nearest lists with the exact metric. The
+    * scale shape: the corpus shuffles ONCE on list_id; each query fans out
+    * to a constant number of lists (N·Q·probes/lists work instead of N·Q).
+    * Training runs on the corpus here (a sample in prod — the model is a
+    * 16×64 table either way, always broadcastable). Rows-only; recall vs
+    * the exact top-k is pinned in the spec.
+    */
+  def ivfTopK(t: Tables): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.VectorExpressions.register(t.spark)
+    val spark = t.spark
+    import spark.implicits._
+    val e = vecs(t).withColumn("fv", array_to_vector(col("v"))).persist()
+    val model = new KMeans().setK(ivfLists).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("v"), col("prediction").as("list_id"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+    // per query: the ivfProbes nearest centroids by cosine
+    val probeRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ccos").desc, col("list_id").asc)
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", expr("graft_cosine(qv, centroid)"))
+      .withColumn("pr", row_number().over(probeRank)).filter(col("pr") <= ivfProbes)
+      .select(col("query_id"), col("qv"), col("list_id"))
+    // exact search inside the probed lists only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val nHyperplanes = 8
 
   /** Deterministic pseudo-random hyperplane j component d: sin(j*1009+d*31).

@@ -140,6 +140,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf ann: probed-list search recalls most exact top-k neighbors") {
+    val exact = Sim.cosineTopK(t).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val ivf = Sim.ivfTopK(t).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(ivf.keySet == exact.keySet)
+    val recall = exact.map { case (q, ex) =>
+      ivf(q).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    // 4 of 16 lists probed: recall well above the 25% a random probe gives
+    assert(recall >= 0.5, s"ivf recall $recall")
+  }
+
   test("lsh ann: every vector gets a same-bucket neighbor when one exists") {
     val rows = Sim.lshTopK(t).collect()
     assert(rows.nonEmpty)
