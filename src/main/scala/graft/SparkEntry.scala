@@ -43,6 +43,7 @@ object SparkEntry {
     "derive_rule_tree"        -> ((s, d) => Derive.ruleTree(tables(s, d))),
     "derive_device_props"     -> ((s, d) => Derive.deviceProps(tables(s, d))),
     "derive_event_registry"   -> ((s, d) => Derive.eventRegistry(tables(s, d))),
+    "derive_user_prop_registry" -> ((s, d) => Derive.userPropRegistry(tables(s, d))),
     "etl_prop_length_limit"   -> ((s, d) => Derive.propLengthLimit(tables(s, d))),
     // §2.4 enrichment
     "enrich_ip_geo"           -> ((s, d) => Enrich.ipGeo(tables(s, d))),
@@ -462,6 +463,19 @@ object SparkEntry {
          SELECT appkey, event_type AS event_name,
            dense_rank() OVER (PARTITION BY appkey ORDER BY fts, event_type) AS eid, n
          FROM f ORDER BY appkey, eid""",
+    "derive_user_prop_registry" -> {
+      val bl = Derive.userPropBlacklist.map(s => s"'$s'").mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         f AS (SELECT appkey, upper(concat('p', cast(user_id % 7 AS string))) AS prop_key,
+                 min(ts) AS first_ts, count(*) AS n
+               FROM raw
+               WHERE dt = 'usr' AND cuid IS NOT NULL AND appkey <> ''
+                 AND concat('p', cast(user_id % 7 AS string)) NOT IN ($bl)
+               GROUP BY 1, 2)
+         SELECT appkey, prop_key,
+           dense_rank() OVER (PARTITION BY appkey ORDER BY first_ts, prop_key) AS prop_id, n
+         FROM f ORDER BY appkey, prop_id"""
+    },
     "etl_prop_length_limit" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT substr(ua, 1, 64) AS ua_limited, count(*) AS n, max(length(ua)) AS orig_len

@@ -214,6 +214,32 @@ object Derive {
       .select(col("appkey"), col("event_type").as("event_name"), col("eid"), col("n"))
       .orderBy(col("appkey"), col("eid"))
 
+  /** Blacklisted user-property names (UserPropAsyncOperator's
+    * blackUserPropSet: blacklisted properties never register).
+    */
+  val userPropBlacklist: Seq[String] = Seq("p6")
+
+  /** derive_user_prop_registry — UserPropAsyncOperator.java: the reference
+    * hands out per-app property ids on first sight (Kvrocks
+    * appIdPropIdMap hash + user-level locks + a property blacklist).
+    * Batch: blacklist-filter, then rank property names by first-seen time
+    * per app — the same first-writer-wins ids without any lock, because
+    * the groupBy IS the coordination. Names are UPPERCASED for the
+    * registry key exactly like the reference's field format.
+    */
+  def userPropRegistry(t: Tables): DataFrame =
+    env(t)
+      .filter(col("dt") === "usr" && col("cuid").isNotNull && col("appkey") =!= "")
+      .select(col("appkey"), col("ts"),
+        concat(lit("p"), col("user_id") % 7).as("prop_name"))
+      .filter(!col("prop_name").isin(userPropBlacklist: _*))
+      .groupBy(col("appkey"), upper(col("prop_name")).as("prop_key"))
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n"))
+      .withColumn("prop_id",
+        dense_rank().over(Window.partitionBy("appkey").orderBy("first_ts", "prop_key")))
+      .select(col("appkey"), col("prop_key"), col("prop_id"), col("n"))
+      .orderBy(col("appkey"), col("prop_id"))
+
   /** #14 etl_prop_length_limit — EventAttrTransfer.ensureLength: every
     * string property is truncated to its column budget before sinking
     * (maxPropLength). Shown on the longest envelope string (ua, 64 chars).
