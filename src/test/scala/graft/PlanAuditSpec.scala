@@ -73,6 +73,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("funnels are one user_id shuffle, not staged self-joins") {
+    // the r1 shape rescanned events 3x and reshuffled per stage; the
+    // array-aggregate rewrite must keep exactly: one exchange into the
+    // per-user groupBy + the single-partition exchange of the final 1-row
+    // rollup — any third exchange means a self-join crept back in
+    for (df <- Seq(Analytics.qWindowFunnel(t), Analytics.qFunnelWindowed(t))) {
+      val p = plan(df)
+      val nExchange = "Exchange".r.findAllIn(p).length
+      assert(nExchange <= 2, s"funnel grew extra shuffles ($nExchange):\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"funnel reintroduced a join:\n$p")
+    }
+  }
+
   test("exact dedup aggregates map-side on the hash key") {
     val p = plan(Dedup.exact(t))
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
