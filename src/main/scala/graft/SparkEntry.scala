@@ -104,7 +104,9 @@ object SparkEntry {
     "text_token_count"    -> ((s, d) => TextAnalysis.tokenCount(tables(s, d))),
     "text_fingerprint"    -> ((s, d) => TextAnalysis.fingerprint(tables(s, d))),
     "text_pii_scrub"      -> ((s, d) => TextAnalysis.piiScrub(tables(s, d))),
-    "mm_binary_columns"   -> ((s, d) => Multimodal.binaryColumns(tables(s, d)))
+    "mm_binary_columns"   -> ((s, d) => Multimodal.binaryColumns(tables(s, d))),
+    "mm_frame_sample"     -> ((s, d) => Multimodal.frameSample(tables(s, d))),
+    "mm_audio_chunks"     -> ((s, d) => Multimodal.audioChunks(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */

@@ -56,4 +56,66 @@ object Multimodal {
         (floor(element_at(col("feat"), 1) * 10000) / 10000).as("feat0"))
       .orderBy(col("doc_id"))
   }
+
+  /** Frames sampled per video, whatever its length — the fan-out bound
+    * that keeps frame rows proportional to the corpus, not to runtime.
+    */
+  val maxFramesPerVideo = 8
+
+  /** mm_frame_sample — video frame sampling as a PLAN: per clip, typed
+    * metadata (duration, fps) synthesized from the binary stand-in, then a
+    * bounded uniform frame-index `sequence` exploded into one row per
+    * sampled frame with its timestamp. The decode of each frame is the
+    * documented stub; everything the sampler decides — which frames, how
+    * many, the per-frame output schema — is the real production shape
+    * (explode keeps the fan-out ≤ maxFramesPerVideo so a 3-hour clip can't
+    * blow up a partition).
+    */
+  def frameSample(t: Tables): DataFrame = {
+    val durationMs = (lit(1000) + col("doc_id") % 29 * 1000).cast("long")
+    val fps = when(col("doc_id") % 2 === 0, 24).otherwise(30)
+    val nFrames = (durationMs / lit(1000) * fps).cast("long")
+    // uniform stride so ≤ maxFramesPerVideo indices cover the whole clip
+    val stride = greatest(lit(1L), ceil(nFrames / lit(maxFramesPerVideo)).cast("long"))
+    t.documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        durationMs.as("duration_ms"), fps.as("fps"), nFrames.as("n_frames"),
+        stride.as("stride"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))))
+      .select(
+        col("doc_id"), col("duration_ms"), col("fps"), col("n_frames"),
+        col("frame_idx"),
+        (col("frame_idx") * 1000 / col("fps")).cast("long").as("frame_ts_ms"),
+        // per-frame stub decode keyed on (payload, frame) — deterministic
+        (floor(
+          (abs(xxhash64(col("payload"), col("frame_idx"))) % 1000) / 1000 * 10000)
+          / 10000).as("feat0"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Audio chunk length (ms) for mm_audio_chunks. */
+  val audioChunkMs = 5000L
+
+  /** mm_audio_chunks — audio chunking as a PLAN: per track, fixed-length
+    * windows (the Whisper-style 5 s chunk shape) generated with `sequence`
+    * + explode, each carrying its (start, end) bounds and a stub feature.
+    * The last chunk is clipped to the track end, exactly like a real
+    * chunker.
+    */
+  def audioChunks(t: Tables): DataFrame = {
+    val durationMs = (lit(2500) + col("doc_id") % 17 * 1700).cast("long")
+    t.documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        durationMs.as("duration_ms"))
+      .withColumn("start_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(audioChunkMs))))
+      .select(
+        col("doc_id"), col("duration_ms"), col("start_ms"),
+        least(col("start_ms") + audioChunkMs, col("duration_ms")).as("end_ms"),
+        (floor(
+          (abs(xxhash64(col("payload"), col("start_ms"))) % 1000) / 1000 * 10000)
+          / 10000).as("feat0"))
+      .orderBy(col("doc_id"), col("start_ms"))
+  }
 }

@@ -213,6 +213,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("fp")).sameElements(again.map(_.getAs[Long]("fp"))))
   }
 
+  test("frame sampling is bounded, uniform and inside the clip") {
+    val rows = Multimodal.frameSample(t).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, frames) =>
+      assert(frames.length <= Multimodal.maxFramesPerVideo + 1)
+      frames.foreach { f =>
+        assert(f.getAs[Long]("frame_idx") < f.getAs[Long]("n_frames"))
+        val ts = f.getAs[Long]("frame_ts_ms")
+        assert(ts >= 0 && ts < f.getAs[Long]("duration_ms"))
+      }
+      // uniform stride: consecutive sampled indices are equidistant
+      val idx = frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq
+      val gaps = idx.sliding(2).collect { case Seq(a, b) => b - a }.toSet
+      assert(gaps.size <= 1, s"non-uniform stride: $gaps")
+    }
+  }
+
+  test("audio chunks tile each track exactly, last chunk clipped") {
+    val rows = Multimodal.audioChunks(t).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("start_ms")).toSeq
+      val dur = sorted.head.getAs[Long]("duration_ms")
+      // chunks tile [0, dur) with no gaps or overlap
+      assert(sorted.head.getAs[Long]("start_ms") == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.getAs[Long]("end_ms") == b.getAs[Long]("start_ms"))
+        case _ =>
+      }
+      assert(sorted.last.getAs[Long]("end_ms") == dur)
+      sorted.foreach(c => assert(
+        c.getAs[Long]("end_ms") - c.getAs[Long]("start_ms") <= Multimodal.audioChunkMs))
+    }
+  }
+
   test("decode stub is deterministic and multimodal plumbing keeps schema") {
     val a = Multimodal.decodeStub("hello".getBytes)
     val b = Multimodal.decodeStub("hello".getBytes)
