@@ -168,34 +168,39 @@ object Derive {
       regexp_replace(trim(rawModel), "\\s+", " "), "[^a-zA-Z0-9 +\\-]", "")
     def containsAny(c: org.apache.spark.sql.Column, kws: Seq[String]) =
       kws.map(k => upper(c).contains(k)).reduce(_ || _)
-    val isFoldable = containsAny(rawModel, foldableKeywords)
-    val category =
-      when(containsAny(stdModel, foldableKeywords), "Foldable")
-        .when(containsAny(stdModel, flagshipKeywords), "Flagship")
-        .when(stdBrand === "Apple",
-          when(upper(stdModel).contains("SE"), "Entry-level").otherwise("Mid-range"))
-        .when(stdBrand === "Redmi",
-          when(upper(stdModel).contains("K") || upper(stdModel).contains("NOTE"),
+    // staged projections: std_brand/std_model materialize as COLUMNS before
+    // the category/price logic references them — building everything in one
+    // projection expanded the brand when-chain once per consumer and pushed
+    // the stage past the huge-method codegen limit
+    val staged = env(t)
+      .select(col("event_id"), rawBrand, rawModel,
+        stdBrand.as("sb"), stdModel.as("sm"))
+    val withCat = staged.withColumn("cat",
+      when(containsAny(col("sm"), foldableKeywords), "Foldable")
+        .when(containsAny(col("sm"), flagshipKeywords), "Flagship")
+        .when(col("sb") === "Apple",
+          when(upper(col("sm")).contains("SE"), "Entry-level").otherwise("Mid-range"))
+        .when(col("sb") === "Redmi",
+          when(upper(col("sm")).contains("K") || upper(col("sm")).contains("NOTE"),
             "Mid-range").otherwise("Entry-level"))
-        .otherwise("Mid-range")
-    val priceRange =
-      when(category.isin("Foldable", "Flagship"), "Premium")
-        .when(category === "Entry-level", "Budget")
-        .when(stdBrand === "Apple", "Premium")
-        .when(stdBrand.isin("Redmi", "Realme"), "Budget")
-        .otherwise("Mid")
-    val is5g = rawModel.rlike("(?i)5G|全网通")
-    val year = regexp_extract(stdModel, "(20[12][0-9])", 1)
-    val empty = trim(rawBrand) === ""
-    env(t).select(
+        .otherwise("Mid-range"))
+    val empty = trim(col("dev_brand")) === ""
+    withCat.select(
       col("event_id"),
-      when(empty, "UNKNOWN").otherwise(stdBrand).as("std_brand"),
-      when(empty, "").otherwise(stdModel).as("std_model"),
-      when(empty, "UNKNOWN").otherwise(category).as("category"),
-      when(empty, "UNKNOWN").otherwise(priceRange).as("price_range"),
-      when(empty, false).otherwise(is5g).as("is_5g"),
-      when(empty, false).otherwise(isFoldable).as("is_foldable"),
-      when(empty, "").otherwise(year).as("release_year"))
+      when(empty, "UNKNOWN").otherwise(col("sb")).as("std_brand"),
+      when(empty, "").otherwise(col("sm")).as("std_model"),
+      when(empty, "UNKNOWN").otherwise(col("cat")).as("category"),
+      when(empty, "UNKNOWN").otherwise(
+        when(col("cat").isin("Foldable", "Flagship"), "Premium")
+          .when(col("cat") === "Entry-level", "Budget")
+          .when(col("sb") === "Apple", "Premium")
+          .when(col("sb").isin("Redmi", "Realme"), "Budget")
+          .otherwise("Mid")).as("price_range"),
+      when(empty, false).otherwise(col("dev_model").rlike("(?i)5G|全网通")).as("is_5g"),
+      when(empty, false).otherwise(containsAny(col("dev_model"), foldableKeywords))
+        .as("is_foldable"),
+      when(empty, "").otherwise(regexp_extract(col("sm"), "(20[12][0-9])", 1))
+        .as("release_year"))
       .orderBy(col("event_id"))
   }
 
