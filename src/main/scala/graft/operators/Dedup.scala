@@ -40,88 +40,96 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .orderBy(col("h"))
 
-  /** Jaccard similarity threshold for #37. */
-  val jaccardTau = 0.2
-
-  /** Document-frequency cap for candidate generation: shingles appearing in
-    * more than max(8, 0.3% of corpus) docs are dropped from the POSTING-LIST
-    * SELF-JOIN only (they still count toward the exact Jaccard). A shingle
-    * with document frequency k emits k² candidate pairs, so one hot shingle
-    * ("in the of") makes candidate generation quadratic in corpus size —
-    * while carrying zero dedup signal. Near-dup pairs (J ≥ τ) share most of
-    * their shingles, so they always share a rare one too: on the driver's
-    * corpora the worst true pair still shares a shingle of df ≤ 10 at a cap
-    * of 15, and the same zipfian argument holds at any corpus size — a doc's
-    * distinctive content (names, numbers) is rare corpus-wide.
+  /** Jaccard similarity threshold for #37 — 0.5 is the conventional
+    * near-duplicate floor (true template pairs sit at J ≥ 0.8; below ~0.5
+    * documents are topically related, not duplicates).
     */
-  val dfCapMin = 8
-  val dfCapFrac = 0.003
+  val jaccardTau = 0.5
 
-  /** #37 dedup_ngram_jaccard — EXACT Jaccard pairs, never quadratic on hot
-    * shingles:
+  /** #37 dedup_ngram_jaccard — EXACT Jaccard pairs via the prefix-filtering
+    * principle of the published set-similarity-join algorithms (AllPairs,
+    * Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08):
     *
-    *  1. split postings at the df cap: RARE feeds the pair-generating
-    *     self-join (cost ≤ cap² per shingle — the hot-shingle k² blowup is
-    *     structurally impossible), HOT (a tiny posting list by definition
-    *     of the cap) is set aside;
-    *  2. per-pair rare-intersection counts come straight off the self-join
-    *     groupBy (map-side combined — no candidate materialization, no
-    *     re-join of the full posting list);
-    *  3. an EXACT upper bound `sr + min(hotCount(a), hotCount(b))` prunes
-    *     pairs that cannot reach τ even if they shared every hot shingle —
-    *     no false negatives, and it cuts ~10⁶ candidates to ~10² here;
-    *  4. the survivors get their true hot-intersection from a join against
-    *     the tiny hot posting list; jaccard = (rare∩ + hot∩) / (|A|+|B|−∩)
-    *     is then exact. floor-rounding (not round) so the oracle can never
-    *     disagree on a decimal tie.
+    * Order every doc's shingles by ascending corpus document frequency
+    * (rarest first; (df, s) for a deterministic total order). If
+    * J(A,B) ≥ τ then |A∩B| ≥ τ·max(|A|,|B|) ≥ τ·|A|, and any overlap of
+    * that size must touch the first |A| − ⌈τ·|A|⌉ + 1 elements of A's
+    * ordering — so candidates are generated ONLY from each doc's rarest
+    * `plen` shingles, with no assumptions about the corpus: a pair whose
+    * every SHARED shingle is corpus-hot (mass-replicated boilerplate) is
+    * still found, because a near-dup's prefix is then made of those hot
+    * shingles. This is what a df-cap heuristic silently misses, and why
+    * prefix filtering replaced it here.
     *
-    * Design assumption (holds by the zipf argument in the cap comment and
-    * verified on the driver's corpora): a τ-pair shares ≥1 rare shingle, so
-    * step 2 generates every true pair.
+    * Scale posture: a universally-hot shingle enters the candidate join
+    * only through docs that are ≥(1−τ) boilerplate, so its posting list in
+    * the join is the boilerplate cluster, not the corpus — candidate cost
+    * per shingle is C(|prefix-posting|, 2), quadratic blowup on ordinary
+    * hot shingles is structurally impossible. Verification is a per-pair
+    * `array_intersect` of the two (bounded, per-doc) shingle arrays — all
+    * codegen, no posting-list re-join.
+    *
+    *  1. ONE shuffle on s: posting lists ⇒ df per shingle, exploded back.
+    *  2. ONE shuffle on doc_id: per-doc (df,s)-sorted shingle array, size c.
+    *     Two prefix lengths per doc (both floor, not ceil: a double rounding
+    *     up an exact integer product would shorten a prefix — floor only
+    *     ever lengthens it, which stays exact):
+    *       index  c − ⌊τ·c⌋ + 1            (valid vs ANY partner),
+    *       probe  c − ⌊2τ/(1+τ)·c⌋ + 1    (valid when this doc is the
+    *     smaller of the pair — |A|≤|B| ⇒ overlap ≥ 2τ/(1+τ)·|A|).
+    *  3. Candidates: probe-prefix(smaller doc) ⋈ index-prefix(larger doc)
+    *     on the shingle, then per-pair POSITIONAL filtering (PPJoin): all
+    *     shared shingles rank at or after the first shared one in each
+    *     doc's order, so shared ≤ 1 + min(cA − iA_min, cB − jB_min); drop
+    *     pairs that cannot reach the pair-exact overlap floor
+    *     α = τ/(1+τ)·(cA+cB). Length filter (τ·max ≤ min) is implied by α
+    *     but kept explicit for the optimizer.
+    *  4. Verify survivors — shared = |A∩B| straight off the two shingle
+    *     arrays (codegen array_intersect); floor-rounding so the oracle can
+    *     never disagree on a decimal tie.
     */
   def ngramJaccard(t: Tables): DataFrame = {
-    // the shingle set feeds several plan branches (split + counts);
-    // persist it so the explode runs once — at scale this is a checkpoint
-    // of the posting list, not a luxury
-    val sh = shingles(t).persist()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    // corpus size as a 1-row broadcast so the cap stays inside the plan (no
-    // driver-side count action); df attached via ONE window over s — the
-    // same exchange the self-join needs — and the split frame persisted so
-    // the self-join's two branches read a cache, not two re-joins
-    val nd = sh.agg(countDistinct(col("doc_id")).as("nd"))
-    val withDf = sh.crossJoin(broadcast(nd))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .withColumn("is_hot", col("df") > greatest(lit(dfCapMin), ceil(col("nd") * dfCapFrac)))
-      .select(col("doc_id"), col("s"), col("is_hot"))
+    val sh = shingles(t)
+    // step 1: df via groupBy (map-side combined) — NOT a window over s,
+    // which would funnel the hottest shingle's whole posting through one task
+    val withDf = sh.groupBy("s")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .select(col("s"), size(col("ds")).as("df"), explode(col("ds")).as("doc_id"))
+    val probeBeta = 2 * jaccardTau / (1 + jaccardTau)
+    // step 2: the per-doc frame feeds candidate generation AND verification
+    val docs = withDf.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"),
+        array_sort(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(col("doc_id"), col("c"),
+        expr("transform(arr, x -> x.s)").as("sarr"),
+        (col("c") - floor(col("c") * jaccardTau) + 1).cast("int").as("iplen"),
+        (col("c") - floor(col("c") * probeBeta) + 1).cast("int").as("pplen"))
       .persist()
-    val rare = withDf.filter(!col("is_hot"))
-    val hot = withDf.filter(col("is_hot")) // ≤ |postings|/cap rows by construction
-    val hotCnt = hot.groupBy("doc_id").agg(count(lit(1)).as("hc"))
-    val sharedRare = rare.as("a").join(rare.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("sr"))
-    // survivors are few (the prune is tight); checkpoint so the final join
-    // and the hot-correction branch don't each re-run the self-join
-    val pruned = sharedRare
-      .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")), "da")
-      .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db")
-      .join(hotCnt.select(col("doc_id").as("da"), col("hc").as("hca")), Seq("da"), "left")
-      .join(hotCnt.select(col("doc_id").as("db"), col("hc").as("hcb")), Seq("db"), "left")
-      .withColumn("ub",
-        col("sr") + least(coalesce(col("hca"), lit(0L)), coalesce(col("hcb"), lit(0L))))
-      .filter(col("ub").cast("double") / (col("ca") + col("cb") - col("ub")) >= jaccardTau)
-      .localCheckpoint(true)
-    val sharedHot = pruned.select(col("da"), col("db"))
-      .join(hot.select(col("doc_id").as("da"), col("s")), "da")
-      .join(hot.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("hs"))
-    pruned
-      .join(sharedHot, Seq("da", "db"), "left")
-      .withColumn("shared", col("sr") + coalesce(col("hs"), lit(0L)))
+    // step 3: 1-based position of each index-prefix shingle in df order
+    val pre = docs.select(col("doc_id"), col("c"), col("pplen"),
+      posexplode(expr("slice(sarr, 1, iplen)")).as(Seq("p0", "s")))
+      .select(col("doc_id"), col("c"), col("s"), (col("p0") + 1).as("pos"),
+        col("pplen"))
+    val probe = pre.filter(col("pos") <= col("pplen"))
+      .select(col("doc_id").as("qd"), col("c").as("qc"), col("s"), col("pos").as("qpos"))
+    val smallerFirst = col("qc") < col("c") ||
+      (col("qc") === col("c") && col("qd") < col("doc_id"))
+    val alpha = lit(jaccardTau / (1 + jaccardTau)) * (col("qc") + col("c"))
+    val cand = probe.join(pre, Seq("s")).filter(smallerFirst)
+      .groupBy(col("qd"), col("doc_id").as("id"))
+      .agg(first(col("qc")).as("qc"), first(col("c")).as("c"),
+        min(col("qpos")).as("qi"), min(col("pos")).as("ij"))
+      .filter((lit(1) + least(col("qc") - col("qi"), col("c") - col("ij")))
+        .cast("double") >= alpha - 1e-9)
+      .filter(least(col("qc"), col("c")).cast("double")
+        >= greatest(col("qc"), col("c")) * jaccardTau - 1e-9)
+      .select(least(col("qd"), col("id")).as("da"),
+        greatest(col("qd"), col("id")).as("db"))
+    // step 4: verify — shared = |A∩B| straight off the two shingle arrays
+    cand
+      .join(docs.select(col("doc_id").as("da"), col("c").as("ca"), col("sarr").as("sa")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("c").as("cb"), col("sarr").as("sb")), "db")
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("ca") + col("cb") - col("shared")))
       .filter(col("jaccard") >= jaccardTau)

@@ -22,10 +22,13 @@ class LlmOpsSpec extends SparkSpec {
 
   test("hot shingles never generate candidates but still count in jaccard") {
     import spark.implicits._
-    // 60 docs share the ubiquitous "c1 c2 c3" shingle (df=62 > cap=8) but
-    // are otherwise unique; docs 100/101 are true near-dups. The hot shingle
-    // must be excluded from PAIR GENERATION (no 62² blowup, no spurious
-    // pairs) yet still counted in the EXACT jaccard of surviving pairs.
+    // 60 docs share the ubiquitous "c1 c2 c3" shingle (df=62) but are
+    // otherwise unique; docs 100/101 are true near-dups. The hot shingle is
+    // corpus-frequent, so it sorts LAST in every doc's df-ascending order
+    // and falls outside the prefix of any doc with enough unique content —
+    // no 62² candidate blowup, no spurious pairs — yet it still counts in
+    // the EXACT jaccard of surviving pairs (array_intersect sees all
+    // shingles, not just prefix ones).
     val filler = (1 to 60).map(i => (i.toLong, s"c1 c2 c3 f${i}a f${i}b f${i}c"))
     val dups = Seq(
       (100L, "c1 c2 c3 a b c d"),
@@ -39,6 +42,24 @@ class LlmOpsSpec extends SparkSpec {
     // bce: shared=4 INCLUDING the hot c1c2c3, union=6 -> 0.6666 (a rare-only
     // count would give 3/7=0.4285 — this pins the hot correction)
     assert(math.abs(rows.head.getAs[Double]("jaccard") - 0.6666) < 1e-9)
+  }
+
+  test("all-hot boilerplate docs are still paired (prefix filtering is exact)") {
+    import spark.implicits._
+    // 12 mass-replicated templates: EVERY shingle of every doc is
+    // corpus-hot (df=12). A df-cap candidate generator has zero rare
+    // postings to join and silently misses all 66 J=1.0 pairs; prefix
+    // filtering still finds them, because a boilerplate doc's prefix IS
+    // its (hot) boilerplate. The unrelated doc must stay unpaired.
+    val docs = ((1 to 12).map(i => (i.toLong, "b1 b2 b3 b4 b5")) :+
+      (99L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = Dedup.ngramJaccard(t2).collect()
+    assert(rows.length == 66, s"expected C(12,2)=66 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jaccard") == 1.0)
+      assert(r.getAs[Long]("da") < r.getAs[Long]("db") && r.getAs[Long]("db") <= 12L)
+    }
   }
 
   test("blocked embedding near-dup equals brute force, no nested-loop join") {
