@@ -57,6 +57,8 @@ object SparkEntry {
     "sim_ann_ivf"             -> ((s, d) => Sim.ivfTopK(tables(s, d))),
     // end-to-end: the full IdJob→DwJob chain in one plan
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
+    // end-to-end: AllJob = Gate→Id→Dw with in-memory handoff
+    "pipeline_all_job"     -> ((s, d) => Pipeline.allJob(tables(s, d))),
     // §2.5 routing / data quality / dims / sink
     "route_by_dt"              -> ((s, d) => Route.routeByDt(tables(s, d))),
     "route_user_row"           -> ((s, d) => Route.routeUserRow(tables(s, d))),
@@ -142,7 +144,8 @@ object SparkEntry {
     * normalized ids → match keys → latest-per-key rank in `l`.
     */
   private def advAdStateCtes: String =
-    s"""apps(appkey, ad_app_id) AS (VALUES ('app0', 201), ('app1', 202)),
+    s"""apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
+      .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
        clicks AS (
          SELECT r.event_id AS lid, a.ad_app_id, r.ip, r.ua,
            CASE r.event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
@@ -181,10 +184,17 @@ object SparkEntry {
   /** DuckDB mirror of Gate.gateResolve's resolver chain: probes + verdict
     * in CTE `v`, with the caller supplying the final SELECT over it.
     */
-  private def gateResolveOracle(finalSelect: String): String = {
-    val num = "('UBIGINT','BIGINT','DOUBLE')"
+  private def gateResolveOracle(finalSelect: String): String =
     s"""WITH ${Envelope.oracleRaw},
-       g AS (SELECT event_id, json_valid(gate_msg) AS okj,
+       $gateVerdictCtes
+       $finalSelect"""
+
+  /** The MsgResolver verdict CTE chain (g → p → q → v) over `raw`; shared by
+    * the gate operators and the AllJob oracle.
+    */
+  private def gateVerdictCtes: String = {
+    val num = "('UBIGINT','BIGINT','DOUBLE')"
+    s"""g AS (SELECT event_id, json_valid(gate_msg) AS okj,
                CASE WHEN json_valid(gate_msg) THEN gate_msg ELSE '{}' END AS gm
              FROM raw),
        p AS (SELECT event_id, okj,
@@ -216,15 +226,15 @@ object SparkEntry {
                 WHEN arg_encrypt = '1' THEN 'ENCRYPT_UNSUPPORTED'
                 WHEN NOT json_valid(arg_event) THEN 'EVENT_BAD'
                 ELSE 'OK' END AS verdict
-         FROM q)
-       $finalSelect"""
+         FROM q)"""
   }
 
   /** zgid-resolution CTE chain (shared by id_zgid_resolution and the
-    * end-to-end pipeline oracle).
+    * end-to-end pipeline oracles; `src` = the event source CTE — `raw` for
+    * the Id-entry operators, the gate-passed set for the AllJob chain).
     */
-  private val zgidCtes: String =
-    """ev AS (SELECT event_id, ts, appkey, did, cuid FROM raw WHERE appkey <> ''),
+  private def zgidCtes(src: String = "raw"): String =
+    s"""ev AS (SELECT event_id, ts, appkey, did, cuid FROM $src WHERE appkey <> ''),
        ufd AS (SELECT appkey, cuid, did FROM (
          SELECT appkey, cuid, did,
            row_number() OVER (PARTITION BY appkey, cuid ORDER BY ts, event_id) AS rn
@@ -255,6 +265,42 @@ object SparkEntry {
        FROM ev e
        LEFT JOIN uz u ON e.appkey = u.appkey AND e.cuid = u.cuid
        LEFT JOIN dz d ON e.appkey = d.appkey AND e.did = d.did"""
+
+  private def platformDimCte: String =
+    "dim(pl, platform_id) AS (VALUES " +
+      Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ") + ")"
+
+  /** The Dw event_attr row build (mirrors Pipeline.eventAttr's projection)
+    * over `src` — `raw` for pipeline_event_attr, the gate-passed CTE for
+    * pipeline_all_job. Expects `zg` and `dim` CTEs in scope.
+    */
+  private def eventAttrSelect(src: String): String =
+    s"""SELECT r.event_id,
+         coalesce(z.zgid, '\\N') AS zgid,
+         coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS zg_sid,
+         strftime(r.ts, '%Y%m%d') AS day_id,
+         epoch_ns(r.ts) // 1000000000 AS begin_date,
+         coalesce(d.platform_id, 0) AS platform_id,
+         r.event_type AS event_name,
+         ${uaCase(_._1, "r.event_id")} AS os,
+         ${uaCase(_._3, "r.event_id")} AS browser,
+         CASE WHEN r.event_id % 3 = 0 THEN 'wechat'
+           WHEN r.event_id % 7 = 0 THEN 'www.baidu.com'
+           WHEN r.event_id % 7 = 1 THEN 'www.google.com'
+           WHEN r.event_id % 7 = 2 THEN 'www.sogou.com'
+           WHEN r.event_id % 7 = 3 THEN 'cn.bing.com'
+           WHEN r.event_id % 7 = 4 THEN 'news.example.com'
+           WHEN r.event_id % 7 = 5 THEN 'www.baidu.com'
+           ELSE '\\N' END AS utm_source,
+         CASE WHEN r.event_id % 3 = 0 THEN 'cpc'
+           WHEN r.event_id % 7 IN (0,1,2,3,5) THEN '搜索自然流量'
+           WHEN r.event_id % 7 = 4 THEN '引荐'
+           ELSE '\\N' END AS utm_medium
+       FROM $src r
+       LEFT JOIN zg z ON r.event_id = z.event_id
+       LEFT JOIN dim d ON r.pl = d.pl
+       WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
+       ORDER BY r.event_id"""
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables, same column
     * aliases, same ordering).
@@ -371,41 +417,34 @@ object SparkEntry {
          ORDER BY appkey, cuid""",
     "id_zgid_resolution" ->
       s"""WITH ${Envelope.oracleRaw},
-         $zgidCtes
+         ${zgidCtes()}
          $zgidSelect
          ORDER BY e.event_id""",
-    "pipeline_event_attr" -> {
-      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    "pipeline_event_attr" ->
       s"""WITH ${Envelope.oracleRaw},
-         $zgidCtes,
+         ${zgidCtes()},
          zg AS ($zgidSelect),
-         dim(pl, platform_id) AS (VALUES $dims)
-         SELECT r.event_id,
-           coalesce(z.zgid, '\\N') AS zgid,
-           coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS zg_sid,
-           strftime(r.ts, '%Y%m%d') AS day_id,
-           epoch_ns(r.ts) // 1000000000 AS begin_date,
-           coalesce(d.platform_id, 0) AS platform_id,
-           r.event_type AS event_name,
-           ${uaCase(_._1, "r.event_id")} AS os,
-           ${uaCase(_._3, "r.event_id")} AS browser,
-           CASE WHEN r.event_id % 3 = 0 THEN 'wechat'
-             WHEN r.event_id % 7 = 0 THEN 'www.baidu.com'
-             WHEN r.event_id % 7 = 1 THEN 'www.google.com'
-             WHEN r.event_id % 7 = 2 THEN 'www.sogou.com'
-             WHEN r.event_id % 7 = 3 THEN 'cn.bing.com'
-             WHEN r.event_id % 7 = 4 THEN 'news.example.com'
-             WHEN r.event_id % 7 = 5 THEN 'www.baidu.com'
-             ELSE '\\N' END AS utm_source,
-           CASE WHEN r.event_id % 3 = 0 THEN 'cpc'
-             WHEN r.event_id % 7 IN (0,1,2,3,5) THEN '搜索自然流量'
-             WHEN r.event_id % 7 = 4 THEN '引荐'
-             ELSE '\\N' END AS utm_medium
-         FROM raw r
-         LEFT JOIN zg z ON r.event_id = z.event_id
-         LEFT JOIN dim d ON r.pl = d.pl
-         WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
-         ORDER BY r.event_id"""
+         $platformDimCte
+         ${eventAttrSelect("raw")}""",
+    "pipeline_all_job" -> {
+      val ips = Etl.ipBlacklist.map { case (a, i) => s"('$a', '$i')" }.mkString(", ")
+      val uas = Etl.uaBlacklist.map { case (a, u) => s"('$a', '$u')" }.mkString(", ")
+      val aks = Etl.akBlacklist.map(a => s"'$a'").mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         $gateVerdictCtes,
+         ipb(appkey, ip) AS (VALUES $ips),
+         uab(appkey, ua) AS (VALUES $uas),
+         pass AS (
+           SELECT r.* FROM raw r
+           JOIN v ON r.event_id = v.event_id
+           LEFT JOIN ipb i ON r.appkey = i.appkey AND r.ip = i.ip
+           LEFT JOIN uab u ON r.appkey = u.appkey AND r.ua = u.ua
+           WHERE v.verdict = 'OK' AND r.appkey NOT IN ($aks)
+             AND i.ip IS NULL AND u.ua IS NULL),
+         ${zgidCtes("pass")},
+         zg AS ($zgidSelect),
+         $platformDimCte
+         ${eventAttrSelect("pass")}"""
     },
     "id_sessionize" ->
       """WITH s AS (
@@ -640,7 +679,7 @@ object SparkEntry {
     "route_user_row" -> {
       val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
       s"""WITH ${Envelope.oracleRaw},
-         $zgidCtes,
+         ${zgidCtes()},
          zg AS ($zgidSelect),
          dim(pl, platform_id) AS (VALUES $dims)
          SELECT r.event_id, z.zgid, r.did,

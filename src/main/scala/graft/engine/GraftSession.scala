@@ -24,6 +24,12 @@ object GraftSession {
       // The testdata's events.ts is TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects; read it as a long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Gate.resolve's all-DOUBLE from_json type probe relies on per-field
+      // partial results: with this off, the first string-typed field (Header
+      // on every normal row) would null the whole probe struct and
+      // misclassify IP_BAD/HEADER_BAD as NOW_BAD. True is the Spark 4
+      // default — pinned so a cluster-level override can't flip semantics.
+      .config("spark.sql.json.enablePartialResults", "true")
 
   /** Local session for tests and ad-hoc runs. */
   def local(cores: Int = 4): SparkSession = {

@@ -100,6 +100,19 @@ object Adv {
       .orderBy(col("source"))
   }
 
+  /** Registered advertising apps (the reference's per-minute MySQL registry
+    * poll as a dim): the SINGLE source for the save leg, the attribute leg,
+    * and the DuckDB oracle CTEs — key agreement between the legs breaks
+    * silently if any copy drifts, so there are no copies.
+    */
+  val adAppRegistry: Seq[(String, Int)] = Seq("app0" -> 201, "app1" -> 202)
+
+  private def advApps(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    broadcast(adAppRegistry.toDF("appkey", "ad_app_id"))
+  }
+
   /** Sentinel values third-party ad platforms send instead of real device
     * ids, plus their lowercase MD5s — both excluded from key generation
     * (AdvSaveAppAdDataFlatMapFunction.java:52-63).
@@ -129,15 +142,11 @@ object Adv {
     * reference's per-minute MySQL registry poll is the broadcast dim join.
     */
   def appAdLatest(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    val advApps = broadcast(Seq(("app0", 201), ("app1", 202))
-      .toDF("appkey", "ad_app_id"))
     // the adtf click payload synthesized from click events: raw ids carry
     // the platforms' sentinel junk; click_time mixes second/ms precision
     val clicks = env(t)
       .filter(col("event_type") === "click" && col("appkey") =!= "")
-      .join(advApps, Seq("appkey"))
+      .join(advApps(t), Seq("appkey"))
       .selectExpr(
         "event_id AS lid", "ad_app_id", "ip", "ua",
         """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
@@ -180,10 +189,6 @@ object Adv {
     * campaign window keeps it small.
     */
   def attributeEvent(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    val advApps = broadcast(Seq(("app0", 201), ("app1", 202))
-      .toDF("appkey", "ad_app_id"))
     // materialize the ad state once: it feeds BOTH key probes below, and an
     // unmaterialized plan would re-run the whole save leg per join branch
     val state = appAdLatest(t).localCheckpoint(true)
@@ -191,7 +196,7 @@ object Adv {
     // the same synthesized id fields as the save leg
     val probes = env(t)
       .filter(col("event_type") === "purchase" && col("appkey") =!= "")
-      .join(advApps, Seq("appkey"))
+      .join(advApps(t), Seq("appkey"))
       .selectExpr(
         "event_id", "ad_app_id", "ip", "ua",
         """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''

@@ -45,18 +45,28 @@ object Gate {
     * parsing each probe separately re-reads the whole multi-KB message per
     * field and showed up as the bench's slowest per-row cost.
     */
-  def resolveFrom(df: DataFrame): DataFrame = {
-    val probes = df.selectExpr(
-      "event_id",
-      "try_parse_json(gate_msg) IS NOT NULL AS okj",
-      "from_json(gate_msg, 'Ip STRING, Now STRING, Header STRING, Args STRING') AS js",
-      "from_json(gate_msg, 'Ip DOUBLE, Now DOUBLE, Header DOUBLE, Args DOUBLE') AS jn")
+  def resolveFrom(df: DataFrame): DataFrame =
+    resolveCols(df.select(col("event_id"), col("gate_msg")))
+      .select("event_id", "verdict", "ip_out", "st", "ua_out")
+
+  /** Like resolveFrom but PRESERVES the input columns, so a caller filtering
+    * on the verdict (the AllJob gate leg) needs no join back — the verdict
+    * is just another codegen'd column on the same scan.
+    */
+  def resolveCols(df: DataFrame): DataFrame = {
+    val probes = df
+      .withColumn("okj", expr("try_parse_json(gate_msg) IS NOT NULL"))
+      .withColumn("js",
+        expr("from_json(gate_msg, 'Ip STRING, Now STRING, Header STRING, Args STRING')"))
+      .withColumn("jn",
+        expr("from_json(gate_msg, 'Ip DOUBLE, Now DOUBLE, Header DOUBLE, Args DOUBLE')"))
       .selectExpr(
-        "event_id", "okj",
+        "*",
         "js.Ip AS ip_s", "jn.Ip AS ip_num",
         "js.Now AS now_s", "jn.Now AS now_num",
         "js.Header AS header_s", "jn.Header AS header_num",
         "js.Args AS args_s", "jn.Args AS args_num")
+      .drop("js", "jn")
     val fields = probes.selectExpr(
       "*",
       // user-agent defaults to 'DEFAULT' when absent (MsgResolver.java:64-71)
@@ -82,12 +92,13 @@ object Gate {
     fields
       .withColumn("c", content)
       .withColumn("verdict", verdict)
-      .select(
-        col("event_id"),
-        col("verdict"),
-        when(col("verdict") === "OK", col("ip_s")).otherwise(Enrich.NullValue).as("ip_out"),
-        when(col("verdict") === "OK", col("now_s").cast("bigint")).as("st"),
-        when(col("verdict") === "OK", col("hdr_ua")).otherwise(Enrich.NullValue).as("ua_out"))
+      .withColumn("ip_out",
+        when(col("verdict") === "OK", col("ip_s")).otherwise(Enrich.NullValue))
+      .withColumn("st", when(col("verdict") === "OK", col("now_s").cast("bigint")))
+      .withColumn("ua_out",
+        when(col("verdict") === "OK", col("hdr_ua")).otherwise(Enrich.NullValue))
+      .drop("okj", "ip_s", "ip_num", "now_s", "now_num", "header_s", "header_num",
+        "args_s", "args_num", "hdr_ua", "arg_event", "arg_compress", "arg_encrypt", "c")
   }
 
   /** gate_resolve_stats — verdict histogram (the gate job's DQ view).

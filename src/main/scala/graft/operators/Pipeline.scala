@@ -58,4 +58,38 @@ object Pipeline {
         medium.as("utm_medium"))
       .orderBy(col("event_id"))
   }
+
+  /** pipeline_all_job — AllJob.java:49-56, the reference's full-chain job:
+    * GateJob → IdJob → DwJob with in-memory handoff (no intermediate Kafka).
+    *
+    * Gate leg: the transport resolver verdict (MsgResolver) is computed as a
+    * COLUMN on the envelope scan (`Gate.resolveCols`) — no join back — and
+    * the per-app ip/ua blacklists + blocked-ak drop (GateFlatMapFunction)
+    * are broadcast anti-joins. Only fully-resolved, unblocked messages
+    * proceed, exactly like GateJob.execute's output stream.
+    *
+    * Id+Dw legs: `eventAttr` over the SURVIVING events — identity
+    * resolution's first-writer ranks run on the gate-passed set (the
+    * reference's IdJob consumes GateJob's output, so a gate-rejected event
+    * can never be a first writer). The filtered envelope is checkpointed
+    * once: five id/dw plan branches read it.
+    */
+  def allJob(t: Tables): DataFrame = {
+    graft.functions.CodecExpressions.register(t.spark)
+    val spark = t.spark
+    import spark.implicits._
+    val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip"))
+    val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua"))
+    val eventCols = t.events.columns
+    val passed = Gate.resolveCols(Envelope.attach(t.events))
+      .filter(col("verdict") === "OK")
+      .filter(!col("appkey").isin(Etl.akBlacklist: _*))
+      .join(ipB, Seq("appkey", "ip"), "left_anti")
+      .join(uaB, Seq("appkey", "ua"), "left_anti")
+      .select(eventCols.map(col): _*)
+      .localCheckpoint(true)
+    Pipeline.eventAttr(new Tables(t.spark, t.dir) {
+      override def events: DataFrame = passed
+    })
+  }
 }

@@ -129,12 +129,19 @@ object EventStreamPipeline {
     * analog of SessionIdProcessOperator + Flink session windows. Emits the
     * running per-user session count each batch (Update mode).
     *
-    * State discipline (the r1 ADVICE fix): input is WATERMARKED, the state
-    * keys time out at lastSec + gap via EventTimeTimeout (a closed session
-    * emits its final counts and frees its state — no unbounded growth),
-    * and a cross-batch straggler can never move `lastSec` backwards, so
-    * out-of-order arrivals within the watermark horizon join the session
-    * they fall into instead of re-opening it.
+    * State discipline: input is WATERMARKED, and the gap tracking times out
+    * at lastSec + gap via EventTimeTimeout — but timeout only expires the
+    * `lastSec` tracking (the session is closed), NOT the running
+    * (nSessions, nEvents) totals, which are retained as a compact two-int
+    * dormant state so a user who reappears CONTINUES their counts instead
+    * of restarting from zero (matching the batch sessionizer's per-user
+    * totals). Timeout emits nothing — the totals were already emitted with
+    * the last batch that touched the key, so a consumer never sees the same
+    * final counts twice. State per ever-seen user is two ints — the same
+    * bound as any per-user running aggregate. A cross-batch straggler can
+    * never move `lastSec` backwards, so out-of-order arrivals within the
+    * watermark horizon join the session they fall into instead of
+    * re-opening it.
     */
   def sessionize(events: DataFrame): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
@@ -148,11 +155,11 @@ object EventStreamPipeline {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // the session gap elapsed past the watermark: emit the final
-            // counts and release the key's state
-            val st = state.get
-            state.remove()
-            Iterator(SessionUpdate(userId, st.nSessions, st.nEvents))
+            // the session gap elapsed past the watermark: close the session
+            // (drop the gap tracking) but carry the totals dormant; no
+            // emission — the last data batch already emitted these counts
+            state.update(state.get.copy(lastSec = Long.MinValue))
+            Iterator.empty
           } else {
             val sorted = rows.map(_._2.getTime / 1000L).toSeq.sorted
             var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))

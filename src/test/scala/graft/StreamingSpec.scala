@@ -108,6 +108,37 @@ class StreamingSpec extends SparkSpec {
     assert(maxFiles > 1, s"heavy day wrote a single file")
   }
 
+  test("session totals survive an EventTimeTimeout: reappearing users continue counting") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, epoch sec)
+    val events = in.toDF()
+      .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("ts"))
+    val q = EventStreamPipeline.sessionize(events).toDF()
+      .writeStream.format("memory").queryName("sess_timeout").outputMode("update").start()
+    val t0 = 1700000000L
+    // batch 1: user 1 has a 2-event session at t0
+    in.addData((1L, t0), (1L, t0 + 60))
+    q.processAllAvailable()
+    // batch 2: a far-future event on ANOTHER user advances the watermark
+    // past user 1's lastSec + gap -> user 1's gap tracking times out
+    in.addData((2L, t0 + 48 * 3600))
+    q.processAllAvailable()
+    // batch 3: user 1 reappears AFTER the timeout
+    in.addData((1L, t0 + 48 * 3600 + 60))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT userId, nSessions, nEvents FROM sess_timeout ORDER BY nEvents")
+      .collect().filter(_.getLong(0) == 1L)
+    // first emission: 1 session / 2 events; after reappearance the totals
+    // CONTINUE (2 sessions / 3 events), not restart at (1, 1) — and the
+    // timeout itself emitted nothing (no duplicate (1, 2) row)
+    assert(rows.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 2), (2, 3)), rows.mkString(","))
+  }
+
   test("stateful sessionization matches the batch session counts") {
     val events = EventStreamPipeline.readEvents(spark, streamDir)
     val out = EventStreamPipeline.sessionize(events)
