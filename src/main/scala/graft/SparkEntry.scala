@@ -94,6 +94,7 @@ object SparkEntry {
     // §2.8 LLM-pipeline extensions
     "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(tables(s, d))),
+    "dedup_paragraph"     -> ((s, d) => Dedup.paragraphBoiler(tables(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(tables(s, d))),
     "dedup_groups"        -> ((s, d) => Dedup.dupGroups(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
@@ -108,7 +109,16 @@ object SparkEntry {
     "text_pii_scrub"      -> ((s, d) => TextAnalysis.piiScrub(tables(s, d))),
     "mm_binary_columns"   -> ((s, d) => Multimodal.binaryColumns(tables(s, d))),
     "mm_frame_sample"     -> ((s, d) => Multimodal.frameSample(tables(s, d))),
-    "mm_audio_chunks"     -> ((s, d) => Multimodal.audioChunks(tables(s, d)))
+    "mm_audio_chunks"     -> ((s, d) => Multimodal.audioChunks(tables(s, d))),
+    // training-data assembly + as-of state lookup
+    "q_asof_join"             -> ((s, d) => Analytics.asofJoin(tables(s, d))),
+    "q_value_quantiles"       -> ((s, d) => Analytics.valueQuantiles(tables(s, d))),
+    "sample_stratified"       -> ((s, d) => TrainData.sampleStratified(tables(s, d))),
+    "sample_stratified_stats" -> ((s, d) => TrainData.sampleStratifiedStats(tables(s, d))),
+    "text_repetition"         -> ((s, d) => TextAnalysis.repetition(tables(s, d))),
+    "text_contamination"      -> ((s, d) => TrainData.contamination(tables(s, d))),
+    "pack_sequences"          -> ((s, d) => TrainData.packSequences(tables(s, d))),
+    "pack_sequences_stats"    -> ((s, d) => TrainData.packSequencesStats(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -1087,6 +1097,129 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, ws_tokens, bpe_tokens,
            floor(CAST(n_chars AS DOUBLE) / bpe_tokens * 10000) / 10000 AS chars_per_token
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+    "dedup_paragraph" -> {
+      val p = Dedup.paraWords
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         i AS (SELECT doc_id, w,
+                 unnest(generate_series(0, CAST(floor((len(w)-1)/$p) AS INT))) AS i
+               FROM d),
+         c AS (SELECT doc_id,
+                 md5(array_to_string(w[i*$p+1 : i*$p+$p], ' ')) AS ch
+               FROM i),
+         f AS (SELECT ch, count(DISTINCT doc_id) AS cdf FROM c GROUP BY 1)
+         SELECT c.doc_id, count(*) AS n_chunks,
+           sum(CASE WHEN f.cdf >= ${Dedup.paraMinDf} THEN 1 ELSE 0 END) AS n_boiler,
+           floor(sum(CASE WHEN f.cdf >= ${Dedup.paraMinDf} THEN 1 ELSE 0 END)
+                 * 10000.0 / count(*)) / 10000 AS boiler_frac
+         FROM c JOIN f ON c.ch = f.ch
+         GROUP BY c.doc_id ORDER BY c.doc_id"""
+    },
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN ts END AS c_ts
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (SELECT *,
+             last_value(c_id IGNORE NULLS) OVER win AS asof_click_id,
+             last_value(c_ts IGNORE NULLS) OVER win AS asof_click_ts
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, asof_click_id,
+           epoch_ns(ts) // 1000000000 - epoch_ns(asof_click_ts) // 1000000000 AS gap_sec
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+    "sample_stratified" -> {
+      val values = TrainData.sampleRates
+        .map { case (k, r) => s"('$k', $r)" }.mkString(", ")
+      s"""WITH rates(event_type, rate) AS (VALUES $values)
+         SELECT e.event_id, e.event_type, e.user_id
+         FROM events e JOIN rates r ON e.event_type = r.event_type
+         WHERE (e.event_id % 100003) * 2654435761 % 1000000 < r.rate * 1000000
+         ORDER BY e.event_id"""
+    },
+    "sample_stratified_stats" -> {
+      val values = TrainData.sampleRates
+        .map { case (k, r) => s"('$k', $r)" }.mkString(", ")
+      s"""WITH rates(event_type, rate) AS (VALUES $values)
+         SELECT e.event_type, count(*) AS n_total,
+           sum(CASE WHEN (e.event_id % 100003) * 2654435761 % 1000000
+                         < r.rate * 1000000 THEN 1 ELSE 0 END) AS n_kept,
+           floor(sum(CASE WHEN (e.event_id % 100003) * 2654435761 % 1000000
+                               < r.rate * 1000000 THEN 1 ELSE 0 END)
+                 * 10000.0 / count(*)) / 10000 AS realized
+         FROM events e JOIN rates r ON e.event_type = r.event_type
+         GROUP BY e.event_type ORDER BY e.event_type"""
+    },
+    "q_value_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+           floor(quantile_cont(value, 0.5) * 10000) / 10000 AS p50,
+           floor(quantile_cont(value, 0.9) * 10000) / 10000 AS p90,
+           floor(quantile_cont(value, 0.99) * 10000) / 10000 AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+         f AS (SELECT doc_id, w, len(w) AS nw FROM d WHERE len(w) >= 2),
+         g AS (SELECT doc_id, nw, unnest(generate_series(1, nw - 1)) AS i, w FROM f),
+         pg AS (SELECT doc_id, nw, w[i] || ' ' || w[i+1] AS gram, count(*) AS c
+                FROM g GROUP BY 1, 2, 3),
+         agg AS (SELECT doc_id, nw, count(*) AS d_grams, max(c) AS top_run
+                 FROM pg GROUP BY 1, 2),
+         wrd AS (SELECT doc_id, len(list_distinct(w)) AS d_words FROM f)
+         SELECT a.doc_id, a.nw AS n_words, a.nw - 1 AS n_grams,
+           floor((1.0 - wrd.d_words / CAST(a.nw AS DOUBLE)) * 10000) / 10000
+             AS dup_word_frac,
+           floor((1.0 - a.d_grams / CAST(a.nw - 1 AS DOUBLE)) * 10000) / 10000
+             AS dup_gram_frac,
+           floor(a.top_run / CAST(a.nw - 1 AS DOUBLE) * 10000) / 10000
+             AS top_gram_frac
+         FROM agg a JOIN wrd ON a.doc_id = wrd.doc_id ORDER BY a.doc_id""",
+    "text_contamination" -> {
+      val g = TrainData.contamGram
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         gs AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(w) - ${g - 1}),
+                    i -> array_to_string(w[i : i + ${g - 1}], ' '))) AS grams
+                FROM d WHERE len(w) >= $g),
+         e AS (SELECT DISTINCT unnest(grams) AS gram FROM gs
+               WHERE doc_id % ${TrainData.contamEvalMod} = 0),
+         tr AS (SELECT doc_id, unnest(grams) AS gram FROM gs
+                WHERE doc_id % ${TrainData.contamEvalMod} <> 0),
+         h AS (SELECT tr.doc_id, count(*) AS n_hits
+               FROM tr JOIN e ON tr.gram = e.gram GROUP BY 1)
+         SELECT d.doc_id, greatest(len(d.w) - ${g - 1}, 0) AS n_grams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+         WHERE d.doc_id % ${TrainData.contamEvalMod} <> 0
+         ORDER BY d.doc_id"""
+    },
+    "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+             (doc_id % 100003) * 2654435761 % 1000000 % ${TrainData.packShards} AS shard,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+           FROM documents),
+         c AS (SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         SELECT doc_id, shard, tok,
+           CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin
+         FROM c ORDER BY doc_id""",
+    "pack_sequences_stats" ->
+      s"""WITH d AS (SELECT doc_id,
+             (doc_id % 100003) * 2654435761 % 1000000 % ${TrainData.packShards} AS shard,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+           FROM documents),
+         c AS (SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+         b AS (SELECT shard,
+                 CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin,
+                 tok
+               FROM c)
+         SELECT shard, bin, count(*) AS n_docs, sum(tok) AS n_tokens,
+           floor(sum(tok) * 10000.0 / ${TrainData.packBudget}) / 10000 AS fill
+         FROM b GROUP BY shard, bin ORDER BY shard, bin"""
   )
 }

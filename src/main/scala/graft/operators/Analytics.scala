@@ -268,4 +268,51 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy(col("event_type"))
+
+  /** q_value_quantiles — exact p50/p90/p99 of event value per type
+    * (interpolated, the SQL-standard continuous quantile — bit-matching the
+    * oracle's quantile_cont). Exact percentile is a per-group sort; at
+    * 100 TB the production path swaps in `approx_percentile` (mergeable
+    * t-digest partials, one map-side-combined pass, bounded error) — same
+    * query shape, so the swap is a one-line change where exactness is not
+    * contractual.
+    */
+  def valueQuantiles(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (floor(element_at(col("qs"), 1) * 10000) / 10000).as("p50"),
+        (floor(element_at(col("qs"), 2) * 10000) / 10000).as("p90"),
+        (floor(element_at(col("qs"), 3) * 10000) / 10000).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** q_asof_join — as-of join: each purchase picks the most recent click at
+    * or before it on the same user (ties resolved by the (ts, event_id)
+    * total order, identical in the oracle). Spark has no native ASOF JOIN;
+    * the scale-correct re-expression is NOT a range self-join (quadratic
+    * per user, nested-loop under the hood) but ONE shuffle on user_id:
+    * interleave both event kinds in the same sorted window and carry the
+    * last-seen click forward with last(ignoreNulls) — linear scan per user,
+    * single Exchange, codegen window. The same shape serves any
+    * "latest state at event time" lookup (price as-of trade, config as-of
+    * event) at 100 TB.
+    */
+  def asofJoin(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("event_id")).as("c_id"),
+        when(col("event_type") === "click", col("ts")).as("c_ts"))
+      .withColumn("asof_click_id", last(col("c_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("asof_click_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("asof_click_ts"))).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -267,6 +267,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Paragraph granularity for span-level dedup: fixed 8-word chunks (the
+    * corpus has no sentence punctuation; real pipelines split on newlines /
+    * sentence boundaries — same plan, different splitter).
+    */
+  val paraWords = 8
+
+  /** A chunk is boilerplate when it appears in at least this many docs. */
+  val paraMinDf = 3
+
+  /** dedup_paragraph — SPAN-level dedup: whole-document dedup misses the
+    * mass-replicated boilerplate spans (headers, footers, templates) that
+    * dominate scraped corpora, so pretraining pipelines also dedup at
+    * paragraph granularity. Per doc: chunk count, boilerplate-chunk count
+    * (chunks whose distinct-doc frequency ≥ paraMinDf) and the boilerplate
+    * fraction — the "strip or drop" decision input.
+    *
+    * Scale shape: chunking is a per-row array expression (zero shuffle);
+    * chunk df is ONE map-side-combined groupBy on the chunk hash; the
+    * join back to chunks rides the same hash axis. Nothing is quadratic
+    * anywhere — there is no pairwise step at all.
+    */
+  def paragraphBoiler(t: Tables): DataFrame = {
+    val chunks = withWords(t.documents)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, int(floor((size(w)-1)/$paraWords))),
+            i -> concat_ws(' ', slice(w, i*$paraWords+1, $paraWords)))""")).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"))
+      .persist()
+    val df = chunks.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("cdf"))
+    chunks
+      .join(df, "ch")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") >= paraMinDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        (floor(col("n_boiler") * lit(10000.0) / col("n_chunks")) / 10000).as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- #39 simhash ----
 
   /** 64-bit SimHash per doc: per-token xxhash64, bit-position vote counts

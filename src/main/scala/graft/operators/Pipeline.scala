@@ -81,7 +81,19 @@ object Pipeline {
     val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip"))
     val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua"))
     val eventCols = t.events.columns
-    val passed = Gate.resolveCols(Envelope.attach(t.events))
+    // Materialize (event cols, gate keys, verdict) BEFORE the filter and
+    // anti-joins: the resolver verdict is one expensive expression tree
+    // (message construction + three typed JSON parses), and evaluating it
+    // inside the filter/join stage re-inlines that tree into every
+    // consumer (the predicate, each join key path, the output projection)
+    // — measured 62 s vs ~8 s for exactly one evaluation pass per row.
+    // After the checkpoint the gate decision chain runs over materialized
+    // bytes: a broadcast-hash anti-join pair plus a string filter.
+    val keep = eventCols.map(col) ++ Seq(col("appkey"), col("ip"), col("ua"), col("verdict"))
+    val resolved = Gate.resolveCols(Envelope.attach(t.events))
+      .select(keep: _*)
+      .localCheckpoint(true)
+    val passed = resolved
       .filter(col("verdict") === "OK")
       .filter(!col("appkey").isin(Etl.akBlacklist: _*))
       .join(ipB, Seq("appkey", "ip"), "left_anti")

@@ -133,6 +133,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** text_repetition — within-document repetition signals (the Gopher/C4
+    * style quality rules that catch degenerate generated/scraped text):
+    * duplicate-word fraction, duplicate-bigram fraction, and the share of
+    * the document owned by its single most-frequent word bigram. All three
+    * are per-row array expressions — `array_distinct` for the duplicate
+    * fractions and a sort+run-length `aggregate` fold for the top-bigram
+    * share — zero shuffle, fully codegen, one scan pass at any scale.
+    */
+  def repetition(t: Tables): DataFrame = {
+    val grams = expr(
+      "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")
+    // max run length in the sorted bigram array = count of the most
+    // frequent bigram; a fold keeps it inside the row (no per-gram explode)
+    val topRun = expr(
+      """aggregate(array_sort(g),
+           named_struct('prev', '', 'run', 0, 'best', 0),
+           (a, x) -> named_struct(
+             'prev', x,
+             'run',  IF(x = a.prev, a.run + 1, 1),
+             'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))),
+           a -> a.best)""")
+    docsW(t)
+      .filter(size(col("w")) >= 2)
+      .withColumn("g", grams)
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(col("g")).as("n_grams"),
+        size(array_distinct(col("w"))).as("d_words"),
+        size(array_distinct(col("g"))).as("d_grams"),
+        topRun.as("top_run"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_grams"),
+        (floor((lit(1.0) - col("d_words") / col("n_words").cast("double")) * 10000) / 10000)
+          .as("dup_word_frac"),
+        (floor((lit(1.0) - col("d_grams") / col("n_grams").cast("double")) * 10000) / 10000)
+          .as("dup_gram_frac"),
+        (floor(col("top_run") / col("n_grams").cast("double") * 10000) / 10000)
+          .as("top_gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #45 text_fingerprint — polynomial rolling hash folded over the word
     * sequence (order-sensitive), plus the min shingle hash (winnowing-style
     * content anchor, order-robust). Sequential `aggregate` fold — no UDF.

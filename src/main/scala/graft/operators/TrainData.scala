@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators (SURVEY.md §2.8 extensions): the
+  * corpus-mixing steps a large-scale pretraining pipeline runs after
+  * dedup/quality filtering.
+  */
+object TrainData {
+
+  /** Per-stratum keep rates for the training mix (stratum = event_type here;
+    * in a document pipeline: source/language/quality bucket). Also the
+    * source of the oracle's VALUES list — one copy.
+    */
+  val sampleRates: Seq[(String, Double)] = Seq(
+    "view" -> 0.05, "click" -> 0.25, "error" -> 0.01,
+    "signup" -> 0.5, "purchase" -> 1.0)
+
+  /** Knuth multiplicative mix of the row key into [0, 1e6) — deterministic,
+    * partition-independent, identical in Spark and DuckDB (the inner modulus
+    * keeps the product far from 64-bit overflow, where ANSI engines error).
+    * Production string keys take the same path via xxhash64; the integral
+    * mix is what makes the oracle replayable.
+    */
+  private def mix(c: org.apache.spark.sql.Column) =
+    (c % 100003L) * 2654435761L % 1000000L
+
+  /** sample_stratified — deterministic stratified sampling: each stratum
+    * keeps `rate` of its rows, chosen by the key mix, NOT by RNG — so the
+    * sample is reproducible across runs, clusters and repartitioning
+    * (df.sampleBy's seed is partition-dependent and useless for auditable
+    * training mixes). Scale shape: broadcast the rate dim, zero shuffle —
+    * the filter fuses into the scan, and downstream stages see a stream
+    * that is already the mix.
+    */
+  def sampleStratified(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val rates = broadcast(sampleRates.toDF("event_type", "rate"))
+    t.events
+      .join(rates, Seq("event_type"))
+      .filter(mix(col("event_id")) < col("rate") * 1000000L)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Eval membership: every 97th doc_id — a deterministic stand-in for the
+    * held-out benchmark set a decontamination pass protects. Portable
+    * (plain modulus) so the oracle replays it.
+    */
+  val contamEvalMod = 97L
+
+  /** Contamination n-gram width. 8 words is the conventional
+    * decontamination window (long enough that a hit means shared text, not
+    * shared phrasing).
+    */
+  val contamGram = 8
+
+  /** text_contamination — train/eval overlap detection: flag training
+    * documents sharing any word 8-gram with the eval set, with per-doc hit
+    * counts. The standard pretraining decontamination pass.
+    *
+    * Scale shape: per-doc distinct grams are built INSIDE the row
+    * (array_distinct before explode); eval grams collapse through one
+    * map-side-combined distinct. The probe is an equi-join on the gram
+    * hash — at production scale the eval side is benchmark-sized (≪ train),
+    * so Spark broadcasts it and the pass costs one scan of train. Docs too
+    * short to carry a full window surface with n_grams = 0 rather than
+    * dropping out (left join from the doc spine).
+    */
+  def contamination(t: Tables): DataFrame = {
+    val grams = Dedup.withWords(t.documents)
+      .filter(size(col("w")) >= contamGram)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(w)-$contamGram),
+            i -> concat_ws(' ', slice(w, i+1, $contamGram)))"""))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val isEval = col("doc_id") % contamEvalMod === 0
+    val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+    val hits = grams.filter(!isEval)
+      .join(evalGrams, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    t.documents.filter(!isEval)
+      .select(col("doc_id"),
+        greatest(size(split(lower(trim(col("text"))), "\\s+")) - (contamGram - 1), lit(0))
+          .as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Packing shards: parallelism of the packing pass. Each shard is one
+    * ordered fill — at 100 TB you size this O(cluster cores) so every core
+    * fills its own stream; 8 keeps the oracle window small here.
+    */
+  val packShards = 8L
+
+  /** Token budget per packed sequence (a context window's worth). */
+  val packBudget = 512L
+
+  /** pack_sequences — sequence packing: concatenate documents into fixed
+    * token-budget bins (context-window fill for pretraining). Deterministic
+    * contiguous fill: shard by the key mix, order by doc_id within the
+    * shard, running token sum, and a doc lands in bin ⌊(cumsum − tok)/B⌋ —
+    * the bin its first token falls into, so every bin overflows by less
+    * than one document (exactly what a packer that splits long docs across
+    * boundaries produces, minus the split bookkeeping).
+    *
+    * Scale shape: ONE shuffle (the per-shard window); each shard is an
+    * ordered linear scan. Packing is inherently sequential per output
+    * stream — sharding is what makes it parallel, and the shard count is
+    * the knob that matches it to the cluster.
+    */
+  def packSequences(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Dedup.withWords(t.documents)
+      .select(col("doc_id"), (mix(col("doc_id")) % packShards).as("shard"),
+        size(col("w")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("tok"),
+        floor((col("cum") - col("tok")).cast("double") / packBudget).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pack_sequences_stats — packing efficiency audit: docs, tokens and fill
+    * ratio per (shard, bin). The fill ratio distribution is the packing
+    * quality metric (waste = 1 − mean fill of non-final bins).
+    */
+  def packSequencesStats(t: Tables): DataFrame =
+    packSequences(t)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        (floor(col("n_tokens") * lit(10000.0) / packBudget) / 10000).as("fill"))
+      .orderBy(col("shard"), col("bin"))
+
+  /** sample_stratified_stats — the mix audit: kept vs total per stratum with
+    * the realized fraction (floor-rounded for the oracle). One
+    * map-side-combined groupBy over the same zero-shuffle filter.
+    */
+  def sampleStratifiedStats(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val rates = broadcast(sampleRates.toDF("event_type", "rate"))
+    t.events
+      .join(rates, Seq("event_type"))
+      .groupBy(col("event_type"), col("rate"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(mix(col("event_id")) < col("rate") * 1000000L, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("event_type"),
+        col("n_total"), col("n_kept"),
+        (floor(col("n_kept") * lit(10000.0) / col("n_total")) / 10000).as("realized"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, TrainData}
 
 class AnalyticsSpec extends SparkSpec {
 
@@ -62,5 +62,50 @@ class AnalyticsSpec extends SparkSpec {
     val direct = t.events.filter(col("event_type") === "purchase")
       .agg(round(sum("value"), 2)).collect()(0).getDouble(0)
     assert(math.abs(ltv - direct) < 0.05)
+  }
+
+  test("asof join picks the latest click at or before each purchase") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ts0 = 1700000000L
+    def ev(id: Long, u: Long, sec: Long, tpe: String) = (id, sec * 1000000L, u, tpe, 1.0, "{}")
+    val evDf = Seq(
+      ev(1, 1, ts0 + 10, "click"),
+      ev(2, 1, ts0 + 20, "click"),
+      ev(3, 1, ts0 + 25, "purchase"), // -> click 2, gap 5
+      ev(4, 1, ts0 + 5, "purchase"),  // before any click -> null
+      ev(5, 2, ts0 + 30, "purchase"), // user 2 has no clicks -> null
+      ev(6, 3, ts0 + 40, "view")      // not click/purchase -> absent
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val t2 = new graft.sources.Tables(spark, sf) { override def events = evDf }
+    val got = Analytics.asofJoin(t2).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("asof_click_id")), Option(r.getAs[Any]("gap_sec")))).toMap
+    assert(got.keySet == Set(3L, 4L, 5L))
+    assert(got(3L) == ((Some(2L), Some(5L))))
+    assert(got(4L) == ((None, None)))
+    assert(got(5L) == ((None, None)))
+  }
+
+  test("stratified sample is deterministic and tracks configured rates") {
+    import org.apache.spark.sql.functions._
+    val a = TrainData.sampleStratified(t).collect().map(_.getAs[Long]("event_id"))
+    val b = TrainData.sampleStratified(t).collect().map(_.getAs[Long]("event_id"))
+    assert(a.sameElements(b), "sample not reproducible")
+    val stats = TrainData.sampleStratifiedStats(t).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))).toMap
+    val rates = TrainData.sampleRates.toMap
+    stats.foreach { case (tpe, (total, kept)) =>
+      val rate = rates(tpe)
+      if (rate == 1.0) assert(kept == total, s"$tpe must keep everything")
+      else {
+        // deterministic hash ~ uniform: realized fraction within ±5pp + small-n slack
+        val realized = kept.toDouble / total
+        assert(math.abs(realized - rate) < 0.05 + 2.0 / math.sqrt(total.toDouble),
+          s"$tpe realized $realized vs rate $rate")
+      }
+    }
   }
 }

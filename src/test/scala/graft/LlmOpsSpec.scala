@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Sim, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sim, TextAnalysis, TrainData}
 import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSpec {
@@ -60,6 +60,83 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("jaccard") == 1.0)
       assert(r.getAs[Long]("da") < r.getAs[Long]("db") && r.getAs[Long]("db") <= 12L)
     }
+  }
+
+  test("paragraph dedup flags shared chunks as boilerplate, unique docs clean") {
+    import spark.implicits._
+    // 3 docs share an identical first 8-word chunk (df=3 >= paraMinDf);
+    // their tails and doc 9 are unique
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"$boiler t1a t1b t1c t1d t1e t1f t1g t1h"),
+      (2L, s"$boiler t2a t2b t2c t2d t2e t2f t2g t2h"),
+      (3L, s"$boiler t3a t3b t3c t3d t3e t3f t3g t3h"),
+      (9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16"))
+      .toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val got = Dedup.paragraphBoiler(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boiler"))).toMap
+    assert(got(1L) == ((2L, 1L)) && got(2L) == ((2L, 1L)) && got(3L) == ((2L, 1L)))
+    assert(got(9L) == ((2L, 0L)))
+  }
+
+  test("repetition signals separate degenerate from varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),       // one word, one bigram
+      (2L, "a b c d e f"),                          // all distinct
+      (3L, "x y x y x y x y"))                      // alternating pair
+      .toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val got = TextAnalysis.repetition(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_word_frac"), r.getAs[Double]("dup_gram_frac"),
+          r.getAs[Double]("top_gram_frac"))).toMap
+    assert(got(1L) == ((0.8333, 0.8, 1.0)))   // 1/6 distinct words, 1/5 grams
+    assert(got(2L) == ((0.0, 0.0, 0.2)))      // everything unique, top=1/5
+    // 8 words {x,y}; 7 grams: "x y"x4, "y x"x3 -> dup 5/7, top 4/7
+    assert(got(3L) == ((0.75, 0.7142, 0.5714)))
+  }
+
+  test("contamination flags train docs sharing an 8-gram with the eval set") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (0L, s"$shared e1 e2 e3"),                    // eval (0 % 97 == 0)
+      (1L, s"pre1 pre2 $shared post"),              // train, contaminated
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),           // train, clean
+      (3L, "tiny doc"))                             // train, too short
+      .toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val got = TrainData.contamination(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams"), r.getAs[Long]("n_hits"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    assert(!got.contains(0L), "eval docs must not appear")
+    assert(got(1L) == ((4, 1L, true)))
+    assert(got(2L) == ((2, 0L, false)))
+    assert(got(3L) == ((0, 0L, false)))
+  }
+
+  test("sequence packing fills bins contiguously with bounded overflow") {
+    val rows = TrainData.packSequences(t).collect()
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        // the assigned bin is where the doc's first token lands
+        assert(r.getAs[Long]("bin") == cum / TrainData.packBudget)
+        cum += r.getAs[Long]("tok")
+      }
+      // bins are dense: 0..max with none skipped
+      val bins = sorted.map(_.getAs[Long]("bin"))
+      assert(bins.distinct.sorted.sameElements(0L to bins.max))
+    }
+    // stats agree with the doc-level assignment
+    val stats = TrainData.packSequencesStats(t).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == rows.length)
   }
 
   test("blocked embedding near-dup equals brute force, no nested-loop join") {

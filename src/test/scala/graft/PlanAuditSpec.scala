@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Dedup, Etl, Identity}
+import graft.operators.{Analytics, Dedup, Etl, Identity, TextAnalysis, TrainData}
 
 /** Plan audits (SURVEY.md §5): the properties that make these plans survive
   * a 100× scale-up, asserted against the optimized physical plan so a
@@ -90,6 +90,38 @@ class PlanAuditSpec extends SparkSpec {
   test("exact dedup aggregates map-side on the hash key") {
     val p = plan(Dedup.exact(t))
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+  }
+
+  test("repetition signals shuffle nothing before the output sort") {
+    // per-row array expressions only: the single Exchange is the final
+    // global orderBy (rangepartitioning); any hashpartitioning exchange
+    // means a groupBy/join crept into what must stay a scan pass
+    val p = plan(TextAnalysis.repetition(t))
+    assert(!p.contains("hashpartitioning"), s"repetition gained a shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"),
+      s"repetition gained a join:\n$p")
+  }
+
+  test("sequence packing is one hash shuffle (the per-shard window)") {
+    val p = plan(TrainData.packSequences(t))
+    val nHash = "hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"packing must shuffle exactly once on shard ($nHash):\n$p")
+  }
+
+  test("stratified sample broadcasts the rate dim and pushes no shuffle") {
+    val p = plan(TrainData.sampleStratified(t))
+    assert(p.contains("BroadcastHashJoin"), s"rate dim join shuffled:\n$p")
+    assert(!p.contains("hashpartitioning"), s"sample gained a shuffle:\n$p")
+  }
+
+  test("asof join is one window over user_id, never a range self-join") {
+    val p = plan(Analytics.asofJoin(t))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof became a range join:\n$p")
+    assert("Window".r.findAllIn(p).length >= 1, s"asof lost its window:\n$p")
+    // exactly one hash exchange: the user_id partition feeding the window
+    val nHash = "hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"asof shuffles more than once ($nHash):\n$p")
   }
 
   test("whole-stage codegen covers the envelope expression work") {
