@@ -118,7 +118,8 @@ object SparkEntry {
     "text_repetition"         -> ((s, d) => TextAnalysis.repetition(tables(s, d))),
     "text_contamination"      -> ((s, d) => TrainData.contamination(tables(s, d))),
     "pack_sequences"          -> ((s, d) => TrainData.packSequences(tables(s, d))),
-    "pack_sequences_stats"    -> ((s, d) => TrainData.packSequencesStats(tables(s, d)))
+    "pack_sequences_stats"    -> ((s, d) => TrainData.packSequencesStats(tables(s, d))),
+    "pipeline_curation"       -> ((s, d) => TrainData.curation(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -1220,6 +1221,46 @@ object SparkEntry {
                FROM c)
          SELECT shard, bin, count(*) AS n_docs, sum(tok) AS n_tokens,
            floor(sum(tok) * 10000.0 / ${TrainData.packBudget}) / 10000 AS fill
-         FROM b GROUP BY shard, bin ORDER BY shard, bin"""
+         FROM b GROUP BY shard, bin ORDER BY shard, bin""",
+    "pipeline_curation" -> {
+      val g = TrainData.contamGram
+      s"""WITH d AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+           FROM documents),
+         q AS (SELECT doc_id, w, h, len(w) AS tok,
+                 floor((CAST(least(len(w), 50) AS DOUBLE) / 50 * 0.5
+                   + CAST(len(list_filter(w, x -> x IN
+                       (${inList(TextAnalysis.stopwords.head._2)}))) AS DOUBLE)
+                     / len(w) * 0.5) * 10000) / 10000 AS quality
+               FROM d),
+         dd AS (SELECT q.* FROM q
+                JOIN (SELECT h, min(doc_id) AS keep_id FROM q GROUP BY h) k
+                  ON q.h = k.h AND q.doc_id = k.keep_id),
+         gs AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(w) - ${g - 1}),
+                    i -> array_to_string(w[i : i + ${g - 1}], ' '))) AS grams
+                FROM dd WHERE len(w) >= $g),
+         e AS (SELECT DISTINCT unnest(grams) AS gram FROM gs
+               WHERE doc_id % ${TrainData.contamEvalMod} = 0),
+         bad AS (SELECT DISTINCT tr.doc_id
+                 FROM (SELECT doc_id, unnest(grams) AS gram FROM gs
+                       WHERE doc_id % ${TrainData.contamEvalMod} <> 0) tr
+                 JOIN e ON tr.gram = e.gram),
+         clean AS (SELECT dd.doc_id,
+                     (dd.doc_id % 100003) * 2654435761 % 1000000
+                       % ${TrainData.packShards} AS shard,
+                     CAST(dd.tok AS BIGINT) AS tok, dd.quality
+                   FROM dd
+                   WHERE dd.doc_id % ${TrainData.contamEvalMod} <> 0
+                     AND dd.doc_id NOT IN (SELECT doc_id FROM bad)
+                     AND dd.quality >= ${TrainData.curationMinQuality}),
+         c AS (SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM clean)
+         SELECT doc_id, shard, tok, quality,
+           CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin
+         FROM c ORDER BY doc_id"""
+    }
   )
 }

@@ -141,6 +141,70 @@ object TrainData {
         (floor(col("n_tokens") * lit(10000.0) / packBudget) / 10000).as("fill"))
       .orderBy(col("shard"), col("bin"))
 
+  /** Quality floor for the curation chain (same score as
+    * TextAnalysis.qualityScore; the corpus sits mostly in [0.5, 1.0]).
+    */
+  val curationMinQuality = 0.55
+
+  /** pipeline_curation — the training-data AllJob: the full corpus-curation
+    * chain as ONE declarative plan, the way a pretraining data pipeline
+    * actually runs it:
+    *
+    *   exact dedup (keep the min doc_id of each normalized-text group)
+    *   → decontaminate (drop docs sharing an 8-gram with the eval set,
+    *     and the eval docs themselves)
+    *   → quality gate (stopword/length score ≥ curationMinQuality)
+    *   → pack survivors into token-budget bins (sharded contiguous fill).
+    *
+    * Output: one row per surviving doc with its pack assignment and the
+    * scores that let it through — the manifest a trainer consumes.
+    *
+    * Cost shape at 100 TB: one documents scan feeds every stage; the wide
+    * operations are the dedup groupBy (16-byte hash axis), the
+    * contamination gram join (eval side benchmark-sized → broadcast), and
+    * the packing window (per-shard). Quality is free (per-row exprs on the
+    * same scan). No stage is quadratic; every stage's filter shrinks the
+    * data before the next shuffle.
+    */
+  def curation(t: Tables): DataFrame = {
+    val docs = Dedup.withWords(t.documents)
+      .select(col("doc_id"), col("text"), col("w"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"),
+        size(col("w")).cast("long").as("tok"),
+        expr(s"size(filter(w, x -> x IN (${TextAnalysis.stopwords.head._2
+          .map(w => s"'$w'").mkString(", ")})))").as("stop_hits"))
+      .withColumn("quality",
+        floor((least(col("tok"), lit(50L)).cast("double") / 50 * 0.5 +
+          col("stop_hits").cast("double") / col("tok") * 0.5) * 10000) / 10000)
+    val deduped = docs.join(
+      docs.groupBy("h").agg(min(col("doc_id")).as("keep_id")),
+      "h").filter(col("doc_id") === col("keep_id"))
+    val isEval = col("doc_id") % contamEvalMod === 0
+    val grams = deduped
+      .filter(size(col("w")) >= contamGram)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(w)-$contamGram),
+            i -> concat_ws(' ', slice(w, i+1, $contamGram)))"""))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+    val contaminated = grams.filter(!isEval).join(evalGrams, "gh")
+      .select(col("doc_id")).distinct()
+    val clean = deduped
+      .filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= curationMinQuality)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean
+      .select(col("doc_id"), (mix(col("doc_id")) % packShards).as("shard"),
+        col("tok"), col("quality"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("tok"), col("quality"),
+        floor((col("cum") - col("tok")).cast("double") / packBudget).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** sample_stratified_stats — the mix audit: kept vs total per stratum with
     * the realized fraction (floor-rounded for the oracle). One
     * map-side-combined groupBy over the same zero-shuffle filter.

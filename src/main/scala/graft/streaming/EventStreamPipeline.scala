@@ -113,6 +113,28 @@ object EventStreamPipeline {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming gate leg — GateJob on the live stream: the transport
+    * resolver verdict (`Gate.resolveCols`, pure column expressions — the
+    * identical implementation batch uses) plus the broadcast blacklist
+    * anti-joins. Stateless: no state store at any scale, so the gate adds
+    * zero streaming memory pressure. Emits only surviving events, exactly
+    * like GateJob.execute's output stream feeding IdJob.
+    */
+  def gateStream(events: DataFrame): DataFrame = {
+    import graft.operators.{Envelope, Etl, Gate}
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.functions.CodecExpressions.register(spark)
+    val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip"))
+    val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua"))
+    Gate.resolveCols(Envelope.attach(events))
+      .filter(col("verdict") === "OK")
+      .filter(!col("appkey").isin(Etl.akBlacklist: _*))
+      .join(ipB, Seq("appkey", "ip"), "left_anti")
+      .join(uaB, Seq("appkey", "ua"), "left_anti")
+      .select(events.columns.map(col) :+ col("verdict"): _*)
+  }
+
   // ---- stateful sessionization (streaming analog of #8 id_sessionize) ----
 
   case class SessionState(lastSec: Long, nEvents: Int, nSessions: Int)

@@ -139,6 +139,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_docs")).sum == rows.length)
   }
 
+  test("curation chain composes dedup, decontamination, quality gate and packing") {
+    val rows = TrainData.curation(t).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    // every survivor is its exact-dedup group representative
+    val keepIds = Dedup.exact(t).collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(ids.subsetOf(keepIds), "curation kept a non-representative duplicate")
+    // no eval docs, no contaminated docs
+    assert(ids.forall(_ % TrainData.contamEvalMod != 0), "eval doc leaked through")
+    val contaminated = TrainData.contamination(t).collect()
+      .filter(_.getAs[Boolean]("contaminated")).map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(contaminated).isEmpty, "contaminated doc leaked through")
+    // quality floor holds, and packing follows the same contiguous-fill law
+    rows.foreach(r => assert(r.getAs[Double]("quality") >= TrainData.curationMinQuality))
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("bin") == cum / TrainData.packBudget)
+        cum += r.getAs[Long]("tok")
+      }
+    }
+  }
+
   test("blocked embedding near-dup equals brute force, no nested-loop join") {
     val blocked = Sim.embeddingNearDup(t).collect()
     val brute = Sim.embeddingNearDupBrute(t).collect()

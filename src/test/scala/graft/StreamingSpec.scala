@@ -76,6 +76,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming gate passes exactly the events the batch AllJob gate passes") {
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val out = EventStreamPipeline.gateStream(events)
+      .groupBy("verdict").agg(count(lit(1)).as("n"))
+    runToMemory("gate", out, "complete")
+    val streamed = spark.sql("SELECT sum(n) FROM gate").collect()(0).getLong(0)
+    // batch equivalent: the same expressions over the same file as a batch
+    // frame — gateStream is batch/stream-agnostic, so feed it t.events
+    val batch = EventStreamPipeline.gateStream(t.events).count()
+    assert(streamed == batch && batch > 0)
+  }
+
   test("watermarked dedup emits each event id exactly once") {
     // duplicate the input file so every event arrives twice
     val dir = java.nio.file.Files.createTempDirectory("graft_dup_in")
