@@ -41,6 +41,7 @@ object SparkEntry {
     "derive_virtual_property" -> ((s, d) => Derive.virtualProperty(tables(s, d))),
     "derive_virtual_event"    -> ((s, d) => Derive.virtualEvent(tables(s, d))),
     "derive_rule_tree"        -> ((s, d) => Derive.ruleTree(tables(s, d))),
+    "derive_rule_sql"         -> ((s, d) => Derive.ruleSql(tables(s, d))),
     "derive_device_props"     -> ((s, d) => Derive.deviceProps(tables(s, d))),
     "derive_event_registry"   -> ((s, d) => Derive.eventRegistry(tables(s, d))),
     "derive_user_prop_registry" -> ((s, d) => Derive.userPropRegistry(tables(s, d))),
@@ -54,6 +55,7 @@ object SparkEntry {
     "derive_device_property_full" -> ((s, d) => Derive.devicePropertyFull(tables(s, d))),
     "adv_app_ad_latest"       -> ((s, d) => Adv.appAdLatest(tables(s, d))),
     "adv_attribute_event"     -> ((s, d) => Adv.attributeEvent(tables(s, d))),
+    "adv_channel_rollup"      -> ((s, d) => Adv.channelRollup(tables(s, d))),
     "sim_ann_ivf"             -> ((s, d) => Sim.ivfTopK(tables(s, d))),
     // end-to-end: the full IdJob→DwJob chain in one plan
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
@@ -502,6 +504,15 @@ object SparkEntry {
          CAST(floor(value * 0.05 + 1) AS BIGINT) AS rt_fee,
          concat(upper(event_type), '-evt') AS rt_label
          FROM events ORDER BY event_id""",
+    "derive_rule_sql" ->
+      """SELECT event_id,
+         CASE WHEN value >= 100 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS rs_bucket,
+         CAST(floor(value * 0.05 + 1) AS BIGINT) AS rs_fee,
+         concat(upper(event_type), '-evt') AS rs_label,
+         CASE WHEN value > 1000 AND event_type = 'purchase' THEN 'bulk_discount'
+              WHEN value > 1000 THEN 'price_discount'
+              ELSE 'no_discount' END AS rs_discount
+         FROM events ORDER BY event_id""",
     "derive_device_props" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT event_id,
@@ -648,6 +659,22 @@ object SparkEntry {
          LEFT JOIN state sf
            ON sf.match_key = concat('adtfad:', cast(p.ad_app_id AS string), ':', p.ip, p.ua)
          ORDER BY p.event_id""",
+    "adv_channel_rollup" -> {
+      val dims = operators.Adv.adChannelDim
+        .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
+        .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
+         dim(channel_type, channel_name) AS (VALUES $dims),
+         clicks AS (
+           SELECT r.event_id AS lid, cast(r.event_id % 16 AS string) AS channel_type
+           FROM raw r JOIN apps a ON r.appkey = a.appkey
+           WHERE r.event_type = 'click')
+         SELECT c.channel_type, coalesce(d.channel_name, '') AS channel_name,
+           count(*) AS n_clicks, max(c.lid) AS last_lid
+         FROM clicks c LEFT JOIN dim d ON c.channel_type = d.channel_type
+         GROUP BY 1, 2 ORDER BY c.channel_type"""
+    },
     "enrich_utm_attribution" ->
       """SELECT utm_source, utm_medium, count(*) AS n FROM (
            SELECT
@@ -1033,6 +1060,31 @@ object SparkEntry {
                FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id)
          SELECT da, db, floor(jac * 10000) / 10000 AS jaccard
          FROM j WHERE jac >= ${Dedup.jaccardTau} ORDER BY da, db""",
+    // the min-label fixpoint IS oracle SQL: transitive closure by recursive
+    // CTE over the (tiny) near-dup pair graph, then min-reachable per node
+    "dedup_groups" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+         s0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d3),
+         sh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s FROM s0),
+         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT da, db, CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) AS jac
+               FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id),
+         pairs AS (SELECT da, db FROM j WHERE jac >= ${Dedup.jaccardTau}),
+         e AS (SELECT da AS a, db AS b FROM pairs
+               UNION SELECT db AS a, da AS b FROM pairs),
+         reach AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         lbl AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+                 FROM reach GROUP BY a),
+         sz AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY 1)
+         SELECT l.doc_id, l.group_id, s.group_size
+         FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",
     "sim_ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -225,6 +225,37 @@ object Adv {
       .orderBy(col("event_id"))
   }
 
+  /** Ad channel name dim (AdvLidAndUserFirstEndFlatMapFunction
+    * .getchannelTypeNameStr:585-605): channelType code → platform name,
+    * unknown codes → '' (the reference's default branch).
+    */
+  val adChannelDim: Seq[(String, String)] = Seq(
+    "1" -> "百度信息流", "2" -> "巨量引擎", "3" -> "腾讯广告", "4" -> "百度搜索",
+    "5" -> "苹果ASA", "9" -> "知乎营销", "10" -> "快手广告", "11" -> "微博-超级粉丝通",
+    "12" -> "华为广告", "13" -> "小米营销", "14" -> "VIVO营销平台", "15" -> "OPPO营销平台")
+
+  /** adv_channel_rollup — the first/last-ad-source leg's channel naming
+    * (AdvLidAndUserFirstEnd attaches 首次/末次广告来源 user props with the
+    * channel NAME, not the code): adtf clicks carry a channelType code;
+    * the dim is broadcast config, unknown codes collapse to ''. Per
+    * channel: click count + latest click — the rollup the user props are
+    * built from.
+    */
+  def channelRollup(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val dim = broadcast(adChannelDim.toDF("channel_type", "channel_name"))
+    env(t)
+      .filter(col("event_type") === "click" && col("appkey") =!= "")
+      .join(advApps(t), Seq("appkey"))
+      .select(col("event_id").as("lid"),
+        (col("event_id") % 16).cast("string").as("channel_type"))
+      .join(dim, Seq("channel_type"), "left")
+      .groupBy(col("channel_type"), coalesce(col("channel_name"), lit("")).as("channel_name"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("lid")).as("last_lid"))
+      .orderBy(col("channel_type"))
+  }
+
   /** #27 adv_conversion — AdvConvertEventFlatMapFunction: conversion event
     * extraction, deduped to one row per (user, conversion event, day).
     */

@@ -83,6 +83,34 @@ object Derive {
       }: _*)
       .orderBy(col("event_id"))
 
+  /** SQL-string rules (the admin-facing form SqlToJsonExpressionConverter
+    * accepts — its own documented examples use exactly this shape). Compiled
+    * by `functions.SqlRules` through Spark's SQL parser instead of the
+    * reference's hand-rolled tokenizer.
+    */
+  val sqlRules: Seq[(String, String)] = Seq(
+    "rs_bucket" ->
+      "CASE WHEN event.value >= 100 THEN 'high' WHEN event.value >= 10 THEN 'mid' ELSE 'low' END",
+    "rs_fee" -> "FLOOR(event.value * 0.05 + 1)",
+    "rs_label" -> "CONCAT(UPPER(event.event_type), '-evt')",
+    "rs_discount" ->
+      """CASE WHEN event.value > 1000 AND event.event_type = 'purchase' THEN 'bulk_discount'
+              WHEN event.value > 1000 THEN 'price_discount'
+              ELSE 'no_discount' END""")
+
+  /** derive_rule_sql — #10 in the reference's SQL-string rule form: each
+    * rule parses through Spark's expression parser, validates against the
+    * reference's operator/function whitelist, and compiles to a codegen'd
+    * Column — same execution tier as the JSON-tree path (`derive_rule_tree`),
+    * one scan, zero shuffle.
+    */
+  def ruleSql(t: Tables): DataFrame =
+    t.events.select(
+      col("event_id") +: sqlRules.map { case (name, sql) =>
+        graft.functions.SqlRules.compile(sql, t.spark).as(name)
+      }: _*)
+      .orderBy(col("event_id"))
+
   /** #11 virtual event rules (VirtualEventOperator config rows): match on
     * event name + a filter predicate (here a value threshold — the reference
     * filter map's batch analog), emit a derived event per match.

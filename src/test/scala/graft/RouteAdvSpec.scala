@@ -71,4 +71,16 @@ class RouteAdvSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_raw")).sum ==
       t.events.filter(col("event_type") === "purchase").count())
   }
+
+  test("channel rollup names registered codes and blanks unknown ones") {
+    val rows = Adv.channelRollup(t).collect()
+    val dim = Adv.adChannelDim.toMap
+    rows.foreach { r =>
+      val (code, name) = (r.getAs[String]("channel_type"), r.getAs[String]("channel_name"))
+      assert(name == dim.getOrElse(code, ""), s"code $code mapped to '$name'")
+      assert(r.getAs[Long]("n_clicks") > 0)
+    }
+    // codes 0/6/7/8 exist in the synthesized corpus but not the dim
+    assert(rows.exists(_.getAs[String]("channel_name") == ""))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.RuleCompiler
+import graft.functions.{RuleCompiler, SqlRules}
 import org.apache.spark.sql.functions._
 
 class RuleCompilerSpec extends SparkSpec {
@@ -9,6 +9,58 @@ class RuleCompilerSpec extends SparkSpec {
     import spark.implicits._
     data.toSeq.toDF("value", "event_type")
       .select(RuleCompiler.compile(rule).as("r")).collect().map(_.get(0))
+  }
+
+  private def evalSql(rule: String, data: (Double, String)*): Array[Any] = {
+    import spark.implicits._
+    data.toSeq.toDF("value", "event_type")
+      .select(SqlRules.compile(rule, spark).as("r")).collect().map(_.get(0))
+  }
+
+  test("sql rules: the reference's own documented examples compile and run") {
+    // SqlToJsonExpressionConverter.java:632-653 example set
+    assert(evalSql(
+      "CASE WHEN event.value > 1000 THEN 'high' ELSE 'low' END",
+      (1500.0, "x"), (10.0, "x")).sameElements(Array("high", "low")))
+    assert(evalSql(
+      """CASE WHEN event.value > 1000 AND event.event_type = 'purchase' THEN 'bulk_discount'
+              WHEN event.value > 1000 THEN 'price_discount' ELSE 'no_discount' END""",
+      (1500.0, "purchase"), (1500.0, "view"), (5.0, "purchase"))
+      .sameElements(Array("bulk_discount", "price_discount", "no_discount")))
+    assert(evalSql("NULLIF(event.event_type, '')", (0.0, ""), (0.0, "a"))
+      .sameElements(Array(null, "a")))
+    assert(evalSql("CONCAT(UPPER(event.event_type), '-', LEN(event.event_type))",
+      (0.0, "ab"))(0) == "AB-2")
+  }
+
+  test("sql rules: qualified field names resolve through the default resolver") {
+    assert(evalSql("user.value + event.value", (2.0, "x"))(0) == 4.0)
+  }
+
+  test("sql rules: aggregates and unsupported constructs are rejected clearly") {
+    val agg = intercept[IllegalArgumentException] {
+      SqlRules.compile("SUM(event.value)", spark)
+    }
+    assert(agg.getMessage.contains("unsupported function"))
+    val sub = intercept[IllegalArgumentException] {
+      SqlRules.compile("event.value IN (1, 2, 3)", spark)
+    }
+    assert(sub.getMessage.contains("unsupported SQL construct"))
+  }
+
+  test("sql rules: literal-position constraints match the JSON-tree compiler") {
+    val e = intercept[IllegalArgumentException] {
+      SqlRules.compile("ROUND(event.value, event.value)", spark)
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+
+  test("sql rule and json tree compile to identical results") {
+    // the same bucket rule in both admin formats must agree row-for-row
+    val sqlForm = "CASE WHEN event.value >= 100 THEN 'high' WHEN event.value >= 10 THEN 'mid' ELSE 'low' END"
+    val data = Seq((150.0, "a"), (50.0, "b"), (1.0, "c"))
+    assert(evalSql(sqlForm, data: _*)
+      .sameElements(eval(graft.operators.Derive.ruleTrees.head._2, data: _*)))
   }
 
   test("substring supports the reference's 2-parameter to-end-of-string form") {
