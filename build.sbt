@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs inherit the real stdout/stderr instead of sbt's logger:
+// without this every println is wrapped as "[info] ..." and the driver
+// cannot parse Bench's single JSON line (BENCH_r02 recorded parsed:null
+// with the line present but prefixed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -121,7 +121,9 @@ object SparkEntry {
     "text_contamination"      -> ((s, d) => TrainData.contamination(tables(s, d))),
     "pack_sequences"          -> ((s, d) => TrainData.packSequences(tables(s, d))),
     "pack_sequences_stats"    -> ((s, d) => TrainData.packSequencesStats(tables(s, d))),
-    "pipeline_curation"       -> ((s, d) => TrainData.curation(tables(s, d)))
+    "pipeline_curation"       -> ((s, d) => TrainData.curation(tables(s, d))),
+    "text_unigram_lm"         -> ((s, d) => TextAnalysis.unigramLm(tables(s, d))),
+    "emb_quantize"            -> ((s, d) => Sim.quantize(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -1313,6 +1315,34 @@ object SparkEntry {
          SELECT doc_id, shard, tok, quality,
            CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin
          FROM c ORDER BY doc_id"""
-    }
+    },
+    "text_unigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+         tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+         v AS (SELECT tok, count(*) AS tf FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM v),
+         s AS (SELECT tk.doc_id, -log2(CAST(v.tf AS DOUBLE) / tot.n_total) AS nll
+               FROM tk JOIN v ON tk.tok = v.tok CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tok,
+           floor(sum(nll) / count(*) * 100) / 100 AS mean_nll
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+               FROM e),
+         q AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+               FROM s),
+         err AS (SELECT vec_id, scale, qv,
+                   list_sum(list_transform(generate_series(1, len(v)),
+                     i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))) AS err,
+                   sqrt(list_dot_product(v, v)) AS nrm
+                 FROM q)
+         SELECT vec_id, floor(scale * 1000000) / 1000000 AS scale6,
+           floor(sqrt(err) / nrm * 10000) / 10000 AS rel_err,
+           len(list_filter(qv, qi -> abs(qi) = 127)) AS n_saturated
+         FROM err ORDER BY vec_id"""
   )
 }

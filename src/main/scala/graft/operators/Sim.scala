@@ -176,6 +176,31 @@ object Sim {
     * in-bucket neighbor (approximate NN). Rows-only; recall vs #40 is
     * asserted in the spec.
     */
+  /** emb_quantize — int8 scalar quantization of the embedding column (the
+    * 4× storage cut that makes a 100 TB vector corpus shippable): per
+    * vector, symmetric scale = max|v|/127, q_i = ⌊v_i/scale + 0.5⌋ (explicit
+    * half-up — engine-independent, unlike round()'s tie mode), plus the
+    * quality audit a quantization pass must emit: relative L2
+    * reconstruction error and saturation count. Pure per-row array
+    * expressions — zero shuffle, one scan, same codegen tier as the text
+    * quality ops.
+    */
+  def quantize(t: Tables): DataFrame = {
+    val e = vecs(t)
+      .withColumn("scale",
+        expr("aggregate(v, 0.0d, (m, x) -> greatest(m, abs(x)))") / 127.0)
+      .withColumn("q", expr("transform(v, x -> cast(floor(x / scale + 0.5d) AS int))"))
+      .withColumn("err",
+        // squared terms via plain multiplication: libm pow() may differ in
+        // the last ulp between engines, x*x cannot
+        expr("aggregate(zip_with(v, q, (x, qi) -> (x - qi * scale) * (x - qi * scale)), 0.0d, (a, x) -> a + x)"))
+    e.select(col("vec_id"),
+        (floor(col("scale") * 1000000) / 1000000).as("scale6"),
+        (floor(sqrt(col("err")) / norm(col("v")) * 10000) / 10000).as("rel_err"),
+        size(expr("filter(q, qi -> abs(qi) = 127)")).as("n_saturated"))
+      .orderBy(col("vec_id"))
+  }
+
   def lshTopK(t: Tables): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val e = vecs(t)

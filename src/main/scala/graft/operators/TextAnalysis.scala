@@ -133,6 +133,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** text_unigram_lm — language-model quality scoring, the KenLM-filter
+    * shape every pretraining pipeline runs, at its unigram floor: score
+    * each document by its mean negative log-likelihood under the CORPUS
+    * unigram distribution. Low = templated/boilerplate, high = rare-token
+    * gibberish; both tails get filtered.
+    *
+    * Scale shape: vocabulary = ONE map-side-combined groupBy on token
+    * (bounded by |vocab|, not corpus size); scoring joins tokens to their
+    * probabilities on the same token axis, then aggregates per doc — two
+    * shuffles total, both on natural keys. At 100 TB the vocab frame is
+    * megabytes → Spark broadcasts the probability join.
+    */
+  def unigramLm(t: Tables): DataFrame = {
+    val toks = docsW(t).select(col("doc_id"), explode(col("w")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val totalTok = vocab.agg(sum(col("tf")).as("n_total"))
+    val scored = toks
+      .join(vocab, "tok")
+      .crossJoin(broadcast(totalTok))
+      .select(col("doc_id"),
+        (-log(2.0, col("tf").cast("double") / col("n_total"))).as("nll"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll")).as("sum_nll"))
+      // 2dp, not the usual 4: the per-doc sum crosses a shuffle (token-axis
+      // join), so accumulation ORDER is engine/plan-dependent and the FP
+      // drift (~1e-8 scaled) would flip a 4dp floor on boundary values
+      .select(col("doc_id"), col("n_tok"),
+        (floor(col("sum_nll") / col("n_tok") * 100) / 100).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** text_repetition — within-document repetition signals (the Gopher/C4
     * style quality rules that catch degenerate generated/scraped text):
     * duplicate-word fraction, duplicate-bigram fraction, and the share of

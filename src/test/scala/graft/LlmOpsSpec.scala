@@ -139,6 +139,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_docs")).sum == rows.length)
   }
 
+  test("unigram LM scores rare-token docs higher than common-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common common common common common"),
+      (2L, "common common common common rare1 rare2 rare3 rare4"))
+      .toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val got = TextAnalysis.unigramLm(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_nll")).toMap
+    // doc 1: p(common)=12/16 -> nll = log2(16/12) everywhere
+    assert(math.abs(got(1L) - math.floor(math.log(16.0 / 12) / math.log(2) * 100) / 100) < 1e-9)
+    assert(got(2L) > got(1L), "rare tokens must raise the mean NLL")
+  }
+
+  test("int8 quantization reconstructs within tolerance and flags saturation") {
+    val rows = Sim.quantize(t).collect()
+    assert(rows.length == t.embeddings.count())
+    rows.foreach { r =>
+      // max|q| = 127 by construction of the symmetric scale -> at least one
+      // saturated slot; relative L2 error of int8 stays well under 2%
+      assert(r.getAs[Int]("n_saturated") >= 1)
+      assert(r.getAs[Double]("rel_err") < 0.02,
+        s"vec ${r.getAs[Long]("vec_id")} rel_err ${r.getAs[Double]("rel_err")}")
+      assert(r.getAs[Double]("scale6") > 0)
+    }
+  }
+
   test("curation chain composes dedup, decontamination, quality gate and packing") {
     val rows = TrainData.curation(t).collect()
     assert(rows.nonEmpty)
