@@ -54,19 +54,27 @@ object Gate {
     * is just another codegen'd column on the same scan.
     */
   def resolveCols(df: DataFrame): DataFrame = {
+    // ONE parse: the outer message lands in a VARIANT; per-field TYPE
+    // (string vs number — MsgResolver's ClassCastException sites) comes
+    // from schema_of_variant over cheap binary accessors instead of a
+    // second and third from_json pass. The message is multi-KB, so each
+    // avoided parse is the dominant per-row cost (measured: stats query
+    // 8.3 s -> see NOTES; the parse, not the probe logic, is the time).
     val probes = df
-      .withColumn("okj", expr("try_parse_json(gate_msg) IS NOT NULL"))
-      .withColumn("js",
-        expr("from_json(gate_msg, 'Ip STRING, Now STRING, Header STRING, Args STRING')"))
-      .withColumn("jn",
-        expr("from_json(gate_msg, 'Ip DOUBLE, Now DOUBLE, Header DOUBLE, Args DOUBLE')"))
+      .withColumn("v", expr("try_parse_json(gate_msg)"))
       .selectExpr(
         "*",
-        "js.Ip AS ip_s", "jn.Ip AS ip_num",
-        "js.Now AS now_s", "jn.Now AS now_num",
-        "js.Header AS header_s", "jn.Header AS header_num",
-        "js.Args AS args_s", "jn.Args AS args_num")
-      .drop("js", "jn")
+        "schema_of_variant(variant_get(v, '$.Ip')) AS ip_t",
+        "try_variant_get(v, '$.Ip', 'string') AS ip_s",
+        "schema_of_variant(variant_get(v, '$.Now')) AS now_t",
+        "try_variant_get(v, '$.Now', 'string') AS now_s",
+        "schema_of_variant(variant_get(v, '$.Header')) AS header_t",
+        "try_variant_get(v, '$.Header', 'string') AS header_s",
+        "schema_of_variant(variant_get(v, '$.Args')) AS args_t",
+        "try_variant_get(v, '$.Args', 'string') AS args_s")
+    def isNum(t: org.apache.spark.sql.Column) =
+      t.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT") ||
+        t.startsWith("DECIMAL")
     val fields = probes.selectExpr(
       "*",
       // user-agent defaults to 'DEFAULT' when absent (MsgResolver.java:64-71)
@@ -79,11 +87,11 @@ object Gate {
     val argsEmpty =
       col("arg_event").isNull && col("arg_compress").isNull && col("arg_encrypt").isNull
     val verdict =
-      when(!col("okj"), "JSON_BAD")
-        .when(col("ip_s").isNull || col("ip_num").isNotNull, "IP_BAD")
-        .when(col("now_s").isNull || col("now_num").isNull, "NOW_BAD")
-        .when(col("header_s").isNull || col("header_num").isNotNull, "HEADER_BAD")
-        .when(col("args_s").isNull || col("args_num").isNotNull || argsEmpty, "ARGS_BAD")
+      when(col("v").isNull, "JSON_BAD")
+        .when(col("ip_t") =!= "STRING", "IP_BAD")
+        .when(!isNum(col("now_t")), "NOW_BAD")
+        .when(col("header_t") =!= "STRING", "HEADER_BAD")
+        .when(col("args_t") =!= "STRING" || argsEmpty, "ARGS_BAD")
         .when(col("arg_encrypt").isNotNull && !col("arg_encrypt").isin("0", "1"), "ENCRYPT_BAD")
         .when(col("arg_compress").isNotNull && !col("arg_compress").isin("0", "1"), "COMPRESS_BAD")
         .when(col("arg_encrypt") === "1", "ENCRYPT_UNSUPPORTED")
@@ -97,8 +105,8 @@ object Gate {
       .withColumn("st", when(col("verdict") === "OK", col("now_s").cast("bigint")))
       .withColumn("ua_out",
         when(col("verdict") === "OK", col("hdr_ua")).otherwise(Enrich.NullValue))
-      .drop("okj", "ip_s", "ip_num", "now_s", "now_num", "header_s", "header_num",
-        "args_s", "args_num", "hdr_ua", "arg_event", "arg_compress", "arg_encrypt", "c")
+      .drop("v", "ip_t", "ip_s", "now_t", "now_s", "header_t", "header_s",
+        "args_t", "args_s", "hdr_ua", "arg_event", "arg_compress", "arg_encrypt", "c")
   }
 
   /** gate_resolve_stats — verdict histogram (the gate job's DQ view).
