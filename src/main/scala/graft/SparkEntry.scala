@@ -1316,6 +1316,109 @@ object SparkEntry {
            CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin
          FROM c ORDER BY doc_id"""
     },
+    "dedup_minhash_lsh" -> {
+      val p = Dedup.MersennePrime
+      val mins = (0 until Dedup.minhashK).map(j =>
+        s"min((h0 * ${2 * j + 3} + ${j.toLong * 2654435761L} + 1) % $p) AS mh$j").mkString(", ")
+      val allMh = (0 until Dedup.minhashK).map(j => s"mh$j").mkString(", ")
+      val bandSelects = (0 until Dedup.minhashK / Dedup.bandSize).map { b =>
+        val cols = (b * Dedup.bandSize until (b + 1) * Dedup.bandSize)
+          .map(j => s"mh$j").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(':', $cols)) AS band_key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+         s0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d3),
+         sh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s FROM s0),
+         h AS (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % $p AS h0
+               FROM sh),
+         sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         bands AS ($bandSelects),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id),
+         nc AS (SELECT doc_id, count(*) AS n FROM
+                  (SELECT da AS doc_id FROM cand UNION ALL SELECT db FROM cand)
+                GROUP BY doc_id)
+         SELECT s.doc_id, md5(concat_ws(':', $allMh)) AS sig_id,
+           coalesce(nc.n, 0) AS n_candidates
+         FROM sig s LEFT JOIN nc ON s.doc_id = nc.doc_id ORDER BY s.doc_id"""
+    },
+    "dedup_simhash" -> {
+      val bits = Dedup.simhashBits
+      val bsum = (0 until bits).map(i => s"sum((h >> $i) & 1) AS b$i").mkString(", ")
+      val sim = (0 until bits)
+        .map(i => s"CASE WHEN b$i * 2 > n_tok THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      val bandBits = bits / 4
+      val mask = (1L << bandBits) - 1
+      val bandSelects = (0 until 4).map(k =>
+        s"SELECT doc_id, simhash, $k AS band, (simhash >> ${k * bandBits}) & $mask AS band_val FROM docs")
+        .mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+         hh AS (SELECT doc_id,
+                  CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+                FROM tk),
+         agg AS (SELECT doc_id, count(*) AS n_tok, $bsum FROM hh GROUP BY doc_id),
+         docs AS (SELECT doc_id, $sim AS simhash FROM agg),
+         bands AS ($bandSelects),
+         near AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                    a.simhash AS sa, b.simhash AS sb
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_val = b.band_val
+                       AND a.doc_id < b.doc_id),
+         nf AS (SELECT da, db FROM near
+                WHERE bit_count(xor(sa, sb)) <= ${Dedup.simhashMaxHamming}),
+         nn AS (SELECT doc_id, count(*) AS n FROM
+                  (SELECT da AS doc_id FROM nf UNION ALL SELECT db FROM nf)
+                GROUP BY doc_id)
+         SELECT d2.doc_id, d2.simhash, coalesce(nn.n, 0) AS n_near
+         FROM docs d2 LEFT JOIN nn ON d2.doc_id = nn.doc_id ORDER BY d2.doc_id"""
+    },
+    "text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+         hs AS (SELECT doc_id,
+                  list_transform(w, x ->
+                    CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % 1000000007) AS hl
+                FROM d),
+         f AS (SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), hl),
+                   (a, x) -> (a * 131 + x) % 1000000007) AS fp
+               FROM hs),
+         d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+         s0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d3),
+         sh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s FROM s0),
+         mn AS (SELECT doc_id,
+                  min(CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 1000000007)
+                    AS fp_min
+                FROM sh GROUP BY doc_id)
+         SELECT f.doc_id, f.fp, coalesce(mn.fp_min, -1) AS fp_min
+         FROM f LEFT JOIN mn ON f.doc_id = mn.doc_id ORDER BY f.doc_id""",
+    "sim_ann_lsh" -> {
+      val bucketExpr = (0 until Sim.nHyperplanes).map { j =>
+        s"""CASE WHEN list_dot_product(v,
+              list_transform(generate_series(0, 63), d -> sin($j * 1009 + d * 31))) >= 0
+            THEN ${1 << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         p AS (SELECT a.vec_id, a.bucket, b2.vec_id AS neighbor_id,
+                 list_dot_product(a.v, b2.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+         r AS (SELECT vec_id, bucket, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM p)
+         SELECT vec_id, bucket, neighbor_id, floor(cos * 10000) / 10000 AS cos_sim
+         FROM r WHERE rank = 1 ORDER BY vec_id"""
+    },
     "text_unigram_lm" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
                     FROM documents),

@@ -142,15 +142,26 @@ object Dedup {
 
   val minhashK = 16    // hashes per signature
   val bandSize = 4     // -> 4 bands of 4
-  private val MersennePrime = 2147483647L
+  val MersennePrime = 2147483647L
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5, as a
+    * bigint. Identical in Spark (`conv(_, 16, 10)`) and the oracle dialect
+    * (`CAST('0x'||… AS BIGINT)`) — which is what makes the minhash/simhash/
+    * fingerprint family hash-CHECKABLE instead of rows-only. One md5 per
+    * token; everything derived from it is plain bigint arithmetic.
+    */
+  def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def portableHash(c: String): org.apache.spark.sql.Column = portableHash(col(c))
 
   /** Wide MinHash signatures: ONE groupBy over the shingle set with k
     * conditional min-aggregates (columns mh0..mh{k-1}) — no k× row
     * explosion, no per-(doc,slot) shuffle, everything map-side-combined.
-    * Portable permutations of a base xxhash64.
+    * Portable affine permutations of one md5-derived base hash.
     */
   def minhashSignaturesWide(t: Tables): DataFrame = {
-    val h0 = pmod(xxhash64(col("s")), lit(MersennePrime))
+    val h0 = pmod(portableHash("s"), lit(MersennePrime))
     val mins = (0 until minhashK).map { j =>
       min(pmod(h0 * (2 * j + 3) + j * 2654435761L + 1, lit(MersennePrime))).as(s"mh$j")
     }
@@ -158,7 +169,7 @@ object Dedup {
   }
 
   private def bandKeys = (0 until minhashK / bandSize).map { b =>
-    xxhash64(concat_ws(":",
+    md5(concat_ws(":",
       (b * bandSize until (b + 1) * bandSize).map(j => col(s"mh$j")): _*))
   }
 
@@ -174,8 +185,8 @@ object Dedup {
 
   /** #38 dedup_minhash_lsh — band the signature (bandSize consecutive
     * minhashes hashed together), bucket-join within bands. Per-doc output
-    * (signature id + candidate count) so the rows-only check always has
-    * rows; pair-level semantics are asserted in the spec.
+    * (signature id + candidate count) — fully hash-checked against the
+    * oracle since every hash is the portable md5-derived one.
     */
   def minhashLsh(t: Tables): DataFrame = {
     val sig = minhashSignaturesWide(t).persist()
@@ -184,7 +195,7 @@ object Dedup {
       .union(cand.select(col("db").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
     sig.select(col("doc_id"),
-        xxhash64(concat_ws(":", (0 until minhashK).map(j => col(s"mh$j")): _*)).as("sig_id"))
+        md5(concat_ws(":", (0 until minhashK).map(j => col(s"mh$j")): _*)).as("sig_id"))
       .join(nCand, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sig_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
@@ -310,19 +321,23 @@ object Dedup {
 
   // ---- #39 simhash ----
 
-  /** 64-bit SimHash per doc: per-token xxhash64, bit-position vote counts
-    * (64 parallel aggregates in one groupBy — stays in codegen), bit i set
-    * iff more than half the tokens have it set.
+  /** Simhash bit width: 60 (the portable md5-derived hash is 15 hex chars).
+    */
+  val simhashBits = 60
+
+  /** 60-bit SimHash per doc: per-token portable hash, bit-position vote
+    * counts (60 parallel aggregates in one groupBy — stays in codegen),
+    * bit i set iff more than half the tokens have it set.
     */
   def simhashDocs(t: Tables): DataFrame = {
     val toks = withWords(t.documents)
       .select(col("doc_id"), explode(col("w")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map(i =>
+      .withColumn("h", portableHash("tok"))
+    val bitCols = (0 until simhashBits).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"b$i"))
     val agged = toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), bitCols: _*)
-    val simhash = (0 until 64).map { i =>
+    val simhash = (0 until simhashBits).map { i =>
       when(col(s"b$i") * 2 > col("n_tok"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     agged.select(col("doc_id"), simhash.as("simhash"))
@@ -331,15 +346,18 @@ object Dedup {
   /** Hamming threshold for "near" pairs. */
   val simhashMaxHamming = 10
 
-  /** #39 dedup_simhash — band the 64-bit fingerprint into 4×16-bit chunks,
+  /** #39 dedup_simhash — band the 60-bit fingerprint into 4×15-bit chunks,
     * bucket-join, exact hamming (bit_count of xor) within buckets. Per-doc
-    * output (hex fingerprint + near-pair count) for the rows-only check.
+    * output (fingerprint + near-pair count), hash-checked: the fingerprint
+    * is plain bigint arithmetic over the portable hash on both sides.
     */
   def simhash(t: Tables): DataFrame = {
     val docs = simhashDocs(t)
+    val bandBits = simhashBits / 4
+    val bandMask = (1L << bandBits) - 1
     val bands = docs.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(k =>
-          shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*))
+          shiftrightunsigned(col("simhash"), k * bandBits).bitwiseAND(bandMask)): _*))
           .as(Seq("band", "band_val")))
     val near = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
@@ -353,7 +371,7 @@ object Dedup {
       .union(near.select(col("db").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
     docs.join(nNear, Seq("doc_id"), "left")
-      .select(col("doc_id"), hex(col("simhash")).as("simhash_hex"),
+      .select(col("doc_id"), col("simhash"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
       .orderBy(col("doc_id"))
   }

@@ -208,15 +208,18 @@ object TextAnalysis {
 
   /** #45 text_fingerprint — polynomial rolling hash folded over the word
     * sequence (order-sensitive), plus the min shingle hash (winnowing-style
-    * content anchor, order-robust). Sequential `aggregate` fold — no UDF.
-    * Rows-only: the fold isn't expressible in the oracle dialect; semantics
-    * are pinned by the spec (permutation sensitivity, stability).
+    * content anchor, order-robust). Sequential `aggregate` fold — no UDF —
+    * over the portable md5-derived hash, so the fold replays exactly in
+    * the oracle (list_reduce over the same per-token values): hash-checked,
+    * not rows-only.
     */
   def fingerprint(t: Tables): DataFrame = {
+    val M = 1000000007L
     val fp = aggregate(col("w"), lit(0L),
-      (acc, x) => pmod(acc * 131 + pmod(xxhash64(x), lit(1000000007L)), lit(1000000007L)))
+      (acc, x) => pmod(acc * 131 + pmod(Dedup.portableHash(x), lit(M)), lit(M)))
     val minShingle = t.documents.select(col("doc_id")).join(
-      Dedup.shingles(t).groupBy("doc_id").agg(min(pmod(xxhash64(col("s")), lit(1000000007L))).as("fp_min")),
+      Dedup.shingles(t).groupBy("doc_id")
+        .agg(min(pmod(Dedup.portableHash("s"), lit(M))).as("fp_min")),
       Seq("doc_id"), "left")
     docsW(t).select(col("doc_id"), fp.as("fp"))
       .join(minShingle, "doc_id")
