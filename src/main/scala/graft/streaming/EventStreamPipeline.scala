@@ -135,6 +135,49 @@ object EventStreamPipeline {
       .select(events.columns.map(col) :+ col("verdict"): _*)
   }
 
+  // ---- stateful device-state id leg (streaming analog of #7's dz/dfu) ----
+
+  case class DevState(firstCuid: String)
+  case class DevUpdate(appkey: String, did: String, firstCuid: String,
+                       nEvents: Long)
+
+  /** Streaming device-state leg of OneIdService (the dfu/dz Kvrocks-hash
+    * WRITES, OneIdService.java:441-660): keyed state per (appkey, did)
+    * remembers the device's FIRST real-name user — the HSETNX
+    * first-writer-wins — and emits the current binding each batch.
+    * In-batch rows are processed in (ts, event_id) order so a replay
+    * matches the batch operator's deterministic first-writer tie-break
+    * (spec-matched against batch `dfu`). Resolving the binding into a
+    * final zgid is the READ side — a join against the user axis, the same
+    * downstream join batch `zgidResolution` does.
+    *
+    * State per ever-seen device is ONE string — the same bound as the
+    * reference's hash entry, keyed the same way; no watermark expiry
+    * because the binding is permanent (the reference never expires dz
+    * either).
+    */
+  def deviceFirstUserStream(events: DataFrame): Dataset[DevUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Envelope.attach(events)
+      .filter(col("appkey") =!= "" && col("did") =!= "")
+      .select(col("appkey"), col("did"), col("cuid"), col("ts"), col("event_id"))
+      .as[(String, String, Option[String], java.sql.Timestamp, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[DevState, DevUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((appkey, did), rows, state: GroupState[DevState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._4.getTime, r._5))
+          var st = state.getOption.getOrElse(DevState(null))
+          ordered.foreach { r =>
+            if (st.firstCuid == null && r._3.isDefined)
+              st = DevState(r._3.get)
+          }
+          state.update(st)
+          Iterator(DevUpdate(appkey, did, st.firstCuid, ordered.size.toLong))
+      }
+  }
+
   // ---- stateful sessionization (streaming analog of #8 id_sessionize) ----
 
   case class SessionState(lastSec: Long, nEvents: Int, nSessions: Int)

@@ -88,6 +88,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch > 0)
   }
 
+  test("streaming device first-user binding matches the batch first-writer") {
+    import org.apache.spark.sql.expressions.Window
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val out = EventStreamPipeline.deviceFirstUserStream(events)
+    runToMemory("devstate", out.toDF(), "update")
+    val got = spark.sql("SELECT appkey, did, firstCuid FROM devstate").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> Option(r.getString(2))).toMap
+    // batch first-writer: row_number over (ts, event_id) per (appkey, did)
+    val env = graft.operators.Envelope.attach(t.events)
+      .filter(col("appkey") =!= "" && col("did") =!= "")
+    val dfu = env.filter(col("cuid").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("appkey", "did").orderBy("ts", "event_id")))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => (r.getAs[String]("appkey"), r.getAs[String]("did")) ->
+        r.getAs[String]("cuid")).toMap
+    assert(got.keySet == env.select("appkey", "did").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet)
+    dfu.foreach { case (k, cuid) =>
+      assert(got(k).contains(cuid), s"device $k bound to ${got(k)}, batch says $cuid")
+    }
+    got.filter(_._2.isEmpty).keys.foreach(k =>
+      assert(!dfu.contains(k), s"device $k missing its binding"))
+  }
+
   test("watermarked dedup emits each event id exactly once") {
     // duplicate the input file so every event arrives twice
     val dir = java.nio.file.Files.createTempDirectory("graft_dup_in")
