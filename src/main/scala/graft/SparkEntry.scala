@@ -56,6 +56,7 @@ object SparkEntry {
     "adv_app_ad_latest"       -> ((s, d) => Adv.appAdLatest(tables(s, d))),
     "adv_attribute_event"     -> ((s, d) => Adv.attributeEvent(tables(s, d))),
     "adv_channel_rollup"      -> ((s, d) => Adv.channelRollup(tables(s, d))),
+    "adv_asa_fields"          -> ((s, d) => Adv.asaFields(tables(s, d))),
     "sim_ann_ivf"             -> ((s, d) => Sim.ivfTopK(tables(s, d))),
     // end-to-end: the full IdJob→DwJob chain in one plan
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
@@ -676,6 +677,48 @@ object SparkEntry {
            count(*) AS n_clicks, max(c.lid) AS last_lid
          FROM clicks c LEFT JOIN dim d ON c.channel_type = d.channel_type
          GROUP BY 1, 2 ORDER BY c.channel_type"""
+    },
+    "adv_asa_fields" -> {
+      def legacy(key: String) =
+        s"""cast(coalesce(try_cast(regexp_extract(asa_raw, '$key="?([0-9]+)', 1) AS BIGINT), 0) AS VARCHAR)"""
+      def json(field: String) =
+        s"""cast(coalesce(try_cast(json_extract_string(asa_raw, '$$.$field') AS BIGINT), 0) AS VARCHAR)"""
+      def pick(key: String, field: String, alias: String) =
+        s"CASE WHEN legacy THEN ${legacy(key)} ELSE ${json(field)} END AS $alias"
+      s"""WITH ${Envelope.oracleRaw},
+         apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
+        .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
+         c AS (SELECT r.event_id, r.user_id FROM raw r
+               JOIN apps a ON r.appkey = a.appkey WHERE r.event_type = 'click'),
+         w AS (SELECT event_id,
+                 CASE event_id % 3
+                 WHEN 0 THEN concat('iad-org-id=', cast(user_id AS string),
+                   ';iad-campaign-id="', cast(event_id % 97 AS string),
+                   '";iad-adgroup-id=', cast(event_id % 53 AS string),
+                   ';iad-keyword-id=', cast(event_id % 31 AS string))
+                 WHEN 1 THEN concat('{"orgId":', cast(user_id AS string),
+                   ',"campaignId":', cast(event_id % 97 AS string),
+                   ',"adGroupId":', cast(event_id % 53 AS string),
+                   ',"adId":0,"creativeSetId":', cast(event_id % 17 AS string),
+                   ',"keywordId":', cast(event_id % 31 AS string), '}')
+                 ELSE concat('{"orgId":', cast(user_id AS string),
+                   ',"campaignId":', cast(event_id % 97 AS string),
+                   ',"adGroupId":', cast(event_id % 53 AS string),
+                   ',"adId":', cast(event_id % 17 + 1 AS string),
+                   ',"keywordId":', cast(event_id % 31 AS string), '}')
+                 END AS asa_raw
+               FROM c),
+         p AS (SELECT event_id, asa_raw, asa_raw NOT LIKE '{%' AS legacy FROM w)
+         SELECT event_id, '苹果ASA' AS lname, '-2' AS lid, '5' AS channel_type,
+           ${pick("iad-org-id", "orgId", "channel_account_id")},
+           ${pick("iad-campaign-id", "campaignId", "channel_campaign_id")},
+           ${pick("iad-adgroup-id", "adGroupId", "channel_adgroup_id")},
+           CASE WHEN legacy THEN '0'
+                WHEN coalesce(try_cast(json_extract_string(asa_raw, '$$.adId') AS BIGINT), 0) = 0
+                THEN ${json("creativeSetId")}
+                ELSE ${json("adId")} END AS channel_ad_id,
+           ${pick("iad-keyword-id", "keywordId", "channel_keyword_id")}
+         FROM p ORDER BY event_id"""
     },
     "enrich_utm_attribution" ->
       """SELECT utm_source, utm_medium, count(*) AS n FROM (

@@ -256,6 +256,69 @@ object Adv {
       .orderBy(col("channel_type"))
   }
 
+  /** adv_asa_fields — Apple ASA attribution parsing
+    * (AdvLidAndUserFirstEndFlatMapFunction.appleASAFeildsMap:929-954 +
+    * appleAdDataTransfer:956-1040): iOS clients deliver the ASA payload in
+    * two wire formats — the 14.3+ JSON (`{orgId, campaignId, adGroupId,
+    * adId|creativeSetId, keywordId}`) and the legacy
+    * `iad-org-id=..;iad-campaign-id="..";...` semicolon form, which the
+    * reference first converts to the same JSON. Both parse in one codegen
+    * pass: `str_to_map` + quote strip for the legacy form, a typed
+    * `from_json` for the JSON form; fixed fields lname=苹果ASA, lid=-2,
+    * channel_type=5; adId==0 falls back to creativeSetId, absent values
+    * surface as "0" (getLongValue's default).
+    */
+  def asaFields(t: Tables): DataFrame = {
+    // synthesized ASA payload per adtf click: %3=0 legacy, %3=1 JSON with
+    // adId=0 (creativeSet fallback), %3=2 JSON with a real adId
+    val raw = expr(
+      """CASE event_id % 3
+         WHEN 0 THEN concat('iad-org-id=', cast(user_id AS string),
+           ';iad-campaign-id="', cast(event_id % 97 AS string),
+           '";iad-adgroup-id=', cast(event_id % 53 AS string),
+           ';iad-keyword-id=', cast(event_id % 31 AS string))
+         WHEN 1 THEN concat('{"orgId":', cast(user_id AS string),
+           ',"campaignId":', cast(event_id % 97 AS string),
+           ',"adGroupId":', cast(event_id % 53 AS string),
+           ',"adId":0,"creativeSetId":', cast(event_id % 17 AS string),
+           ',"keywordId":', cast(event_id % 31 AS string), '}')
+         ELSE concat('{"orgId":', cast(user_id AS string),
+           ',"campaignId":', cast(event_id % 97 AS string),
+           ',"adGroupId":', cast(event_id % 53 AS string),
+           ',"adId":', cast(event_id % 17 + 1 AS string),
+           ',"keywordId":', cast(event_id % 31 AS string), '}')
+         END""")
+    def legacyVal(key: String) =
+      coalesce(
+        expr(s"try_cast(replace(str_to_map(asa_raw, ';', '=')['$key'], '\"', '') AS bigint)"),
+        lit(0L))
+    val js = expr(
+      """from_json(asa_raw,
+         'orgId BIGINT, campaignId BIGINT, adGroupId BIGINT, adId BIGINT,
+          creativeSetId BIGINT, keywordId BIGINT')""")
+    val isLegacy = !col("asa_raw").startsWith("{")
+    def pick(legacyKey: String, jsonField: String) =
+      when(isLegacy, legacyVal(legacyKey))
+        .otherwise(coalesce(col(s"j.$jsonField"), lit(0L))).cast("string")
+    env(t)
+      .filter(col("event_type") === "click" && col("appkey") =!= "")
+      .join(advApps(t), Seq("appkey"))
+      .withColumn("asa_raw", raw)
+      .withColumn("j", js)
+      .select(
+        col("event_id"),
+        lit("苹果ASA").as("lname"), lit("-2").as("lid"), lit("5").as("channel_type"),
+        pick("iad-org-id", "orgId").as("channel_account_id"),
+        pick("iad-campaign-id", "campaignId").as("channel_campaign_id"),
+        pick("iad-adgroup-id", "adGroupId").as("channel_adgroup_id"),
+        when(isLegacy, lit(0L).cast("string"))
+          .otherwise(when(coalesce(col("j.adId"), lit(0L)) === 0,
+            coalesce(col("j.creativeSetId"), lit(0L)))
+            .otherwise(col("j.adId")).cast("string")).as("channel_ad_id"),
+        pick("iad-keyword-id", "keywordId").as("channel_keyword_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** #27 adv_conversion — AdvConvertEventFlatMapFunction: conversion event
     * extraction, deduped to one row per (user, conversion event, day).
     */

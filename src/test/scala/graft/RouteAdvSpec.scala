@@ -72,6 +72,25 @@ class RouteAdvSpec extends SparkSpec {
       t.events.filter(col("event_type") === "purchase").count())
   }
 
+  test("asa fields: legacy and JSON wire formats land in the same field set") {
+    val rows = Adv.asaFields(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(r.getAs[String]("lname") == "苹果ASA" && r.getAs[String]("lid") == "-2"
+        && r.getAs[String]("channel_type") == "5")
+      assert(r.getAs[String]("channel_campaign_id") == (id % 97).toString)
+      assert(r.getAs[String]("channel_adgroup_id") == (id % 53).toString)
+      assert(r.getAs[String]("channel_keyword_id") == (id % 31).toString)
+      // adId fallback: legacy has none -> "0"; JSON adId=0 -> creativeSetId
+      (id % 3) match {
+        case 0 => assert(r.getAs[String]("channel_ad_id") == "0")
+        case 1 => assert(r.getAs[String]("channel_ad_id") == (id % 17).toString)
+        case _ => assert(r.getAs[String]("channel_ad_id") == (id % 17 + 1).toString)
+      }
+    }
+  }
+
   test("channel rollup names registered codes and blanks unknown ones") {
     val rows = Adv.channelRollup(t).collect()
     val dim = Adv.adChannelDim.toMap
