@@ -124,6 +124,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(nHash == 1, s"asof shuffles more than once ($nHash):\n$p")
   }
 
+  test("curation chain has no quadratic operator anywhere in its plan") {
+    val p = plan(TrainData.curation(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"curation went quadratic:\n$p")
+  }
+
+  test("unigram LM vocabulary aggregates map-side before the probability join") {
+    val p = plan(TextAnalysis.unigramLm(t))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"vocab lost partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"LM scoring went quadratic:\n$p")
+  }
+
   test("whole-stage codegen covers the envelope expression work") {
     val df = Etl.schemaCheck(t)
     df.collect() // finalize the adaptive plan so codegen spans materialize
