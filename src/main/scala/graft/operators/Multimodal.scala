@@ -6,54 +6,101 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.8, row 46): treat media as
   * opaque `binary` columns + typed metadata, with decode / feature
-  * extraction running batched per partition. The image/audio codec
-  * libraries are not available in this environment, so `decodeStub` is a
-  * clearly-marked deterministic fake — but everything Spark-side (schema,
-  * binary column, partition-batched execution, output shape) is real and
-  * is what a production decode would plug into.
+  * extraction running batched per partition.
+  *
+  * The image decode is REAL: payloads are Netpbm P5 (binary grayscale PGM
+  * — magic + ASCII dims + raster), and `decodePgm` is a genuine parser
+  * with header validation, bounds checks and truncation handling. The
+  * format needs no codec library, which is the point — the heavyweight
+  * JPEG/PNG/audio codecs absent from this environment would slot into the
+  * SAME mapPartitions boundary with the same schema; only the parser body
+  * changes.
   */
 object Multimodal {
 
-  /** Fixed feature dimension the "decoder" emits. */
-  val featureDim = 8
-
-  /** STUB — stands in for a real image/audio decode + feature extraction
-    * (e.g. JPEG decode → resize → channel means). Deterministic in the
-    * bytes so tests and the rows-only check are reproducible. A real
-    * implementation would decode `bytes` with a codec here; the surrounding
-    * plan would not change.
+  /** A decoded grayscale image: dimensions + the pixel statistics the
+    * feature-extraction stage emits.
     */
-  def decodeStub(bytes: Array[Byte]): Array[Double] = {
-    val h = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + (b & 0xFF))
-    Array.tabulate(featureDim)(i => (math.abs(h >> (i * 7)) % 1000).toDouble / 1000.0)
+  final case class PgmImage(width: Int, height: Int, meanGray: Double,
+                            minGray: Int, maxGray: Int)
+
+  /** Netpbm P5 encoder (the ingest-side stand-in): `P5\n<w> <h>\n255\n`
+    * header + w*h raster bytes.
+    */
+  def encodePgm(width: Int, height: Int, raster: Array[Byte]): Array[Byte] = {
+    require(raster.length == width * height, "raster size mismatch")
+    val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
+    header ++ raster
+  }
+
+  /** REAL P5 decoder: magic check, ASCII header parse, maxval check,
+    * raster-length validation, then single-pass pixel statistics. Returns
+    * None on any malformed payload (wrong magic, bad dims, truncation) —
+    * the per-row error handling a production decode needs.
+    */
+  def decodePgm(bytes: Array[Byte]): Option[PgmImage] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5') return None
+    // header = three whitespace-delimited tokens after the magic
+    var i = 2
+    def token(): Option[Int] = {
+      while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
+      val start = i
+      while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+      if (i <= start || i >= bytes.length) None
+      else scala.util.Try(new String(bytes, start, i - start, "US-ASCII").toInt).toOption
+    }
+    val parsed = for {
+      w <- token(); h <- token(); maxval <- token()
+      if w > 0 && h > 0 && maxval == 255
+    } yield (w, h)
+    parsed.flatMap { case (w, h) =>
+      val rasterStart = i + 1 // single whitespace after maxval
+      if (bytes.length - rasterStart < w * h) None
+      else {
+        var (sum, mn, mx, j) = (0L, 255, 0, rasterStart)
+        val end = rasterStart + w * h
+        while (j < end) {
+          val p = bytes(j) & 0xFF
+          sum += p; if (p < mn) mn = p; if (p > mx) mx = p
+          j += 1
+        }
+        Some(PgmImage(w, h, sum.toDouble / (w * h), mn, mx))
+      }
+    }
   }
 
   /** #46 mm_binary_columns — build the binary column + typed metadata from
-    * `documents` (text bytes stand in for media payloads), run the batched
-    * decode per partition, return features + metadata. The mapPartitions
-    * boundary is exactly where `mapInPandas`/Arrow batching would sit in a
-    * Python pipeline; in Scala the partition iterator IS the batch, so the
-    * decoder can amortize model/codec setup per partition.
+    * `documents` (text bytes become the raster, wrapped in a real PGM
+    * container; every 13th payload is truncated to exercise the error
+    * path), run the batched decode per partition, return per-image stats +
+    * metadata. The mapPartitions boundary is exactly where
+    * `mapInPandas`/Arrow batching would sit in a Python pipeline; in Scala
+    * the partition iterator IS the batch, so a decoder can amortize
+    * codec/model setup per partition.
     */
   def binaryColumns(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val flat = t.documents.select(
         col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
-          (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
-        (lit(64) + col("doc_id") % 576).cast("int").as("width"),
-        (lit(64) + col("doc_id") % 448).cast("int").as("height"))
-      .as[(Long, Array[Byte], String, Int, Int)]
+        encode(rpad(col("text"), lit(192), col("text")), "UTF-8").as("raster"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("width"),
+        (lit(8) + col("doc_id") % 5).cast("int").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
     flat.mapPartitions { it =>
       // per-partition batch: a real decoder would init its codec once here
-      it.map { case (id, bytes, fmt, w, h) =>
-        (id, fmt, w, h, bytes.length, decodeStub(bytes))
+      it.map { case (id, raster, w, h) =>
+        val payload = encodePgm(w, h, raster.take(w * h))
+        val wire = if (id % 13 == 0) payload.take(payload.length / 2) else payload
+        (id, wire.length, decodePgm(wire))
       }
-    }.toDF("doc_id", "fmt", "width", "height", "n_bytes", "feat")
-      .select(col("doc_id"), col("fmt"), col("width"), col("height"), col("n_bytes"),
-        (floor(element_at(col("feat"), 1) * 10000) / 10000).as("feat0"))
+    }.map { case (id, nBytes, img) =>
+      (id, "pgm", nBytes, img.isDefined,
+        img.map(_.width).getOrElse(-1), img.map(_.height).getOrElse(-1),
+        img.map(i => math.floor(i.meanGray * 10000) / 10000).getOrElse(-1.0),
+        img.map(_.minGray).getOrElse(-1), img.map(_.maxGray).getOrElse(-1))
+    }.toDF("doc_id", "fmt", "n_bytes", "decode_ok",
+        "width", "height", "mean_gray", "min_gray", "max_gray")
       .orderBy(col("doc_id"))
   }
 

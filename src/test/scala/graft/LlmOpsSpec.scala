@@ -397,15 +397,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("decode stub is deterministic and multimodal plumbing keeps schema") {
-    val a = Multimodal.decodeStub("hello".getBytes)
-    val b = Multimodal.decodeStub("hello".getBytes)
-    assert(a.sameElements(b) && a.length == Multimodal.featureDim)
+  test("pgm decode parses real payloads exactly and rejects malformed ones") {
+    // 2x2 image with known pixels -> exact stats
+    val img = Multimodal.encodePgm(2, 2, Array[Byte](10, 20, 30, 100))
+    val d = Multimodal.decodePgm(img)
+    assert(d.contains(Multimodal.PgmImage(2, 2, 40.0, 10, 100)))
+    // high-bit pixels must read unsigned
+    val hb = Multimodal.decodePgm(Multimodal.encodePgm(1, 2, Array[Byte](-1, 0)))
+    assert(hb.exists(i => i.maxGray == 255 && i.minGray == 0 && i.meanGray == 127.5))
+    // malformed: wrong magic, truncated raster, zero dims, bad maxval
+    assert(Multimodal.decodePgm("P6\n2 2\n255\nxxxx".getBytes).isEmpty)
+    assert(Multimodal.decodePgm(img.take(img.length - 1)).isEmpty)
+    assert(Multimodal.decodePgm("P5\n0 2\n255\n".getBytes).isEmpty)
+    assert(Multimodal.decodePgm("P5\n1 1\n127\nx".getBytes).isEmpty)
+  }
+
+  test("multimodal binary columns decode the corpus with per-row error handling") {
     val rows = Multimodal.binaryColumns(t).collect()
     assert(rows.length == t.documents.count())
     rows.foreach { r =>
-      assert(Set("jpeg", "png", "webp").contains(r.getAs[String]("fmt")))
-      assert(r.getAs[Int]("n_bytes") > 0)
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("fmt") == "pgm" && r.getAs[Int]("n_bytes") > 0)
+      if (id % 13 == 0) {
+        // truncated wire payload -> decode refused, sentinels emitted
+        assert(!r.getAs[Boolean]("decode_ok") && r.getAs[Int]("width") == -1)
+      } else {
+        assert(r.getAs[Boolean]("decode_ok"))
+        assert(r.getAs[Int]("width") == (8 + id % 9) && r.getAs[Int]("height") == (8 + id % 5))
+        val mean = r.getAs[Double]("mean_gray")
+        assert(mean >= r.getAs[Int]("min_gray") && mean <= r.getAs[Int]("max_gray"))
+      }
     }
   }
 }
