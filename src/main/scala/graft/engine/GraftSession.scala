@@ -24,11 +24,13 @@ object GraftSession {
       // The testdata's events.ts is TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects; read it as a long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Gate.resolve's all-DOUBLE from_json type probe relies on per-field
-      // partial results: with this off, the first string-typed field (Header
-      // on every normal row) would null the whole probe struct and
-      // misclassify IP_BAD/HEADER_BAD as NOW_BAD. True is the Spark 4
-      // default — pinned so a cluster-level override can't flip semantics.
+      // The typed from_json users (Adv.asaFields, Etl.schemaCheck,
+      // RawEnvelope) rely on per-field partial results: with this off, one
+      // mistyped field nulls the WHOLE parsed struct and every sibling
+      // field's verdict flips with it. True is the Spark 4 default —
+      // pinned so a cluster-level override can't change semantics. (The
+      // gate resolver itself no longer parses with from_json; it reads a
+      // VARIANT.)
       .config("spark.sql.json.enablePartialResults", "true")
 
   /** Local session for tests and ad-hoc runs. */

@@ -90,11 +90,13 @@ object Dedup {
     */
   def ngramJaccard(t: Tables): DataFrame = {
     val sh = shingles(t)
-    // step 1: df via groupBy (map-side combined) — NOT a window over s,
-    // which would funnel the hottest shingle's whole posting through one task
-    val withDf = sh.groupBy("s")
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .select(col("s"), size(col("ds")).as("df"), explode(col("ds")).as("doc_id"))
+    // step 1: df via a COUNT groupBy (map-side combined) joined back on the
+    // shingle — never a window over s (single-task funnel for the hottest
+    // shingle) and never collect_list (the hottest shingle's whole posting
+    // list in ONE aggregation buffer — the same funnel as array memory).
+    // Costs a second exchange on s; carries only an 8-byte count per key.
+    val dfBy = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val withDf = sh.join(dfBy, "s")
     val probeBeta = 2 * jaccardTau / (1 + jaccardTau)
     // step 2: the per-doc frame feeds candidate generation AND verification
     val docs = withDf.groupBy("doc_id")

@@ -55,7 +55,10 @@ object Multimodal {
     } yield (w, h)
     parsed.flatMap { case (w, h) =>
       val rasterStart = i + 1 // single whitespace after maxval
-      if (bytes.length - rasterStart < w * h) None
+      // long arithmetic: a hostile header like 46341x46341 overflows Int
+      // (w*h < 0) and would skip the truncation check entirely
+      if (w.toLong * h > Int.MaxValue ||
+          (bytes.length - rasterStart).toLong < w.toLong * h) None
       else {
         var (sum, mn, mx, j) = (0L, 255, 0, rasterStart)
         val end = rasterStart + w * h
@@ -83,7 +86,10 @@ object Multimodal {
     import spark.implicits._
     val flat = t.documents.select(
         col("doc_id"),
-        encode(rpad(col("text"), lit(192), col("text")), "UTF-8").as("raster"),
+        // constant pad, not the text itself: rpad with an empty pad string
+        // returns the input unchanged, so an empty document would yield an
+        // empty raster and crash encodePgm's size check
+        encode(rpad(col("text"), 192, " "), "UTF-8").as("raster"),
         (lit(8) + col("doc_id") % 9).cast("int").as("width"),
         (lit(8) + col("doc_id") % 5).cast("int").as("height"))
       .as[(Long, Array[Byte], Int, Int)]

@@ -76,14 +76,10 @@ object Pipeline {
     */
   def allJob(t: Tables): DataFrame = {
     graft.functions.CodecExpressions.register(t.spark)
-    val spark = t.spark
-    import spark.implicits._
-    val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip"))
-    val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua"))
     val eventCols = t.events.columns
     // Materialize (event cols, gate keys, verdict) BEFORE the filter and
     // anti-joins: the resolver verdict is one expensive expression tree
-    // (message construction + three typed JSON parses), and evaluating it
+    // (message construction + the variant parse), and evaluating it
     // inside the filter/join stage re-inlines that tree into every
     // consumer (the predicate, each join key path, the output projection)
     // — measured 62 s vs ~8 s for exactly one evaluation pass per row.
@@ -93,11 +89,7 @@ object Pipeline {
     val resolved = Gate.resolveCols(Envelope.attach(t.events))
       .select(keep: _*)
       .localCheckpoint(true)
-    val passed = resolved
-      .filter(col("verdict") === "OK")
-      .filter(!col("appkey").isin(Etl.akBlacklist: _*))
-      .join(ipB, Seq("appkey", "ip"), "left_anti")
-      .join(uaB, Seq("appkey", "ua"), "left_anti")
+    val passed = Gate.passEvents(resolved)
       .select(eventCols.map(col): _*)
       .localCheckpoint(true)
     Pipeline.eventAttr(new Tables(t.spark, t.dir) {

@@ -69,6 +69,17 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The quality formula over a `w` words column — the ONE definition both
+    * `qualityScore` and the curation gate (`TrainData.curation`) compile
+    * in, so the gate can never drift from the standalone operator.
+    */
+  def qualityCol: org.apache.spark.sql.Column = {
+    val n = size(col("w"))
+    val hits = expr(hitExpr(stopwords.head._2))
+    floor((least(n, lit(50)).cast("double") / 50 * 0.5 +
+      hits.cast("double") / n * 0.5) * 10000) / 10000
+  }
+
   /** #43 text_quality_score — length / stopword-ratio features + a single
     * score. floor-rounded ratios so the oracle can't hit decimal-tie
     * divergence between engines.
@@ -77,12 +88,12 @@ object TextAnalysis {
     docsW(t).select(
         col("doc_id"),
         size(col("w")).as("n_words"),
-        expr(hitExpr(stopwords.head._2)).as("stop_hits"))
+        expr(hitExpr(stopwords.head._2)).as("stop_hits"),
+        qualityCol.as("quality"))
       .select(
         col("doc_id"), col("n_words"),
         (floor(col("stop_hits").cast("double") / col("n_words") * 10000) / 10000).as("stop_ratio"),
-        (floor((least(col("n_words"), lit(50)).cast("double") / 50 * 0.5 +
-          col("stop_hits").cast("double") / col("n_words") * 0.5) * 10000) / 10000).as("quality"))
+        col("quality"))
       .orderBy(col("doc_id"))
 
   /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */

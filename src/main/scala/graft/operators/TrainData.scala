@@ -70,13 +70,19 @@ object TrainData {
     * short to carry a full window surface with n_grams = 0 rather than
     * dropping out (left join from the doc spine).
     */
-  def contamination(t: Tables): DataFrame = {
-    val grams = Dedup.withWords(t.documents)
+  /** Per-doc DISTINCT contamination-gram hashes of a words frame — the ONE
+    * gram definition shared by `contamination` and the curation gate.
+    */
+  private def gramHashes(docsW: DataFrame): DataFrame =
+    docsW
       .filter(size(col("w")) >= contamGram)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"""transform(sequence(0, size(w)-$contamGram),
             i -> concat_ws(' ', slice(w, i+1, $contamGram)))"""))).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
+
+  def contamination(t: Tables): DataFrame = {
+    val grams = gramHashes(Dedup.withWords(t.documents))
     val isEval = col("doc_id") % contamEvalMod === 0
     val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
     val hits = grams.filter(!isEval)
@@ -167,25 +173,18 @@ object TrainData {
     * data before the next shuffle.
     */
   def curation(t: Tables): DataFrame = {
+    // quality and gram definitions come from the standalone operators
+    // (TextAnalysis.qualityCol, gramHashes) — the gate cannot drift
     val docs = Dedup.withWords(t.documents)
-      .select(col("doc_id"), col("text"), col("w"),
+      .select(col("doc_id"), col("w"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"),
         size(col("w")).cast("long").as("tok"),
-        expr(s"size(filter(w, x -> x IN (${TextAnalysis.stopwords.head._2
-          .map(w => s"'$w'").mkString(", ")})))").as("stop_hits"))
-      .withColumn("quality",
-        floor((least(col("tok"), lit(50L)).cast("double") / 50 * 0.5 +
-          col("stop_hits").cast("double") / col("tok") * 0.5) * 10000) / 10000)
+        TextAnalysis.qualityCol.as("quality"))
     val deduped = docs.join(
       docs.groupBy("h").agg(min(col("doc_id")).as("keep_id")),
       "h").filter(col("doc_id") === col("keep_id"))
     val isEval = col("doc_id") % contamEvalMod === 0
-    val grams = deduped
-      .filter(size(col("w")) >= contamGram)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""transform(sequence(0, size(w)-$contamGram),
-            i -> concat_ws(' ', slice(w, i+1, $contamGram)))"""))).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val grams = gramHashes(deduped)
     val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
     val contaminated = grams.filter(!isEval).join(evalGrams, "gh")
       .select(col("doc_id")).distinct()

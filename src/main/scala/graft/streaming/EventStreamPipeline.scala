@@ -121,17 +121,9 @@ object EventStreamPipeline {
     * like GateJob.execute's output stream feeding IdJob.
     */
   def gateStream(events: DataFrame): DataFrame = {
-    import graft.operators.{Envelope, Etl, Gate}
-    val spark = events.sparkSession
-    import spark.implicits._
-    graft.functions.CodecExpressions.register(spark)
-    val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip"))
-    val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua"))
-    Gate.resolveCols(Envelope.attach(events))
-      .filter(col("verdict") === "OK")
-      .filter(!col("appkey").isin(Etl.akBlacklist: _*))
-      .join(ipB, Seq("appkey", "ip"), "left_anti")
-      .join(uaB, Seq("appkey", "ua"), "left_anti")
+    import graft.operators.{Envelope, Gate}
+    graft.functions.CodecExpressions.register(events.sparkSession)
+    Gate.passEvents(Gate.resolveCols(Envelope.attach(events)))
       .select(events.columns.map(col) :+ col("verdict"): _*)
   }
 

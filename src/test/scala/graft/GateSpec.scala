@@ -68,6 +68,23 @@ class GateSpec extends SparkSpec {
     assert(r(12L)._1 == "EVENT_BAD")
   }
 
+  test("MISSING fields reject like mistyped ones (null-safe type verdicts)") {
+    // absence must not fall through to OK: variant_get on a missing key is
+    // NULL, and a non-null-safe comparison would skip every bad branch
+    val got = resolveLiteral(Seq(
+      1L -> """{"Now":1700000000,"Header":"{}","Args":"{}"}""",          // no Ip
+      2L -> """{"Ip":"1.2.3.4","Header":"{}","Args":"{}"}""",            // no Now
+      3L -> """{"Ip":"1.2.3.4","Now":1700000000,"Args":"{}"}""",         // no Header
+      4L -> """{"Ip":"1.2.3.4","Now":1700000000,"Header":"{}"}""",       // no Args
+      5L -> """{"Ip":null,"Now":1700000000,"Header":"{}","Args":"{}"}""" // JSON null Ip
+    ))
+    assert(got(1L)._1 == "IP_BAD")
+    assert(got(2L)._1 == "NOW_BAD")
+    assert(got(3L)._1 == "HEADER_BAD")
+    assert(got(4L)._1 == "ARGS_BAD")
+    assert(got(5L)._1 == "IP_BAD")
+  }
+
   test("header without user-agent falls back to DEFAULT") {
     val plain = """{"a":1}"""
     val m = s"""{"Ip":"9.9.9.9","Now":2,"Header":"{\\"x\\":\\"1\\"}","Args":"{\\"event\\":\\"${plain
