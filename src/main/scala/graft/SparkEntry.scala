@@ -1208,7 +1208,8 @@ object SparkEntry {
                FROM i),
          f AS (SELECT ch, count(DISTINCT doc_id) AS cdf FROM c GROUP BY 1)
          SELECT c.doc_id, count(*) AS n_chunks,
-           sum(CASE WHEN f.cdf >= ${Dedup.paraMinDf} THEN 1 ELSE 0 END) AS n_boiler,
+           CAST(sum(CASE WHEN f.cdf >= ${Dedup.paraMinDf} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
            floor(sum(CASE WHEN f.cdf >= ${Dedup.paraMinDf} THEN 1 ELSE 0 END)
                  * 10000.0 / count(*)) / 10000 AS boiler_frac
          FROM c JOIN f ON c.ch = f.ch
@@ -1242,8 +1243,8 @@ object SparkEntry {
         .map { case (k, r) => s"('$k', $r)" }.mkString(", ")
       s"""WITH rates(event_type, rate) AS (VALUES $values)
          SELECT e.event_type, count(*) AS n_total,
-           sum(CASE WHEN (e.event_id % 100003) * 2654435761 % 1000000
-                         < r.rate * 1000000 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN (e.event_id % 100003) * 2654435761 % 1000000
+                         < r.rate * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            floor(sum(CASE WHEN (e.event_id % 100003) * 2654435761 % 1000000
                                < r.rate * 1000000 THEN 1 ELSE 0 END)
                  * 10000.0 / count(*)) / 10000 AS realized
@@ -1316,7 +1317,8 @@ object SparkEntry {
                  CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin,
                  tok
                FROM c)
-         SELECT shard, bin, count(*) AS n_docs, sum(tok) AS n_tokens,
+         SELECT shard, bin, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
            floor(sum(tok) * 10000.0 / ${TrainData.packBudget}) / 10000 AS fill
          FROM b GROUP BY shard, bin ORDER BY shard, bin""",
     "pipeline_curation" -> {

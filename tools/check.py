@@ -48,21 +48,32 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        sq = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-        scols = [d[0] for d in sq.description]
-        srows = sq.fetchall()
+        st = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").arrow()
+        scols = list(st.column_names)
+        stypes = {c: str(st.schema.field(c).type) for c in scols}
+        srows = [tuple(r[c] for c in scols) for r in st.to_pylist()]
         try:
-            dq = con.execute(oracle[name])
-            dcols = [d[0] for d in dq.description]
-            drows = dq.fetchall()
+            dt = con.execute(oracle[name]).arrow()
+            dcols = list(dt.column_names)
+            dtypes = {c: str(dt.schema.field(c).type) for c in dcols}
+            drows = [tuple(r[c] for c in dcols) for r in dt.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
         sc, scn = canon(srows, scols)
         dc, dcn = canon(drows, dcols)
+        # arrow-type agreement: a DuckDB HUGEINT (un-CAST integer sum())
+        # surfaces as decimal128 vs Spark's int64 — a hash mismatch
+        # driver-side even when str() values agree, so fail it here too
+        tdiff = {c: (stypes[c], dtypes[c]) for c in scn
+                 if c in dtypes and stypes[c] != dtypes[c]
+                 and {stypes[c], dtypes[c]} - {"int64", "int32", "date32[day]"}}
         if scn != dcn:
             print(f"FAIL {name}: columns {scn} != {dcn}")
+            n_fail += 1
+        elif tdiff:
+            print(f"FAIL {name}: arrow types differ {tdiff}")
             n_fail += 1
         elif sc != dc:
             print(f"FAIL {name}: {len(sc)} vs {len(dc)} rows")
