@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g is enough: Bench's per-query gc= column shows <0.5 s of GC even
+  // inside the occasional 15-25 s outlier, so the outliers are host
+  // scheduling noise, not heap pressure — and a larger heap lets the JVM
+  // hold RSS the driver's DuckDB compare stage then competes with.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

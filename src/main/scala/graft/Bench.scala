@@ -31,14 +31,18 @@ object Bench {
     // warm the session (codegen compiler, parquet footers, broadcast infra)
     // so per-query numbers measure the queries, not JVM cold start
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val g0 = gcMs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       // release per-query persist()ed frames so cached blocks can't
       // accumulate across the 65-query session
       spark.sqlContext.clearCache()
-      System.err.println(f"[bench] $name%-28s $sec%8.3f s")
+      System.err.println(f"[bench] $name%-28s $sec%8.3f s  gc=${gcMs - g0}%5d ms")
       name -> sec
     }
     def r3(v: Double): String = f"$v%.3f"

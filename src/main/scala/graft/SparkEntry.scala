@@ -124,7 +124,12 @@ object SparkEntry {
     "pack_sequences_stats"    -> ((s, d) => TrainData.packSequencesStats(tables(s, d))),
     "pipeline_curation"       -> ((s, d) => TrainData.curation(tables(s, d))),
     "text_unigram_lm"         -> ((s, d) => TextAnalysis.unigramLm(tables(s, d))),
-    "emb_quantize"            -> ((s, d) => Sim.quantize(tables(s, d)))
+    "emb_quantize"            -> ((s, d) => Sim.quantize(tables(s, d))),
+    "text_c4_filters"         -> ((s, d) => TextAnalysis.c4Filters(tables(s, d))),
+    "text_top_ngrams"         -> ((s, d) => TextAnalysis.topNgrams(tables(s, d))),
+    "mix_domains"             -> ((s, d) => TrainData.mixDomains(tables(s, d))),
+    "mix_domains_stats"       -> ((s, d) => TrainData.mixDomainsStats(tables(s, d))),
+    "emb_cluster_assign"      -> ((s, d) => Sim.clusterAssign(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -1235,7 +1240,8 @@ object SparkEntry {
       s"""WITH rates(event_type, rate) AS (VALUES $values)
          SELECT e.event_id, e.event_type, e.user_id
          FROM events e JOIN rates r ON e.event_type = r.event_type
-         WHERE (e.event_id % 100003) * 2654435761 % 1000000 < r.rate * 1000000
+         WHERE (e.event_id % 100003) * 2654435761 % 1000000
+               < CAST(r.rate AS DOUBLE) * 1000000
          ORDER BY e.event_id"""
     },
     "sample_stratified_stats" -> {
@@ -1244,9 +1250,11 @@ object SparkEntry {
       s"""WITH rates(event_type, rate) AS (VALUES $values)
          SELECT e.event_type, count(*) AS n_total,
            CAST(sum(CASE WHEN (e.event_id % 100003) * 2654435761 % 1000000
-                         < r.rate * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                         < CAST(r.rate AS DOUBLE) * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            floor(sum(CASE WHEN (e.event_id % 100003) * 2654435761 % 1000000
-                               < r.rate * 1000000 THEN 1 ELSE 0 END)
+                               < CAST(r.rate AS DOUBLE) * 1000000
+                               THEN 1 ELSE 0 END)
                  * 10000.0 / count(*)) / 10000 AS realized
          FROM events e JOIN rates r ON e.event_type = r.event_type
          GROUP BY e.event_type ORDER BY e.event_type"""
@@ -1491,6 +1499,79 @@ object SparkEntry {
          SELECT vec_id, floor(scale * 1000000) / 1000000 AS scale6,
            floor(sqrt(err) / nrm * 10000) / 10000 AS rel_err,
            len(list_filter(qv, qi -> abs(qi) = 127)) AS n_saturated
-         FROM err ORDER BY vec_id"""
+         FROM err ORDER BY vec_id""",
+    "text_c4_filters" -> {
+      import TextAnalysis.{c4MinWords, c4MeanLenLo, c4MeanLenHi, c4ShortFracMax}
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         s AS (SELECT doc_id, len(w) AS n_words,
+                 list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sum_len,
+                 len(list_filter(w, x -> len(x) <= 2)) AS n_short,
+                 list_aggregate(list_transform(w, x -> len(x)), 'max') AS max_word_len
+               FROM d),
+         f AS (SELECT doc_id, n_words,
+                 floor(CAST(sum_len AS DOUBLE) / n_words * 10000) / 10000 AS mean_word_len,
+                 floor(CAST(n_short AS DOUBLE) / n_words * 10000) / 10000 AS short_frac,
+                 max_word_len
+               FROM s)
+         SELECT doc_id, n_words, mean_word_len, short_frac, max_word_len,
+           (n_words >= $c4MinWords
+            AND mean_word_len >= $c4MeanLenLo AND mean_word_len <= $c4MeanLenHi
+            AND short_frac <= $c4ShortFracMax) AS keep
+         FROM f ORDER BY doc_id"""
+    },
+    "text_top_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         f AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS gram
+               FROM f)
+         SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+         FROM g GROUP BY gram
+         ORDER BY n_occ DESC, gram LIMIT ${TextAnalysis.topNgramK}""",
+    "mix_domains" -> {
+      val values = TrainData.domainWeights
+        .map { case (k, w) => s"('$k', $w)" }.mkString(", ")
+      s"""WITH wts(source, weight) AS (VALUES $values),
+         d AS (SELECT doc_id, d.source, lang,
+                 CAST(coalesce(w.weight, ${TrainData.domainDefaultWeight}) AS DOUBLE)
+                   AS weight
+               FROM documents d LEFT JOIN wts w ON d.source = w.source)
+         SELECT doc_id, source, lang, weight FROM d
+         WHERE (doc_id % 100003) * 2654435761 % 1000000 < weight * 1000000
+         ORDER BY doc_id"""
+    },
+    "mix_domains_stats" -> {
+      val values = TrainData.domainWeights
+        .map { case (k, w) => s"('$k', $w)" }.mkString(", ")
+      s"""WITH wts(source, weight) AS (VALUES $values),
+         d AS (SELECT doc_id, d.source,
+                 CAST(coalesce(w.weight, ${TrainData.domainDefaultWeight}) AS DOUBLE)
+                   AS weight
+               FROM documents d LEFT JOIN wts w ON d.source = w.source)
+         SELECT source, weight, count(*) AS n_total,
+           CAST(sum(CASE WHEN (doc_id % 100003) * 2654435761 % 1000000
+                              < weight * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           floor(sum(CASE WHEN (doc_id % 100003) * 2654435761 % 1000000
+                               < weight * 1000000 THEN 1 ELSE 0 END)
+                 * 10000.0 / count(*)) / 10000 AS realized
+         FROM d GROUP BY source, weight ORDER BY source"""
+    },
+    "emb_cluster_assign" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn FROM n
+               WHERE vec_id < ${Sim.nCentroids}),
+         p AS (SELECT n.vec_id, c.cluster,
+                 list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS cos
+               FROM n CROSS JOIN c),
+         r AS (SELECT vec_id, cluster, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cluster) AS rk
+               FROM p)
+         SELECT vec_id, cluster, floor(cos * 10000) / 10000 AS cos_sim
+         FROM r WHERE rk = 1 ORDER BY vec_id"""
   )
 }

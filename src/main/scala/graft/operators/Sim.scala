@@ -157,6 +157,37 @@ object Sim {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Fixed coarse-cluster count for the standalone assignment operator. */
+  val nCentroids = 8
+
+  /** emb_cluster_assign — nearest-centroid assignment, the primitive under
+    * every embedding-space curation step (semantic dedup buckets, cluster-
+    * balanced sampling, IVF list routing). Centroids here are the
+    * `nCentroids` lowest-id vectors — DETERMINISTIC, so the operator is
+    * hash-checked end-to-end (the k-means-trained variant is `ivfTopK`,
+    * rows-only, where the model comes from MLlib). Ties break to the lower
+    * centroid id.
+    *
+    * Scale shape: the centroid table is K×64 → broadcast; assignment is a
+    * per-row argmax over K cosines — one scan, no shuffle except the final
+    * per-vector rank (collapsed by AQE into the scan's partitioning since
+    * the window key is the row key).
+    */
+  def clusterAssign(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val e = vecs(t)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("cluster").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos", expr("graft_cosine(v, cv)"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   val nHyperplanes = 8
 
   /** Deterministic pseudo-random hyperplane j component d: sin(j*1009+d*31).

@@ -217,6 +217,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C4/Gopher-style document-gate thresholds. The classic rule set also
+    * checks punctuation/caps/digit signals — degenerate on this all-lowercase
+    * word corpus — so the gate here keeps the rules that discriminate:
+    * document length, mean word length, and short-word density (the Gopher
+    * "symbol-to-word"-family rules in their word-shape form).
+    */
+  val c4MinWords = 30
+  val c4MeanLenLo = 3.0
+  val c4MeanLenHi = 5.0
+  val c4ShortFracMax = 0.05
+
+  /** text_c4_filters — the C4/Gopher heuristic document gate: per-doc word
+    * count, mean word length, short-word (≤2 chars) fraction, longest word,
+    * and the keep verdict under the thresholds above. All per-row array
+    * folds — zero shuffle, one codegen'd scan pass at any scale; the gate
+    * becomes a pushed filter when composed into a curation chain.
+    */
+  def c4Filters(t: Tables): DataFrame = {
+    val n = size(col("w"))
+    docsW(t)
+      .select(col("doc_id"), n.as("n_words"),
+        // integer sum inside the row; only the floored ratio is exposed
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("sum_len"),
+        size(expr("filter(w, x -> length(x) <= 2)")).as("n_short"),
+        expr("aggregate(w, 0, (a, x) -> greatest(a, length(x)))").as("max_word_len"))
+      .select(col("doc_id"), col("n_words"),
+        (floor(col("sum_len").cast("double") / col("n_words") * 10000) / 10000)
+          .as("mean_word_len"),
+        (floor(col("n_short").cast("double") / col("n_words") * 10000) / 10000)
+          .as("short_frac"),
+        col("max_word_len"))
+      .withColumn("keep",
+        col("n_words") >= c4MinWords &&
+          col("mean_word_len") >= c4MeanLenLo && col("mean_word_len") <= c4MeanLenHi &&
+          col("short_frac") <= c4ShortFracMax)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level n-gram report size. */
+  val topNgramK = 20
+
+  /** text_top_ngrams — the corpus's top-K word bigrams with occurrence and
+    * document frequency: the vocabulary/boilerplate report a data-quality
+    * pass prints before choosing dedup and filter thresholds.
+    *
+    * Scale shape: bigrams are built inside the row, then ONE
+    * map-side-combined groupBy on the gram; the result is |distinct grams|
+    * long, and the top-K heads out through a single ordered limit
+    * (TakeOrdered — no global sort materialization).
+    */
+  def topNgrams(t: Tables): DataFrame =
+    docsW(t)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("gram").asc)
+      .limit(topNgramK)
+
   /** #45 text_fingerprint — polynomial rolling hash folded over the word
     * sequence (order-sensitive), plus the min shingle hash (winnowing-style
     * content anchor, order-robust). Sequential `aggregate` fold — no UDF —

@@ -46,6 +46,56 @@ object TrainData {
       .orderBy(col("event_id"))
   }
 
+  /** Explicit per-source mixture weights (keep rates); sources not listed
+    * fall back to `domainDefaultWeight` — the shape of a real training-mix
+    * config, where a handful of curated domains get pinned rates and the
+    * long tail shares a default. One copy: the oracle VALUES list is built
+    * from this.
+    */
+  val domainWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 0.05, "src1" -> 0.2, "src2" -> 0.5, "src3" -> 1.0)
+
+  val domainDefaultWeight = 0.1
+
+  /** mix_domains — domain-weighted corpus mixing: each source keeps
+    * `weight` of its documents, chosen by the deterministic key mix (same
+    * discipline as `sampleStratified`: reproducible across runs, clusters
+    * and repartitioning — an auditable mix, not an RNG draw). Scale shape:
+    * the weight dim broadcasts, the filter fuses into the scan — zero
+    * shuffle; downstream consumers read a stream that already IS the mix.
+    */
+  def mixDomains(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val wts = broadcast(domainWeights.toDF("source", "weight"))
+    t.documents
+      .join(wts, Seq("source"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(domainDefaultWeight)))
+      .filter(mix(col("doc_id")) < col("weight") * 1000000L)
+      .select(col("doc_id"), col("source"), col("lang"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** mix_domains_stats — realized mixture audit per source: totals, kept
+    * counts and the realized keep rate vs the configured weight.
+    */
+  def mixDomainsStats(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val wts = broadcast(domainWeights.toDF("source", "weight"))
+    t.documents
+      .join(wts, Seq("source"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(domainDefaultWeight)))
+      .groupBy(col("source"), col("weight"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(mix(col("doc_id")) < col("weight") * 1000000L, 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("weight"), col("n_total"), col("n_kept"),
+        (floor(col("n_kept") * lit(10000.0) / col("n_total")) / 10000).as("realized"))
+      .orderBy(col("source"))
+  }
+
   /** Eval membership: every 97th doc_id — a deterministic stand-in for the
     * held-out benchmark set a decontamination pass protects. Portable
     * (plain modulus) so the oracle replays it.

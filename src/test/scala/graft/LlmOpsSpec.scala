@@ -429,4 +429,88 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("c4 filter gate keeps clean docs and names the violated rule") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => f"w$i%03d").mkString(" ")    // clean: 40 4-char words
+    val short = "only five words in here"                      // n_words < 30
+    val tiny = (1 to 40).map(_ => "a b").mkString(" ")         // short_frac = 1.0
+    val wide = (1 to 40).map(i => s"verylongword$i").mkString(" ") // mwl > 5
+    val docs = Seq((1L, long), (2L, short), (3L, tiny), (4L, wide))
+      .toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val got = TextAnalysis.c4Filters(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("keep") && got(2L).getAs[Int]("n_words") == 5)
+    assert(!got(3L).getAs[Boolean]("keep") &&
+      got(3L).getAs[Double]("short_frac") == 1.0)
+    assert(!got(4L).getAs[Boolean]("keep") &&
+      got(4L).getAs[Double]("mean_word_len") > TextAnalysis.c4MeanLenHi)
+    // mean word length is exact on doc 3: all words are 1 char
+    assert(got(3L).getAs[Double]("mean_word_len") == 1.0)
+  }
+
+  test("top ngrams ranks by occurrences with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),   // "x y" x3, "y x" x2
+      (2L, "x y q r"),       // "x y" again (2 docs)
+      (3L, "q r s"))
+      .toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = TextAnalysis.topNgrams(t2).collect()
+    assert(rows.head.getAs[String]("gram") == "x y" &&
+      rows.head.getAs[Long]("n_occ") == 4L && rows.head.getAs[Long]("n_docs") == 2L)
+    // equal-count grams order lexicographically
+    val occs = rows.map(_.getAs[Long]("n_occ"))
+    assert(occs.sameElements(occs.sortBy(-_)))
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getAs[Long]("n_occ") == b.getAs[Long]("n_occ") =>
+        assert(a.getAs[String]("gram") < b.getAs[String]("gram"))
+      case _ => ()
+    }
+    assert(rows.length <= TextAnalysis.topNgramK)
+  }
+
+  test("domain mix keeps per-source rates and defaults unlisted sources") {
+    val kept = TrainData.mixDomains(t).collect()
+    val stats = TrainData.mixDomainsStats(t).collect()
+    val wts = TrainData.domainWeights.toMap
+    // every explicit source carries its configured weight, others the default
+    stats.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Double]("weight") ==
+        wts.getOrElse(src, TrainData.domainDefaultWeight))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+    // the kept listing and the stats agree exactly
+    assert(kept.length == stats.map(_.getAs[Long]("n_kept")).sum)
+    val keptBySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    stats.foreach(r => assert(
+      keptBySrc.getOrElse(r.getAs[String]("source"), 0) == r.getAs[Long]("n_kept")))
+  }
+
+  test("cluster assignment picks the nearest centroid, ties to the lower id") {
+    import spark.implicits._
+    def vec(hot: Int, v: Float): Seq[Float] =
+      (0 until 8).map(d => if (d == hot) v else 0.0f)
+    // centroids 0..7 are one-hot axes; probes point near axis 2 and axis 5
+    val rows = (0 until Sim.nCentroids).map(i => (i.toLong, vec(i, 1.0f))) ++ Seq(
+      (100L, vec(2, 3.0f)),                                  // exactly axis 2
+      (101L, (0 until 8).map(d => if (d == 5) 0.9f else 0.1f))) // nearest axis 5
+    val embs = rows.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = embs }
+    val got = Sim.clusterAssign(t2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // a centroid assigns to itself at cosine 1.0
+    (0 until Sim.nCentroids).foreach { i =>
+      assert(got(i.toLong).getAs[Long]("cluster") == i.toLong)
+      assert(got(i.toLong).getAs[Double]("cos_sim") == 1.0)
+    }
+    assert(got(100L).getAs[Long]("cluster") == 2L &&
+      got(100L).getAs[Double]("cos_sim") == 1.0)
+    assert(got(101L).getAs[Long]("cluster") == 5L)
+  }
 }

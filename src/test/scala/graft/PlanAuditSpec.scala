@@ -136,6 +136,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"LM scoring went quadratic:\n$p")
   }
 
+  test("c4 filter gate shuffles nothing before the output sort") {
+    val p = plan(TextAnalysis.c4Filters(t))
+    assert(!p.contains("hashpartitioning"), s"c4 gate gained a shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"),
+      s"c4 gate gained a join:\n$p")
+  }
+
+  test("top ngrams heads out through an ordered limit, not a global sort") {
+    val p = plan(TextAnalysis.topNgrams(t))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k materialized a sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"gram count lost partial agg:\n$p")
+  }
+
+  test("domain mix broadcasts the weight dim and pushes no shuffle") {
+    val p = plan(TrainData.mixDomains(t))
+    assert(p.contains("BroadcastHashJoin"), s"weight dim join shuffled:\n$p")
+    assert(!p.contains("hashpartitioning"), s"mix gained a shuffle:\n$p")
+  }
+
+  test("cluster assignment broadcasts the centroid table") {
+    // K centroids against N vectors: the only acceptable join is a
+    // broadcast nested loop (it IS the K-way fan-out); a shuffled or
+    // cartesian product would mean the centroid side lost its broadcast
+    val p = plan(graft.operators.Sim.clusterAssign(t))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"assignment went cartesian:\n$p")
+  }
+
   test("whole-stage codegen covers the envelope expression work") {
     val df = Etl.schemaCheck(t)
     df.collect() // finalize the adaptive plan so codegen spans materialize
