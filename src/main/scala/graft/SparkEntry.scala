@@ -129,7 +129,9 @@ object SparkEntry {
     "text_top_ngrams"         -> ((s, d) => TextAnalysis.topNgrams(tables(s, d))),
     "mix_domains"             -> ((s, d) => TrainData.mixDomains(tables(s, d))),
     "mix_domains_stats"       -> ((s, d) => TrainData.mixDomainsStats(tables(s, d))),
-    "emb_cluster_assign"      -> ((s, d) => Sim.clusterAssign(tables(s, d)))
+    "emb_cluster_assign"      -> ((s, d) => Sim.clusterAssign(tables(s, d))),
+    "dedup_semantic"          -> ((s, d) => Sim.semanticDedup(tables(s, d))),
+    "id_incremental_assign"   -> ((s, d) => Identity.incrementalAssign(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -1572,6 +1574,48 @@ object SparkEntry {
                    ORDER BY cos DESC, cluster) AS rk
                FROM p)
          SELECT vec_id, cluster, floor(cos * 10000) / 10000 AS cos_sim
-         FROM r WHERE rk = 1 ORDER BY vec_id"""
+         FROM r WHERE rk = 1 ORDER BY vec_id""",
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn FROM n
+               WHERE vec_id < ${Sim.nCentroids}),
+         p AS (SELECT n.vec_id, n.v, n.nrm, c.cluster,
+                 list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS ccos
+               FROM n CROSS JOIN c),
+         r AS (SELECT vec_id, v, nrm, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cluster) AS rk
+               FROM p),
+         a AS (SELECT vec_id, v, nrm, cluster FROM r WHERE rk = 1),
+         pr AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
+                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+                FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         SELECT cluster, va, vb, floor(cos * 10000) / 10000 AS cos_sim
+         FROM pr WHERE cos >= ${Sim.nearDupTau} ORDER BY va, vb""",
+    "id_incremental_assign" ->
+      s"""WITH ${Envelope.oracleRaw},
+         old AS (SELECT DISTINCT appkey, did FROM raw
+                 WHERE appkey <> '' AND did <> ''
+                   AND CAST(('0x' || substring(md5(appkey || ':' || did), 1, 15))
+                            AS BIGINT) % 2 = 0),
+         ex AS (SELECT appkey, did,
+                  dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
+                FROM old),
+         today AS (SELECT DISTINCT appkey, did FROM raw
+                   WHERE appkey <> '' AND did <> ''),
+         nw AS (SELECT t.appkey, t.did FROM today t
+                LEFT JOIN ex ON t.appkey = ex.appkey AND t.did = ex.did
+                WHERE ex.did IS NULL),
+         mx AS (SELECT appkey, max(zg_did) AS max_id FROM ex GROUP BY appkey),
+         asg AS (SELECT n.appkey, n.did,
+                   coalesce(m.max_id, 0)
+                     + dense_rank() OVER (PARTITION BY n.appkey ORDER BY n.did)
+                     AS zg_did
+                 FROM nw n LEFT JOIN mx m ON n.appkey = m.appkey)
+         SELECT appkey, did, zg_did, false AS is_new FROM ex
+         UNION ALL
+         SELECT appkey, did, zg_did, true AS is_new FROM asg
+         ORDER BY appkey, did"""
   )
 }

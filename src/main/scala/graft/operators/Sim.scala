@@ -188,6 +188,41 @@ object Sim {
       .orderBy(col("vec_id"))
   }
 
+  /** dedup_semantic — SemDeDup-shaped near-duplicate detection: vectors are
+    * first routed to their nearest centroid (the `clusterAssign` step), and
+    * near-dup pairs are searched ONLY within a cluster. This is the
+    * semantic-dedup design real pretraining pipelines run at scale: the
+    * quadratic pair work is bounded by the largest cluster, not the corpus,
+    * at the documented cost of missing cross-cluster pairs (two near-dups
+    * split by a centroid boundary) — the exact-pair operator remains
+    * `embeddingNearDup`. Deterministic centroids keep it hash-checked.
+    *
+    * Scale shape: one broadcast argmax scan to assign, ONE shuffle on the
+    * cluster id, hash-join within cluster — cluster sizes are the skew
+    * knob (prod: k ≈ N/target-cluster-size, AQE skew-join for hot
+    * clusters).
+    */
+  def semanticDedup(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val e = vecs(t)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr("graft_cosine(a.v, b.v)"))
+      .filter(col("cos") >= nearDupTau)
+      .select(col("a.cluster").as("cluster"),
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("va"), col("vb"))
+  }
+
   val nHyperplanes = 8
 
   /** Deterministic pseudo-random hyperplane j component d: sin(j*1009+d*31).

@@ -90,4 +90,23 @@ class EtlIdentitySpec extends SparkSpec {
     val keys = rows.map(r => (r.getAs[String]("appkey"), r.getAs[String]("did")))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("incremental assignment never renumbers history and continues above it") {
+    val rows = Identity.incrementalAssign(t).collect()
+    val keys = rows.map(r => (r.getAs[String]("appkey"), r.getAs[String]("did")))
+    assert(keys.distinct.length == keys.length, "a key got two ids")
+    val byApp = rows.groupBy(_.getAs[String]("appkey"))
+    byApp.foreach { case (_, rs) =>
+      val old = rs.filter(!_.getAs[Boolean]("is_new")).map(_.getAs[Int]("zg_did")).sorted
+      val neu = rs.filter(_.getAs[Boolean]("is_new")).map(_.getAs[Int]("zg_did")).sorted
+      // existing ids are the original dense 1..n (unchanged by the new batch)
+      assert(old.sameElements(1 to old.length), s"history renumbered: ${old.take(5).toSeq}")
+      // new ids continue contiguously above the existing maximum
+      assert(neu.sameElements(old.length + 1 to old.length + neu.length),
+        s"new ids not contiguous above max: ${neu.take(5).toSeq}")
+    }
+    // both sides of the cutoff are non-trivial on the test corpus
+    assert(rows.exists(_.getAs[Boolean]("is_new")) &&
+      rows.exists(!_.getAs[Boolean]("is_new")))
+  }
 }

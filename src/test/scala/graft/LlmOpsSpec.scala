@@ -513,4 +513,28 @@ class LlmOpsSpec extends SparkSpec {
       got(100L).getAs[Double]("cos_sim") == 1.0)
     assert(got(101L).getAs[Long]("cluster") == 5L)
   }
+
+  test("semantic dedup pairs within clusters and misses across the boundary") {
+    import spark.implicits._
+    def vec(vals: (Int, Float)*): Seq[Float] =
+      (0 until 8).map(d => vals.toMap.getOrElse(d, 0.0f))
+    val rows = (0 until Sim.nCentroids).map(i => (i.toLong, vec(i -> 1.0f))) ++ Seq(
+      // 100/101: both nearest axis 2, cosine ~0.98 -> in-cluster pair
+      (100L, vec(2 -> 1.0f, 3 -> 0.1f)),
+      (101L, vec(2 -> 1.0f, 3 -> 0.3f)),
+      // 103/104: cosine 0.96 near-dups SPLIT by the 3/4 centroid boundary
+      // -> by design NOT reported (the documented SemDeDup approximation)
+      (103L, vec(3 -> 0.8f, 4 -> 0.6f)),
+      (104L, vec(3 -> 0.6f, 4 -> 0.8f)))
+    val embs = rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = embs }
+    val pairs = Sim.semanticDedup(t2).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    assert(pairs.contains((100L, 101L)))
+    assert(!pairs.contains((103L, 104L)), "cross-cluster pair must be missed")
+    // every reported pair is a true near-dup the brute-force also finds
+    val brute = Sim.embeddingNearDupBrute(t2).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    assert(pairs.subsetOf(brute))
+  }
 }

@@ -164,6 +164,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"assignment went cartesian:\n$p")
   }
 
+  test("semantic dedup pairs through a cluster equi-join, never a cartesian") {
+    val p = plan(graft.operators.Sim.semanticDedup(t))
+    assert(!p.contains("CartesianProduct"), s"pairing went cartesian:\n$p")
+    // the centroid fan-out is the (intended) broadcast nested loop; the
+    // PAIR step must be a real equi-join on the cluster id
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi-join on cluster:\n$p")
+  }
+
   test("whole-stage codegen covers the envelope expression work") {
     val df = Etl.schemaCheck(t)
     df.collect() // finalize the adaptive plan so codegen spans materialize
