@@ -252,6 +252,25 @@ object SparkEntry {
          FROM q)"""
   }
 
+  /** Nearest-centroid assignment CTE chain — the oracle mirror of
+    * Sim.assignToCentroids, shared by emb_cluster_assign and
+    * dedup_semantic so the two oracles can't drift. Yields
+    * `a` = (vec_id, v, nrm, cluster, ccos).
+    */
+  private val centroidAssignCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       c AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn FROM n
+             WHERE vec_id < ${Sim.nCentroids}),
+       p AS (SELECT n.vec_id, n.v, n.nrm, c.cluster,
+               list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS ccos
+             FROM n CROSS JOIN c),
+       r AS (SELECT vec_id, v, nrm, cluster, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, cluster) AS rk
+             FROM p),
+       a AS (SELECT vec_id, v, nrm, cluster, ccos FROM r WHERE rk = 1)"""
+
   /** zgid-resolution CTE chain (shared by id_zgid_resolution and the
     * end-to-end pipeline oracles; `src` = the event source CTE — `raw` for
     * the Id-entry operators, the gate-passed set for the AllJob chain).
@@ -1562,32 +1581,11 @@ object SparkEntry {
          FROM d GROUP BY source, weight ORDER BY source"""
     },
     "emb_cluster_assign" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         c AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn FROM n
-               WHERE vec_id < ${Sim.nCentroids}),
-         p AS (SELECT n.vec_id, c.cluster,
-                 list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS cos
-               FROM n CROSS JOIN c),
-         r AS (SELECT vec_id, cluster, cos,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY cos DESC, cluster) AS rk
-               FROM p)
-         SELECT vec_id, cluster, floor(cos * 10000) / 10000 AS cos_sim
-         FROM r WHERE rk = 1 ORDER BY vec_id""",
+      s"""WITH $centroidAssignCtes
+         SELECT vec_id, cluster, floor(ccos * 10000) / 10000 AS cos_sim
+         FROM a ORDER BY vec_id""",
     "dedup_semantic" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         c AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn FROM n
-               WHERE vec_id < ${Sim.nCentroids}),
-         p AS (SELECT n.vec_id, n.v, n.nrm, c.cluster,
-                 list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS ccos
-               FROM n CROSS JOIN c),
-         r AS (SELECT vec_id, v, nrm, cluster,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY ccos DESC, cluster) AS rk
-               FROM p),
-         a AS (SELECT vec_id, v, nrm, cluster FROM r WHERE rk = 1),
+      s"""WITH $centroidAssignCtes,
          pr AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)

@@ -171,7 +171,9 @@ object Identity {
       .filter(pmod(Dedup.portableHash(concat(col("appkey"), lit(":"), col("did"))),
         lit(2)) === 0)
       .select(col("appkey"), col("did")).distinct()
-    val existing = denseIds(oldKeys, "appkey", "did", "zg_did")
+    // three consumers (anti-join probe, per-app maxes, final union) read
+    // the ranked store; persist so the two-phase rank runs once
+    val existing = denseIds(oldKeys, "appkey", "did", "zg_did").persist()
     val todays = keys.select(col("appkey"), col("did")).distinct()
     val newKeys = todays
       .join(existing.select(col("appkey"), col("did")), Seq("appkey", "did"), "left_anti")

@@ -160,6 +160,25 @@ object Sim {
   /** Fixed coarse-cluster count for the standalone assignment operator. */
   val nCentroids = 8
 
+  /** The ONE nearest-centroid assignment definition `clusterAssign` and
+    * `semanticDedup` both build on (centroid rule: the `nCentroids`
+    * lowest-id vectors; tie-break: higher cosine, then lower centroid id) —
+    * shared so the two operators can never drift. Returns
+    * (vec_id, cluster, v, ccos).
+    */
+  private def assignToCentroids(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val e = vecs(t)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"), col("ccos"))
+  }
+
   /** emb_cluster_assign — nearest-centroid assignment, the primitive under
     * every embedding-space curation step (semantic dedup buckets, cluster-
     * balanced sampling, IVF list routing). Centroids here are the
@@ -173,20 +192,11 @@ object Sim {
     * per-vector rank (collapsed by AQE into the scan's partitioning since
     * the window key is the row key).
     */
-  def clusterAssign(t: Tables): DataFrame = {
-    graft.functions.VectorExpressions.register(t.spark)
-    val e = vecs(t)
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cluster"), col("v").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("cluster").asc)
-    e.crossJoin(broadcast(cents))
-      .withColumn("cos", expr("graft_cosine(v, cv)"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+  def clusterAssign(t: Tables): DataFrame =
+    assignToCentroids(t)
       .select(col("vec_id"), col("cluster"),
-        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+        (floor(col("ccos") * 10000) / 10000).as("cos_sim"))
       .orderBy(col("vec_id"))
-  }
 
   /** dedup_semantic — SemDeDup-shaped near-duplicate detection: vectors are
     * first routed to their nearest centroid (the `clusterAssign` step), and
@@ -203,16 +213,7 @@ object Sim {
     * clusters).
     */
   def semanticDedup(t: Tables): DataFrame = {
-    graft.functions.VectorExpressions.register(t.spark)
-    val e = vecs(t)
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cluster"), col("v").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr("graft_cosine(v, cv)"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("cluster"), col("v"))
+    val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))
     assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", expr("graft_cosine(a.v, b.v)"))

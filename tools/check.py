@@ -66,9 +66,10 @@ def main():
         # arrow-type agreement: a DuckDB HUGEINT (un-CAST integer sum())
         # surfaces as decimal128 vs Spark's int64 — a hash mismatch
         # driver-side even when str() values agree, so fail it here too
+        allowed_pairs = {frozenset({"int32", "int64"})}
         tdiff = {c: (stypes[c], dtypes[c]) for c in scn
                  if c in dtypes and stypes[c] != dtypes[c]
-                 and {stypes[c], dtypes[c]} - {"int64", "int32", "date32[day]"}}
+                 and frozenset({stypes[c], dtypes[c]}) not in allowed_pairs}
         if scn != dcn:
             print(f"FAIL {name}: columns {scn} != {dcn}")
             n_fail += 1
