@@ -228,32 +228,38 @@ object TextAnalysis {
   val c4MeanLenHi = 5.0
   val c4ShortFracMax = 0.05
 
+  /** The C4-gate feature columns over a `w` words column — the ONE
+    * definition `c4Filters` and the streaming curation gate both compile
+    * in (floored BEFORE thresholding, so batch, stream and oracle agree on
+    * boundary values).
+    */
+  def c4MeanLenCol: org.apache.spark.sql.Column =
+    floor(expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double")
+      / size(col("w")) * 10000) / 10000
+
+  def c4ShortFracCol: org.apache.spark.sql.Column =
+    floor(size(expr("filter(w, x -> length(x) <= 2)")).cast("double")
+      / size(col("w")) * 10000) / 10000
+
+  def c4KeepCol: org.apache.spark.sql.Column =
+    size(col("w")) >= c4MinWords &&
+      c4MeanLenCol >= c4MeanLenLo && c4MeanLenCol <= c4MeanLenHi &&
+      c4ShortFracCol <= c4ShortFracMax
+
   /** text_c4_filters — the C4/Gopher heuristic document gate: per-doc word
     * count, mean word length, short-word (≤2 chars) fraction, longest word,
     * and the keep verdict under the thresholds above. All per-row array
     * folds — zero shuffle, one codegen'd scan pass at any scale; the gate
     * becomes a pushed filter when composed into a curation chain.
     */
-  def c4Filters(t: Tables): DataFrame = {
-    val n = size(col("w"))
+  def c4Filters(t: Tables): DataFrame =
     docsW(t)
-      .select(col("doc_id"), n.as("n_words"),
-        // integer sum inside the row; only the floored ratio is exposed
-        expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("sum_len"),
-        size(expr("filter(w, x -> length(x) <= 2)")).as("n_short"),
-        expr("aggregate(w, 0, (a, x) -> greatest(a, length(x)))").as("max_word_len"))
-      .select(col("doc_id"), col("n_words"),
-        (floor(col("sum_len").cast("double") / col("n_words") * 10000) / 10000)
-          .as("mean_word_len"),
-        (floor(col("n_short").cast("double") / col("n_words") * 10000) / 10000)
-          .as("short_frac"),
-        col("max_word_len"))
-      .withColumn("keep",
-        col("n_words") >= c4MinWords &&
-          col("mean_word_len") >= c4MeanLenLo && col("mean_word_len") <= c4MeanLenHi &&
-          col("short_frac") <= c4ShortFracMax)
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        c4MeanLenCol.as("mean_word_len"),
+        c4ShortFracCol.as("short_frac"),
+        expr("aggregate(w, 0, (a, x) -> greatest(a, length(x)))").as("max_word_len"),
+        c4KeepCol.as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   /** Corpus-level n-gram report size. */
   val topNgramK = 20

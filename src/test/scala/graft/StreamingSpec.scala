@@ -16,6 +16,14 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  lazy val docStreamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    dir.toString
+  }
+
   private def runToMemory(dfName: String, q: org.apache.spark.sql.DataFrame,
                           mode: String): Unit = {
     val query = q.writeStream.format("memory").queryName(dfName).outputMode(mode).start()
@@ -112,6 +120,23 @@ class StreamingSpec extends SparkSpec {
     }
     got.filter(_._2.isEmpty).keys.foreach(k =>
       assert(!dfu.contains(k), s"device $k missing its binding"))
+  }
+
+  test("streaming curation emits exactly the batch-gated distinct contents") {
+    import graft.operators.{Dedup, TextAnalysis, TrainData}
+    val docs = EventStreamPipeline.readDocuments(spark, docStreamDir)
+    val out = EventStreamPipeline.curationStream(docs)
+    runToMemory("cur", out, "append")
+    val got = spark.sql("SELECT h FROM cur").collect().map(_.getString(0))
+    assert(got.distinct.length == got.length, "a content hash emitted twice")
+    // batch equivalent: identical gate expressions, distinct content hashes
+    val batch = Dedup.withWords(t.documents)
+      .withColumn("quality", TextAnalysis.qualityCol)
+      .filter(col("quality") >= TrainData.curationMinQuality && TextAnalysis.c4KeepCol)
+      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+      .distinct().collect().map(_.getString(0))
+    assert(got.toSet == batch.toSet)
+    assert(got.nonEmpty, "gate passed nothing on the test corpus")
   }
 
   test("watermarked dedup emits each event id exactly once") {
