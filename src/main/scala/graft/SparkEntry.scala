@@ -72,6 +72,7 @@ object SparkEntry {
     "dq_error_stats"           -> ((s, d) => Route.dqErrorStats(tables(s, d))),
     "dim_platform"             -> ((s, d) => Route.dimPlatform(tables(s, d))),
     "dim_network"              -> ((s, d) => Route.dimNetwork(tables(s, d))),
+    "dim_user_profile"         -> ((s, d) => Route.dimUserProfile(tables(s, d))),
     "sink_partitioned_parquet" -> ((s, d) => Route.sinkPartitionedParquet(tables(s, d))),
     // §2.6 ads / attribution
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
@@ -1591,6 +1592,56 @@ object SparkEntry {
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
          SELECT cluster, va, vb, floor(cos * 10000) / 10000 AS cos_sim
          FROM pr WHERE cos >= ${Sim.nearDupTau} ORDER BY va, vb""",
+    "dim_user_profile" -> {
+      val gVals = operators.Route.genderDim
+        .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      val jVals = operators.Route.jailDim
+        .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      s"""WITH r AS (SELECT event_id,
+           CASE event_id % 10 WHEN 0 THEN 'm' WHEN 1 THEN 'MALE'
+             WHEN 2 THEN '男' WHEN 3 THEN 'f' WHEN 4 THEN 'Female'
+             WHEN 5 THEN '女' WHEN 6 THEN 'n' WHEN 7 THEN 'none'
+             WHEN 8 THEN '未知' ELSE 'x' END AS gender_raw,
+           CASE event_id % 4 WHEN 0 THEN '' WHEN 1 THEN '0'
+             WHEN 2 THEN '1' ELSE '2' END AS jail_raw,
+           CASE (event_id + 1) % 4 WHEN 0 THEN '' WHEN 1 THEN '0'
+             WHEN 2 THEN '1' ELSE '2' END AS pirate_raw,
+           CASE event_id % 3
+             WHEN 0 THEN '46000' || CAST(event_id % 10 AS VARCHAR)
+             WHEN 1 THEN '中国移动'
+             ELSE '4600' || CAST(event_id % 10 AS VARCHAR) END AS carrier_raw,
+           CASE WHEN event_id % 2 = 0
+             THEN '1992/03/0' || CAST(event_id % 9 + 1 AS VARCHAR)
+             ELSE 'bad-date' END AS birthday_raw,
+           CASE event_id % 3
+             WHEN 0 THEN '+8613800138' || lpad(CAST(event_id % 100 AS VARCHAR), 3, '0')
+             WHEN 1 THEN '138abc'
+             ELSE '13800' || lpad(CAST(event_id % 1000 AS VARCHAR), 4, '0')
+             END AS phone_raw,
+           CASE event_id % 3 WHEN 0 THEN 'v1.' || CAST(event_id % 10 AS VARCHAR)
+             WHEN 1 THEN '1.2' ELSE 'v' END AS sdkv_raw
+           FROM events),
+         g(gk, gid) AS (VALUES $gVals),
+         j(jk, jid) AS (VALUES $jVals),
+         p2 AS (SELECT r.*, CASE WHEN length(phone_raw) > 11
+                  THEN substring(phone_raw, length(phone_raw) - 10, 11)
+                  ELSE phone_raw END AS ptail FROM r)
+         SELECT p2.event_id,
+           coalesce(g.gid, 0) AS gender_id,
+           coalesce(j1.jid, 0) AS jail_id,
+           coalesce(j2.jid, 0) AS pirate_id,
+           CASE WHEN regexp_full_match(carrier_raw, '[0-9]{6}')
+             THEN CAST(carrier_raw AS INTEGER) ELSE 0 END AS carrier_code,
+           strftime(try_strptime(birthday_raw, '%Y/%m/%d'), '%Y%m%d') AS birthday_fmt,
+           CASE WHEN regexp_full_match(ptail, '[0-9]+') THEN ptail
+             ELSE NULL END AS phone_norm,
+           regexp_full_match(sdkv_raw, 'v([0-9]+\\.)*[0-9]+') AS sdkv_valid
+         FROM p2
+         LEFT JOIN g ON lower(p2.gender_raw) = g.gk
+         LEFT JOIN j j1 ON p2.jail_raw = j1.jk
+         LEFT JOIN j j2 ON p2.pirate_raw = j2.jk
+         ORDER BY p2.event_id"""
+    },
     "id_incremental_assign" ->
       s"""WITH ${Envelope.oracleRaw},
          old AS (SELECT DISTINCT appkey, did FROM raw

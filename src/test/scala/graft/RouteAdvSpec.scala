@@ -102,4 +102,40 @@ class RouteAdvSpec extends SparkSpec {
     // codes 0/6/7/8 exist in the synthesized corpus but not the dim
     assert(rows.exists(_.getAs[String]("channel_name") == ""))
   }
+
+  test("user-profile normalizers follow the reference's DimUtils contracts") {
+    val rows = graft.operators.Route.dimUserProfile(t).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      // gender: mixed-case keys lowercase into the dim; 'x' (id%10==9) misses -> 0
+      val expectedGender = (id % 10) match {
+        case 0 | 1 | 2 => 1
+        case 3 | 4 | 5 => 2
+        case _         => 0
+      }
+      assert(r.getAs[Int]("gender_id") == expectedGender, s"gender of $id")
+      // jail: ''->0, '0'->2, '1'->1, '2' unmapped->0
+      val expectedJail = (id % 4) match {
+        case 1 => 2; case 2 => 1; case _ => 0
+      }
+      assert(r.getAs[Int]("jail_id") == expectedJail, s"jail of $id")
+      // carrier: only the exactly-6-digit form yields a code
+      val carrier = r.getAs[Int]("carrier_code")
+      if (id % 3 == 0) assert(carrier == 460000 + (id % 10).toInt)
+      else assert(carrier == 0)
+      // birthday: valid yyyy/MM/dd reformats, 'bad-date' -> null
+      val bday = r.getAs[String]("birthday_fmt")
+      if (id % 2 == 0) assert(bday == f"1992030${id % 9 + 1}%d")
+      else assert(bday == null)
+      // phone: 14-char form keeps last 11 digits; letters -> null; short digits pass
+      val phone = r.getAs[String]("phone_norm")
+      (id % 3) match {
+        case 0 => assert(phone != null && phone.length == 11 && phone.startsWith("13800138"))
+        case 1 => assert(phone == null)
+        case _ => assert(phone != null && phone.length == 9)
+      }
+      // sdkv: full-match only ('1.2' lacks the v prefix, bare 'v' no digits)
+      assert(r.getAs[Boolean]("sdkv_valid") == (id % 3 == 0), s"sdkv of $id")
+    }
+  }
 }
