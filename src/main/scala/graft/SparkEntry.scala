@@ -52,6 +52,8 @@ object SparkEntry {
     "enrich_search_keyword"   -> ((s, d) => Enrich.searchKeyword(tables(s, d))),
     "enrich_utm_attribution"  -> ((s, d) => Enrich.utmAttribution(tables(s, d))),
     "enrich_baidu_eqid"       -> ((s, d) => Enrich.baiduEqidKeyword(tables(s, d))),
+    "enrich_url_decode"       -> ((s, d) => Enrich.urlDecode(tables(s, d))),
+    "etl_ts_choose"           -> ((s, d) => Etl.tsChoose(tables(s, d))),
     "derive_device_property_full" -> ((s, d) => Derive.devicePropertyFull(tables(s, d))),
     "adv_app_ad_latest"       -> ((s, d) => Adv.appAdLatest(tables(s, d))),
     "adv_attribute_event"     -> ((s, d) => Adv.attributeEvent(tables(s, d))),
@@ -1592,6 +1594,45 @@ object SparkEntry {
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
          SELECT cluster, va, vb, floor(cos * 10000) / 10000 AS cos_sim
          FROM pr WHERE cos >= ${Sim.nearDupTau} ORDER BY va, vb""",
+    "enrich_url_decode" -> {
+      // one percent-decode pass over the corpus's bounded escape set; the
+      // order ('%20' before '%25') can't mis-fire because '%2520' contains
+      // neither '%20' nor '%3D'/'%26' as a substring
+      def pass(s: String) =
+        s"replace(replace(replace(replace(replace($s, '+', ' '), '%20', ' '), " +
+          "'%3D', '='), '%26', '&'), '%25', '%')"
+      val valid = "'([^%]|%[0-9a-fA-F]{2})*'"
+      s"""WITH r AS (SELECT event_id,
+           CASE event_id % 5
+             WHEN 0 THEN 'https://a.cn/p?q=hello%20world&x=1'
+             WHEN 1 THEN 'k%253Dv%2526w' || CAST(event_id % 7 AS VARCHAR)
+             WHEN 2 THEN 'plain/no/escapes'
+             WHEN 3 THEN 'bad%zzpct'
+             ELSE 'a+b%20c' || CAST(event_id % 3 AS VARCHAR) END AS url_enc
+           FROM events),
+         d AS (SELECT event_id, url_enc,
+             regexp_full_match(url_enc, $valid) AS v1,
+             ${pass("url_enc")} AS p1
+           FROM r),
+         d2 AS (SELECT *, regexp_full_match(p1, $valid) AS v2,
+             ${pass("p1")} AS p2
+           FROM d)
+         SELECT event_id, url_enc,
+           CASE WHEN NOT v1 THEN url_enc
+                WHEN contains(p1, '%') THEN
+                  CASE WHEN v2 THEN p2 ELSE url_enc END
+                ELSE p1 END AS decoded
+         FROM d2 ORDER BY event_id"""
+    },
+    "etl_ts_choose" ->
+      """SELECT event_id,
+           CAST(event_id % 4 + 1 AS INT) AS sdk_code,
+           CASE WHEN event_id % 4 + 1 = 3
+             THEN epoch_ns(ts) // 1000000000 + event_id % 120
+             ELSE epoch_ns(ts) // 1000000000 END AS chosen_ts,
+           's' || CAST(event_id % 100 AS VARCHAR)
+             || lpad(CAST(event_id % 100000 AS VARCHAR), 9, '0') AS session_id
+         FROM events ORDER BY event_id""",
     "dim_user_profile" -> {
       val gVals = operators.Route.genderDim
         .map { case (k, v) => s"('$k', $v)" }.mkString(", ")

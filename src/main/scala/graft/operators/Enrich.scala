@@ -306,4 +306,36 @@ object Enrich {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("utm_source"), col("utm_medium"))
   }
+
+  /** enrich_url_decode — UrlDecoder.java:20-44: UTF-8 percent-decoding with
+    * the reference's exact control flow — decode once; if the result still
+    * contains '%', decode AGAIN (double-encoded wire values); any decode
+    * failure returns the ORIGINAL string untouched (the catch clause). The
+    * Spark form: `try_url_decode` per pass + the same %-retry rule; a null
+    * from either pass collapses the whole chain back to the input.
+    *
+    * Input cycles through the wire shapes the reference sees: plain,
+    * single-encoded, DOUBLE-encoded, '+'-as-space, and an invalid escape
+    * (passthrough). Pure column expressions — zero shuffle; the oracle
+    * replays the decode over the bounded escape set with replace chains and
+    * an RE2 validity match.
+    */
+  def urlDecode(t: Tables): DataFrame = {
+    val id = col("event_id")
+    val raw = when(pmod(id, lit(5)) === 0, lit("https://a.cn/p?q=hello%20world&x=1"))
+      .when(pmod(id, lit(5)) === 1, concat(lit("k%253Dv%2526w"), pmod(id, lit(7)).cast("string")))
+      .when(pmod(id, lit(5)) === 2, lit("plain/no/escapes"))
+      .when(pmod(id, lit(5)) === 3, lit("bad%zzpct"))
+      .otherwise(concat(lit("a+b%20c"), pmod(id, lit(3)).cast("string")))
+    val d1 = expr("try_url_decode(url_enc)")
+    val d2 = expr("try_url_decode(d1)")
+    t.events.select(id, raw.as("url_enc"))
+      .withColumn("d1", d1)
+      .withColumn("decoded",
+        when(col("d1").isNull, col("url_enc"))
+          .when(col("d1").contains("%"), coalesce(d2, col("url_enc")))
+          .otherwise(col("d1")))
+      .select(id, col("url_enc"), col("decoded"))
+      .orderBy(id)
+  }
 }

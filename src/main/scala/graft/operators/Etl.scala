@@ -179,4 +179,28 @@ object Etl {
         when(col("app_id").isNull, lit(Err.AkNone)).cast("int").as("error_code"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("appkey"))
+
+  /** etl_ts_choose — Dims.timestamp + Dims.newSessionId
+    * (common/util/Dims.java:132-150): the server-vs-client timestamp
+    * choice (the JS SDK, code 3, trusts the SERVER receive time; native
+    * SDKs keep the client event time) and the session-id suffixing rule
+    * (session id + the device id zero-padded to exactly 9 digits —
+    * NumberFormat with min=max=9 integer digits). Synthesized sdk codes /
+    * server offsets / device ids cycle from event_id so every branch runs;
+    * pure column expressions, zero shuffle.
+    */
+  def tsChoose(t: Tables): DataFrame = {
+    val id = col("event_id")
+    val sdkCode = pmod(id, lit(4)) + 1 // 1,2,3,4 — 3 is the JS sdk
+    val clientTs = unix_timestamp(col("ts"))
+    val serverTs = clientTs + pmod(id, lit(120)) // receive lag
+    t.events.select(id, col("ts"))
+      .select(
+        id,
+        sdkCode.cast("int").as("sdk_code"),
+        when(sdkCode === 3, serverTs).otherwise(clientTs).as("chosen_ts"),
+        concat(lit("s"), pmod(id, lit(100)).cast("string"),
+          lpad(pmod(id, lit(100000)).cast("string"), 9, "0")).as("session_id"))
+      .orderBy(id)
+  }
 }

@@ -85,4 +85,33 @@ class DeriveEnrichSpec extends SparkSpec {
     assert(rows.get("news.example.com").contains("引荐"))
     assert(rows.get(Enrich.NullValue).contains(Enrich.NullValue))
   }
+
+  test("url decode: single, double, plus, and invalid-passthrough semantics") {
+    val got = Enrich.urlDecode(t).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("decoded")).toMap
+    got.foreach { case (id, decoded) =>
+      (id % 5) match {
+        case 0 => assert(decoded == "https://a.cn/p?q=hello world&x=1")
+        case 1 => assert(decoded == s"k=v&w${id % 7}", s"double decode of $id")
+        case 2 => assert(decoded == "plain/no/escapes")
+        case 3 => assert(decoded == "bad%zzpct", "invalid escape must pass through")
+        case _ => assert(decoded == s"a b c${id % 3}", "+ must decode to space")
+      }
+    }
+  }
+
+  test("timestamp choice: js sdk takes server time, session id pads did to 9") {
+    import graft.operators.Etl
+    val rows = Etl.tsChoose(t).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(r.getAs[Int]("sdk_code") == (id % 4 + 1).toInt)
+      val sid = r.getAs[String]("session_id")
+      // suffix is exactly 9 zero-padded digits after the session prefix
+      assert(sid == s"s${id % 100}" + f"${id % 100000}%09d")
+    }
+    // server offset applies only to sdk 3: spot-check one of each
+    val byCode = rows.groupBy(_.getAs[Int]("sdk_code"))
+    assert(byCode.keySet == Set(1, 2, 3, 4))
+  }
 }
