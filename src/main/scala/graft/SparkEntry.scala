@@ -54,6 +54,7 @@ object SparkEntry {
     "enrich_baidu_eqid"       -> ((s, d) => Enrich.baiduEqidKeyword(tables(s, d))),
     "enrich_url_decode"       -> ((s, d) => Enrich.urlDecode(tables(s, d))),
     "etl_ts_choose"           -> ((s, d) => Etl.tsChoose(tables(s, d))),
+    "etl_sdkv_compare"        -> ((s, d) => Etl.sdkvCompare(tables(s, d))),
     "derive_device_property_full" -> ((s, d) => Derive.devicePropertyFull(tables(s, d))),
     "adv_app_ad_latest"       -> ((s, d) => Adv.appAdLatest(tables(s, d))),
     "adv_attribute_event"     -> ((s, d) => Adv.attributeEvent(tables(s, d))),
@@ -1633,6 +1634,33 @@ object SparkEntry {
            's' || CAST(event_id % 100 AS VARCHAR)
              || lpad(CAST(event_id % 100000 AS VARCHAR), 9, '0') AS session_id
          FROM events ORDER BY event_id""",
+    "etl_sdkv_compare" ->
+      """WITH r AS (SELECT event_id,
+           CASE WHEN event_id % 2 = 0
+             THEN 'v1.' || CAST(event_id % 3 AS VARCHAR)
+             ELSE 'v1.' || CAST(event_id % 3 AS VARCHAR)
+                  || '.' || CAST(event_id % 5 AS VARCHAR) END AS sdkv_a,
+           CASE event_id % 3 WHEN 0 THEN 'v1.0.7' WHEN 1 THEN 'v1.1'
+             ELSE 'v1.1.2.9' END AS sdkv_b
+           FROM events),
+         s AS (SELECT *,
+             string_split(replace(sdkv_a, 'v', ''), '.') AS av,
+             string_split(replace(sdkv_b, 'v', ''), '.') AS bv
+           FROM r),
+         d AS (SELECT event_id, av, bv,
+             unnest(generate_series(1, len(av))) AS i FROM s),
+         dec AS (SELECT event_id, i,
+             CASE WHEN i > len(bv) THEN 1
+                  WHEN CAST(av[i] AS INT) > CAST(bv[i] AS INT) THEN 1
+                  WHEN CAST(av[i] AS INT) < CAST(bv[i] AS INT) THEN -1
+                  ELSE 0 END AS dc
+           FROM d),
+         fz AS (SELECT event_id,
+             coalesce(arg_min(dc, i) FILTER (WHERE dc <> 0), 0) AS cmp
+           FROM dec GROUP BY event_id)
+         SELECT r.event_id, r.sdkv_a, r.sdkv_b, CAST(fz.cmp AS INT) AS cmp,
+           coalesce(TRY_CAST(substring(r.sdkv_a, 2) AS DOUBLE), 0.0) AS sdkv_num
+         FROM r JOIN fz USING (event_id) ORDER BY r.event_id""",
     "dim_user_profile" -> {
       val gVals = operators.Route.genderDim
         .map { case (k, v) => s"('$k', $v)" }.mkString(", ")

@@ -203,4 +203,48 @@ object Etl {
           lpad(pmod(id, lit(100000)).cast("string"), 9, "0")).as("session_id"))
       .orderBy(id)
   }
+
+  /** etl_sdkv_compare — Dims.compareVersion + getSdkV
+    * (common/util/Dims.java:101-123): element-wise dotted-version
+    * comparison with the reference's EXACT loop semantics — iterate over
+    * the LEFT version's segments only; if the right runs out first the
+    * left wins (+1); the first differing segment decides; equal through
+    * the left's length is 0 EVEN IF the right has more segments (the
+    * asymmetric quirk: v1.1 vs v1.1.2 compares 0). getSdkV is the numeric
+    * value of the text after the 'v' (0.0 when it doesn't parse — more
+    * than one dot).
+    *
+    * The fold is a per-row `aggregate` over the left's indices carrying
+    * the first non-zero decision; the oracle reproduces it as a per-index
+    * decision list and takes the first non-zero by index. Pure column
+    * expressions, zero shuffle.
+    */
+  def sdkvCompare(t: Tables): DataFrame = {
+    val id = col("event_id")
+    // even ids: two-segment left versions (v1.X) — these hit the quirk
+    // (v1.0 vs v1.0.7 -> 0) and produce a parseable getSdkV number;
+    // odd ids: three segments, exercising every decision branch
+    val a = when(pmod(id, lit(2)) === 0,
+        concat(lit("v1."), pmod(id, lit(3)).cast("string")))
+      .otherwise(concat(lit("v1."), pmod(id, lit(3)).cast("string"),
+        lit("."), pmod(id, lit(5)).cast("string")))
+    val b = when(pmod(id, lit(3)) === 0, lit("v1.0.7"))
+      .when(pmod(id, lit(3)) === 1, lit("v1.1"))
+      .otherwise(lit("v1.1.2.9"))
+    val cmp = expr(
+      """aggregate(sequence(0, size(av) - 1), 0,
+           (acc, i) -> IF(acc <> 0, acc,
+             IF(i >= size(bv), 1,
+               IF(cast(av[i] AS int) > cast(bv[i] AS int), 1,
+                 IF(cast(av[i] AS int) < cast(bv[i] AS int), -1, 0)))))""")
+    t.events
+      .select(id, a.as("sdkv_a"), b.as("sdkv_b"))
+      .withColumn("av", split(regexp_replace(col("sdkv_a"), "v", ""), "\\."))
+      .withColumn("bv", split(regexp_replace(col("sdkv_b"), "v", ""), "\\."))
+      .select(id, col("sdkv_a"), col("sdkv_b"),
+        cmp.cast("int").as("cmp"),
+        coalesce(expr("try_cast(substring(sdkv_a, 2) AS double)"), lit(0.0))
+          .as("sdkv_num"))
+      .orderBy(id)
+  }
 }

@@ -114,4 +114,31 @@ class DeriveEnrichSpec extends SparkSpec {
     val byCode = rows.groupBy(_.getAs[Int]("sdk_code"))
     assert(byCode.keySet == Set(1, 2, 3, 4))
   }
+
+  test("version compare follows the reference loop, including the asymmetric quirk") {
+    import graft.operators.Etl
+    val rows = Etl.sdkvCompare(t).collect()
+    def ref(a: String, b: String): Int = {
+      // transliteration of Dims.compareVersion for the spec's oracle
+      val av = a.replace("v", "").split("\\.")
+      val bv = b.replace("v", "").split("\\.")
+      av.indices.foreach { i =>
+        if (bv.length < i + 1) return 1
+        val (x, y) = (av(i).toInt, bv(i).toInt)
+        if (x != y) return if (x > y) 1 else -1
+      }
+      0
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("sdkv_a"), r.getAs[String]("sdkv_b"))
+      assert(r.getAs[Int]("cmp") == ref(a, b), s"cmp($a, $b)")
+      // getSdkV: one-dot versions parse, two-dot versions fall to 0.0
+      val num = r.getAs[Double]("sdkv_num")
+      if (a.count(_ == '.') == 1) assert(num == a.drop(1).toDouble)
+      else assert(num == 0.0)
+    }
+    // the quirk case is present: equal prefix with a LONGER right side -> 0
+    assert(rows.exists(r => r.getAs[String]("sdkv_a") == "v1.0" &&
+      r.getAs[String]("sdkv_b") == "v1.0.7" && r.getAs[Int]("cmp") == 0))
+  }
 }
