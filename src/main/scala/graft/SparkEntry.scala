@@ -55,6 +55,7 @@ object SparkEntry {
     "enrich_url_decode"       -> ((s, d) => Enrich.urlDecode(tables(s, d))),
     "etl_ts_choose"           -> ((s, d) => Etl.tsChoose(tables(s, d))),
     "etl_sdkv_compare"        -> ((s, d) => Etl.sdkvCompare(tables(s, d))),
+    "etl_date_parse"          -> ((s, d) => Etl.dateParse(tables(s, d))),
     "derive_device_property_full" -> ((s, d) => Derive.devicePropertyFull(tables(s, d))),
     "adv_app_ad_latest"       -> ((s, d) => Adv.appAdLatest(tables(s, d))),
     "adv_attribute_event"     -> ((s, d) => Adv.attributeEvent(tables(s, d))),
@@ -1634,6 +1635,22 @@ object SparkEntry {
            's' || CAST(event_id % 100 AS VARCHAR)
              || lpad(CAST(event_id % 100000 AS VARCHAR), 9, '0') AS session_id
          FROM events ORDER BY event_id""",
+    "etl_date_parse" ->
+      """WITH r AS (SELECT event_id,
+           CASE event_id % 4
+             WHEN 0 THEN '2023-01-0' || CAST(event_id % 9 + 1 AS VARCHAR)
+               || 'T08:11:2' || CAST(event_id % 6 AS VARCHAR) || 'Z'
+             WHEN 1 THEN '2023-01-0' || CAST(event_id % 9 + 1 AS VARCHAR)
+               || 'T08:1' || CAST(event_id % 6 AS VARCHAR) || 'Z'
+             WHEN 2 THEN ''
+             ELSE '04/01/2023 08:11' END AS date_raw
+           FROM events)
+         SELECT event_id, date_raw,
+           coalesce(CAST(epoch_ms(CASE WHEN length(date_raw) > 17
+             THEN try_strptime(date_raw, '%Y-%m-%dT%H:%M:%SZ')
+             ELSE try_strptime(date_raw, '%Y-%m-%dT%H:%MZ') END) AS BIGINT), 0)
+             AS ts_millis
+         FROM r ORDER BY event_id""",
     "etl_sdkv_compare" ->
       """WITH r AS (SELECT event_id,
            CASE WHEN event_id % 2 = 0

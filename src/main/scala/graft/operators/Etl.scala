@@ -204,6 +204,33 @@ object Etl {
       .orderBy(id)
   }
 
+  /** etl_date_parse — ToolUtil.dateUsStrToTimestamp (ToolUtil.java:45-70),
+    * the ASA attribution timestamp parser: strings longer than 17 chars
+    * parse as second-precision `yyyy-MM-dd'T'HH:mm:ss'Z'`, shorter ones as
+    * minute-precision `yyyy-MM-dd'T'HH:mm'Z'`, both UTC; empty, blank or
+    * malformed input yields 0 (the catch clause) — never an error. Output
+    * is epoch MILLIS like the reference.
+    */
+  def dateParse(t: Tables): DataFrame = {
+    val id = col("event_id")
+    val raw = when(pmod(id, lit(4)) === 0,
+        concat(lit("2023-01-0"), (pmod(id, lit(9)) + 1).cast("string"),
+          lit("T08:11:2"), pmod(id, lit(6)).cast("string"), lit("Z")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(lit("2023-01-0"), (pmod(id, lit(9)) + 1).cast("string"),
+          lit("T08:1"), pmod(id, lit(6)).cast("string"), lit("Z")))
+      .when(pmod(id, lit(4)) === 2, lit(""))
+      .otherwise(lit("04/01/2023 08:11"))
+    val sec = expr("try_to_timestamp(date_raw, \"yyyy-MM-dd'T'HH:mm:ss'Z'\")")
+    val min = expr("try_to_timestamp(date_raw, \"yyyy-MM-dd'T'HH:mm'Z'\")")
+    t.events.select(id, raw.as("date_raw"))
+      .select(id, col("date_raw"),
+        coalesce(
+          unix_millis(when(length(col("date_raw")) > 17, sec).otherwise(min)),
+          lit(0L)).as("ts_millis"))
+      .orderBy(id)
+  }
+
   /** etl_sdkv_compare — Dims.compareVersion + getSdkV
     * (common/util/Dims.java:101-123): element-wise dotted-version
     * comparison with the reference's EXACT loop semantics — iterate over

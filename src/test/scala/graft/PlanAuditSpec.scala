@@ -173,6 +173,23 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"no equi-join on cluster:\n$p")
   }
 
+  test("user-profile dims broadcast and the normalizers shuffle nothing") {
+    val p = plan(graft.operators.Route.dimUserProfile(t))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"profile dims not all broadcast:\n$p")
+    assert(!p.contains("hashpartitioning"), s"normalizers gained a shuffle:\n$p")
+  }
+
+  test("url decode and version compare are pure scan passes") {
+    for (df <- Seq(graft.operators.Enrich.urlDecode(t),
+                   graft.operators.Etl.sdkvCompare(t),
+                   graft.operators.Etl.dateParse(t))) {
+      val p = plan(df)
+      assert(!p.contains("hashpartitioning") && !p.contains("Join"),
+        s"util op gained a shuffle or join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the envelope expression work") {
     val df = Etl.schemaCheck(t)
     df.collect() // finalize the adaptive plan so codegen spans materialize

@@ -37,6 +37,10 @@ def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
+    # bounded memory: the heavy pipeline oracles otherwise OOM when run
+    # back-to-back with a still-resident Spark JVM; a cap makes DuckDB
+    # spill/stream instead of failing a malloc
+    con.execute("SET memory_limit='16GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
