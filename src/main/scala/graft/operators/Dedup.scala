@@ -15,9 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Shared tokenization: lowercase, trim, split on whitespace runs. */
+  /** Shared tokenization: lowercase, trim, split on whitespace runs — the
+    * ONE words definition (column form for streaming callers that attach
+    * it themselves).
+    */
+  def wordsCol: org.apache.spark.sql.Column =
+    split(lower(trim(col("text"))), "\\s+")
+
   def withWords(docs: DataFrame): DataFrame =
-    docs.withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+    docs.withColumn("w", wordsCol)
+
+  /** The ONE normalized-content hash (exact-dup identity): md5 of the
+    * whitespace-collapsed, trimmed, lowercased text. Shared by `exact`,
+    * the batch curation chain and the streaming curation leg, so what
+    * counts as "the same document" can never drift between them.
+    */
+  def normalizedMd5: org.apache.spark.sql.Column =
+    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
 
   /** Distinct word-3-gram shingles per doc. Per-doc dedup happens INSIDE the
     * row (array_distinct before explode) — set semantics with zero shuffle,
@@ -34,8 +48,7 @@ object Dedup {
     */
   def exact(t: Tables): DataFrame =
     t.documents
-      .select(col("doc_id"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+      .select(col("doc_id"), normalizedMd5.as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .orderBy(col("h"))

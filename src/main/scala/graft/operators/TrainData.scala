@@ -227,7 +227,7 @@ object TrainData {
     // (TextAnalysis.qualityCol, gramHashes) — the gate cannot drift
     val docs = Dedup.withWords(t.documents)
       .select(col("doc_id"), col("w"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"),
+        Dedup.normalizedMd5.as("h"),
         size(col("w")).cast("long").as("tok"),
         TextAnalysis.qualityCol.as("quality"))
     val deduped = docs.join(

@@ -266,10 +266,10 @@ object EventStreamPipeline {
   def curationStream(docs: DataFrame): DataFrame = {
     import graft.operators.{TextAnalysis, TrainData}
     docs
-      .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("w", graft.operators.Dedup.wordsCol)
       .withColumn("quality", TextAnalysis.qualityCol)
       .filter(col("quality") >= TrainData.curationMinQuality && TextAnalysis.c4KeepCol)
-      .withColumn("h", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("h", graft.operators.Dedup.normalizedMd5)
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("h"), size(col("w")).as("tok"), col("quality"))

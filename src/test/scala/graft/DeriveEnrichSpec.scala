@@ -102,15 +102,22 @@ class DeriveEnrichSpec extends SparkSpec {
 
   test("timestamp choice: js sdk takes server time, session id pads did to 9") {
     import graft.operators.Etl
+    val clientSec = t.events
+      .select(col("event_id"), unix_timestamp(col("ts")).as("sec")).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("sec")).toMap
     val rows = Etl.tsChoose(t).collect()
     rows.foreach { r =>
       val id = r.getAs[Long]("event_id")
       assert(r.getAs[Int]("sdk_code") == (id % 4 + 1).toInt)
+      // the JS sdk (code 3) takes the server receive time (client + lag);
+      // every other sdk keeps the client event time untouched
+      val expectedTs =
+        if (id % 4 + 1 == 3) clientSec(id) + id % 120 else clientSec(id)
+      assert(r.getAs[Long]("chosen_ts") == expectedTs, s"chosen_ts of $id")
       val sid = r.getAs[String]("session_id")
       // suffix is exactly 9 zero-padded digits after the session prefix
       assert(sid == s"s${id % 100}" + f"${id % 100000}%09d")
     }
-    // server offset applies only to sdk 3: spot-check one of each
     val byCode = rows.groupBy(_.getAs[Int]("sdk_code"))
     assert(byCode.keySet == Set(1, 2, 3, 4))
   }

@@ -133,7 +133,7 @@ class StreamingSpec extends SparkSpec {
     val batch = Dedup.withWords(t.documents)
       .withColumn("quality", TextAnalysis.qualityCol)
       .filter(col("quality") >= TrainData.curationMinQuality && TextAnalysis.c4KeepCol)
-      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+      .select(Dedup.normalizedMd5.as("h"))
       .distinct().collect().map(_.getString(0))
     assert(got.toSet == batch.toSet)
     assert(got.nonEmpty, "gate passed nothing on the test corpus")

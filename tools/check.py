@@ -8,6 +8,7 @@ sfDir tables, sorts columns by name, and compares values.
 """
 import json
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -39,8 +40,13 @@ def main():
     con = duckdb.connect()
     # bounded memory: the heavy pipeline oracles otherwise OOM when run
     # back-to-back with a still-resident Spark JVM; a cap makes DuckDB
-    # spill/stream instead of failing a malloc
-    con.execute("SET memory_limit='16GB'")
+    # spill/stream instead of failing a malloc. Never RAISE the cap above
+    # what the host can give (16GB would be an increase on small hosts).
+    try:
+        ram_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+        con.execute(f"SET memory_limit='{max(1, min(16, int(ram_gb * 0.4)))}GB'")
+    except (ValueError, OSError):
+        pass
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
