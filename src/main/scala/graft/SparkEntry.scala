@@ -1633,7 +1633,7 @@ object SparkEntry {
              THEN epoch_ns(ts) // 1000000000 + event_id % 120
              ELSE epoch_ns(ts) // 1000000000 END AS chosen_ts,
            's' || CAST(event_id % 100 AS VARCHAR)
-             || lpad(CAST(event_id % 100000 AS VARCHAR), 9, '0') AS session_id
+             || lpad(CAST(event_id % 1000000000 AS VARCHAR), 9, '0') AS session_id
          FROM events ORDER BY event_id""",
     "etl_date_parse" ->
       """WITH r AS (SELECT event_id,

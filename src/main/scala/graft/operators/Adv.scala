@@ -191,7 +191,7 @@ object Adv {
   def attributeEvent(t: Tables): DataFrame = {
     // materialize the ad state once: it feeds BOTH key probes below, and an
     // unmaterialized plan would re-run the whole save leg per join branch
-    val state = appAdLatest(t).localCheckpoint(true)
+    val state = graft.engine.Reliability.planCheckpoint(appAdLatest(t))
     // conversion-side events from registered advertising apps, probing with
     // the same synthesized id fields as the save leg
     val probes = env(t)

@@ -247,18 +247,22 @@ object Dedup {
     // Checkpoint the (tiny) edge list and each round's labels: iterative
     // self-joins otherwise nest the full candidate-generation plan 2^rounds
     // times, and self-join re-aliasing defeats cache substitution — the
-    // expensive upstream recomputes per copy. localCheckpoint truncates the
-    // logical plan to the materialized partitions (the same reason GraphX
-    // checkpoints Pregel iterations).
+    // expensive upstream recomputes per copy. Reliability.planCheckpoint
+    // truncates the logical plan to the materialized partitions (the same
+    // reason GraphX checkpoints Pregel iterations) — executor-local by
+    // default, a RELIABLE checkpoint when spark.graft.checkpointDir is set
+    // (production: a lost executor must not kill the iteration).
     // checkpoint the pair list BEFORE the symmetrizing union: a union of
     // two branches over an unmaterialized plan executes the whole
     // candidate-generation pipeline once per branch (exchange reuse does
     // not span the differing final projections)
-    val pairs = ngramJaccard(t).select(col("da"), col("db")).localCheckpoint(true)
+    val pairs = graft.engine.Reliability.planCheckpoint(
+      ngramJaccard(t).select(col("da"), col("db")))
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
-    var labels = edges.select(col("da").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var labels = graft.engine.Reliability.planCheckpoint(
+      edges.select(col("da").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     // One hop + one label(label) pointer jump per round reaches components
     // of diameter ~2^rounds. Loop UNTIL A ROUND CHANGES NO LABELS (counted
     // on the already-checkpointed tiny frames) so deep chains can't be
@@ -277,10 +281,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist()
-      val jumped = hop
+      val jumped = graft.engine.Reliability.planCheckpoint(hop
         .join(hop.select(col("doc_id").as("label"), col("label").as("ll")), Seq("label"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       changed = jumped
         .join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()

@@ -184,10 +184,12 @@ object Etl {
     * (common/util/Dims.java:132-150): the server-vs-client timestamp
     * choice (the JS SDK, code 3, trusts the SERVER receive time; native
     * SDKs keep the client event time) and the session-id suffixing rule
-    * (session id + the device id zero-padded to exactly 9 digits —
-    * NumberFormat with min=max=9 integer digits). Synthesized sdk codes /
-    * server offsets / device ids cycle from event_id so every branch runs;
-    * pure column expressions, zero shuffle.
+    * (session id + the device id formatted to exactly 9 digits —
+    * NumberFormat with min=max=9 integer digits, which zero-PADS short ids
+    * and TRUNCATES the high-order digits of ids ≥ 1e9, i.e. keeps the last
+    * nine: lpad(id mod 1e9)). Synthesized sdk codes / server offsets /
+    * device ids cycle from event_id so every branch runs; pure column
+    * expressions, zero shuffle.
     */
   def tsChoose(t: Tables): DataFrame = {
     val id = col("event_id")
@@ -200,7 +202,7 @@ object Etl {
         sdkCode.cast("int").as("sdk_code"),
         when(sdkCode === 3, serverTs).otherwise(clientTs).as("chosen_ts"),
         concat(lit("s"), pmod(id, lit(100)).cast("string"),
-          lpad(pmod(id, lit(100000)).cast("string"), 9, "0")).as("session_id"))
+          lpad(pmod(id, lit(1000000000L)).cast("string"), 9, "0")).as("session_id"))
       .orderBy(id)
   }
 

@@ -172,7 +172,11 @@ object Identity {
         lit(2)) === 0)
       .select(col("appkey"), col("did")).distinct()
     // three consumers (anti-join probe, per-app maxes, final union) read
-    // the ranked store; persist so the two-phase rank runs once
+    // the ranked store; persist so the two-phase rank runs once. The block
+    // is NOT unpersisted here — the operator returns a lazy plan that still
+    // reads it, so release is the caller's: Bench/Verify clearCache between
+    // queries, and composed use at scale should materialize-and-unpersist
+    // like Dedup.dupGroups does for its loop-local frames.
     val existing = denseIds(oldKeys, "appkey", "did", "zg_did").persist()
     val todays = keys.select(col("appkey"), col("did")).distinct()
     val newKeys = todays

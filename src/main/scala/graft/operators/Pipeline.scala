@@ -86,12 +86,10 @@ object Pipeline {
     // After the checkpoint the gate decision chain runs over materialized
     // bytes: a broadcast-hash anti-join pair plus a string filter.
     val keep = eventCols.map(col) ++ Seq(col("appkey"), col("ip"), col("ua"), col("verdict"))
-    val resolved = Gate.resolveCols(Envelope.attach(t.events))
-      .select(keep: _*)
-      .localCheckpoint(true)
-    val passed = Gate.passEvents(resolved)
-      .select(eventCols.map(col): _*)
-      .localCheckpoint(true)
+    val resolved = graft.engine.Reliability.planCheckpoint(
+      Gate.resolveCols(Envelope.attach(t.events)).select(keep: _*))
+    val passed = graft.engine.Reliability.planCheckpoint(
+      Gate.passEvents(resolved).select(eventCols.map(col): _*))
     Pipeline.eventAttr(new Tables(t.spark, t.dir) {
       override def events: DataFrame = passed
     })

@@ -243,15 +243,22 @@ object EventStreamPipeline {
 
   /** Streaming documents source. The corpus carries no crawl timestamp, so
     * a deterministic synthetic ingest time (epoch 2024-01-01 + doc_id
-    * seconds) stands in — the column the watermarked dedup state expires
-    * on, exactly where a real crawl's fetch time would go.
+    * seconds, folded mod 3600) stands in — the column the watermarked dedup
+    * state expires on, exactly where a real crawl's fetch time would go.
+    * The fold keeps the synthetic spread INSIDE curationStream's 1-hour
+    * watermark horizon at every sf, so the batch-equivalence assertion
+    * (stream distinct == batch distinct) stays valid as the corpus grows;
+    * an unfolded doc_id clock would push early hashes past the horizon once
+    * doc_id spread exceeds 3600 and re-emit repeated contents. (In
+    * production ingest_ts is a real arrival clock and repeats beyond the
+    * horizon re-emitting is the CORRECT bounded-state behavior.)
     */
   def readDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(docsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ingest_ts", expr("timestamp_seconds(1704067200 + doc_id)"))
+      .withColumn("ingest_ts", expr("timestamp_seconds(1704067200 + doc_id % 3600)"))
 
   /** Streaming corpus curation — the training-data pipeline on a live
     * ingest stream (the streaming face of batch #54 `pipeline_curation`):

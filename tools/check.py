@@ -75,17 +75,25 @@ def main():
         dc, dcn = canon(drows, dcols)
         # arrow-type agreement: a DuckDB HUGEINT (un-CAST integer sum())
         # surfaces as decimal128 vs Spark's int64 — a hash mismatch
-        # driver-side even when str() values agree, so fail it here too
-        allowed_pairs = {frozenset({"int32", "int64"})}
+        # driver-side even when str() values agree, so fail that case hard.
+        # Other benign representation differences (float vs double, int
+        # widths) only warn unless the values ALSO disagree.
+        allowed_pairs = {frozenset({"int32", "int64"}),
+                         frozenset({"float", "double"})}
         tdiff = {c: (stypes[c], dtypes[c]) for c in scn
                  if c in dtypes and stypes[c] != dtypes[c]
                  and frozenset({stypes[c], dtypes[c]}) not in allowed_pairs}
+        hard_tdiff = {c: p for c, p in tdiff.items()
+                      if any(t.startswith("decimal") for t in p)}
         if scn != dcn:
             print(f"FAIL {name}: columns {scn} != {dcn}")
             n_fail += 1
-        elif tdiff:
-            print(f"FAIL {name}: arrow types differ {tdiff}")
+        elif hard_tdiff:
+            print(f"FAIL {name}: arrow types differ {hard_tdiff}")
             n_fail += 1
+        elif tdiff and sc == dc:
+            print(f"WARN {name}: arrow types differ {tdiff} (values agree)")
+            n_pass += 1
         elif sc != dc:
             print(f"FAIL {name}: {len(sc)} vs {len(dc)} rows")
             for a, b in list(zip(sc, dc))[:5]:
