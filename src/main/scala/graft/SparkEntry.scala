@@ -525,12 +525,31 @@ object SparkEntry {
       s"SELECT event_id, $cols FROM events ORDER BY event_id"
     },
     "derive_virtual_event" -> {
-      val values = Derive.virtualEventRules
-        .map { case (evt, min, name) => s"('$evt', $min, '$name')" }.mkString(", ")
-      s"""WITH rules(on_event, min_value, virtual_name) AS (VALUES $values)
-         SELECT e.event_id, r.virtual_name
-         FROM events e JOIN rules r ON e.event_type = r.on_event AND e.value >= r.min_value
-         ORDER BY e.event_id, r.virtual_name"""
+      // independent filters resolution: the pr map's keys are static
+      // ({_plan, src, k}), so each filter key's "_"+k ?? k lookup resolves
+      // STATICALLY to a column (or to never-matches when absent)
+      val prCols = Map(
+        "_plan" -> "pr_plan",
+        "src"   -> "pr_src",
+        "k"     -> ("CASE WHEN json_valid(raw_props) " +
+          "THEN json_extract_string(raw_props, '$.k') END"))
+      def rulePred(filtersJson: String): String = {
+        val preds = Derive.parseFilters(filtersJson).map { case (k, v) =>
+          prCols.get("_" + k).orElse(prCols.get(k)) match {
+            case Some(c) => s"($c) = '$v'"
+            case None    => "FALSE"
+          }
+        }
+        if (preds.isEmpty) "TRUE" else preds.mkString(" AND ")
+      }
+      val branches = Derive.virtualEventFilterRules.map { case (evt, fjson, name) =>
+        s"""SELECT event_id, '$name' AS virtual_name
+           FROM raw WHERE dt IN ('evt', 'abp') AND event_type = '$evt'
+             AND ${rulePred(fjson)}"""
+      }.mkString(" UNION ALL ")
+      s"""WITH ${Envelope.oracleRaw}
+         SELECT event_id, virtual_name FROM ($branches)
+         ORDER BY event_id, virtual_name"""
     },
     "derive_rule_tree" ->
       """SELECT event_id,

@@ -111,33 +111,98 @@ object Derive {
       }: _*)
       .orderBy(col("event_id"))
 
-  /** #11 virtual event rules (VirtualEventOperator config rows): match on
-    * event name + a filter predicate (here a value threshold — the reference
-    * filter map's batch analog), emit a derived event per match.
+  /** #11 virtual event rules in the reference's ACTUAL config shape
+    * (VirtualEventOperator: each rule = virtual_name + a `filters` value
+    * that may be null, a JSON-object STRING, or a map): matching is
+    * per-key EXACT equality against the pr map — for each filter key k,
+    * the pr value is `pr["_"+k]` (custom-prop form) falling back to
+    * `pr[k]`, and null/empty/unparseable filters match everything
+    * (matchFilters' null, isEmpty and catch branches,
+    * VirtualEventOperator.java:216-254). Rules here exercise every branch:
+    * single-key, two-key, null, empty-object, unparseable (→ match-all),
+    * a key absent from pr (→ never matches), and a JSON-number prop
+    * compared in canonical string form.
     */
-  val virtualEventRules: Seq[(String, Double, String)] = Seq(
-    ("purchase", 50.0, "vip_purchase"),
-    ("purchase", 100.0, "big_purchase"),
-    ("click", 0.0, "any_click"),
-    ("view", 0.0, "page_view_vtl")
+  val virtualEventFilterRules: Seq[(String, String, String)] = Seq(
+    ("purchase", """{"plan":"pro"}""", "pro_purchase"),
+    ("purchase", """{"plan":"ent","src":"web"}""", "ent_web_purchase"),
+    ("purchase", "definitely not json", "purchase_all"),
+    ("click", null, "any_click"),
+    ("view", "{}", "page_view_vtl"),
+    ("signup", """{"absent":"x"}""", "never_matches"),
+    ("error", """{"k":"7"}""", "k7_error")
   )
 
-  /** #11 derive_virtual_event — VirtualEventOperator.java:89-260: the rule
-    * table is tiny config ⇒ broadcast join on event name; the filter
-    * predicate applies in the join condition; each matching rule emits one
-    * derived row (the reference unions them onto the stream with
-    * owner=zg_vtl). One broadcast, no shuffle until the final count.
+  /** The pr custom-property map the filters probe: '_plan' carries the
+    * underscore-prefixed custom-key form, 'src' the bare-key fallback form,
+    * 'k' the JSON-number prop (string-canonical, null when the payload is
+    * corrupt — exactly the reference's Map.get miss).
     */
-  def virtualEvent(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    val rules = virtualEventRules.toDF("on_event", "min_value", "virtual_name")
-    t.events
-      .join(broadcast(rules),
-        col("event_type") === col("on_event") && col("value") >= col("min_value"))
+  def virtualEventPrMap: org.apache.spark.sql.Column = map(
+    lit("_plan"), col("pr_plan"),
+    lit("src"), col("pr_src"),
+    lit("k"), get_json_object(col("raw_props"), "$.k"))
+
+  /** Parse a rule's `filters` config value into (key, canonical-string
+    * value) pairs. None of the reference's three match-all roads survives
+    * as a predicate: null filters, an empty object and a parse failure all
+    * return an EMPTY pair list (= match everything).
+    */
+  def parseFilters(filtersJson: String): Seq[(String, String)] =
+    if (filtersJson == null) Seq.empty
+    else try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(filtersJson) match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(s))  => (k, s)
+          case (k, JInt(i))     => (k, i.toString)
+          case (k, JDouble(d))  => (k, d.toString)
+          case (k, JBool(b))    => (k, b.toString)
+        }
+        case _ => Seq.empty
+      }
+    } catch { case _: Throwable => Seq.empty } // unparseable -> match-all
+
+  /** One rule's match predicate over the pr map: every filter key's value
+    * must equal pr["_"+k] ?? pr[k] (a missing key yields null ⇒ the
+    * equality is never true, like Objects.equals(v, null) for v != null).
+    */
+  private def filterMatchCol(pr: org.apache.spark.sql.Column,
+                             filters: Seq[(String, String)]): org.apache.spark.sql.Column =
+    filters
+      .map { case (k, v) =>
+        coalesce(element_at(pr, "_" + k), element_at(pr, k)) === lit(v) }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** Shared batch/stream match builder: rules are static config, so each
+    * rule COMPILES into the plan as one `when` cell of an array — a single
+    * scan, zero shuffle, full codegen; `explode` emits one derived row per
+    * matching rule, exactly the reference's per-rule message fan-out. Only
+    * dt ∈ {evt, abp} items carry virtual events
+    * (VirtualEventOperator.java:116). A dynamically-loaded rule table
+    * would instead broadcast-join exploded (rule, key, value) rows — same
+    * cost shape, interpreter tier.
+    */
+  def virtualEventCols(envDf: DataFrame): DataFrame = {
+    val pr = virtualEventPrMap
+    val cells = virtualEventFilterRules.map { case (onEvent, filtersJson, vname) =>
+      when(col("event_type") === onEvent &&
+        filterMatchCol(pr, parseFilters(filtersJson)), lit(vname))
+    }
+    envDf
+      .filter(col("dt").isin("evt", "abp"))
+      .withColumn("virtual_name",
+        explode(filter(array(cells: _*), c => c.isNotNull)))
+  }
+
+  /** #11 derive_virtual_event — VirtualEventOperator.java:89-260 with the
+    * REAL filters-map semantics (see `virtualEventFilterRules`).
+    */
+  def virtualEvent(t: Tables): DataFrame =
+    virtualEventCols(env(t))
       .select(col("event_id"), col("virtual_name"))
       .orderBy(col("event_id"), col("virtual_name"))
-  }
 
   /** #12 derive_device_props — DevicePropertyParser.java: schema'd JSON
     * parse of the property payload. `from_json` yields NULL fields for

@@ -110,6 +110,12 @@ object Envelope {
     // pr.$net — network type (dim.json "network" dim keys + one unknown).
     "net" -> ("CASE event_id % 6 WHEN 0 THEN 'none' WHEN 1 THEN '2g' WHEN 2 THEN '3g' " +
       "WHEN 3 THEN '4g' WHEN 4 THEN 'wifi' ELSE '5g' END"),
+    // pr custom properties for the virtual-event filters-map semantics
+    // (VirtualEventOperator.matchFilters): '_plan' is an UNDERSCORE-prefixed
+    // custom key (the filters lookup's pr.get("_"+key) path), 'src' a bare
+    // key (the pr.get(key) fallback path).
+    "pr_plan" -> "CASE event_id % 3 WHEN 0 THEN 'free' WHEN 1 THEN 'pro' ELSE 'ent' END",
+    "pr_src" -> "CASE event_id % 2 WHEN 0 THEN 'web' ELSE 'app' END",
     // pr payload — occasionally truncated to exercise JSON validation
     // (CheckJsonAndOwnerOperator.java:24-32).
     "raw_props" -> ("CASE WHEN event_id % 31 = 0 THEN substr(props, 1, length(props) - 1) " +

@@ -90,19 +90,13 @@ object EventStreamPipeline {
           .otherwise(coalesce(col("geo_country"), lit(Enrich.NullValue))))
   }
 
-  /** Streaming virtual events — #11 on the live stream: the rule table is
-    * static config ⇒ stream-static broadcast join, stateless, emits one
-    * derived row per matching rule exactly like the batch operator.
+  /** Streaming virtual events — #11 on the live stream: the SAME compiled
+    * rule cells as the batch operator (`Derive.virtualEventCols` — shared
+    * builder, zero drift), stateless, one derived row per matching rule.
     */
-  def virtualEventsStream(events: DataFrame): DataFrame = {
-    import graft.operators.Derive
-    val spark = events.sparkSession
-    import spark.implicits._
-    val rules = Derive.virtualEventRules.toDF("on_event", "min_value", "virtual_name")
-    events.join(broadcast(rules),
-        col("event_type") === col("on_event") && col("value") >= col("min_value"))
+  def virtualEventsStream(events: DataFrame): DataFrame =
+    graft.operators.Derive.virtualEventCols(Envelope.attach(events))
       .select(col("event_id"), col("virtual_name"), col("ts"))
-  }
 
   /** Watermarked streaming dedup — the streaming analog of #9/#36: exactly
     * one row per event_id within the watermark horizon (late duplicates

@@ -14,14 +14,33 @@ class DeriveEnrichSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
-  test("virtual events only fire when the rule predicate holds") {
-    val matches = Derive.virtualEvent(t)
-    val vip = matches.filter(col("virtual_name") === "vip_purchase").count()
-    val expected = t.events
-      .filter(col("event_type") === "purchase" && col("value") >= 50.0).count()
-    assert(vip == expected)
-    val big = matches.filter(col("virtual_name") === "big_purchase").count()
-    assert(big <= vip)
+  test("virtual events match filters per-key, with every matchFilters branch live") {
+    val matches = Derive.virtualEvent(t).collect()
+      .groupBy(_.getAs[String]("virtual_name")).view.mapValues(_.length).toMap
+    val env = graft.operators.Envelope.attach(t.events)
+      .filter(col("dt").isin("evt", "abp"))
+    def n(c: org.apache.spark.sql.Column): Long = env.filter(c).count()
+    // single-key filter on the underscore custom prop
+    assert(matches.getOrElse("pro_purchase", 0) ==
+      n(col("event_type") === "purchase" && col("pr_plan") === "pro"))
+    // two-key filter: both must hold (per-key AND)
+    assert(matches.getOrElse("ent_web_purchase", 0) ==
+      n(col("event_type") === "purchase" && col("pr_plan") === "ent" &&
+        col("pr_src") === "web"))
+    // unparseable filters -> match-all (the reference's catch branch)
+    assert(matches.getOrElse("purchase_all", 0) == n(col("event_type") === "purchase"))
+    // null filters and empty-object filters -> match-all
+    assert(matches.getOrElse("any_click", 0) == n(col("event_type") === "click"))
+    assert(matches.getOrElse("page_view_vtl", 0) == n(col("event_type") === "view"))
+    // a filter key absent from pr can never match
+    assert(!matches.contains("never_matches"))
+    // JSON-number prop compares in canonical string form; corrupt payloads
+    // yield a null lookup (never equal)
+    assert(matches.getOrElse("k7_error", 0) ==
+      n(col("event_type") === "error" &&
+        get_json_object(col("raw_props"), "$.k") === "7"))
+    // filters discriminate: the filtered rule fires on a strict subset
+    assert(matches("pro_purchase") < matches("purchase_all"))
   }
 
   test("corrupt json payloads yield null device props") {
