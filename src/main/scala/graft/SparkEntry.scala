@@ -795,19 +795,127 @@ object SparkEntry {
          FROM raw WHERE appkey NOT IN ($bl) GROUP BY 1 ORDER BY route"""
     },
     "route_event_attr" -> {
-      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      val nets = Route.networkDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      val geoCountry = operators.Enrich.geoBlocks
+        .map { case (o, c, _, _) => s"WHEN $o THEN '$c'" }.mkString(" ")
+      val geoProv = operators.Enrich.geoBlocks
+        .map { case (o, _, p, _) => s"WHEN $o THEN '$p'" }.mkString(" ")
+      val geoCity = operators.Enrich.geoBlocks
+        .map { case (o, _, _, c) => s"WHEN $o THEN '$c'" }.mkString(" ")
+      val reserved = Derive.mktAbpReservedAttrs.map(s => s"'$s'").mkString(", ")
+      val cusSel = (1 to Derive.customColumns).map(i =>
+        s"CASE WHEN ci.col_index = $i THEN r.cus_val ELSE '\\N' END AS cus$i").mkString(", ")
+      val ptSel = (1 to Derive.customColumns).map(i =>
+        s"CASE WHEN ci.col_index = $i THEN r.cus_type ELSE '\\N' END AS pt$i").mkString(", ")
       s"""WITH ${Envelope.oracleRaw},
-         dim(pl, platform_id) AS (VALUES $dims)
-         SELECT event_id, strftime(ts, '%Y%m%d') AS day_id,
-           epoch_ns(ts) // 1000000000 AS begin_date,
-           concat(strftime(ts, '%H'), '0', strftime(ts, '%M')) AS time_id,
-           concat(strftime(ts, '%Y'), '-',
-             lpad(cast(weekofyear(CAST(ts AS DATE)) AS string), 2, '0')) AS year_week,
+         ${Envelope.appRegistryOracle},
+         ${zgidCtes()},
+         zg AS ($zgidSelect),
+         $platformDimCte,
+         netd(net, network_id) AS (VALUES $nets),
+         dev AS (SELECT appkey, did,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
+           FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> '')),
+         usrm AS (SELECT appkey, cuid,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
+           FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL)),
+         ereg AS (SELECT appkey, event_type,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY fts, event_type) AS eid
+           FROM (SELECT appkey, event_type, min(ts) AS fts
+                 FROM raw WHERE appkey <> '' GROUP BY 1, 2)),
+         cidx0 AS (SELECT appkey, event_type, cus_key,
+             dense_rank() OVER (PARTITION BY appkey, event_type
+               ORDER BY fts, cus_key) AS col_index
+           FROM (SELECT appkey, event_type, cus_key, min(ts) AS fts
+                 FROM raw
+                 WHERE appkey <> '' AND ((dt = 'evt' AND starts_with(cus_key, '_'))
+                   OR (dt IN ('mkt', 'abp') AND NOT starts_with(cus_key, '$$')
+                       AND cus_key NOT IN ($reserved)))
+                 GROUP BY 1, 2, 3)),
+         cidx AS (SELECT * FROM cidx0 WHERE col_index <= ${Derive.customColumns})
+         SELECT r.event_id,
+           z.zgid,
+           coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS zg_sid,
+           md5(concat_ws(':', r.appkey, CAST(r.event_id AS VARCHAR), r.dt)) AS uuid,
+           CASE r.dt WHEN 'ss' THEN -1 WHEN 'se' THEN -2 ELSE g.eid END AS eid,
+           strftime(r.ts, '%Y%m%d') AS day_id,
+           epoch_ns(r.ts) // 1000000000 AS begin_date,
+           concat(strftime(r.ts, '%H'), '0', strftime(r.ts, '%M')) AS time_id,
+           concat(strftime(r.ts, '%Y'), '-',
+             lpad(cast(weekofyear(CAST(r.ts AS DATE)) AS string), 2, '0')) AS year_week,
+           dv.zg_did,
+           coalesce(CAST(u.zg_uid AS VARCHAR), '\\N') AS zg_uid,
+           CASE r.dt WHEN 'ss' THEN 'st' WHEN 'se' THEN 'se'
+             ELSE r.event_type END AS event_name,
            coalesce(d.platform_id, 0) AS platform_id,
-           event_type AS event_name
-         FROM raw r LEFT JOIN dim d ON r.pl = d.pl
+           coalesce(nd.network_id, 0) AS network_id,
+           CASE WHEN r.cr = '' OR r.cr = 'null' THEN '\\N'
+                WHEN length(r.cr) > 6 OR NOT regexp_full_match(r.cr, '[0-9]*') THEN '\\N'
+                ELSE r.cr END AS mccmnc,
+           r.ua AS useragent,
+           CASE r.event_id % 7 WHEN 0 THEN 'www.baidu.com' WHEN 1 THEN 'www.google.com'
+             WHEN 2 THEN 'www.sogou.com' WHEN 3 THEN 'cn.bing.com'
+             WHEN 4 THEN 'news.example.com' WHEN 5 THEN 'www.baidu.com'
+             ELSE '\\N' END AS website,
+           r.url AS current_url,
+           CASE WHEN r.referrer = '' THEN '\\N' ELSE r.referrer END AS referrer_url,
+           CASE WHEN r.cn = '' THEN '\\N' ELSE r.cn END AS channel,
+           CASE WHEN r.vn = '' THEN '\\N' ELSE r.vn END AS app_version,
+           CAST(string_split(r.ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(r.ip, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(r.ip, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(r.ip, '.')[4] AS BIGINT) AS ip,
+           r.ip AS ip_str,
+           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
+             ELSE CASE r.user_id % 8 $geoCountry END END AS country,
+           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
+             ELSE CASE r.user_id % 8 $geoProv END END AS area,
+           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
+             ELSE CASE r.user_id % 8 $geoCity END END AS city,
+           ${uaCase(_._1, "r.event_id")} AS os,
+           ${uaCase(_._2, "r.event_id")} AS ov,
+           ${uaCase(_._3, "r.event_id")} AS bs,
+           ${uaCase(_._4, "r.event_id")} AS bv,
+           CASE WHEN r.event_id % 3 = 0 THEN 'wechat'
+             WHEN r.event_id % 7 = 0 THEN 'www.baidu.com'
+             WHEN r.event_id % 7 = 1 THEN 'www.google.com'
+             WHEN r.event_id % 7 = 2 THEN 'www.sogou.com'
+             WHEN r.event_id % 7 = 3 THEN 'cn.bing.com'
+             WHEN r.event_id % 7 = 4 THEN 'news.example.com'
+             WHEN r.event_id % 7 = 5 THEN 'www.baidu.com'
+             ELSE '\\N' END AS utm_source,
+           CASE WHEN r.event_id % 3 = 0 THEN 'cpc'
+             WHEN r.event_id % 7 IN (0,1,2,3,5) THEN '搜索自然流量'
+             WHEN r.event_id % 7 = 4 THEN '引荐'
+             ELSE '\\N' END AS utm_medium,
+           CASE WHEN r.event_id % 3 = 0 THEN 'spring' ELSE '\\N' END AS utm_campaign,
+           '\\N' AS utm_content,
+           CASE r.event_id % 7 WHEN 0 THEN 'spark etl' WHEN 1 THEN 'zhuge analytics'
+             WHEN 2 THEN 'graft engine' WHEN 3 THEN 'etl'
+             ELSE '\\N' END AS utm_term,
+           CASE WHEN try_cast(r.dru AS INTEGER) IS NOT NULL
+                 AND try_cast(r.dru AS INTEGER) BETWEEN 0 AND 86400000
+             THEN r.dru ELSE '0' END AS duration,
+           coalesce(ar.business, '\\N') AS attr1,
+           CASE WHEN r.wxeid = '' THEN '\\N' ELSE r.wxeid END AS attr2,
+           '\\N' AS attr3,
+           '\\N' AS attr4,
+           concat(z.zgid, '_',
+             CAST(coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS VARCHAR)) AS attr5,
+           $cusSel, $ptSel
+         FROM raw r
+         JOIN zg z ON r.event_id = z.event_id
+         JOIN ereg g ON r.appkey = g.appkey AND r.event_type = g.event_type
+         LEFT JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
+         LEFT JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
+         LEFT JOIN dim d ON r.pl = d.pl
+         LEFT JOIN netd nd ON r.net = nd.net
+         LEFT JOIN cidx ci ON r.appkey = ci.appkey AND r.event_type = ci.event_type
+           AND r.cus_key = ci.cus_key
+         LEFT JOIN reg ar ON r.appkey = ar.appkey
          WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
-         ORDER BY event_id"""
+           AND z.zgid IS NOT NULL AND r.did <> ''
+         ORDER BY r.event_id"""
     },
     "route_user_row" -> {
       val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")

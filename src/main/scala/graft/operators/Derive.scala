@@ -338,6 +338,49 @@ object Derive {
       .select(col("appkey"), col("prop_key"), col("prop_id"), col("n"))
       .orderBy(col("appkey"), col("prop_id"))
 
+  /** Custom-property column budget (EventAttrRow.CUSTOM_COLUMNS — 100 in
+    * the reference, configurable via EventAttrRow.configure; 10 here so
+    * the 1..customColumns bound is actually exercised: the synthetic
+    * corpus registers up to 14 keys per event type).
+    */
+  val customColumns = 10
+
+  /** Reserved mkt/abp attr names (EventAttrTransfer's mktAttrs/abpAttrs):
+    * bare keys in this set are NOT custom properties.
+    */
+  val mktAbpReservedAttrs: Seq[String] = Seq(
+    "ct", "tz", "zg_zgid", "zg_did", "zg_eid", "zg_sid", "zg_uid", "eid", "uuid")
+
+  /** Custom-property eligibility over the envelope's cus_key
+    * (fillCustomPropertiesBatchAsync's two branches,
+    * EventAttrTransfer.java:170-188): evt keys must be '_'-prefixed;
+    * mkt/abp keys must be neither '$'-prefixed nor reserved.
+    */
+  def customPropEligible: org.apache.spark.sql.Column =
+    (col("dt") === "evt" && col("cus_key").startsWith("_")) ||
+      (col("dt").isin("mkt", "abp") && !col("cus_key").startsWith("$") &&
+        !col("cus_key").isin(mktAbpReservedAttrs: _*))
+
+  /** The event-attr column-index registry — the batch re-expression of
+    * ConfigCacheService.batchGetEventAttrColumnIndex (the Kvrocks hash the
+    * reference probes per record, EventAttrTransfer.java:204-222): each
+    * registered event type allocates column indexes to its custom
+    * properties in first-seen order. dense_rank over the distinct
+    * (appkey, event_type, key) set, bounded to 1..customColumns — indexes
+    * beyond the budget never materialize, exactly like the reference's
+    * colIndex range check.
+    */
+  def eventAttrColumnIndex(t: Tables): DataFrame =
+    env(t)
+      .filter(col("appkey") =!= "" && customPropEligible)
+      .groupBy(col("appkey"), col("event_type"), col("cus_key"))
+      .agg(min(col("ts")).as("first_ts"))
+      .withColumn("col_index",
+        dense_rank().over(
+          Window.partitionBy("appkey", "event_type").orderBy("first_ts", "cus_key")))
+      .filter(col("col_index") <= customColumns)
+      .select(col("appkey"), col("event_type"), col("cus_key"), col("col_index"))
+
   /** #14 etl_prop_length_limit — EventAttrTransfer.ensureLength: every
     * string property is truncated to its column budget before sinking
     * (maxPropLength). Shown on the longest envelope string (ua, 64 chars).

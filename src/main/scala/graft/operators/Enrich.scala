@@ -46,6 +46,27 @@ object Enrich {
     }.toDF("ip_start", "ip_end", "geo_country", "geo_province", "geo_city")
   }
 
+  /** Append (country, province, city) geo columns to any frame with an
+    * `ip` column — the #15 range join as a reusable leg (the event_attr
+    * row build composes it). Broadcast interval dim, private IP ⇒ \N.
+    */
+  def withGeo(t: Tables, df: DataFrame): DataFrame = {
+    val probed = df
+      .withColumn("ip_long", ipToLong(col("ip")))
+      .withColumn("is_private", isPrivateIp(col("ip")))
+      .join(broadcast(geoDim(t)),
+        !col("is_private") && col("ip_long") >= col("ip_start") && col("ip_long") <= col("ip_end"),
+        "left")
+    def g(c: String) = when(col("is_private"), lit(NullValue))
+      .otherwise(coalesce(col(c), lit(NullValue)))
+    probed
+      .withColumn("geo_country_out", g("geo_country"))
+      .withColumn("geo_province_out", g("geo_province"))
+      .withColumn("geo_city_out", g("geo_city"))
+      .drop("ip_start", "ip_end", "geo_country", "geo_province", "geo_city",
+        "is_private")
+  }
+
   /** Private-IP test — exact ranges from IpEnrichOperator.java:190-233:
     * 10/8, 172.16/12, 192.168/16, 127/8, 0/8.
     */

@@ -119,7 +119,30 @@ object Envelope {
     // pr payload — occasionally truncated to exercise JSON validation
     // (CheckJsonAndOwnerOperator.java:24-32).
     "raw_props" -> ("CASE WHEN event_id % 31 = 0 THEN substr(props, 1, length(props) - 1) " +
-      "ELSE props END")
+      "ELSE props END"),
+    // ---- EventAttrTransfer.fillBasicFieldsFromMap inputs (the remaining
+    // pr fields of the full event_attr row) ----
+    // pr.$cr — carrier mccmnc; ensureIntLength cases: valid 5/6-digit,
+    // too long (>6), non-numeric, empty (each -> \N except valid)
+    "cr" -> ("CASE event_id % 5 WHEN 0 THEN concat('4600', cast(event_id % 10 AS string)) " +
+      "WHEN 1 THEN '46000011' WHEN 2 THEN '46x0' WHEN 3 THEN '' " +
+      "ELSE concat('46', cast(event_id % 1000 AS string)) END"),
+    // pr.$cn — install channel; empty -> \N
+    "cn" -> ("CASE event_id % 4 WHEN 0 THEN 'appstore' WHEN 1 THEN 'huawei_store' " +
+      "WHEN 2 THEN '' ELSE 'web_organic' END"),
+    // pr.$vn — app version; empty -> \N
+    "vn" -> "CASE event_id % 3 WHEN 0 THEN '3.2.1' WHEN 1 THEN '4.0' ELSE '' END",
+    // pr.$dru — duration ms; ensureIntRange(0, 86400000) cases: valid,
+    // negative, over-range, non-numeric, empty (each non-valid -> '0')
+    "dru" -> ("CASE event_id % 5 WHEN 0 THEN cast(event_id % 5000 AS string) " +
+      "WHEN 1 THEN '-5' WHEN 2 THEN '90000000' WHEN 3 THEN 'fast' ELSE '' END"),
+    // pr.$wxeid — WeChat export id (attr2); empty -> \N
+    "wxeid" -> ("CASE WHEN event_id % 6 = 0 THEN concat('wx', cast(event_id % 30 AS string)) " +
+      "ELSE '' END"),
+    // custom-property VALUE and TYPE tag (pr['$zg_eptp#'+key]) for the
+    // column-index fill; the key itself is layer-2 (depends on dt)
+    "cus_val" -> "concat('v', cast(event_id % 50 AS string))",
+    "cus_type" -> "CASE event_id % 2 WHEN 0 THEN 'string' ELSE 'number' END"
   )
 
   /** Layer-2 envelope columns (may reference layer-1 names as columns): the
@@ -161,7 +184,18 @@ object Envelope {
         " CASE WHEN cuid IS NULL THEN '' ELSE concat(',\"cuid\":\"', cuid, '\"') END, '},'," +
         " CASE WHEN event_id % 29 = 0 THEN '' ELSE '\"ut\":\"0\",' END," +
         " '\"ip\":\"', ip, '\",\"ua\":\"', ua, '\"}')"
-    Seq("msg" -> msgBody)
+    // custom-property KEY per data item (EventAttrTransfer's eligibility
+    // axes): evt items carry an UNDERSCORE-prefixed custom key; mkt/abp
+    // items carry a bare key, except a cycle of the reserved attr name
+    // 'uuid' (mktAttrs/abpAttrs) which must NOT register; other dts carry
+    // none (CUSTOM_PROPERTY_DT = {evt, mkt, abp})
+    val cusKey =
+      "CASE WHEN dt = 'evt' THEN concat('_p', cast(user_id % 7 AS string)) " +
+        "WHEN dt IN ('mkt', 'abp') THEN " +
+        "(CASE WHEN event_id % 13 = 0 THEN 'uuid' " +
+        "ELSE concat('p', cast(user_id % 7 AS string)) END) " +
+        "ELSE cast(NULL AS string) END"
+    Seq("msg" -> msgBody, "cus_key" -> cusKey)
   }
 
   /** JSON-string embedding escape, dialect-portable (no backslash literals:

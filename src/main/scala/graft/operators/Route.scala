@@ -59,25 +59,181 @@ object Route {
     broadcast(platformDim.toDF(plCol, "platform_id"))
   }
 
-  /** #20 route_event_attr — EventAttrTransfer.fillBasicFieldsFromMap time
-    * components: day id `yyyyMMdd`, epoch seconds, time id (HH + "0" + mm,
-    * EventAttrTransfer.java:249-251), ISO year-week, platform dim code.
-    * Pure expressions + one broadcast join.
+  /** The reference's isSearchEngine host tokens
+    * (EventAttrTransfer.java:34-40, 421-427) — note this is the TRANSFER's
+    * own set, narrower than SearchKeywordParser's engine list (no toutiao /
+    * yahoo), and getUtmTermFromRef has NO baidu branch.
     */
-  def routeEventAttr(t: Tables): DataFrame =
-    env(t)
-      .filter(col("dt").isin("evt", "vtl", "mkt", "ss", "se", "abp"))
+  val searchEngineHosts: Seq[String] = Seq(
+    ".baidu.com", ".sogou.com", ".bing.com", ".so.com", "m.sm.cn",
+    ".google.com", ".google.co")
+
+  /** #20 route_event_attr — the REAL EventAttrTransfer row
+    * (transferFromMapAsync + fillBasicFieldsFromMap +
+    * fillCustomPropertiesBatchAsync, EventAttrTransfer.java:94-350): the
+    * row the product's main table is made of.
+    *
+    * Row admission mirrors transferFromMapAsync's early returns: zgid, eid
+    * and did must all resolve (the identity legs joined below are the pr
+    * $zg_* fields the upstream IdJob fills). Field surface: core ids +
+    * deterministic $uuid, time components, platform/network dims, carrier
+    * mccmnc (ensureIntLength), UA string + parsed os/ov/bs/bv, website /
+    * current / referrer urls, channel, app version, ip as long + string,
+    * geo triple (broadcast range join, private ⇒ \N), the FULL five-field
+    * UTM block (explicit params win; search-engine referrer ⇒ organic
+    * medium with the keyword already enriched upstream into $utm_term,
+    * referral ⇒ 引荐, direct ⇒ \N; term falls back to getUtmTermFromRef's
+    * engine-param walk — which has no baidu branch), duration
+    * (ensureIntRange), business attr1, $wxeid attr2, and the
+    * zgid_sid attr5.
+    *
+    * Custom properties: each eligible `cus_key` (evt: '_'-prefixed;
+    * mkt/abp: bare and unreserved — `Derive.customPropEligible`) resolves
+    * through the column-index registry (`Derive.eventAttrColumnIndex`, the
+    * batch form of batchGetEventAttrColumnIndex) into its event type's
+    * cus1..cusN column, with the $zg_eptp type tag beside it in pt1..ptN.
+    *
+    * Cost shape at 100 TB: identity joins ride the (app, device) and
+    * (app, user) axes the pipeline already shuffles on; registries, dims
+    * and the geo intervals broadcast; everything else is codegen column
+    * work. utcDate (wall-clock at sink time) is the one reference field
+    * deliberately omitted — nondeterministic by definition.
+    */
+  def routeEventAttr(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val n = lit("\\N")
+    def ne(c: org.apache.spark.sql.Column) = when(c.isNull || c === "", n).otherwise(c)
+
+    val e = env(t).filter(col("dt").isin("evt", "vtl", "mkt", "ss", "se", "abp"))
+    val zg = Identity.zgidResolution(t)
+    val dev = Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did"))
+    val usr = Identity.userMap(t).select(col("appkey"), col("cuid"), col("zg_uid"))
+    val reg = Derive.eventRegistry(t)
+      .select(col("appkey"), col("event_name").as("event_type"), col("eid").as("reg_eid"))
+    val cidx = Derive.eventAttrColumnIndex(t)
+
+    val joined = e
+      .join(zg, Seq("event_id"))
+      .filter(col("zgid").isNotNull && col("did") =!= "")
+      .join(broadcast(reg), Seq("appkey", "event_type"))
+      .join(dev, Seq("appkey", "did"), "left")
+      .join(usr, Seq("appkey", "cuid"), "left")
       .join(platformId(t), Seq("pl"), "left")
-      .select(
-        col("event_id"),
-        date_format(col("ts"), "yyyyMMdd").as("day_id"),
-        unix_timestamp(col("ts")).as("begin_date"),
-        concat(date_format(col("ts"), "HH"), lit("0"), date_format(col("ts"), "mm")).as("time_id"),
-        concat(date_format(col("ts"), "yyyy"), lit("-"),
-          lpad(weekofyear(col("ts")).cast("string"), 2, "0")).as("year_week"),
-        coalesce(col("platform_id"), lit(0)).as("platform_id"),
-        col("event_type").as("event_name"))
+      .join(broadcast(networkDim.toDF("net", "network_id")), Seq("net"), "left")
+      .join(broadcast(cidx), Seq("appkey", "event_type", "cus_key"), "left")
+      .join(broadcast(Envelope.appRegistryDf(spark).select(col("appkey"), col("business"))),
+        Seq("appkey"), "left")
+
+    // stage the url/referrer derivations as COLUMNS so the when-chains
+    // below reference each exactly once (the expression-duplication trap)
+    val staged = Enrich.withGeo(t, joined)
+      .withColumn("p_utm_source",
+        nullif(parse_url(col("url"), lit("QUERY"), lit("utm_source")), lit("")))
+      .withColumn("p_utm_medium",
+        nullif(parse_url(col("url"), lit("QUERY"), lit("utm_medium")), lit("")))
+      .withColumn("p_utm_campaign",
+        nullif(parse_url(col("url"), lit("QUERY"), lit("utm_campaign")), lit("")))
+      .withColumn("website_h", parse_url(col("referrer"), lit("HOST")))
+      .withColumn("engine", Enrich.engineOf(col("referrer")))
+      .withColumn("ref_q",
+        nullif(parse_url(col("referrer"), lit("QUERY"), lit("q")), lit("")))
+      .withColumn("ref_query",
+        nullif(parse_url(col("referrer"), lit("QUERY"), lit("query")), lit("")))
+
+    val isSe = searchEngineHosts.map(tok => col("website_h").contains(tok)).reduce(_ || _)
+    // upstream SearchKeywordEnrichOperator leg: $utm_term arrives already
+    // enriched for known engines (incl. baidu's wd — parser set, not the
+    // transfer set)
+    val preTerm = when(col("engine") =!= "unknown",
+      nullif(Enrich.keywordOf(col("referrer"), col("engine")), lit("")))
+    // getUtmTermFromRef: sogou reads 'query', the bing/so/sm/google family
+    // reads 'q', baidu has no branch (⇒ \N)
+    val termFromRef =
+      when(col("website_h").contains(".sogou.com"), expr("try_url_decode(ref_query)"))
+        .when(Seq(".bing.com", ".so.com", "m.sm.cn", ".google.com", ".google.co")
+          .map(tok => col("website_h").contains(tok)).reduce(_ || _),
+          expr("try_url_decode(ref_q)"))
+        .otherwise(lit(null).cast("string"))
+    val explicitUtm = col("p_utm_source").isNotNull || col("p_utm_medium").isNotNull ||
+      col("p_utm_campaign").isNotNull
+
+    val eid = when(col("dt") === "ss", lit(-1))
+      .when(col("dt") === "se", lit(-2)).otherwise(col("reg_eid"))
+    val sid = coalesce(expr("try_cast(sid_raw AS bigint)"), lit(-1L))
+    val druOk = expr("try_cast(dru AS int)")
+
+    val cusCols = (1 to Derive.customColumns).map { i =>
+      when(col("col_index") === i, col("cus_val")).otherwise(n).as(s"cus$i")
+    }
+    val ptCols = (1 to Derive.customColumns).map { i =>
+      when(col("col_index") === i, col("cus_type")).otherwise(n).as(s"pt$i")
+    }
+
+    staged.select(Seq(
+      col("event_id"),
+      col("zgid"),
+      sid.as("zg_sid"),
+      // $uuid (SessionIdProcessOperator.java:69-75): the reference draws a
+      // random UUID per evt/ss/se/mkt/abp item; the deterministic batch
+      // re-expression is a 32-hex portable hash of the event identity —
+      // same shape, reproducible, oracle-checkable
+      md5(concat_ws(":", col("appkey"), col("event_id"), col("dt"))).as("uuid"),
+      eid.as("eid"),
+      date_format(col("ts"), "yyyyMMdd").as("day_id"),
+      unix_timestamp(col("ts")).as("begin_date"),
+      concat(date_format(col("ts"), "HH"), lit("0"), date_format(col("ts"), "mm")).as("time_id"),
+      concat(date_format(col("ts"), "yyyy"), lit("-"),
+        lpad(weekofyear(col("ts")).cast("string"), 2, "0")).as("year_week"),
+      col("zg_did"),
+      coalesce(col("zg_uid").cast("string"), n).as("zg_uid"),
+      when(eid === -1, "st").when(eid === -2, "se")
+        .otherwise(col("event_type")).as("event_name"),
+      coalesce(col("platform_id"), lit(0)).as("platform_id"),
+      coalesce(col("network_id"), lit(0)).as("network_id"),
+      when(col("cr") === "" || col("cr") === "null", n)
+        .when(length(col("cr")) > 6 || !col("cr").rlike("^[0-9]*$"), n)
+        .otherwise(col("cr")).as("mccmnc"),
+      ne(substring(col("ua"), 1, 256)).as("useragent"),
+      ne(col("website_h")).as("website"),
+      ne(col("url")).as("current_url"),
+      ne(col("referrer")).as("referrer_url"),
+      ne(col("cn")).as("channel"),
+      ne(col("vn")).as("app_version"),
+      col("ip_long").as("ip"),
+      ne(col("ip")).as("ip_str"),
+      col("geo_country_out").as("country"),
+      col("geo_province_out").as("area"),
+      col("geo_city_out").as("city"),
+      Enrich.Ua.os(col("ua")).as("os"),
+      Enrich.Ua.osVersion(col("ua")).as("ov"),
+      Enrich.Ua.browser(col("ua")).as("bs"),
+      Enrich.Ua.browserVersion(col("ua")).as("bv"),
+      when(explicitUtm,
+        when(col("p_utm_source").isNull, coalesce(col("website_h"), n))
+          .otherwise(col("p_utm_source")))
+        .when(isSe, coalesce(col("website_h"), n))
+        .when(col("referrer") =!= "", coalesce(col("website_h"), n))
+        .otherwise(n).as("utm_source"),
+      when(explicitUtm, coalesce(col("p_utm_medium"), n))
+        .when(isSe, lit("搜索自然流量"))
+        .when(col("referrer") =!= "", lit("引荐"))
+        .otherwise(n).as("utm_medium"),
+      coalesce(col("p_utm_campaign"), n).as("utm_campaign"),
+      n.as("utm_content"),
+      when(preTerm.isNotNull, preTerm)
+        .when(!explicitUtm && (isSe || col("referrer") =!= ""), coalesce(termFromRef, n))
+        .otherwise(n).as("utm_term"),
+      when(druOk.isNotNull && druOk >= 0 && druOk <= 86400000, col("dru"))
+        .otherwise(lit("0")).as("duration"),
+      coalesce(col("business"), n).as("attr1"),
+      ne(col("wxeid")).as("attr2"),
+      n.as("attr3"),
+      n.as("attr4"),
+      concat(col("zgid"), lit("_"), sid.cast("string")).as("attr5")
+    ) ++ cusCols ++ ptCols: _*)
       .orderBy(col("event_id"))
+  }
 
   /** route_user_row — UserTransfer.java:40-84 (dt=zgid → user table): needs
     * device key + resolved zgid (skip otherwise), carries user id, epoch

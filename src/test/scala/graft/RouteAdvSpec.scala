@@ -22,6 +22,64 @@ class RouteAdvSpec extends SparkSpec {
     }
   }
 
+  test("custom props land in their registry column index with the type tag beside") {
+    import graft.operators.Derive
+    val k = Derive.customColumns
+    val env = Envelope.attach(t.events)
+      .select("event_id", "appkey", "event_type", "cus_key", "cus_val", "cus_type")
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    val cidx = Derive.eventAttrColumnIndex(t).collect()
+      .map(r => (r.getAs[String]("appkey"), r.getAs[String]("event_type"),
+        r.getAs[String]("cus_key")) -> r.getAs[Int]("col_index")).toMap
+    val rows = Route.routeEventAttr(t).collect()
+    assert(rows.nonEmpty)
+    var filled = 0
+    rows.foreach { r =>
+      val e = env(r.getAs[Long]("event_id"))
+      val expect = Option(e.getAs[String]("cus_key")).flatMap(ck =>
+        cidx.get((e.getAs[String]("appkey"), e.getAs[String]("event_type"), ck)))
+      (1 to k).foreach { i =>
+        val cus = r.getAs[String](s"cus$i")
+        val pt = r.getAs[String](s"pt$i")
+        if (expect.contains(i)) {
+          assert(cus == e.getAs[String]("cus_val"), s"cus$i of ${e}")
+          assert(pt == e.getAs[String]("cus_type"), s"pt$i of ${e}")
+          filled += 1
+        } else {
+          assert(cus == "\\N" && pt == "\\N", s"stray cus$i/pt$i in $r")
+        }
+      }
+    }
+    assert(filled > 0, "no custom property ever materialized")
+    // the synthetic corpus registers more keys than the column budget, so
+    // the 1..customColumns bound is genuinely exercised (over-budget keys
+    // fill nothing) and the budget's last column is actually allocated
+    assert(cidx.values.max == k)
+    // reserved mkt/abp attr names never register
+    assert(!cidx.keys.exists(_._3 == "uuid"))
+  }
+
+  test("event_attr row: uuid is 32-hex deterministic, ss/se take sentinel eids") {
+    val rows = Route.routeEventAttr(t).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("uuid").matches("[0-9a-f]{32}"))
+      val name = r.getAs[String]("event_name")
+      val eid = r.getAs[Int]("eid")
+      if (eid == -1) assert(name == "st")
+      else if (eid == -2) assert(name == "se")
+      else assert(eid >= 1)
+      // attr5 composes the zgid and session id
+      assert(r.getAs[String]("attr5") ==
+        r.getAs[String]("zgid") + "_" + r.getAs[Long]("zg_sid"))
+    }
+    // deterministic: two builds agree row-for-row
+    val again = Route.routeEventAttr(t).collect()
+    assert(rows.map(_.getAs[String]("uuid")).toSeq ==
+      again.map(_.getAs[String]("uuid")).toSeq)
+    assert(rows.exists(_.getAs[Int]("eid") == -1) &&
+      rows.exists(_.getAs[Int]("eid") == -2), "no ss/se sentinel rows")
+  }
+
   test("dq validation: exempt sdks never fail on time") {
     val env = Envelope.attach(t.events).select("event_id", "sdk")
     val joined = Route.dqValidate(t).join(env, "event_id")
