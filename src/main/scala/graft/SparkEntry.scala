@@ -317,6 +317,56 @@ object SparkEntry {
     "dim(pl, platform_id) AS (VALUES " +
       Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ") + ")"
 
+  /** DevicePropertyParser CTE chain over `src` (ends in `dp2` carrying
+    * src.* + lb/sm/sb/cat) — shared by derive_device_property_full and the
+    * route_device_row oracle.
+    */
+  private def devPropCtes(src: String): String = {
+    val brandChain = operators.Derive.brandMapping
+      .map { case (k, v) => s"WHEN contains(lb, '$k') THEN '$v'" }.mkString(" ")
+    def anyKw(c: String, kws: Seq[String]) =
+      kws.map(k => s"contains(upper($c), '$k')").mkString("(", " OR ", ")")
+    val fold = anyKw("sm", operators.Derive.foldableKeywords)
+    val flag = anyKw("sm", operators.Derive.flagshipKeywords)
+    s"""dp0 AS (SELECT *, lower(trim(dev_brand)) AS lb,
+           regexp_replace(regexp_replace(trim(dev_model), '\\s+', ' ', 'g'),
+             '[^a-zA-Z0-9 +\\-]', '', 'g') AS sm
+         FROM $src),
+       dp1 AS (SELECT *, CASE $brandChain
+           ELSE concat(upper(substr(dev_brand, 1, 1)), lower(substr(dev_brand, 2))) END AS sb
+         FROM dp0),
+       dp2 AS (SELECT *,
+           CASE WHEN $fold THEN 'Foldable'
+                WHEN $flag THEN 'Flagship'
+                WHEN sb = 'Apple' THEN
+                  CASE WHEN contains(upper(sm), 'SE') THEN 'Entry-level' ELSE 'Mid-range' END
+                WHEN sb = 'Redmi' THEN
+                  CASE WHEN contains(upper(sm), 'K') OR contains(upper(sm), 'NOTE')
+                       THEN 'Mid-range' ELSE 'Entry-level' END
+                ELSE 'Mid-range' END AS cat
+         FROM dp1)"""
+  }
+
+  /** The seven parsed device-property output columns over `dp2`. */
+  private def devPropSelect: String = {
+    val foldRaw = operators.Derive.foldableKeywords
+      .map(k => s"contains(upper(dev_model), '$k')").mkString("(", " OR ", ")")
+    s"""CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN' ELSE sb END AS std_brand,
+       CASE WHEN trim(dev_brand) = '' THEN '' ELSE sm END AS std_model,
+       CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN' ELSE cat END AS category,
+       CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN'
+            WHEN cat IN ('Foldable','Flagship') THEN 'Premium'
+            WHEN cat = 'Entry-level' THEN 'Budget'
+            WHEN sb = 'Apple' THEN 'Premium'
+            WHEN sb IN ('Redmi','Realme') THEN 'Budget'
+            ELSE 'Mid' END AS price_range,
+       CASE WHEN trim(dev_brand) = '' THEN false
+            ELSE regexp_matches(dev_model, '(?i)5G|全网通') END AS is_5g,
+       CASE WHEN trim(dev_brand) = '' THEN false ELSE $foldRaw END AS is_foldable,
+       CASE WHEN trim(dev_brand) = '' THEN ''
+            ELSE regexp_extract(sm, '(20[12][0-9])', 1) END AS release_year"""
+  }
+
   /** The Dw event_attr row build (mirrors Pipeline.eventAttr's projection)
     * over `src` — `raw` for pipeline_event_attr, the gate-passed CTE for
     * pipeline_all_job. Expects `zg` and `dim` CTEs in scope.
@@ -636,49 +686,11 @@ object SparkEntry {
          FROM events WHERE event_id % 7 = 5
          GROUP BY 1, 2, 3 ORDER BY eqid"""
     },
-    "derive_device_property_full" -> {
-      val brandChain = graft.operators.Derive.brandMapping
-        .map { case (k, v) => s"WHEN contains(lb, '$k') THEN '$v'" }.mkString(" ")
-      def anyKw(c: String, kws: Seq[String]) =
-        kws.map(k => s"contains(upper($c), '$k')").mkString("(", " OR ", ")")
-      val fold = anyKw("sm", graft.operators.Derive.foldableKeywords)
-      val flag = anyKw("sm", graft.operators.Derive.flagshipKeywords)
-      val foldRaw = anyKw("dev_model", graft.operators.Derive.foldableKeywords)
+    "derive_device_property_full" ->
       s"""WITH ${Envelope.oracleRaw},
-         d AS (SELECT event_id, dev_brand, dev_model, lower(trim(dev_brand)) AS lb,
-             regexp_replace(regexp_replace(trim(dev_model), '\\s+', ' ', 'g'),
-               '[^a-zA-Z0-9 +\\-]', '', 'g') AS sm
-           FROM raw),
-         b AS (SELECT *, CASE $brandChain
-             ELSE concat(upper(substr(dev_brand, 1, 1)), lower(substr(dev_brand, 2))) END AS sb
-           FROM d),
-         c AS (SELECT *,
-             CASE WHEN $fold THEN 'Foldable'
-                  WHEN $flag THEN 'Flagship'
-                  WHEN sb = 'Apple' THEN
-                    CASE WHEN contains(upper(sm), 'SE') THEN 'Entry-level' ELSE 'Mid-range' END
-                  WHEN sb = 'Redmi' THEN
-                    CASE WHEN contains(upper(sm), 'K') OR contains(upper(sm), 'NOTE')
-                         THEN 'Mid-range' ELSE 'Entry-level' END
-                  ELSE 'Mid-range' END AS cat
-           FROM b)
-         SELECT event_id,
-           CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN' ELSE sb END AS std_brand,
-           CASE WHEN trim(dev_brand) = '' THEN '' ELSE sm END AS std_model,
-           CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN' ELSE cat END AS category,
-           CASE WHEN trim(dev_brand) = '' THEN 'UNKNOWN'
-                WHEN cat IN ('Foldable','Flagship') THEN 'Premium'
-                WHEN cat = 'Entry-level' THEN 'Budget'
-                WHEN sb = 'Apple' THEN 'Premium'
-                WHEN sb IN ('Redmi','Realme') THEN 'Budget'
-                ELSE 'Mid' END AS price_range,
-           CASE WHEN trim(dev_brand) = '' THEN false
-                ELSE regexp_matches(dev_model, '(?i)5G|全网通') END AS is_5g,
-           CASE WHEN trim(dev_brand) = '' THEN false ELSE $foldRaw END AS is_foldable,
-           CASE WHEN trim(dev_brand) = '' THEN ''
-                ELSE regexp_extract(sm, '(20[12][0-9])', 1) END AS release_year
-         FROM c ORDER BY event_id"""
-    },
+         ${devPropCtes("raw")}
+         SELECT event_id, $devPropSelect
+         FROM dp2 ORDER BY event_id""",
     "adv_app_ad_latest" ->
       s"""WITH ${Envelope.oracleRaw},
          $advAdStateCtes
@@ -917,35 +929,69 @@ object SparkEntry {
            AND z.zgid IS NOT NULL AND r.did <> ''
          ORDER BY r.event_id"""
     },
-    "route_user_row" -> {
-      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    "route_user_row" ->
       s"""WITH ${Envelope.oracleRaw},
+         ${Envelope.appRegistryOracle},
          ${zgidCtes()},
          zg AS ($zgidSelect),
-         dim(pl, platform_id) AS (VALUES $dims)
-         SELECT r.event_id, z.zgid, r.did,
-           coalesce(r.cuid, '\\N') AS user_id,
+         $platformDimCte,
+         dev AS (SELECT appkey, did,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
+           FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> '')),
+         usrm AS (SELECT appkey, cuid,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
+           FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL))
+         SELECT r.event_id, ar.app_id, z.zgid, dv.zg_did,
+           coalesce(CAST(u.zg_uid AS VARCHAR), '\\N') AS user_id,
            epoch_ns(r.ts) // 1000000000 AS begin_date,
            coalesce(d.platform_id, 0) AS platform_id
          FROM raw r
          JOIN zg z ON r.event_id = z.event_id
+         JOIN reg ar ON r.appkey = ar.appkey
+         JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
+         LEFT JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
          LEFT JOIN dim d ON r.pl = d.pl
          WHERE r.dt = 'zgid' AND r.did <> '' AND z.zgid IS NOT NULL
-         ORDER BY r.event_id"""
-    },
-    "route_device_row" -> {
-      val dims = Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+           AND try_cast(r.tzms AS BIGINT) IS NOT NULL
+           AND abs(try_cast(r.tzms AS BIGINT)) <= ${Route.tzRangeMs}
+         ORDER BY r.event_id""",
+    "route_device_row" ->
       s"""WITH ${Envelope.oracleRaw},
-         dim(pl, platform_id) AS (VALUES $dims)
-         SELECT r.event_id, r.did,
-           coalesce(d.platform_id, 0) AS platform_id,
-           ${uaCase(_._5, "r.event_id")} AS device_type,
-           ${uaCase(_._6, "r.event_id")} AS device_brand,
-           CASE WHEN json_valid(r.raw_props)
-                THEN CAST(json_extract_string(r.raw_props, '$$.k') AS INTEGER) END AS prop_k
-         FROM raw r LEFT JOIN dim d ON r.pl = d.pl
-         WHERE r.dt = 'pl' ORDER BY r.event_id"""
-    },
+         $platformDimCte,
+         dev AS (SELECT appkey, did,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
+           FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> '')),
+         dbase AS (SELECT r.*, dv.zg_did, coalesce(d.platform_id, 0) AS pid,
+             list_filter(string_split_regex(r.rs, '[^0-9]'), x -> x <> '') AS rs_runs
+           FROM raw r
+           JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
+           LEFT JOIN dim d ON r.pl = d.pl
+           WHERE r.dt = 'pl' AND r.did <> '' AND r.appkey <> ''),
+         ${devPropCtes("dbase")}
+         SELECT event_id, zg_did,
+           did AS device_md5,
+           pid AS platform_id,
+           '\\N' AS device_type,
+           CASE WHEN len(rs_runs) >= 2 THEN rs_runs[1] ELSE '\\N' END AS h_pixel,
+           CASE WHEN len(rs_runs) >= 2 THEN rs_runs[2] ELSE '\\N' END AS v_pixel,
+           CASE WHEN pid = 2 THEN 'Apple'
+                WHEN dev_brand = '' THEN '\\N' ELSE dev_brand END AS device_brand,
+           CASE WHEN dev_model = '' THEN '\\N' ELSE dev_model END AS device_model,
+           CASE WHEN rs = '' THEN '\\N' ELSE rs END AS resolution,
+           '\\N' AS phone,
+           CASE WHEN imei = '' THEN '\\N' ELSE imei END AS imei,
+           '\\N' AS mac,
+           jailp AS is_prison_break,
+           crackp AS is_crack,
+           CASE WHEN lang = '' THEN '\\N' ELSE lang END AS language,
+           tzms AS timezone,
+           CASE WHEN zs = '' THEN '\\N' ELSE zs END AS attr1,
+           CASE WHEN try_cast(tzms AS BIGINT) IS NOT NULL
+                 AND abs(try_cast(tzms AS BIGINT)) > ${Route.tzRangeMs}
+             THEN '\\N'
+             ELSE CAST(epoch_ns(ts) // 1000000000 AS VARCHAR) END AS last_update,
+           $devPropSelect
+         FROM dp2 ORDER BY event_id""",
     "route_user_prop_row" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT event_id, cuid, 'k' AS prop_name,

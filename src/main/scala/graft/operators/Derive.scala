@@ -248,7 +248,18 @@ object Derive {
     * incl. 全网通), foldable flag, release-year extraction. Empty raw brand
     * ⇒ the parser's setDefaults row.
     */
-  def devicePropertyFull(t: Tables): DataFrame = {
+  def devicePropertyFull(t: Tables): DataFrame =
+    devicePropertyCols(env(t))
+      .select(col("event_id"), col("std_brand"), col("std_model"), col("category"),
+        col("price_range"), col("is_5g"), col("is_foldable"), col("release_year"))
+      .orderBy(col("event_id"))
+
+  /** The parser surface as a reusable column builder over any envelope
+    * frame (route_device_row composes it — zero drift with the standalone
+    * operator above): appends std_brand / std_model / category /
+    * price_range / is_5g / is_foldable / release_year.
+    */
+  def devicePropertyCols(envDf: DataFrame): DataFrame = {
     val rawBrand = col("dev_brand")
     val rawModel = col("dev_model")
     val lb = lower(trim(rawBrand))
@@ -265,36 +276,36 @@ object Derive {
     // the category/price logic references them — building everything in one
     // projection expanded the brand when-chain once per consumer and pushed
     // the stage past the huge-method codegen limit
-    val staged = env(t)
-      .select(col("event_id"), rawBrand, rawModel,
-        stdBrand.as("sb"), stdModel.as("sm"))
-    val withCat = staged.withColumn("cat",
-      when(containsAny(col("sm"), foldableKeywords), "Foldable")
-        .when(containsAny(col("sm"), flagshipKeywords), "Flagship")
-        .when(col("sb") === "Apple",
-          when(upper(col("sm")).contains("SE"), "Entry-level").otherwise("Mid-range"))
-        .when(col("sb") === "Redmi",
-          when(upper(col("sm")).contains("K") || upper(col("sm")).contains("NOTE"),
-            "Mid-range").otherwise("Entry-level"))
-        .otherwise("Mid-range"))
+    val withCat = envDf
+      .withColumn("sb", stdBrand)
+      .withColumn("sm", stdModel)
+      .withColumn("cat",
+        when(containsAny(col("sm"), foldableKeywords), "Foldable")
+          .when(containsAny(col("sm"), flagshipKeywords), "Flagship")
+          .when(col("sb") === "Apple",
+            when(upper(col("sm")).contains("SE"), "Entry-level").otherwise("Mid-range"))
+          .when(col("sb") === "Redmi",
+            when(upper(col("sm")).contains("K") || upper(col("sm")).contains("NOTE"),
+              "Mid-range").otherwise("Entry-level"))
+          .otherwise("Mid-range"))
     val empty = trim(col("dev_brand")) === ""
-    withCat.select(
-      col("event_id"),
-      when(empty, "UNKNOWN").otherwise(col("sb")).as("std_brand"),
-      when(empty, "").otherwise(col("sm")).as("std_model"),
-      when(empty, "UNKNOWN").otherwise(col("cat")).as("category"),
-      when(empty, "UNKNOWN").otherwise(
+    withCat
+      .withColumn("std_brand", when(empty, "UNKNOWN").otherwise(col("sb")))
+      .withColumn("std_model", when(empty, "").otherwise(col("sm")))
+      .withColumn("category", when(empty, "UNKNOWN").otherwise(col("cat")))
+      .withColumn("price_range", when(empty, "UNKNOWN").otherwise(
         when(col("cat").isin("Foldable", "Flagship"), "Premium")
           .when(col("cat") === "Entry-level", "Budget")
           .when(col("sb") === "Apple", "Premium")
           .when(col("sb").isin("Redmi", "Realme"), "Budget")
-          .otherwise("Mid")).as("price_range"),
-      when(empty, false).otherwise(col("dev_model").rlike("(?i)5G|全网通")).as("is_5g"),
-      when(empty, false).otherwise(containsAny(col("dev_model"), foldableKeywords))
-        .as("is_foldable"),
-      when(empty, "").otherwise(regexp_extract(col("sm"), "(20[12][0-9])", 1))
-        .as("release_year"))
-      .orderBy(col("event_id"))
+          .otherwise("Mid")))
+      .withColumn("is_5g",
+        when(empty, false).otherwise(col("dev_model").rlike("(?i)5G|全网通")))
+      .withColumn("is_foldable",
+        when(empty, false).otherwise(containsAny(col("dev_model"), foldableKeywords)))
+      .withColumn("release_year",
+        when(empty, "").otherwise(regexp_extract(col("sm"), "(20[12][0-9])", 1)))
+      .drop("sb", "sm", "cat")
   }
 
   /** #13 derive_event_registry — EventAsyncOperator.java: the reference

@@ -142,7 +142,30 @@ object Envelope {
     // custom-property VALUE and TYPE tag (pr['$zg_eptp#'+key]) for the
     // column-index fill; the key itself is layer-2 (depends on dt)
     "cus_val" -> "concat('v', cast(event_id % 50 AS string))",
-    "cus_type" -> "CASE event_id % 2 WHEN 0 THEN 'string' ELSE 'number' END"
+    "cus_type" -> "CASE event_id % 2 WHEN 0 THEN 'string' ELSE 'number' END",
+    // ---- UserTransfer / DeviceTransfer inputs ----
+    // pr.$tz — timezone OFFSET in ms (the validity axis both transfers
+    // gate on): valid, negative-valid, out-of-range (>48h ⇒ user row
+    // dropped / device last_update \N), non-numeric (user dropped, device
+    // unaffected — DeviceTransfer only range-checks a PARSEABLE tz)
+    "tzms" -> ("CASE event_id % 7 WHEN 0 THEN '0' WHEN 1 THEN '-18000000' " +
+      "WHEN 2 THEN '200000000' WHEN 3 THEN 'PST' ELSE '28800000' END"),
+    // pr.$rs — screen resolution; parseResolution splits on non-digit runs
+    "rs" -> ("CASE event_id % 4 WHEN 0 THEN '1080x1920' WHEN 1 THEN '750*1334' " +
+      "WHEN 2 THEN '' ELSE 'wide' END"),
+    // pr.$imei / $lang / $zs — present, empty (-> \\N via ensureLength) or
+    // absent (getStringValue miss -> the \\N sentinel directly)
+    "imei" -> ("CASE event_id % 5 WHEN 0 THEN concat('86', cast(event_id % 100000 AS string)) " +
+      "WHEN 1 THEN '' ELSE concat(chr(92), 'N') END"),
+    "lang" -> ("CASE event_id % 3 WHEN 0 THEN 'zh-CN' WHEN 1 THEN 'en-US' " +
+      "ELSE '' END"),
+    "zs" -> ("CASE event_id % 4 WHEN 0 THEN 'store_a' WHEN 1 THEN '' " +
+      "ELSE concat(chr(92), 'N') END"),
+    // pr.$jail / $private — raw SDK flags, absent -> \\N
+    "jailp" -> ("CASE event_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '0' " +
+      "ELSE concat(chr(92), 'N') END"),
+    "crackp" -> ("CASE event_id % 4 WHEN 0 THEN '1' WHEN 1 THEN '0' " +
+      "ELSE concat(chr(92), 'N') END")
   )
 
   /** Layer-2 envelope columns (may reference layer-1 names as columns): the

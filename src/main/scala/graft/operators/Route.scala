@@ -235,40 +235,96 @@ object Route {
       .orderBy(col("event_id"))
   }
 
-  /** route_user_row — UserTransfer.java:40-84 (dt=zgid → user table): needs
-    * device key + resolved zgid (skip otherwise), carries user id, epoch
-    * seconds, platform code. The zgid join is the identity shuffle the
-    * pipeline already paid for.
+  /** The transfers' tz-offset validity bound: 48h in ms. */
+  val tzRangeMs = 48L * 3600L * 1000L
+
+  /** route_user_row — the full UserTransfer row (UserTransfer.java:38-83,
+    * dt=zgid → user table): admission mirrors every early return — appId
+    * resolved (registered app), $zg_did and $zg_zgid non-empty, $ct
+    * present, and $tz PARSEABLE and within ±48h (an unparseable or
+    * out-of-range offset DROPS the user row). Carries the surrogate
+    * device/user ids the id legs wrote into pr ($zg_did / $zg_uid — the
+    * deviceMap/userMap joins), epoch seconds and the platform code.
     */
   def routeUserRow(t: Tables): DataFrame = {
     val zg = Identity.zgidResolution(t)
-    env(t).filter(col("dt") === "zgid" && col("did") =!= "")
+    val tzOk = expr("try_cast(tzms AS bigint)")
+    env(t).filter(col("dt") === "zgid" && col("did") =!= "" && col("appkey") =!= "")
+      .filter(tzOk.isNotNull && abs(tzOk) <= tzRangeMs)
       .join(zg, Seq("event_id"))
       .filter(col("zgid").isNotNull)
+      .join(broadcast(Envelope.appRegistryDf(t.spark).select(col("appkey"), col("app_id"))),
+        Seq("appkey"))
+      .join(Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did")),
+        Seq("appkey", "did"))
+      .join(Identity.userMap(t).select(col("appkey"), col("cuid"), col("zg_uid")),
+        Seq("appkey", "cuid"), "left")
       .join(platformId(t), Seq("pl"), "left")
       .select(
-        col("event_id"), col("zgid"), col("did"),
-        coalesce(col("cuid"), lit("\\N")).as("user_id"),
+        col("event_id"), col("app_id"), col("zgid"), col("zg_did"),
+        coalesce(col("zg_uid").cast("string"), lit("\\N")).as("user_id"),
         unix_timestamp(col("ts")).as("begin_date"),
         coalesce(col("platform_id"), lit(0)).as("platform_id"))
       .orderBy(col("event_id"))
   }
 
-  /** route_device_row — DeviceTransfer.java:85-104 (dt=pl → device table):
-    * device key, platform code, parsed device property, and the full UA
-    * device matrix (Enrich.Ua re-expresses UserAgentParser.java:150-243
-    * incl. the inferDeviceType fallback).
+  /** route_device_row — the full DeviceTransfer row
+    * (DeviceTransfer.java:47-113, dt=pl → device table): surrogate device
+    * id, device md5 (the raw usr.did), platform code, resolution + its
+    * digit-run split into horizontal/vertical pixels, brand/model with the
+    * iOS-platform brand override, imei / jail / crack / language /
+    * timezone / $zs attr1 (raw SDK values, absent ⇒ \N, empty ⇒ \N via
+    * ensureLength), last_update from the message clock — \N when a
+    * PARSEABLE tz offset is out of ±48h range (an unparseable tz does NOT
+    * invalidate the device row, unlike the user row) — plus the parsed
+    * device-property block (`Derive.devicePropertyCols`: std brand/model,
+    * category, price range, 5G/foldable flags, release year).
+    *
+    * Note on parseResolution fidelity: the split keeps DIGIT RUNS
+    * (non-digit separators collapse), which agrees with the reference for
+    * every wire shape here; inputs with INTERNAL empty splits ('10**20')
+    * would differ (reference emits the empty part) — not a shape any SDK
+    * emits.
     */
   def routeDeviceRow(t: Tables): DataFrame = {
-    val ua = col("ua")
-    env(t).filter(col("dt") === "pl")
+    val n = lit("\\N")
+    def ne(c: org.apache.spark.sql.Column) = when(c.isNull || c === "", n).otherwise(c)
+    val tzNum = expr("try_cast(tzms AS bigint)")
+    val runs = expr("filter(split(rs, '[^0-9]'), x -> x <> '')")
+    val base = env(t).filter(col("dt") === "pl" && col("did") =!= "" && col("appkey") =!= "")
+      .join(Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did")),
+        Seq("appkey", "did"))
       .join(platformId(t), Seq("pl"), "left")
+      .withColumn("pid", coalesce(col("platform_id"), lit(0)))
+      .withColumn("rs_runs", runs)
+    Derive.devicePropertyCols(base)
       .select(
-        col("event_id"), col("did"),
-        coalesce(col("platform_id"), lit(0)).as("platform_id"),
-        Enrich.Ua.deviceType(ua).as("device_type"),
-        Enrich.Ua.deviceBrand(ua).as("device_brand"),
-        from_json(col("raw_props"), lit("k INT")).getField("k").as("prop_k"))
+        col("event_id"), col("zg_did"),
+        col("did").as("device_md5"),
+        col("pid").as("platform_id"),
+        n.as("device_type"),
+        when(size(col("rs_runs")) >= 2, element_at(col("rs_runs"), 1))
+          .otherwise(n).as("h_pixel"),
+        when(size(col("rs_runs")) >= 2, element_at(col("rs_runs"), 2))
+          .otherwise(n).as("v_pixel"),
+        // ensureLength(\N-on-empty) first, the iOS override second — the
+        // override wins even over a missing brand
+        when(col("pid") === 2, lit("Apple"))
+          .otherwise(ne(col("dev_brand"))).as("device_brand"),
+        ne(col("dev_model")).as("device_model"),
+        ne(col("rs")).as("resolution"),
+        n.as("phone"),
+        ne(col("imei")).as("imei"),
+        n.as("mac"),
+        col("jailp").as("is_prison_break"),
+        col("crackp").as("is_crack"),
+        ne(col("lang")).as("language"),
+        col("tzms").as("timezone"),
+        ne(col("zs")).as("attr1"),
+        when(tzNum.isNotNull && abs(tzNum) > tzRangeMs, n)
+          .otherwise(unix_timestamp(col("ts")).cast("string")).as("last_update"),
+        col("std_brand"), col("std_model"), col("category"), col("price_range"),
+        col("is_5g"), col("is_foldable"), col("release_year"))
       .orderBy(col("event_id"))
   }
 
