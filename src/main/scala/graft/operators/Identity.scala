@@ -100,6 +100,24 @@ object Identity {
     * (appkey, did) — the two shuffle axes this job needs anyway.
     */
   def zgidResolution(t: Tables): DataFrame = {
+    val (e, uz, dz) = zgidAxes(t)
+    e.join(uz, Seq("appkey", "cuid"), "left")
+      .join(dz, Seq("appkey", "did"), "left")
+      .select(
+        col("event_id"),
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid"))
+          .otherwise(lit(null).cast("string")).as("zgid"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The two zgid binding axes plus the filtered envelope they derive
+    * from: uz = (appkey, cuid, u_zgid), dz = (appkey, did, d_zgid) — the
+    * batch forms of OneIdService's uz/dz Kvrocks hashes. Exposed so the
+    * streaming READ side (EventStreamPipeline.deviceZgidStream) can join
+    * the same axes its keyed state writes against.
+    */
+  def zgidAxes(t: Tables): (DataFrame, DataFrame, DataFrame) = {
     val e = ev(t).persist() // five plan branches read the filtered envelope
     val byUser   = Window.partitionBy("appkey", "cuid").orderBy("ts", "event_id")
     val byDevice = Window.partitionBy("appkey", "did").orderBy("ts", "event_id")
@@ -137,15 +155,7 @@ object Identity {
       .select(col("appkey"), col("did"),
         coalesce(col("u_zgid"), concat(lit("z:d:"), col("appkey"), lit(":"), col("did")))
           .as("d_zgid"))
-
-    e.join(uz, Seq("appkey", "cuid"), "left")
-      .join(dz, Seq("appkey", "did"), "left")
-      .select(
-        col("event_id"),
-        when(col("cuid").isNotNull, col("u_zgid"))
-          .when(col("did") =!= "", col("d_zgid"))
-          .otherwise(lit(null).cast("string")).as("zgid"))
-      .orderBy(col("event_id"))
+    (e, uz, dz)
   }
 
   /** id_incremental_assign — the id SERVICE semantics across batches
