@@ -173,6 +173,27 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"no equi-join on cluster:\n$p")
   }
 
+  test("event_attr row build broadcasts every dim and never goes cartesian") {
+    val p = plan(graft.operators.Route.routeEventAttr(t))
+    assert(!p.contains("CartesianProduct"), s"row build went cartesian:\n$p")
+    // platform + network dims, event registry, column-index registry, app
+    // registry — all config-sized, all broadcast
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 5, s"expected >=5 broadcast dim joins, got $nBroadcast:\n$p")
+    // the geo interval dim rides the (intended) broadcast nested loop
+    assert(p.contains("BroadcastNestedLoopJoin"), s"geo dim not broadcast:\n$p")
+  }
+
+  test("user/device row builds broadcast their dims and never go quadratic") {
+    for (df <- Seq(graft.operators.Route.routeUserRow(t),
+                   graft.operators.Route.routeDeviceRow(t))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+        s"row build went quadratic:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    }
+  }
+
   test("lsh candidates equi-join on (table, band_key), no cartesian, no distinct exchange") {
     val df = graft.operators.Sim.lshTopK(t)
     val p = plan(df)
