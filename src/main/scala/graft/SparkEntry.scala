@@ -78,6 +78,7 @@ object SparkEntry {
     "dim_network"              -> ((s, d) => Route.dimNetwork(tables(s, d))),
     "dim_user_profile"         -> ((s, d) => Route.dimUserProfile(tables(s, d))),
     "sink_partitioned_parquet" -> ((s, d) => Route.sinkPartitionedParquet(tables(s, d))),
+    "sink_bucketed_join"       -> ((s, d) => Route.sinkBucketedJoin(tables(s, d))),
     // §2.6 ads / attribution
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
     "adv_first_last_touch" -> ((s, d) => Adv.firstLastTouch(tables(s, d))),

@@ -511,6 +511,46 @@ object Route {
     * day-ranged query), read the sink back, return per-day counts.
     * Rows-only check; the >1-file-per-heavy-day property is spec-asserted.
     */
+  /** Buckets per table for the co-located sink (sized to the cluster in
+    * prod: buckets ≈ executors × a small factor, fixed per table family so
+    * every table in the family co-locates).
+    */
+  val sinkBuckets = 8
+
+  /** sink_bucketed_join — the CO-LOCATED sink: the fact rows and the
+    * per-user rollup are both written `bucketBy(user_id)` with the same
+    * bucket count, so every downstream join/aggregation on the user axis
+    * reads back SHUFFLE-FREE — the 100 TB answer to paying the identity
+    * shuffle once per query. (The day-partitioned sink #24 optimizes for
+    * partition pruning; this one optimizes for join locality — a real
+    * warehouse uses both, partition by day THEN bucket by user.)
+    *
+    * Writes through the session catalog (bucketed reads require catalog
+    * tables), then returns the bucket-local join+agg. Rows-only; the
+    * zero-Exchange readback plan is spec-asserted.
+    */
+  def sinkBucketedJoin(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val spark = t.spark
+    val dir = outDir.getOrElse(
+      s"/tmp/graft_bucketed/${java.util.UUID.randomUUID().toString.take(8)}")
+    val facts = t.events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val userStats = t.events.groupBy(col("user_id"))
+      .agg(sum(col("value")).as("ltv"), count(lit(1)).as("n_events"))
+    spark.sql("DROP TABLE IF EXISTS graft_ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS graft_usr_bucketed")
+    facts.write.mode("overwrite").format("parquet")
+      .bucketBy(sinkBuckets, "user_id").sortBy("user_id")
+      .option("path", s"$dir/ev").saveAsTable("graft_ev_bucketed")
+    userStats.write.mode("overwrite").format("parquet")
+      .bucketBy(sinkBuckets, "user_id").sortBy("user_id")
+      .option("path", s"$dir/usr").saveAsTable("graft_usr_bucketed")
+    spark.table("graft_ev_bucketed")
+      .join(spark.table("graft_usr_bucketed"), "user_id")
+      .groupBy(col("user_id"), col("ltv"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
   def sinkPartitionedParquet(t: Tables, outDir: Option[String] = None): DataFrame = {
     val out = outDir.getOrElse(
       s"/tmp/graft_sink/${java.util.UUID.randomUUID().toString.take(8)}")

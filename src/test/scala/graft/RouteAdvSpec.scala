@@ -80,6 +80,24 @@ class RouteAdvSpec extends SparkSpec {
       rows.exists(_.getAs[Int]("eid") == -2), "no ss/se sentinel rows")
   }
 
+  test("bucketed sink reads back with a zero-exchange join and aggregation") {
+    val out = Route.sinkBucketedJoin(t)
+    assert(out.count() > 0)
+    // with broadcast disabled, the bucketed tables must join AND aggregate
+    // on user_id without ANY Exchange — the co-location contract
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_ev_bucketed")
+        .join(spark.table("graft_usr_bucketed"), "user_id")
+        .groupBy("user_id").count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed readback shuffled:\n$p")
+      // and the result is the same rows a shuffled join would produce
+      assert(j.count() == t.events.select("user_id").distinct().count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("dq validation: exempt sdks never fail on time") {
     val env = Envelope.attach(t.events).select("event_id", "sdk")
     val joined = Route.dqValidate(t).join(env, "event_id")
