@@ -993,20 +993,50 @@ object SparkEntry {
              ELSE CAST(epoch_ns(ts) // 1000000000 AS VARCHAR) END AS last_update,
            $devPropSelect
          FROM dp2 ORDER BY event_id""",
-    "route_user_prop_row" ->
-      s"""WITH ${Envelope.oracleRaw}
-         SELECT event_id, cuid, 'k' AS prop_name,
-           json_extract_string(raw_props, '$$.k') AS prop_value,
-           epoch_ns(ts) // 1000000000 AS last_update
-         FROM raw
-         WHERE dt = 'usr' AND cuid IS NOT NULL AND json_valid(raw_props)
-           AND json_extract_string(raw_props, '$$.k') IS NOT NULL
-         UNION ALL
-         SELECT event_id, cuid, 'app_user_id' AS prop_name,
-           cuid AS prop_value,
-           epoch_ns(ts) // 1000000000 AS last_update
-         FROM raw WHERE dt = 'usr' AND cuid IS NOT NULL
-         ORDER BY event_id, prop_name""",
+    "route_user_prop_row" -> {
+      val bl = Derive.userPropBlacklist.map(s => s"'$s'").mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         ${Envelope.appRegistryOracle},
+         ${zgidCtes()},
+         zg AS ($zgidSelect),
+         $platformDimCte,
+         usrm AS (SELECT appkey, cuid,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
+           FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL)),
+         upreg AS (SELECT appkey, prop_key,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY first_ts, prop_key) AS prop_id
+           FROM (SELECT appkey, upper(concat('p', cast(user_id % 7 AS string))) AS prop_key,
+                   min(ts) AS first_ts
+                 FROM raw
+                 WHERE dt = 'usr' AND cuid IS NOT NULL AND appkey <> ''
+                   AND concat('p', cast(user_id % 7 AS string)) NOT IN ($bl)
+                 GROUP BY 1, 2)),
+         base AS (SELECT r.*, ar.app_id, z.zgid, u.zg_uid,
+             coalesce(d.platform_id, 0) AS pid,
+             epoch_ns(r.ts) // 1000000000 AS lu,
+             concat('p', cast(r.user_id % 7 AS string)) AS pn
+           FROM raw r
+           JOIN zg z ON r.event_id = z.event_id
+           JOIN reg ar ON r.appkey = ar.appkey
+           JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
+           LEFT JOIN dim d ON r.pl = d.pl
+           WHERE r.dt = 'usr' AND r.cuid IS NOT NULL AND r.appkey <> ''
+             AND try_cast(r.tzms AS BIGINT) IS NOT NULL
+             AND abs(try_cast(r.tzms AS BIGINT)) <= ${Route.tzRangeMs}
+             AND z.zgid IS NOT NULL)
+         SELECT * FROM (
+           SELECT b.event_id, b.app_id, b.zgid,
+             CAST(b.zg_uid AS VARCHAR) AS user_id,
+             CAST(g.prop_id AS VARCHAR) AS prop_id,
+             b.pn AS prop_name, b.cus_type AS prop_type,
+             b.cus_val AS prop_value, b.pid AS platform_id, b.lu AS last_update
+           FROM base b JOIN upreg g ON b.appkey = g.appkey AND upper(b.pn) = g.prop_key
+           UNION ALL
+           SELECT event_id, app_id, zgid, CAST(zg_uid AS VARCHAR),
+             '-1', 'app_user_id', 'string', cuid, pid, lu
+           FROM base)
+         ORDER BY event_id, prop_name"""
+    },
     "dq_validate" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT event_id,

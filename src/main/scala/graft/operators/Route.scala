@@ -328,23 +328,57 @@ object Route {
       .orderBy(col("event_id"))
   }
 
-  /** route_user_prop_row — UserPropertyTransfer.java:125-162 (dt=usr →
-    * user_property table): one row per custom property plus the implicit
-    * app_user_id property row the reference always emits for real-name
-    * users. Union of two projections over one scan.
+  /** route_user_prop_row — the full UserPropertyTransfer row
+    * (UserPropertyTransfer.java:48-164, dt=usr → user_property table).
+    * Admission mirrors transferFromMapAsync: appId resolved, $zg_zgid and
+    * $zg_uid resolved, $ct present, $tz parseable and within ±48h. Each
+    * '_'-prefixed custom property resolves its property id through the
+    * per-app registry (`Derive.userPropRegistry` — the $zg_upid# read;
+    * an unregistered/blacklisted property emits NO row, exactly the
+    * isNullOrEmpty(propId) skip), carrying prop name (key minus the
+    * underscore), the $zg_uptp# type tag, value, platform and epoch
+    * last_update. Real-name users additionally emit the implicit
+    * app_user_id row (property id -1, type string, value = $cuid).
     */
   def routeUserPropRow(t: Tables): DataFrame = {
-    val base = env(t).filter(col("dt") === "usr" && col("cuid").isNotNull)
+    val spark = t.spark
+    val tzOk = expr("try_cast(tzms AS bigint)")
+    val zg = Identity.zgidResolution(t)
+    val usr = Identity.userMap(t).select(col("appkey"), col("cuid"), col("zg_uid"))
+    val reg = Derive.userPropRegistry(t).select(col("appkey"), col("prop_key"), col("prop_id"))
+    val base = env(t)
+      .filter(col("dt") === "usr" && col("cuid").isNotNull && col("appkey") =!= "")
+      .filter(tzOk.isNotNull && abs(tzOk) <= tzRangeMs)
+      .join(zg, Seq("event_id"))
+      .filter(col("zgid").isNotNull)
+      .join(broadcast(Envelope.appRegistryDf(spark).select(col("appkey"), col("app_id"))),
+        Seq("appkey"))
+      .join(usr, Seq("appkey", "cuid"))
+      .join(platformId(t), Seq("pl"), "left")
+      .withColumn("pid", coalesce(col("platform_id"), lit(0)))
+      .withColumn("last_update", unix_timestamp(col("ts")))
+      // the '_'-prefixed custom key this usr item carries (same synthesis
+      // axis as the registry's)
+      .withColumn("pn", concat(lit("p"), pmod(col("user_id"), lit(7))))
     val custom = base
-      .select(col("event_id"), col("cuid"), lit("k").as("prop_name"),
-        get_json_object(col("raw_props"), "$.k").as("prop_value"),
-        unix_timestamp(col("ts")).as("last_update"))
-      .filter(col("prop_value").isNotNull)
+      .join(broadcast(reg), base("appkey") === reg("appkey") &&
+        upper(col("pn")) === col("prop_key"))
+      .select(col("event_id"), col("app_id"), col("zgid"),
+        col("zg_uid").cast("string").as("user_id"),
+        col("prop_id").cast("string").as("prop_id"),
+        col("pn").as("prop_name"),
+        col("cus_type").as("prop_type"),
+        col("cus_val").as("prop_value"),
+        col("pid").as("platform_id"), col("last_update"))
     val appUserId = base
-      .select(col("event_id"), col("cuid"), lit("app_user_id").as("prop_name"),
+      .select(col("event_id"), col("app_id"), col("zgid"),
+        col("zg_uid").cast("string").as("user_id"),
+        lit("-1").as("prop_id"),
+        lit("app_user_id").as("prop_name"),
+        lit("string").as("prop_type"),
         col("cuid").as("prop_value"),
-        unix_timestamp(col("ts")).as("last_update"))
-    custom.union(appUserId).orderBy(col("event_id"), col("prop_name"))
+        col("pid").as("platform_id"), col("last_update"))
+    custom.unionByName(appUserId).orderBy(col("event_id"), col("prop_name"))
   }
 
   /** DQ time window, pinned for determinism (TimeValidator takes
