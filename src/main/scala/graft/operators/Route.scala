@@ -106,7 +106,11 @@ object Route {
     def ne(c: org.apache.spark.sql.Column) = when(c.isNull || c === "", n).otherwise(c)
 
     val e = env(t).filter(col("dt").isin("evt", "vtl", "mkt", "ss", "se", "abp"))
-    val zg = Identity.zgidResolution(t)
+    // the zgid axes join on (appkey, cuid)/(appkey, did) — the SAME key
+    // axes the surrogate-id maps below shuffle on — instead of
+    // materializing per-event zgids and re-joining on event_id (a full
+    // event-axis exchange this row build never needs)
+    val (_, uz, dz) = Identity.zgidAxes(t)
     val dev = Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did"))
     val usr = Identity.userMap(t).select(col("appkey"), col("cuid"), col("zg_uid"))
     val reg = Derive.eventRegistry(t)
@@ -114,7 +118,11 @@ object Route {
     val cidx = Derive.eventAttrColumnIndex(t)
 
     val joined = e
-      .join(zg, Seq("event_id"))
+      .join(uz, Seq("appkey", "cuid"), "left")
+      .join(dz, Seq("appkey", "did"), "left")
+      .withColumn("zgid",
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid")))
       .filter(col("zgid").isNotNull && col("did") =!= "")
       .join(broadcast(reg), Seq("appkey", "event_type"))
       .join(dev, Seq("appkey", "did"), "left")
@@ -247,11 +255,15 @@ object Route {
     * deviceMap/userMap joins), epoch seconds and the platform code.
     */
   def routeUserRow(t: Tables): DataFrame = {
-    val zg = Identity.zgidResolution(t)
+    val (_, uz, dz) = Identity.zgidAxes(t)
     val tzOk = expr("try_cast(tzms AS bigint)")
     env(t).filter(col("dt") === "zgid" && col("did") =!= "" && col("appkey") =!= "")
       .filter(tzOk.isNotNull && abs(tzOk) <= tzRangeMs)
-      .join(zg, Seq("event_id"))
+      .join(uz, Seq("appkey", "cuid"), "left")
+      .join(dz, Seq("appkey", "did"), "left")
+      .withColumn("zgid",
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid")))
       .filter(col("zgid").isNotNull)
       .join(broadcast(Envelope.appRegistryDf(t.spark).select(col("appkey"), col("app_id"))),
         Seq("appkey"))
@@ -343,13 +355,16 @@ object Route {
   def routeUserPropRow(t: Tables): DataFrame = {
     val spark = t.spark
     val tzOk = expr("try_cast(tzms AS bigint)")
-    val zg = Identity.zgidResolution(t)
+    // cuid is non-null on every admitted row, so the user axis alone
+    // resolves the zgid — no event-axis join
+    val (_, uz, _) = Identity.zgidAxes(t)
     val usr = Identity.userMap(t).select(col("appkey"), col("cuid"), col("zg_uid"))
     val reg = Derive.userPropRegistry(t).select(col("appkey"), col("prop_key"), col("prop_id"))
     val base = env(t)
       .filter(col("dt") === "usr" && col("cuid").isNotNull && col("appkey") =!= "")
       .filter(tzOk.isNotNull && abs(tzOk) <= tzRangeMs)
-      .join(zg, Seq("event_id"))
+      .join(uz, Seq("appkey", "cuid"))
+      .withColumn("zgid", col("u_zgid"))
       .filter(col("zgid").isNotNull)
       .join(broadcast(Envelope.appRegistryDf(spark).select(col("appkey"), col("app_id"))),
         Seq("appkey"))
