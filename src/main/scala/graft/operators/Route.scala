@@ -190,6 +190,11 @@ object Route {
       eid.as("eid"),
       date_format(col("ts"), "yyyyMMdd").as("day_id"),
       unix_timestamp(col("ts")).as("begin_date"),
+      // time id = HH + '0' + MINUTES. The reference's current code formats
+      // Calendar.MILLISECOND here (EventAttrTransfer.java:246,381 — the
+      // component is even named "mill") which would make the product's
+      // time-bucket id carry sub-second noise; the minute form is the
+      // behavior every Zhuge time-id consumer expects and the one we pin.
       concat(date_format(col("ts"), "HH"), lit("0"), date_format(col("ts"), "mm")).as("time_id"),
       concat(date_format(col("ts"), "yyyy"), lit("-"),
         lpad(weekofyear(col("ts")).cast("string"), 2, "0")).as("year_week"),
