@@ -79,6 +79,7 @@ object SparkEntry {
     "dim_user_profile"         -> ((s, d) => Route.dimUserProfile(tables(s, d))),
     "sink_partitioned_parquet" -> ((s, d) => Route.sinkPartitionedParquet(tables(s, d))),
     "sink_bucketed_join"       -> ((s, d) => Route.sinkBucketedJoin(tables(s, d))),
+    "sink_unique_key_merge"    -> ((s, d) => Route.sinkUniqueKeyMerge(tables(s, d))),
     // §2.6 ads / attribution
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
     "adv_first_last_touch" -> ((s, d) => Adv.firstLastTouch(tables(s, d))),
@@ -346,6 +347,54 @@ object SparkEntry {
                        THEN 'Mid-range' ELSE 'Entry-level' END
                 ELSE 'Mid-range' END AS cat
          FROM dp1)"""
+  }
+
+  /** The full user-property row set as a CTE chain ending in `uprows`
+    * (mirrors Route.routeUserPropRow) — shared by route_user_prop_row and
+    * the UNIQUE KEY merge-on-write sink oracle.
+    */
+  private def userPropRowCtes: String = {
+    val bl = operators.Derive.userPropBlacklist.map(s => s"'$s'").mkString(", ")
+    s"""${Envelope.oracleRaw},
+       ${Envelope.appRegistryOracle},
+       ${zgidCtes()},
+       zg AS ($zgidSelect),
+       $platformDimCte,
+       usrm AS (SELECT appkey, cuid,
+           dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
+         FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL)),
+       upreg AS (SELECT appkey, prop_key,
+           dense_rank() OVER (PARTITION BY appkey ORDER BY first_ts, prop_key) AS prop_id
+         FROM (SELECT appkey, upper(concat('p', cast(user_id % 7 AS string))) AS prop_key,
+                 min(ts) AS first_ts
+               FROM raw
+               WHERE dt = 'usr' AND cuid IS NOT NULL AND appkey <> ''
+                 AND concat('p', cast(user_id % 7 AS string)) NOT IN ($bl)
+               GROUP BY 1, 2)),
+       base AS (SELECT r.*, ar.app_id, z.zgid, u.zg_uid,
+           coalesce(d.platform_id, 0) AS pid,
+           epoch_ns(r.ts) // 1000000000 AS lu,
+           concat('p', cast(r.user_id % 7 AS string)) AS pn
+         FROM raw r
+         JOIN zg z ON r.event_id = z.event_id
+         JOIN reg ar ON r.appkey = ar.appkey
+         JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
+         LEFT JOIN dim d ON r.pl = d.pl
+         WHERE r.dt = 'usr' AND r.cuid IS NOT NULL AND r.appkey <> ''
+           AND try_cast(r.tzms AS BIGINT) IS NOT NULL
+           AND abs(try_cast(r.tzms AS BIGINT)) <= ${Route.tzRangeMs}
+           AND z.zgid IS NOT NULL),
+       uprows AS (
+         SELECT b.event_id, b.app_id, b.zgid,
+           CAST(b.zg_uid AS VARCHAR) AS user_id,
+           CAST(g.prop_id AS VARCHAR) AS prop_id,
+           b.pn AS prop_name, b.cus_type AS prop_type,
+           b.cus_val AS prop_value, b.pid AS platform_id, b.lu AS last_update
+         FROM base b JOIN upreg g ON b.appkey = g.appkey AND upper(b.pn) = g.prop_key
+         UNION ALL
+         SELECT event_id, app_id, zgid, CAST(zg_uid AS VARCHAR),
+           '-1', 'app_user_id', 'string', cuid, pid, lu
+         FROM base)"""
   }
 
   /** The seven parsed device-property output columns over `dp2`. */
@@ -993,50 +1042,17 @@ object SparkEntry {
              ELSE CAST(epoch_ns(ts) // 1000000000 AS VARCHAR) END AS last_update,
            $devPropSelect
          FROM dp2 ORDER BY event_id""",
-    "route_user_prop_row" -> {
-      val bl = Derive.userPropBlacklist.map(s => s"'$s'").mkString(", ")
-      s"""WITH ${Envelope.oracleRaw},
-         ${Envelope.appRegistryOracle},
-         ${zgidCtes()},
-         zg AS ($zgidSelect),
-         $platformDimCte,
-         usrm AS (SELECT appkey, cuid,
-             dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
-           FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL)),
-         upreg AS (SELECT appkey, prop_key,
-             dense_rank() OVER (PARTITION BY appkey ORDER BY first_ts, prop_key) AS prop_id
-           FROM (SELECT appkey, upper(concat('p', cast(user_id % 7 AS string))) AS prop_key,
-                   min(ts) AS first_ts
-                 FROM raw
-                 WHERE dt = 'usr' AND cuid IS NOT NULL AND appkey <> ''
-                   AND concat('p', cast(user_id % 7 AS string)) NOT IN ($bl)
-                 GROUP BY 1, 2)),
-         base AS (SELECT r.*, ar.app_id, z.zgid, u.zg_uid,
-             coalesce(d.platform_id, 0) AS pid,
-             epoch_ns(r.ts) // 1000000000 AS lu,
-             concat('p', cast(r.user_id % 7 AS string)) AS pn
-           FROM raw r
-           JOIN zg z ON r.event_id = z.event_id
-           JOIN reg ar ON r.appkey = ar.appkey
-           JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
-           LEFT JOIN dim d ON r.pl = d.pl
-           WHERE r.dt = 'usr' AND r.cuid IS NOT NULL AND r.appkey <> ''
-             AND try_cast(r.tzms AS BIGINT) IS NOT NULL
-             AND abs(try_cast(r.tzms AS BIGINT)) <= ${Route.tzRangeMs}
-             AND z.zgid IS NOT NULL)
-         SELECT * FROM (
-           SELECT b.event_id, b.app_id, b.zgid,
-             CAST(b.zg_uid AS VARCHAR) AS user_id,
-             CAST(g.prop_id AS VARCHAR) AS prop_id,
-             b.pn AS prop_name, b.cus_type AS prop_type,
-             b.cus_val AS prop_value, b.pid AS platform_id, b.lu AS last_update
-           FROM base b JOIN upreg g ON b.appkey = g.appkey AND upper(b.pn) = g.prop_key
-           UNION ALL
-           SELECT event_id, app_id, zgid, CAST(zg_uid AS VARCHAR),
-             '-1', 'app_user_id', 'string', cuid, pid, lu
-           FROM base)
-         ORDER BY event_id, prop_name"""
-    },
+    "route_user_prop_row" ->
+      s"""WITH $userPropRowCtes
+         SELECT * FROM uprows ORDER BY event_id, prop_name""",
+    "sink_unique_key_merge" ->
+      s"""WITH $userPropRowCtes,
+         m AS (SELECT *, row_number() OVER (PARTITION BY zgid, prop_id
+                 ORDER BY last_update DESC, event_id DESC) AS rn
+               FROM uprows)
+         SELECT event_id, app_id, zgid, user_id, prop_id, prop_name,
+           prop_type, prop_value, platform_id, last_update
+         FROM m WHERE rn = 1 ORDER BY zgid, prop_id""",
     "dq_validate" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT event_id,

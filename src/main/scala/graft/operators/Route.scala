@@ -401,6 +401,29 @@ object Route {
     custom.unionByName(appUserId).orderBy(col("event_id"), col("prop_name"))
   }
 
+  /** sink_unique_key_merge — EVERY Doris table the reference sinks into is
+    * UNIQUE KEY merge-on-write (schema.sql: `UNIQUE KEY(zg_id,
+    * property_id)` for user_property, `UNIQUE KEY(device_id)` for device,
+    * `enable_unique_key_merge_on_write = true` throughout): rows UPSERT by
+    * key, the latest write wins. The batch analog materializes the
+    * post-merge table the warehouse actually serves: per unique key keep
+    * the row with the greatest (last_update, event_id) — shown on the
+    * user_property stream, whose corpus genuinely carries multiple writes
+    * per (zgid, property) key.
+    *
+    * Cost shape: ONE shuffle on the table's unique key — the same
+    * exchange Doris's DISTRIBUTED BY HASH pays at write time; map-side
+    * nothing to combine (row-level replace, not sum).
+    */
+  def sinkUniqueKeyMerge(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("zgid", "prop_id")
+      .orderBy(col("last_update").desc, col("event_id").desc)
+    routeUserPropRow(t)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("zgid"), col("prop_id"))
+  }
+
   /** DQ time window, pinned for determinism (TimeValidator takes
     * (subDays=7, addDays=1) around "today"; we pin today = 2024-06-30 so the
     * oracle is reproducible — SURVEY.md §3).

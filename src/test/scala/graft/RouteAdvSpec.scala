@@ -80,6 +80,25 @@ class RouteAdvSpec extends SparkSpec {
       rows.exists(_.getAs[Int]("eid") == -2), "no ss/se sentinel rows")
   }
 
+  test("unique-key merge keeps exactly the latest write per key") {
+    val merged = Route.sinkUniqueKeyMerge(t).collect()
+    val keys = merged.map(r => (r.getAs[String]("zgid"), r.getAs[String]("prop_id")))
+    assert(keys.distinct.length == keys.length, "duplicate unique keys survived")
+    val all = Route.routeUserPropRow(t).collect()
+    val latest = all
+      .groupBy(r => (r.getAs[String]("zgid"), r.getAs[String]("prop_id")))
+      .view.mapValues(_.maxBy(r =>
+        (r.getAs[Long]("last_update"), r.getAs[Long]("event_id")))).toMap
+    assert(merged.length == latest.size)
+    merged.foreach { r =>
+      val k = (r.getAs[String]("zgid"), r.getAs[String]("prop_id"))
+      assert(r.getAs[Long]("event_id") == latest(k).getAs[Long]("event_id"),
+        s"key $k kept a stale write")
+    }
+    // the corpus genuinely upserts: multiple writes per key pre-merge
+    assert(all.length > merged.length)
+  }
+
   test("bucketed sink reads back with a zero-exchange join and aggregation") {
     val out = Route.sinkBucketedJoin(t)
     assert(out.count() > 0)
