@@ -184,6 +184,48 @@ object EventStreamPipeline {
         coalesce(col("u_zgid"),
           concat(lit("z:d:"), col("appkey"), lit(":"), col("did"))).as("zgid"))
 
+  case class RegState(assigned: Map[String, Int])
+  case class RegUpdate(appkey: String, eventType: String, cusKey: String, colIndex: Int)
+
+  /** Streaming column-index registry — EventAttrAsyncOperator's
+    * per-record registration as keyed state: each (appkey, event_type)
+    * group assigns the next free cus-column index to every NEW eligible
+    * custom-property key, first-come-first-served within the column
+    * budget, and emits the assignment once (the Kvrocks HSETNX + INCR
+    * pair re-expressed as one state map). In-batch rows process in
+    * (ts, event_id) order so a replay matches the batch registry's
+    * first-seen rank. State per group is bounded by the column budget —
+    * at most `Derive.customColumns` entries, exactly the reference's hash
+    * size. Spec-matched against batch `Derive.eventAttrColumnIndex`.
+    */
+  def columnIndexRegistryStream(events: DataFrame): Dataset[RegUpdate] = {
+    import graft.operators.Derive
+    val spark = events.sparkSession
+    import spark.implicits._
+    Envelope.attach(events)
+      .filter(col("appkey") =!= "" && Derive.customPropEligible)
+      .select(col("appkey"), col("event_type"), col("cus_key"), col("ts"), col("event_id"))
+      .as[(String, String, String, java.sql.Timestamp, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[RegState, RegUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((appkey, eventType), rows, state: GroupState[RegState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._4.getTime, r._5))
+          var st = state.getOption.getOrElse(RegState(Map.empty))
+          val out = ordered.flatMap { r =>
+            val key = r._3
+            if (st.assigned.contains(key) || st.assigned.size >= Derive.customColumns) None
+            else {
+              val idx = st.assigned.size + 1
+              st = RegState(st.assigned + (key -> idx))
+              Some(RegUpdate(appkey, eventType, key, idx))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- stateful sessionization (streaming analog of #8 id_sessionize) ----
 
   case class SessionState(lastSec: Long, nEvents: Int, nSessions: Int)

@@ -161,6 +161,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.forall(_.startsWith("z:")))
   }
 
+  test("streaming column-index registry matches the batch first-seen ranks") {
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val out = EventStreamPipeline.columnIndexRegistryStream(events)
+    runToMemory("cireg", out.toDF(), "update")
+    val got = spark.sql("SELECT appkey, eventType, cusKey, colIndex FROM cireg").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getInt(3)).toMap
+    val batch = graft.operators.Derive.eventAttrColumnIndex(t).collect()
+      .map(r => (r.getAs[String]("appkey"), r.getAs[String]("event_type"),
+        r.getAs[String]("cus_key")) -> r.getAs[Int]("col_index")).toMap
+    assert(got.keySet == batch.keySet, "registered key sets differ")
+    // indexes are dense 1..n per (appkey, event_type) and within budget
+    got.groupBy { case ((a, e, _), _) => (a, e) }.values.foreach { g =>
+      val idx = g.values.toSeq.sorted
+      assert(idx == (1 to idx.length), s"non-dense indexes $idx")
+      assert(idx.last <= graft.operators.Derive.customColumns)
+    }
+    // exact index agreement (single-batch replay processes in the same
+    // (ts, event_id) order the batch rank uses)
+    got.foreach { case (k, i) => assert(i == batch(k), s"$k: stream $i batch ${batch(k)}") }
+  }
+
   test("streaming AllJob lands exactly the batch pipeline_all_job rows") {
     val out = java.nio.file.Files.createTempDirectory("graft_alljob_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_alljob_ckpt").toString
