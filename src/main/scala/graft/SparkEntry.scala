@@ -319,6 +319,20 @@ object SparkEntry {
     "dim(pl, platform_id) AS (VALUES " +
       Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ") + ")"
 
+  /** Surrogate device-id map CTE (mirrors Identity.deviceMap) — ONE copy
+    * shared by every row-build oracle so an ordering change can't drift.
+    */
+  private def devMapCte: String =
+    """dev AS (SELECT appkey, did,
+         dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
+       FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> ''))"""
+
+  /** Surrogate user-id map CTE (mirrors Identity.userMap). */
+  private def usrMapCte: String =
+    """usrm AS (SELECT appkey, cuid,
+         dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
+       FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL))"""
+
   /** DevicePropertyParser CTE chain over `src` (ends in `dp2` carrying
     * src.* + lb/sm/sb/cat) — shared by derive_device_property_full and the
     * route_device_row oracle.
@@ -360,9 +374,7 @@ object SparkEntry {
        ${zgidCtes()},
        zg AS ($zgidSelect),
        $platformDimCte,
-       usrm AS (SELECT appkey, cuid,
-           dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
-         FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL)),
+       $usrMapCte,
        upreg AS (SELECT appkey, prop_key,
            dense_rank() OVER (PARTITION BY appkey ORDER BY first_ts, prop_key) AS prop_id
          FROM (SELECT appkey, upper(concat('p', cast(user_id % 7 AS string))) AS prop_key,
@@ -875,12 +887,8 @@ object SparkEntry {
          zg AS ($zgidSelect),
          $platformDimCte,
          netd(net, network_id) AS (VALUES $nets),
-         dev AS (SELECT appkey, did,
-             dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
-           FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> '')),
-         usrm AS (SELECT appkey, cuid,
-             dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
-           FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL)),
+         $devMapCte,
+         $usrMapCte,
          ereg AS (SELECT appkey, event_type,
              dense_rank() OVER (PARTITION BY appkey ORDER BY fts, event_type) AS eid
            FROM (SELECT appkey, event_type, min(ts) AS fts
@@ -985,12 +993,8 @@ object SparkEntry {
          ${zgidCtes()},
          zg AS ($zgidSelect),
          $platformDimCte,
-         dev AS (SELECT appkey, did,
-             dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
-           FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> '')),
-         usrm AS (SELECT appkey, cuid,
-             dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
-           FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL))
+         $devMapCte,
+         $usrMapCte
          SELECT r.event_id, ar.app_id, z.zgid, dv.zg_did,
            coalesce(CAST(u.zg_uid AS VARCHAR), '\\N') AS user_id,
            epoch_ns(r.ts) // 1000000000 AS begin_date,
@@ -1008,9 +1012,7 @@ object SparkEntry {
     "route_device_row" ->
       s"""WITH ${Envelope.oracleRaw},
          $platformDimCte,
-         dev AS (SELECT appkey, did,
-             dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
-           FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> '')),
+         $devMapCte,
          dbase AS (SELECT r.*, dv.zg_did, coalesce(d.platform_id, 0) AS pid,
              list_filter(string_split_regex(r.rs, '[^0-9]'), x -> x <> '') AS rs_runs
            FROM raw r

@@ -20,6 +20,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // iterative jobs (dedup_groups) checkpoint per round; with the
+      // reliable-checkpoint knob set, superseded rounds' files must be
+      // reclaimed as their RDDs fall out of scope or a long job accrues
+      // rounds × |labels| of dead checkpoint data
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       // The testdata's events.ts is TIMESTAMP(NANOS), which Spark's parquet
       // reader rejects; read it as a long and convert in Tables.events.

@@ -31,7 +31,10 @@ object Reliability {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.trim.nonEmpty) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        // always honor the CURRENT knob value: a pre-existing checkpoint
+        // dir (set earlier by this helper or by unrelated code) must not
+        // silently redirect "reliable" checkpoints elsewhere
+        if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None =>

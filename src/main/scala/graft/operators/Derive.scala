@@ -161,7 +161,9 @@ object Derive {
         }
         case _ => Seq.empty
       }
-    } catch { case _: Throwable => Seq.empty } // unparseable -> match-all
+    } catch { // unparseable -> match-all; fatal JVM errors must propagate
+      case scala.util.control.NonFatal(_) => Seq.empty
+    }
 
   /** One rule's match predicate over the pr map: every filter key's value
     * must equal pr["_"+k] ?? pr[k] (a missing key yields null ⇒ the

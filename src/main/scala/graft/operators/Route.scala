@@ -148,13 +148,15 @@ object Route {
         nullif(parse_url(col("referrer"), lit("QUERY"), lit("q")), lit("")))
       .withColumn("ref_query",
         nullif(parse_url(col("referrer"), lit("QUERY"), lit("query")), lit("")))
+      // upstream SearchKeywordEnrichOperator leg: $utm_term arrives
+      // already enriched for known engines (incl. baidu's wd — parser
+      // set, not the transfer set). Staged as a COLUMN: the keywordOf
+      // when-chain is the widest expression here and is referenced twice
+      .withColumn("pre_term", when(col("engine") =!= "unknown",
+        nullif(Enrich.keywordOf(col("referrer"), col("engine")), lit(""))))
 
     val isSe = searchEngineHosts.map(tok => col("website_h").contains(tok)).reduce(_ || _)
-    // upstream SearchKeywordEnrichOperator leg: $utm_term arrives already
-    // enriched for known engines (incl. baidu's wd — parser set, not the
-    // transfer set)
-    val preTerm = when(col("engine") =!= "unknown",
-      nullif(Enrich.keywordOf(col("referrer"), col("engine")), lit("")))
+    val preTerm = col("pre_term")
     // getUtmTermFromRef: sogou reads 'query', the bing/so/sm/google family
     // reads 'q', baidu has no branch (⇒ \N)
     val termFromRef =
@@ -608,8 +610,11 @@ object Route {
     */
   def sinkBucketedJoin(t: Tables, outDir: Option[String] = None): DataFrame = {
     val spark = t.spark
-    val dir = outDir.getOrElse(
-      s"/tmp/graft_bucketed/${java.util.UUID.randomUUID().toString.take(8)}")
+    // fixed path + overwrite: repeated runs replace the data instead of
+    // accreting one orphan directory per invocation (DROP TABLE on an
+    // external table leaves its files). Single-writer assumption like any
+    // warehouse table path.
+    val dir = outDir.getOrElse("/tmp/graft_bucketed")
     val facts = t.events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val userStats = t.events.groupBy(col("user_id"))
       .agg(sum(col("value")).as("ltv"), count(lit(1)).as("n_events"))

@@ -210,7 +210,11 @@ object EventStreamPipeline {
       .flatMapGroupsWithState[RegState, RegUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case ((appkey, eventType), rows, state: GroupState[RegState]) =>
-          val ordered = rows.toSeq.sortBy(r => (r._4.getTime, r._5))
+          // (ts, cus_key, event_id): the KEY tie-break matches the batch
+          // registry's dense_rank ORDER BY (first_ts, cus_key), so a
+          // single-batch replay agrees with the batch ranks even when two
+          // new keys share a first-seen timestamp
+          val ordered = rows.toSeq.sortBy(r => (r._4.getTime, r._3, r._5))
           var st = state.getOption.getOrElse(RegState(Map.empty))
           val out = ordered.flatMap { r =>
             val key = r._3
