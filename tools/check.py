@@ -111,9 +111,25 @@ def compare_one(name, spark_dir, sql, sf_dir):
     return "PASS", f"PASS {name} ({len(sc)} rows)"
 
 
+def raise_map_count():
+    """DuckDB's bundled jemalloc fragments to ~65k memory mappings on a
+    spill-heavy oracle (measured: 65,453 maps right before failure), and the
+    kernel default vm.max_map_count=65530 then fails tiny mallocs with GBs
+    free ("Failed to allocate block of 16384 bytes"). Raise the ceiling when
+    we can (root); otherwise the heavy oracles may OOM spuriously.
+    """
+    p = Path("/proc/sys/vm/max_map_count")
+    try:
+        if int(p.read_text()) < 1048576:
+            p.write_text("1048576")
+    except (OSError, ValueError):
+        pass
+
+
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    raise_map_count()
     n_pass = n_fail = n_warn = 0
     for name in sorted(oracle):
         spark_dir = out_dir / name
