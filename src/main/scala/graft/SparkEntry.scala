@@ -80,6 +80,10 @@ object SparkEntry {
     "sink_partitioned_parquet" -> ((s, d) => Route.sinkPartitionedParquet(tables(s, d))),
     "sink_bucketed_join"       -> ((s, d) => Route.sinkBucketedJoin(tables(s, d))),
     "sink_unique_key_merge"    -> ((s, d) => Route.sinkUniqueKeyMerge(tables(s, d))),
+    // DW rollup tables downstream of event_attr (DUPLICATE KEY model)
+    "dw_user_join"             -> ((s, d) => Dw.userJoin(tables(s, d))),
+    "dw_user_active"           -> ((s, d) => Dw.userActive(tables(s, d))),
+    "dw_user_duration"         -> ((s, d) => Dw.userDuration(tables(s, d))),
     // §2.6 ads / attribution
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
     "adv_first_last_touch" -> ((s, d) => Adv.firstLastTouch(tables(s, d))),
@@ -105,6 +109,7 @@ object SparkEntry {
     "dedup_exact"         -> ((s, d) => Dedup.exact(tables(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(tables(s, d))),
     "dedup_paragraph"     -> ((s, d) => Dedup.paragraphBoiler(tables(s, d))),
+    "dedup_substring"     -> ((s, d) => Dedup.substringDup(tables(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(tables(s, d))),
     "dedup_groups"        -> ((s, d) => Dedup.dupGroups(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
@@ -318,6 +323,28 @@ object SparkEntry {
   private def platformDimCte: String =
     "dim(pl, platform_id) AS (VALUES " +
       Route.platformDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ") + ")"
+
+  /** Admitted event_attr corpus + the DW rollup keys as a CTE chain ending
+    * in `adm` (mirrors Dw.admitted) — shared by the three DW rollup
+    * oracles so the admission rule can't drift between them.
+    */
+  private def dwAdmittedCtes: String =
+    s"""${Envelope.oracleRaw},
+       ${zgidCtes()},
+       zg AS ($zgidSelect),
+       $platformDimCte,
+       $devMapCte,
+       adm AS (SELECT r.*, z.zgid, dv.zg_did,
+           coalesce(d.platform_id, 0) AS platform,
+           CAST(strftime(r.ts, '%Y%m%d') AS INT) AS begin_day_id,
+           CAST(year(r.ts) * 100 + weekofyear(CAST(r.ts AS DATE)) AS INT) AS yearweek,
+           CAST(strftime(r.ts, '%Y%m') AS INT) AS yearmonth
+         FROM raw r
+         JOIN zg z ON r.event_id = z.event_id
+         JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
+         LEFT JOIN dim d ON r.pl = d.pl
+         WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
+           AND z.zgid IS NOT NULL AND r.did <> '')"""
 
   /** Surrogate device-id map CTE (mirrors Identity.deviceMap) — ONE copy
     * shared by every row-build oracle so an ordering change can't drift.
@@ -1055,6 +1082,31 @@ object SparkEntry {
          SELECT event_id, app_id, zgid, user_id, prop_id, prop_name,
            prop_type, prop_value, platform_id, last_update
          FROM m WHERE rn = 1 ORDER BY zgid, prop_id""",
+    "dw_user_join" ->
+      s"""WITH $dwAdmittedCtes,
+         j AS (SELECT *, row_number() OVER (PARTITION BY zgid
+                 ORDER BY ts, event_id) AS rn
+               FROM adm)
+         SELECT zgid AS zg_id, zg_did AS device_id,
+           epoch_ns(ts) // 1000000000 AS begin_date, begin_day_id,
+           md5(concat_ws(':', appkey, CAST(event_id AS VARCHAR), dt)) AS uuid,
+           yearweek, yearmonth, platform
+         FROM j WHERE rn = 1 ORDER BY zg_id""",
+    "dw_user_active" ->
+      s"""WITH $dwAdmittedCtes
+         SELECT zgid AS zg_id, begin_day_id, CAST(count(*) AS INT) AS times,
+           yearweek, yearmonth, platform
+         FROM adm GROUP BY 1, 2, 4, 5, 6
+         ORDER BY zg_id, begin_day_id, platform""",
+    "dw_user_duration" ->
+      s"""WITH $dwAdmittedCtes
+         SELECT zgid AS zg_id, begin_day_id AS day_id, strftime(ts, '%H') AS period,
+           CAST(sum(CASE WHEN try_cast(dru AS INTEGER) IS NOT NULL
+                 AND try_cast(dru AS INTEGER) BETWEEN 0 AND 86400000
+               THEN try_cast(dru AS INTEGER) ELSE 0 END) AS BIGINT) AS duration,
+           CAST(count(*) AS INT) AS times, yearweek, yearmonth, platform
+         FROM adm GROUP BY 1, 2, 3, 6, 7, 8
+         ORDER BY zg_id, day_id, period, platform""",
     "dq_validate" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT event_id,
@@ -1616,6 +1668,36 @@ object SparkEntry {
          SELECT doc_id, shard, tok, quality,
            CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin
          FROM c ORDER BY doc_id"""
+    },
+    "dedup_substring" -> {
+      val k = Dedup.substrK
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         base AS (SELECT doc_id, len(w) AS n_words, w FROM d),
+         wk AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - $k + 1)) AS i
+                FROM base WHERE n_words >= $k),
+         wins AS (SELECT doc_id, i AS pos,
+             CAST(concat('0x', substring(md5(array_to_string(w[i:i+${k - 1}], ' ')), 1, 15))
+               AS BIGINT) AS h
+           FROM wk),
+         dfc AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                                FROM wins GROUP BY h) WHERE nd > 1),
+         dup AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dfc)),
+         led AS (SELECT doc_id, pos,
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+                 FROM dup),
+         pd AS (SELECT doc_id, count(*) AS n_dup_wins,
+             CAST(sum(CASE WHEN np IS NULL THEN $k
+                           ELSE least($k, np - pos) END) AS BIGINT) AS covered_toks
+           FROM led GROUP BY doc_id)
+         SELECT b.doc_id, b.n_words,
+           coalesce(pd.n_dup_wins, 0) AS n_dup_wins,
+           coalesce(pd.covered_toks, 0) AS covered_toks,
+           floor(CAST(coalesce(pd.covered_toks, 0) AS DOUBLE) / b.n_words * 10000)
+             / 10000 AS dup_frac,
+           floor(CAST(coalesce(pd.covered_toks, 0) AS DOUBLE) / b.n_words * 10000)
+             / 10000 < ${Dedup.substrDropTau} AS keep
+         FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id ORDER BY b.doc_id"""
     },
     "dedup_minhash_lsh" -> {
       val p = Dedup.MersennePrime

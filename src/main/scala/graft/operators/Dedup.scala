@@ -337,6 +337,71 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring window length in tokens. The published rule (Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better")
+    * removes spans of ≥50 BPE tokens shared verbatim between documents; 16
+    * words is that rule scaled to this corpus's short documents.
+    */
+  val substrK = 16
+
+  /** A document whose duplicated-span coverage reaches this fraction is
+    * dropped outright (the span-removal alternative would leave a stub).
+    */
+  val substrDropTau = 0.5
+
+  /** dedup_substring — EXACT substring dedup, the suffix-array
+    * deduplication of Lee et al. 2021 re-expressed for Spark: a span
+    * shared verbatim across documents is exactly a run of shared
+    * fixed-length token windows, so cross-doc duplicated spans = windows
+    * of `substrK` tokens whose (portable 60-bit) hash occurs in more than
+    * one document. Per doc: duplicated-window count, tokens covered by the
+    * union of duplicated windows (merged-interval length via one lead()
+    * diff — overlapping windows are not double-counted), coverage
+    * fraction, and the keep verdict under `substrDropTau`.
+    *
+    * Scale shape: windows explode bounded by words-per-doc (same bound as
+    * every shingle pass here); window df is ONE map-side-combined groupBy
+    * on an 8-byte hash — never the window string — and the join back rides
+    * the same hash axis; coverage is a lead() window + groupBy sharing one
+    * doc_id exchange. No pairwise step exists at all, which is what makes
+    * the suffix-array formulation tractable at corpus scale where
+    * all-pairs comparison is not. (A 60-bit hash collision could merge two
+    * distinct windows — ~2⁻⁶¹ per pair, accepted like every portable-hash
+    * consumer in this file.)
+    */
+  def substringDup(t: Tables): DataFrame = {
+    val wins = withWords(t.documents)
+      .filter(size(col("w")) >= substrK)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(w)-$substrK), i -> concat_ws(' ', slice(w, i+1, $substrK)))"))
+          .as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), portableHash(col("win")).as("h"))
+      .persist()
+    val df = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+    val dup = wins.join(df.filter(col("nd") > 1), "h")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val nextPos = lead(col("pos"), 1).over(wd)
+    val perDoc = dup
+      .withColumn("contrib",
+        when(nextPos.isNull, lit(substrK))
+          .otherwise(least(lit(substrK), nextPos - col("pos"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_wins"), sum(col("contrib")).as("covered_toks"))
+    val frac = floor(coalesce(col("covered_toks"), lit(0L)).cast("double")
+      / col("n_words") * 10000) / 10000
+    withWords(t.documents)
+      .select(col("doc_id"), size(col("w")).as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_wins"), lit(0L)).as("n_dup_wins"),
+        coalesce(col("covered_toks"), lit(0L)).as("covered_toks"),
+        frac.as("dup_frac"),
+        (frac < substrDropTau).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- #39 simhash ----
 
   /** Simhash bit width: 60 (the portable md5-derived hash is 15 hex chars).

@@ -64,19 +64,28 @@ object Identity {
     * skew-proof via the two-phase scheme above.
     */
   def deviceMap(t: Tables): DataFrame =
+    deviceMapFrom(ev(t)).orderBy(col("appkey"), col("did"))
+
+  /** deviceMap over an already-derived identity envelope — the row builds
+    * pass zgidAxes' PERSISTED frame here so the surrogate map rides the
+    * cached pass instead of re-scanning and re-deriving the envelope.
+    */
+  private[operators] def deviceMapFrom(e: DataFrame): DataFrame =
     denseIds(
-      ev(t).filter(col("did") =!= "").select(col("appkey"), col("did")).distinct(),
+      e.filter(col("did") =!= "").select(col("appkey"), col("did")).distinct(),
       "appkey", "did", "zg_did")
-      .orderBy(col("appkey"), col("did"))
 
   /** #6 id_user_map — UserIdAsyncOperator / OneIdService.java:367-409: same
     * hash per app keyed by cuid.
     */
   def userMap(t: Tables): DataFrame =
+    userMapFrom(ev(t)).orderBy(col("appkey"), col("cuid"))
+
+  /** See [[deviceMapFrom]]. */
+  private[operators] def userMapFrom(e: DataFrame): DataFrame =
     denseIds(
-      ev(t).filter(col("cuid").isNotNull).select(col("appkey"), col("cuid")).distinct(),
+      e.filter(col("cuid").isNotNull).select(col("appkey"), col("cuid")).distinct(),
       "appkey", "cuid", "zg_uid")
-      .orderBy(col("appkey"), col("cuid"))
 
   /** #7 id_zgid_resolution — ZgidAsyncOperator / OneIdService.java:441-660.
     *

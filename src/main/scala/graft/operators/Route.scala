@@ -109,10 +109,12 @@ object Route {
     // the zgid axes join on (appkey, cuid)/(appkey, did) — the SAME key
     // axes the surrogate-id maps below shuffle on — instead of
     // materializing per-event zgids and re-joining on event_id (a full
-    // event-axis exchange this row build never needs)
-    val (_, uz, dz) = Identity.zgidAxes(t)
-    val dev = Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did"))
-    val usr = Identity.userMap(t).select(col("appkey"), col("cuid"), col("zg_uid"))
+    // event-axis exchange this row build never needs). The surrogate maps
+    // derive from zgidAxes' persisted envelope: one cached identity pass
+    // feeds all four legs instead of three separate scans.
+    val (idEnv, uz, dz) = Identity.zgidAxes(t)
+    val dev = Identity.deviceMapFrom(idEnv)
+    val usr = Identity.userMapFrom(idEnv)
     val reg = Derive.eventRegistry(t)
       .select(col("appkey"), col("event_name").as("event_type"), col("eid").as("reg_eid"))
     val cidx = Derive.eventAttrColumnIndex(t)
@@ -262,7 +264,7 @@ object Route {
     * deviceMap/userMap joins), epoch seconds and the platform code.
     */
   def routeUserRow(t: Tables): DataFrame = {
-    val (_, uz, dz) = Identity.zgidAxes(t)
+    val (idEnv, uz, dz) = Identity.zgidAxes(t)
     val tzOk = expr("try_cast(tzms AS bigint)")
     env(t).filter(col("dt") === "zgid" && col("did") =!= "" && col("appkey") =!= "")
       .filter(tzOk.isNotNull && abs(tzOk) <= tzRangeMs)
@@ -274,10 +276,8 @@ object Route {
       .filter(col("zgid").isNotNull)
       .join(broadcast(Envelope.appRegistryDf(t.spark).select(col("appkey"), col("app_id"))),
         Seq("appkey"))
-      .join(Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did")),
-        Seq("appkey", "did"))
-      .join(Identity.userMap(t).select(col("appkey"), col("cuid"), col("zg_uid")),
-        Seq("appkey", "cuid"), "left")
+      .join(Identity.deviceMapFrom(idEnv), Seq("appkey", "did"))
+      .join(Identity.userMapFrom(idEnv), Seq("appkey", "cuid"), "left")
       .join(platformId(t), Seq("pl"), "left")
       .select(
         col("event_id"), col("app_id"), col("zgid"), col("zg_did"),
@@ -364,8 +364,8 @@ object Route {
     val tzOk = expr("try_cast(tzms AS bigint)")
     // cuid is non-null on every admitted row, so the user axis alone
     // resolves the zgid — no event-axis join
-    val (_, uz, _) = Identity.zgidAxes(t)
-    val usr = Identity.userMap(t).select(col("appkey"), col("cuid"), col("zg_uid"))
+    val (idEnv, uz, _) = Identity.zgidAxes(t)
+    val usr = Identity.userMapFrom(idEnv)
     val reg = Derive.userPropRegistry(t).select(col("appkey"), col("prop_key"), col("prop_id"))
     val base = env(t)
       .filter(col("dt") === "usr" && col("cuid").isNotNull && col("appkey") =!= "")

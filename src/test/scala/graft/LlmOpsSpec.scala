@@ -612,4 +612,59 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
     assert(pairs.subsetOf(brute))
   }
+
+  test("substring dedup: merged spans, full-copy drop, unique doc untouched") {
+    import spark.implicits._
+    val k = Dedup.substrK
+    // 30 shared tokens between A and B (an exact copy) -> every window of
+    // both is duplicated; merged-interval coverage must be the WHOLE doc
+    // (30), not windows × k (15 × 16 = 240 — the double-count a naive sum
+    // would produce). C is unique -> zero coverage, kept.
+    val span = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, span), (2L, span),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = Dedup.substringDup(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(rows(id).getAs[Long]("covered_toks") == 30L)
+      assert(rows(id).getAs[Long]("n_dup_wins") == 30L - k + 1)
+      assert(rows(id).getAs[Double]("dup_frac") == 1.0)
+      assert(!rows(id).getAs[Boolean]("keep"), "full copy must be dropped")
+    }
+    assert(rows(3L).getAs[Long]("covered_toks") == 0L)
+    assert(rows(3L).getAs[Boolean]("keep"))
+  }
+
+  test("substring dedup: partial shared span covers exactly the span") {
+    import spark.implicits._
+    val k = Dedup.substrK
+    // A and B share ONLY their first k tokens (one duplicated window each),
+    // then diverge for another 24 -> coverage is exactly k of 40 tokens,
+    // below the drop threshold on both sides.
+    val shared = (1 to k).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (1 to 24).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 24).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = Dedup.substringDup(t2).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_wins") == 1L)
+      assert(r.getAs[Long]("covered_toks") == k.toLong)
+      assert(r.getAs[Boolean]("keep"))
+    }
+  }
+
+  test("substring dedup: short docs pass through with zero coverage") {
+    import spark.implicits._
+    val docs = Seq((1L, "too short to window"), (2L, "too short to window"))
+      .toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = Dedup.substringDup(t2).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered_toks") == 0L && r.getAs[Boolean]("keep"))
+    }
+  }
 }

@@ -234,4 +234,24 @@ class PlanAuditSpec extends SparkSpec {
     // codegen stages appear as "*(n)" prefixes in the simple plan string
     assert(p.contains("*("), s"no codegen spans:\n$p")
   }
+
+  test("dw rollups keep partial aggregation and broadcast their dims") {
+    for (df <- Seq(graft.operators.Dw.userActive(t),
+                   graft.operators.Dw.userDuration(t))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"rollup went quadratic:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"rollup lost map-side partial aggregation:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"platform dim shuffled:\n$p")
+    }
+  }
+
+  test("substring dedup has no pairwise step") {
+    val p = plan(Dedup.substringDup(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"substring dedup gained a pairwise join:\n$p")
+    // window df is a map-side-combined groupBy on the hash
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"window-frequency aggregate lost partial aggregation:\n$p")
+  }
 }
