@@ -21,7 +21,11 @@ object Pipeline {
   def eventAttr(t: Tables): DataFrame = {
     val env = Envelope.attach(t.events)
       .filter(col("dt").isin("evt", "vtl", "mkt", "ss", "se", "abp"))
-    val zg = Identity.zgidResolution(t) // (event_id, zgid) — null for unregistered apps
+    // zgids resolve on the (appkey, cuid)/(appkey, did) KEY AXES — the same
+    // shuffles the id maps pay anyway — instead of materializing per-event
+    // zgids and re-joining on event_id (a full event-axis exchange this
+    // plan never needs; same rewrite as the Route row builds)
+    val (_, uz, dz) = Identity.zgidAxes(t)
 
     // enrichment columns (same exprs as #15-#18)
     val ua = col("ua")
@@ -41,11 +45,15 @@ object Pipeline {
       .otherwise(Enrich.NullValue)
 
     env
-      .join(zg, Seq("event_id"), "left")
+      .join(uz, Seq("appkey", "cuid"), "left")
+      .join(dz, Seq("appkey", "did"), "left")
       .join(Route.platformId(t), Seq("pl"), "left")
       .select(
         col("event_id"),
-        coalesce(col("zgid"), lit(Enrich.NullValue)).as("zgid"),
+        coalesce(
+          when(col("cuid").isNotNull, col("u_zgid"))
+            .when(col("did") =!= "", col("d_zgid")),
+          lit(Enrich.NullValue)).as("zgid"),
         // SessionIdProcessOperator.java:63-67: $sid numeric -> $zg_sid else -1
         coalesce(expr("try_cast(sid_raw AS bigint)"), lit(-1L)).as("zg_sid"),
         date_format(col("ts"), "yyyyMMdd").as("day_id"),
