@@ -84,6 +84,8 @@ object SparkEntry {
     "dw_user_join"             -> ((s, d) => Dw.userJoin(tables(s, d))),
     "dw_user_active"           -> ((s, d) => Dw.userActive(tables(s, d))),
     "dw_user_duration"         -> ((s, d) => Dw.userDuration(tables(s, d))),
+    "dw_user_detail"           -> ((s, d) => Dw.userDetail(tables(s, d))),
+    "dw_user_anonymous"        -> ((s, d) => Dw.userAnonymous(tables(s, d))),
     // §2.6 ads / attribution
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
     "adv_first_last_touch" -> ((s, d) => Adv.firstLastTouch(tables(s, d))),
@@ -345,6 +347,155 @@ object SparkEntry {
          LEFT JOIN dim d ON r.pl = d.pl
          WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
            AND z.zgid IS NOT NULL AND r.did <> '')"""
+
+  /** The b_user row set (mirror of Route.routeUserRow) as a CTE chain
+    * ending in `burow` — shared by route_user_row and the b_user_anonymous
+    * view oracle.
+    */
+  private def userRowCtes: String =
+    s"""${Envelope.oracleRaw},
+       ${Envelope.appRegistryOracle},
+       ${zgidCtes()},
+       zg AS ($zgidSelect),
+       $platformDimCte,
+       $devMapCte,
+       $usrMapCte,
+       burow AS (SELECT r.event_id, ar.app_id, z.zgid, dv.zg_did,
+           coalesce(CAST(u.zg_uid AS VARCHAR), '\\N') AS user_id,
+           epoch_ns(r.ts) // 1000000000 AS begin_date,
+           coalesce(d.platform_id, 0) AS platform_id
+         FROM raw r
+         JOIN zg z ON r.event_id = z.event_id
+         JOIN reg ar ON r.appkey = ar.appkey
+         JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
+         LEFT JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
+         LEFT JOIN dim d ON r.pl = d.pl
+         WHERE r.dt = 'zgid' AND r.did <> '' AND z.zgid IS NOT NULL
+           AND try_cast(r.tzms AS BIGINT) IS NOT NULL
+           AND abs(try_cast(r.tzms AS BIGINT)) <= ${Route.tzRangeMs})"""
+
+  /** The full event_attr row (mirror of Route.routeEventAttr) as a CTE
+    * chain ending in `ea` — shared by the route_event_attr oracle and the
+    * dw_user_detail rollup oracle so the row surface cannot drift.
+    */
+  private def eventAttrRowCtes: String = {
+      val nets = Route.networkDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      val geoCountry = operators.Enrich.geoBlocks
+        .map { case (o, c, _, _) => s"WHEN $o THEN '$c'" }.mkString(" ")
+      val geoProv = operators.Enrich.geoBlocks
+        .map { case (o, _, p, _) => s"WHEN $o THEN '$p'" }.mkString(" ")
+      val geoCity = operators.Enrich.geoBlocks
+        .map { case (o, _, _, c) => s"WHEN $o THEN '$c'" }.mkString(" ")
+      val reserved = Derive.mktAbpReservedAttrs.map(s => s"'$s'").mkString(", ")
+      val cusSel = (1 to Derive.customColumns).map(i =>
+        s"CASE WHEN ci.col_index = $i THEN r.cus_val ELSE '\\N' END AS cus$i").mkString(", ")
+      val ptSel = (1 to Derive.customColumns).map(i =>
+        s"CASE WHEN ci.col_index = $i THEN r.cus_type ELSE '\\N' END AS pt$i").mkString(", ")
+      s"""${Envelope.oracleRaw},
+         ${Envelope.appRegistryOracle},
+         ${zgidCtes()},
+         zg AS ($zgidSelect),
+         $platformDimCte,
+         netd(net, network_id) AS (VALUES $nets),
+         $devMapCte,
+         $usrMapCte,
+         ereg AS (SELECT appkey, event_type,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY fts, event_type) AS eid
+           FROM (SELECT appkey, event_type, min(ts) AS fts
+                 FROM raw WHERE appkey <> '' GROUP BY 1, 2)),
+         cidx0 AS (SELECT appkey, event_type, cus_key,
+             dense_rank() OVER (PARTITION BY appkey, event_type
+               ORDER BY fts, cus_key) AS col_index
+           FROM (SELECT appkey, event_type, cus_key, min(ts) AS fts
+                 FROM raw
+                 WHERE appkey <> '' AND ((dt = 'evt' AND starts_with(cus_key, '_'))
+                   OR (dt IN ('mkt', 'abp') AND NOT starts_with(cus_key, '$$')
+                       AND cus_key NOT IN ($reserved)))
+                 GROUP BY 1, 2, 3)),
+         cidx AS (SELECT * FROM cidx0 WHERE col_index <= ${Derive.customColumns}),
+         ea AS (SELECT r.event_id,
+           z.zgid,
+           coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS zg_sid,
+           md5(concat_ws(':', r.appkey, CAST(r.event_id AS VARCHAR), r.dt)) AS uuid,
+           CASE r.dt WHEN 'ss' THEN -1 WHEN 'se' THEN -2 ELSE g.eid END AS eid,
+           strftime(r.ts, '%Y%m%d') AS day_id,
+           epoch_ns(r.ts) // 1000000000 AS begin_date,
+           concat(strftime(r.ts, '%H'), '0', strftime(r.ts, '%M')) AS time_id,
+           concat(strftime(r.ts, '%Y'), '-',
+             lpad(cast(weekofyear(CAST(r.ts AS DATE)) AS string), 2, '0')) AS year_week,
+           dv.zg_did,
+           coalesce(CAST(u.zg_uid AS VARCHAR), '\\N') AS zg_uid,
+           CASE r.dt WHEN 'ss' THEN 'st' WHEN 'se' THEN 'se'
+             ELSE r.event_type END AS event_name,
+           coalesce(d.platform_id, 0) AS platform_id,
+           coalesce(nd.network_id, 0) AS network_id,
+           CASE WHEN r.cr = '' OR r.cr = 'null' THEN '\\N'
+                WHEN length(r.cr) > 6 OR NOT regexp_full_match(r.cr, '[0-9]*') THEN '\\N'
+                ELSE r.cr END AS mccmnc,
+           r.ua AS useragent,
+           CASE r.event_id % 7 WHEN 0 THEN 'www.baidu.com' WHEN 1 THEN 'www.google.com'
+             WHEN 2 THEN 'www.sogou.com' WHEN 3 THEN 'cn.bing.com'
+             WHEN 4 THEN 'news.example.com' WHEN 5 THEN 'www.baidu.com'
+             ELSE '\\N' END AS website,
+           r.url AS current_url,
+           CASE WHEN r.referrer = '' THEN '\\N' ELSE r.referrer END AS referrer_url,
+           CASE WHEN r.cn = '' THEN '\\N' ELSE r.cn END AS channel,
+           CASE WHEN r.vn = '' THEN '\\N' ELSE r.vn END AS app_version,
+           CAST(string_split(r.ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(r.ip, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(r.ip, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(r.ip, '.')[4] AS BIGINT) AS ip,
+           r.ip AS ip_str,
+           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
+             ELSE CASE r.user_id % 8 $geoCountry END END AS country,
+           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
+             ELSE CASE r.user_id % 8 $geoProv END END AS area,
+           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
+             ELSE CASE r.user_id % 8 $geoCity END END AS city,
+           ${uaCase(_._1, "r.event_id")} AS os,
+           ${uaCase(_._2, "r.event_id")} AS ov,
+           ${uaCase(_._3, "r.event_id")} AS bs,
+           ${uaCase(_._4, "r.event_id")} AS bv,
+           CASE WHEN r.event_id % 3 = 0 THEN 'wechat'
+             WHEN r.event_id % 7 = 0 THEN 'www.baidu.com'
+             WHEN r.event_id % 7 = 1 THEN 'www.google.com'
+             WHEN r.event_id % 7 = 2 THEN 'www.sogou.com'
+             WHEN r.event_id % 7 = 3 THEN 'cn.bing.com'
+             WHEN r.event_id % 7 = 4 THEN 'news.example.com'
+             WHEN r.event_id % 7 = 5 THEN 'www.baidu.com'
+             ELSE '\\N' END AS utm_source,
+           CASE WHEN r.event_id % 3 = 0 THEN 'cpc'
+             WHEN r.event_id % 7 IN (0,1,2,3,5) THEN '搜索自然流量'
+             WHEN r.event_id % 7 = 4 THEN '引荐'
+             ELSE '\\N' END AS utm_medium,
+           CASE WHEN r.event_id % 3 = 0 THEN 'spring' ELSE '\\N' END AS utm_campaign,
+           '\\N' AS utm_content,
+           CASE r.event_id % 7 WHEN 0 THEN 'spark etl' WHEN 1 THEN 'zhuge analytics'
+             WHEN 2 THEN 'graft engine' WHEN 3 THEN 'etl'
+             ELSE '\\N' END AS utm_term,
+           CASE WHEN try_cast(r.dru AS INTEGER) IS NOT NULL
+                 AND try_cast(r.dru AS INTEGER) BETWEEN 0 AND 86400000
+             THEN r.dru ELSE '0' END AS duration,
+           coalesce(ar.business, '\\N') AS attr1,
+           CASE WHEN r.wxeid = '' THEN '\\N' ELSE r.wxeid END AS attr2,
+           '\\N' AS attr3,
+           '\\N' AS attr4,
+           concat(z.zgid, '_',
+             CAST(coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS VARCHAR)) AS attr5,
+           $cusSel, $ptSel
+         FROM raw r
+         JOIN zg z ON r.event_id = z.event_id
+         JOIN ereg g ON r.appkey = g.appkey AND r.event_type = g.event_type
+         LEFT JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
+         LEFT JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
+         LEFT JOIN dim d ON r.pl = d.pl
+         LEFT JOIN netd nd ON r.net = nd.net
+         LEFT JOIN cidx ci ON r.appkey = ci.appkey AND r.event_type = ci.event_type
+           AND r.cus_key = ci.cus_key
+         LEFT JOIN reg ar ON r.appkey = ar.appkey
+         WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
+           AND z.zgid IS NOT NULL AND r.did <> '')"""
+  }
 
   /** Surrogate device-id map CTE (mirrors Identity.deviceMap) — ONE copy
     * shared by every row-build oracle so an ordering change can't drift.
@@ -895,147 +1046,12 @@ object SparkEntry {
          SELECT CASE dt $cases ELSE 'drop' END AS route, count(*) AS n
          FROM raw WHERE appkey NOT IN ($bl) GROUP BY 1 ORDER BY route"""
     },
-    "route_event_attr" -> {
-      val nets = Route.networkDim.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
-      val geoCountry = operators.Enrich.geoBlocks
-        .map { case (o, c, _, _) => s"WHEN $o THEN '$c'" }.mkString(" ")
-      val geoProv = operators.Enrich.geoBlocks
-        .map { case (o, _, p, _) => s"WHEN $o THEN '$p'" }.mkString(" ")
-      val geoCity = operators.Enrich.geoBlocks
-        .map { case (o, _, _, c) => s"WHEN $o THEN '$c'" }.mkString(" ")
-      val reserved = Derive.mktAbpReservedAttrs.map(s => s"'$s'").mkString(", ")
-      val cusSel = (1 to Derive.customColumns).map(i =>
-        s"CASE WHEN ci.col_index = $i THEN r.cus_val ELSE '\\N' END AS cus$i").mkString(", ")
-      val ptSel = (1 to Derive.customColumns).map(i =>
-        s"CASE WHEN ci.col_index = $i THEN r.cus_type ELSE '\\N' END AS pt$i").mkString(", ")
-      s"""WITH ${Envelope.oracleRaw},
-         ${Envelope.appRegistryOracle},
-         ${zgidCtes()},
-         zg AS ($zgidSelect),
-         $platformDimCte,
-         netd(net, network_id) AS (VALUES $nets),
-         $devMapCte,
-         $usrMapCte,
-         ereg AS (SELECT appkey, event_type,
-             dense_rank() OVER (PARTITION BY appkey ORDER BY fts, event_type) AS eid
-           FROM (SELECT appkey, event_type, min(ts) AS fts
-                 FROM raw WHERE appkey <> '' GROUP BY 1, 2)),
-         cidx0 AS (SELECT appkey, event_type, cus_key,
-             dense_rank() OVER (PARTITION BY appkey, event_type
-               ORDER BY fts, cus_key) AS col_index
-           FROM (SELECT appkey, event_type, cus_key, min(ts) AS fts
-                 FROM raw
-                 WHERE appkey <> '' AND ((dt = 'evt' AND starts_with(cus_key, '_'))
-                   OR (dt IN ('mkt', 'abp') AND NOT starts_with(cus_key, '$$')
-                       AND cus_key NOT IN ($reserved)))
-                 GROUP BY 1, 2, 3)),
-         cidx AS (SELECT * FROM cidx0 WHERE col_index <= ${Derive.customColumns})
-         SELECT r.event_id,
-           z.zgid,
-           coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS zg_sid,
-           md5(concat_ws(':', r.appkey, CAST(r.event_id AS VARCHAR), r.dt)) AS uuid,
-           CASE r.dt WHEN 'ss' THEN -1 WHEN 'se' THEN -2 ELSE g.eid END AS eid,
-           strftime(r.ts, '%Y%m%d') AS day_id,
-           epoch_ns(r.ts) // 1000000000 AS begin_date,
-           concat(strftime(r.ts, '%H'), '0', strftime(r.ts, '%M')) AS time_id,
-           concat(strftime(r.ts, '%Y'), '-',
-             lpad(cast(weekofyear(CAST(r.ts AS DATE)) AS string), 2, '0')) AS year_week,
-           dv.zg_did,
-           coalesce(CAST(u.zg_uid AS VARCHAR), '\\N') AS zg_uid,
-           CASE r.dt WHEN 'ss' THEN 'st' WHEN 'se' THEN 'se'
-             ELSE r.event_type END AS event_name,
-           coalesce(d.platform_id, 0) AS platform_id,
-           coalesce(nd.network_id, 0) AS network_id,
-           CASE WHEN r.cr = '' OR r.cr = 'null' THEN '\\N'
-                WHEN length(r.cr) > 6 OR NOT regexp_full_match(r.cr, '[0-9]*') THEN '\\N'
-                ELSE r.cr END AS mccmnc,
-           r.ua AS useragent,
-           CASE r.event_id % 7 WHEN 0 THEN 'www.baidu.com' WHEN 1 THEN 'www.google.com'
-             WHEN 2 THEN 'www.sogou.com' WHEN 3 THEN 'cn.bing.com'
-             WHEN 4 THEN 'news.example.com' WHEN 5 THEN 'www.baidu.com'
-             ELSE '\\N' END AS website,
-           r.url AS current_url,
-           CASE WHEN r.referrer = '' THEN '\\N' ELSE r.referrer END AS referrer_url,
-           CASE WHEN r.cn = '' THEN '\\N' ELSE r.cn END AS channel,
-           CASE WHEN r.vn = '' THEN '\\N' ELSE r.vn END AS app_version,
-           CAST(string_split(r.ip, '.')[1] AS BIGINT) * 16777216
-             + CAST(string_split(r.ip, '.')[2] AS BIGINT) * 65536
-             + CAST(string_split(r.ip, '.')[3] AS BIGINT) * 256
-             + CAST(string_split(r.ip, '.')[4] AS BIGINT) AS ip,
-           r.ip AS ip_str,
-           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
-             ELSE CASE r.user_id % 8 $geoCountry END END AS country,
-           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
-             ELSE CASE r.user_id % 8 $geoProv END END AS area,
-           CASE WHEN r.event_id % 11 <= 3 THEN '\\N'
-             ELSE CASE r.user_id % 8 $geoCity END END AS city,
-           ${uaCase(_._1, "r.event_id")} AS os,
-           ${uaCase(_._2, "r.event_id")} AS ov,
-           ${uaCase(_._3, "r.event_id")} AS bs,
-           ${uaCase(_._4, "r.event_id")} AS bv,
-           CASE WHEN r.event_id % 3 = 0 THEN 'wechat'
-             WHEN r.event_id % 7 = 0 THEN 'www.baidu.com'
-             WHEN r.event_id % 7 = 1 THEN 'www.google.com'
-             WHEN r.event_id % 7 = 2 THEN 'www.sogou.com'
-             WHEN r.event_id % 7 = 3 THEN 'cn.bing.com'
-             WHEN r.event_id % 7 = 4 THEN 'news.example.com'
-             WHEN r.event_id % 7 = 5 THEN 'www.baidu.com'
-             ELSE '\\N' END AS utm_source,
-           CASE WHEN r.event_id % 3 = 0 THEN 'cpc'
-             WHEN r.event_id % 7 IN (0,1,2,3,5) THEN '搜索自然流量'
-             WHEN r.event_id % 7 = 4 THEN '引荐'
-             ELSE '\\N' END AS utm_medium,
-           CASE WHEN r.event_id % 3 = 0 THEN 'spring' ELSE '\\N' END AS utm_campaign,
-           '\\N' AS utm_content,
-           CASE r.event_id % 7 WHEN 0 THEN 'spark etl' WHEN 1 THEN 'zhuge analytics'
-             WHEN 2 THEN 'graft engine' WHEN 3 THEN 'etl'
-             ELSE '\\N' END AS utm_term,
-           CASE WHEN try_cast(r.dru AS INTEGER) IS NOT NULL
-                 AND try_cast(r.dru AS INTEGER) BETWEEN 0 AND 86400000
-             THEN r.dru ELSE '0' END AS duration,
-           coalesce(ar.business, '\\N') AS attr1,
-           CASE WHEN r.wxeid = '' THEN '\\N' ELSE r.wxeid END AS attr2,
-           '\\N' AS attr3,
-           '\\N' AS attr4,
-           concat(z.zgid, '_',
-             CAST(coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS VARCHAR)) AS attr5,
-           $cusSel, $ptSel
-         FROM raw r
-         JOIN zg z ON r.event_id = z.event_id
-         JOIN ereg g ON r.appkey = g.appkey AND r.event_type = g.event_type
-         LEFT JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
-         LEFT JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
-         LEFT JOIN dim d ON r.pl = d.pl
-         LEFT JOIN netd nd ON r.net = nd.net
-         LEFT JOIN cidx ci ON r.appkey = ci.appkey AND r.event_type = ci.event_type
-           AND r.cus_key = ci.cus_key
-         LEFT JOIN reg ar ON r.appkey = ar.appkey
-         WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
-           AND z.zgid IS NOT NULL AND r.did <> ''
-         ORDER BY r.event_id"""
-    },
+    "route_event_attr" ->
+      s"""WITH $eventAttrRowCtes
+         SELECT * FROM ea ORDER BY event_id""",
     "route_user_row" ->
-      s"""WITH ${Envelope.oracleRaw},
-         ${Envelope.appRegistryOracle},
-         ${zgidCtes()},
-         zg AS ($zgidSelect),
-         $platformDimCte,
-         $devMapCte,
-         $usrMapCte
-         SELECT r.event_id, ar.app_id, z.zgid, dv.zg_did,
-           coalesce(CAST(u.zg_uid AS VARCHAR), '\\N') AS user_id,
-           epoch_ns(r.ts) // 1000000000 AS begin_date,
-           coalesce(d.platform_id, 0) AS platform_id
-         FROM raw r
-         JOIN zg z ON r.event_id = z.event_id
-         JOIN reg ar ON r.appkey = ar.appkey
-         JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
-         LEFT JOIN usrm u ON r.appkey = u.appkey AND r.cuid = u.cuid
-         LEFT JOIN dim d ON r.pl = d.pl
-         WHERE r.dt = 'zgid' AND r.did <> '' AND z.zgid IS NOT NULL
-           AND try_cast(r.tzms AS BIGINT) IS NOT NULL
-           AND abs(try_cast(r.tzms AS BIGINT)) <= ${Route.tzRangeMs}
-         ORDER BY r.event_id""",
+      s"""WITH $userRowCtes
+         SELECT * FROM burow ORDER BY event_id""",
     "route_device_row" ->
       s"""WITH ${Envelope.oracleRaw},
          $platformDimCte,
@@ -1107,6 +1123,84 @@ object SparkEntry {
            CAST(count(*) AS INT) AS times, yearweek, yearmonth, platform
          FROM adm GROUP BY 1, 2, 3, 6, 7, 8
          ORDER BY zg_id, day_id, period, platform""",
+    "dw_user_detail" ->
+      s"""WITH $eventAttrRowCtes,
+         dd AS (SELECT r.event_id, r.appkey, dv.zg_did,
+             coalesce(d.platform_id, 0) AS pid,
+             list_filter(string_split_regex(r.rs, '[^0-9]'), x -> x <> '') AS rs_runs,
+             r.dev_brand, r.dev_model
+           FROM raw r
+           JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
+           LEFT JOIN dim d ON r.pl = d.pl
+           WHERE r.dt = 'pl' AND r.did <> '' AND r.appkey <> ''),
+         dl AS (SELECT *, row_number() OVER (PARTITION BY appkey, zg_did
+                  ORDER BY event_id DESC) AS rn
+                FROM dd),
+         dcur AS (SELECT appkey, zg_did,
+             CASE WHEN len(rs_runs) >= 2 THEN try_cast(rs_runs[1] AS INT) END AS current_l,
+             CASE WHEN len(rs_runs) >= 2 THEN try_cast(rs_runs[2] AS INT) END AS current_h,
+             CASE WHEN pid = 2 THEN 'Apple'
+                  WHEN dev_brand IS NULL OR dev_brand = '' THEN '\\N'
+                  ELSE dev_brand END AS cur_brand,
+             CASE WHEN dev_model IS NULL OR dev_model = '' THEN '\\N'
+                  ELSE dev_model END AS cur_model
+           FROM dl WHERE rn = 1),
+         wf AS (SELECT *,
+             row_number() OVER (PARTITION BY zgid
+               ORDER BY begin_date, event_id) AS rn_f,
+             row_number() OVER (PARTITION BY zgid
+               ORDER BY begin_date DESC, event_id DESC) AS rn_l
+           FROM ea),
+         fst AS (SELECT zgid, app_version AS first_version,
+             channel AS first_channel, website AS first_website,
+             utm_source, utm_medium, utm_campaign, utm_content, utm_term,
+             referrer_url AS first_referrer_url
+           FROM wf WHERE rn_f = 1),
+         lst AS (SELECT zgid, platform_id AS platform,
+             string_split(zgid, ':')[3] AS appkey,
+             app_version AS current_app_version,
+             channel AS current_app_channel,
+             country AS current_country, area AS current_area,
+             city AS current_city,
+             try_cast(mccmnc AS INT) AS current_mccmnc,
+             bs AS current_bs, try_cast(bv AS INT) AS current_bv,
+             os AS current_os,
+             try_cast(string_split(ov, '.')[1] AS INT) AS current_ov,
+             zg_did AS cur_did
+           FROM wf WHERE rn_l = 1),
+         ag AS (SELECT zgid,
+             min(begin_date) AS first_visit_time,
+             max(begin_date) AS last_visit_time,
+             CAST(count(DISTINCT CASE WHEN zg_sid <> -1 THEN zg_sid END) AS INT)
+               AS visit_times,
+             CAST(sum(try_cast(duration AS BIGINT)) AS BIGINT) AS duration,
+             max(CASE WHEN zg_uid <> '\\N' THEN 1 ELSE 0 END) AS is_registered
+           FROM ea GROUP BY zgid)
+         SELECT a.zgid AS zg_id, l.platform, a.first_visit_time,
+           a.last_visit_time, a.visit_times, a.duration,
+           f.first_version, f.first_channel,
+           l.current_app_version, l.current_app_channel, f.first_website,
+           f.utm_source, f.utm_medium, f.utm_campaign, f.utm_content,
+           f.utm_term, f.first_referrer_url,
+           l.current_country, l.current_area, l.current_city,
+           l.current_mccmnc, l.current_bs, l.current_bv, l.current_os,
+           l.current_ov, dc.current_l, dc.current_h,
+           coalesce(dc.cur_brand, '\\N') AS current_device_brand,
+           coalesce(dc.cur_model, '\\N') AS current_device_model,
+           a.is_registered, '\\N' AS attr1, '\\N' AS attr2, '\\N' AS attr3,
+           '\\N' AS attr4, '\\N' AS attr5
+         FROM ag a
+         JOIN fst f ON a.zgid = f.zgid
+         JOIN lst l ON a.zgid = l.zgid
+         LEFT JOIN dcur dc ON l.appkey = dc.appkey AND l.cur_did = dc.zg_did
+         ORDER BY zg_id""",
+    "dw_user_anonymous" ->
+      s"""WITH $userRowCtes
+         SELECT zgid AS zg_id,
+           max(try_cast(user_id AS BIGINT)) AS user_id,
+           CASE WHEN max(try_cast(user_id AS BIGINT)) IS NULL
+                THEN '匿名' ELSE '实名' END AS is_anonymous
+         FROM burow GROUP BY zgid ORDER BY zg_id""",
     "dq_validate" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT event_id,

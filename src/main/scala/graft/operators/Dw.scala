@@ -103,4 +103,126 @@ object Dw {
         col("times"), col("yearweek"), col("yearmonth"), col("platform"))
       .orderBy(col("zg_id"), col("day_id"), col("period"), col("platform"))
   }
+
+  /** dw_user_detail — t_user_detail (1.sql:467-506) / the per-user half of
+    * f_user_all (1.sql:588-637): the product's user-profile table. One row
+    * per zgid rolling the event_attr fact rows up into first-touch fields
+    * (version/channel/website/utm block/referrer — the value AT the user's
+    * first event, ties broken by event_id like every identity operator),
+    * current (last-touch) fields (app version/channel, geo triple, carrier
+    * mccmnc, browser/os with major version as INT per the DDL's column
+    * types), visit/duration totals, the registration flag, and the current
+    * device's screen + brand/model block resolved through the b_device
+    * merge row of the LAST event's device.
+    *
+    * visit_times counts distinct sessions (zg_sid ≠ -1) — the "visits" a
+    * Zhuge profile reports; duration sums the transfer-guarded $dru.
+    *
+    * Cost shape at 100 TB: ONE groupBy on zgid where every first/last
+    * field is a map-side-combined min_by/max_by over the (begin_date,
+    * event_id) order key — no window, no second event-axis pass — then a
+    * zgid-grain ⋈ device-grain join (both sides post-aggregation small
+    * relative to the fact table). The fact scan itself is the shared
+    * routeEventAttr build.
+    */
+  def userDetail(t: Tables): DataFrame = {
+    val n = lit("\\N")
+    val ea = Route.routeEventAttr(t)
+    val ord = struct(col("begin_date"), col("event_id"))
+
+    val agg = ea.groupBy(col("zgid").as("zg_id")).agg(
+      max_by(col("platform_id"), ord).as("platform"),
+      min(col("begin_date")).as("first_visit_time"),
+      max(col("begin_date")).as("last_visit_time"),
+      count_distinct(when(col("zg_sid") =!= -1L, col("zg_sid")))
+        .cast("int").as("visit_times"),
+      sum(expr("try_cast(duration AS bigint)")).as("duration"),
+      min_by(col("app_version"), ord).as("first_version"),
+      min_by(col("channel"), ord).as("first_channel"),
+      max_by(col("app_version"), ord).as("current_app_version"),
+      max_by(col("channel"), ord).as("current_app_channel"),
+      min_by(col("website"), ord).as("first_website"),
+      min_by(col("utm_source"), ord).as("utm_source"),
+      min_by(col("utm_medium"), ord).as("utm_medium"),
+      min_by(col("utm_campaign"), ord).as("utm_campaign"),
+      min_by(col("utm_content"), ord).as("utm_content"),
+      min_by(col("utm_term"), ord).as("utm_term"),
+      min_by(col("referrer_url"), ord).as("first_referrer_url"),
+      max_by(col("country"), ord).as("current_country"),
+      max_by(col("area"), ord).as("current_area"),
+      max_by(col("city"), ord).as("current_city"),
+      max_by(col("mccmnc"), ord).as("cur_mccmnc_s"),
+      max_by(col("bs"), ord).as("current_bs"),
+      max_by(col("bv"), ord).as("cur_bv_s"),
+      max_by(col("os"), ord).as("current_os"),
+      max_by(col("ov"), ord).as("cur_ov_s"),
+      max_by(col("zg_did"), ord).as("cur_did"),
+      max(when(col("zg_uid") =!= "\\N", 1).otherwise(0)).as("is_registered"))
+      // zg_did is a PER-APP surrogate (dense_rank partitioned by appkey),
+      // so the device join must be app-qualified; the zgid string embeds
+      // its appkey as the third ':'-segment (z:d:<appkey>:<did>)
+      .withColumn("appkey", element_at(split(col("zg_id"), ":"), 3))
+
+    // the current device's b_device merge row (UNIQUE KEY(device_id):
+    // latest write wins = max event_id, the arrival order Doris sees) —
+    // built inline rather than over routeDeviceRow because that row (like
+    // the per-app b_device_{appId} table it mirrors) does not carry the
+    // app axis this cross-app join needs
+    val wD = Window.partitionBy("appkey", "zg_did").orderBy(col("event_id").desc)
+    val dcur = Envelope.attach(t.events)
+      .filter(col("dt") === "pl" && col("did") =!= "" && col("appkey") =!= "")
+      .join(Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did")),
+        Seq("appkey", "did"))
+      .join(Route.platformId(t), Seq("pl"), "left")
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .withColumn("rs_runs", expr("filter(split(rs, '[^0-9]'), x -> x <> '')"))
+      .select(col("appkey"), col("zg_did").as("cur_did"),
+        when(size(col("rs_runs")) >= 2,
+          expr("try_cast(element_at(rs_runs, 1) AS int)")).as("current_l"),
+        when(size(col("rs_runs")) >= 2,
+          expr("try_cast(element_at(rs_runs, 2) AS int)")).as("current_h"),
+        when(coalesce(col("platform_id"), lit(0)) === 2, lit("Apple"))
+          .otherwise(when(col("dev_brand").isNull || col("dev_brand") === "", n)
+            .otherwise(col("dev_brand"))).as("dev_cur_brand"),
+        when(col("dev_model").isNull || col("dev_model") === "", n)
+          .otherwise(col("dev_model")).as("dev_cur_model"))
+
+    agg.join(dcur, Seq("appkey", "cur_did"), "left")
+      .select(
+        col("zg_id"), col("platform"), col("first_visit_time"),
+        col("last_visit_time"), col("visit_times"), col("duration"),
+        col("first_version"), col("first_channel"),
+        col("current_app_version"), col("current_app_channel"),
+        col("first_website"), col("utm_source"), col("utm_medium"),
+        col("utm_campaign"), col("utm_content"), col("utm_term"),
+        col("first_referrer_url"), col("current_country"),
+        col("current_area"), col("current_city"),
+        expr("try_cast(cur_mccmnc_s AS int)").as("current_mccmnc"),
+        col("current_bs"),
+        expr("try_cast(cur_bv_s AS int)").as("current_bv"),
+        col("current_os"),
+        expr("try_cast(element_at(split(cur_ov_s, '\\\\.'), 1) AS int)")
+          .as("current_ov"),
+        col("current_l"), col("current_h"),
+        coalesce(col("dev_cur_brand"), n).as("current_device_brand"),
+        coalesce(col("dev_cur_model"), n).as("current_device_model"),
+        col("is_registered"),
+        n.as("attr1"), n.as("attr2"), n.as("attr3"), n.as("attr4"),
+        n.as("attr5"))
+      .orderBy(col("zg_id"))
+  }
+
+  /** dw_user_anonymous — the b_user_anonymous view (1.sql:645-654):
+    * per-zgid real-name rollup over the b_user rows — MAX(user_id) and the
+    * 匿名/实名 flag. One map-side-combined groupBy on the user table, which
+    * is already zgid-keyed — at scale this is the cheapest query in the
+    * warehouse (the view Doris computes on read, materialized).
+    */
+  def userAnonymous(t: Tables): DataFrame =
+    Route.routeUserRow(t)
+      .groupBy(col("zgid").as("zg_id"))
+      .agg(max(expr("try_cast(user_id AS bigint)")).as("user_id"))
+      .withColumn("is_anonymous",
+        when(col("user_id").isNull, "匿名").otherwise("实名"))
+      .orderBy(col("zg_id"))
 }

@@ -45,4 +45,53 @@ class DwSpec extends SparkSpec {
       col("yearmonth") =!= (col("begin_day_id") / lit(100)).cast("int"))
     assert(bad.count() == 0)
   }
+
+  test("user_detail: one row per zgid, covering exactly the fact table's users") {
+    val d = Dw.userDetail(t)
+    assert(d.groupBy("zg_id").count().filter(col("count") > 1).count() == 0)
+    val factUsers = Route.routeEventAttr(t).select(col("zgid")).distinct()
+    assert(d.count() == factUsers.count())
+  }
+
+  test("user_detail first/last ordering and totals are coherent") {
+    val d = Dw.userDetail(t)
+    assert(d.filter(col("first_visit_time") > col("last_visit_time")).count() == 0)
+    assert(d.filter(col("duration") < 0).count() == 0)
+    assert(d.filter(!col("is_registered").isin(0, 1)).count() == 0)
+    // single-EVENT users' first and current fields coincide (same-second
+    // multi-event users may legitimately differ — ties break on event_id)
+    val singles = Route.routeEventAttr(t).groupBy(col("zgid").as("zg_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") === 1).select("zg_id")
+    val bad = d.join(singles, "zg_id")
+      .filter(col("first_version") =!= col("current_app_version") ||
+        col("first_channel") =!= col("current_app_channel"))
+    assert(bad.count() == 0)
+  }
+
+  test("user_detail registration flag matches the fact table's zg_uid presence") {
+    val reg = Route.routeEventAttr(t).groupBy(col("zgid").as("zg_id"))
+      .agg(max(when(col("zg_uid") =!= "\\N", 1).otherwise(0)).as("expect"))
+    val bad = Dw.userDetail(t).join(reg, "zg_id")
+      .filter(col("is_registered") =!= col("expect"))
+    assert(bad.count() == 0)
+  }
+
+  test("user_detail device block honors the \\N sentinel discipline") {
+    // sentinel columns are never SQL-null and never empty; screen fields
+    // fill in pairs (both sides of one >=2-digit-run resolution split)
+    val d = Dw.userDetail(t)
+    for (c <- Seq("current_device_brand", "current_device_model")) {
+      assert(d.filter(col(c).isNull || col(c) === "").count() == 0, c)
+    }
+    assert(d.filter(col("current_l").isNotNull =!= col("current_h").isNotNull).count() == 0)
+  }
+
+  test("user_anonymous flag agrees with the rolled-up user_id") {
+    val a = Dw.userAnonymous(t)
+    assert(a.filter(col("user_id").isNull && col("is_anonymous") =!= "匿名").count() == 0)
+    assert(a.filter(col("user_id").isNotNull && col("is_anonymous") =!= "实名").count() == 0)
+    // exactly the b_user table's users
+    val users = Route.routeUserRow(t).select(col("zgid")).distinct().count()
+    assert(a.count() == users)
+  }
 }
