@@ -90,6 +90,7 @@ object SparkEntry {
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
     "adv_first_last_touch" -> ((s, d) => Adv.firstLastTouch(tables(s, d))),
     "adv_conversion"       -> ((s, d) => Adv.conversion(tables(s, d))),
+    "adv_convert_match"    -> ((s, d) => Adv.convertMatch(tables(s, d))),
     "adv_multi_touch"      -> ((s, d) => Adv.multiTouch(tables(s, d))),
     // §2.7 analytics core
     "q1_pricing_agg"       -> ((s, d) => Analytics.q1PricingAgg(tables(s, d))),
@@ -1279,6 +1280,30 @@ object SparkEntry {
          count(*) AS n_raw, round(sum(value), 4) AS conv_value
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1, 2 ORDER BY user_id, conv_day""",
+    "adv_convert_match" -> {
+      import graft.functions.MatchRules
+      // the same label -> pr column resolution Adv.matchValue compiles
+      def valueSql(label: String): String = label match {
+        case "ct"  => "ct_s"
+        case "plan" => "pr_plan"
+        case other => other
+      }
+      val ruleRows = operators.Adv.adMatchRules.map { r =>
+        val cond = MatchRules.conditionSql(valueSql(r.label), r, operators.Adv.matchNowMs)
+        s"""SELECT ${r.linkId} AS link_id, '${r.eventType}' AS event_name,
+            count(*) FILTER (WHERE event_type = '${r.eventType}') AS n_events,
+            count(*) FILTER (WHERE event_type = '${r.eventType}' AND $cond) AS n_matched,
+            count(DISTINCT user_id)
+              FILTER (WHERE event_type = '${r.eventType}' AND $cond) AS n_users
+            FROM e"""
+      }.mkString(" UNION ALL ")
+      s"""WITH ${Envelope.oracleRaw},
+         apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
+        .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
+         e AS (SELECT r.*, CAST(epoch_ns(r.ts) // 1000000000 AS VARCHAR) AS ct_s
+               FROM raw r JOIN apps a ON r.appkey = a.appkey WHERE r.dt = 'evt')
+         $ruleRows ORDER BY link_id"""
+    },
     "q_funnel_windowed" ->
       """WITH v AS (
            SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type='view' GROUP BY user_id

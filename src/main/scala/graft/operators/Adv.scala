@@ -330,4 +330,85 @@ object Adv {
         date_format(col("ts"), "yyyy-MM-dd").as("conv_day"))
       .agg(count(lit(1)).as("n_raw"), round(sum(col("value")), 4).as("conv_value"))
       .orderBy(col("user_id"), col("conv_day"))
+
+  // ---- ad-audience match conditions (OperatorUtil.compareProValue) ----
+
+  /** The deterministic "now" compareDateValue's relative operator needs
+    * (the reference reads System.currentTimeMillis per record;
+    * OperatorUtil.java:276) — 2024-02-10T00:00:00Z, just past the
+    * synthetic corpus.
+    */
+  val matchNowMs: Long = 1707523200000L
+
+  /** The ads_link_event condition registry (ads_link.match_json rows, the
+    * MySQL table AdvConvertEventFlatMapFunction polls at :513-531) — the
+    * SINGLE source for the compiled predicates AND the DuckDB oracle, one
+    * rule per operator family so every compareValue branch is exercised:
+    * string equal/not-contains/begin-with/regexp/is-not-null, numeric
+    * gt/le over a field with injected parse failures, date absolute +
+    * relative, and the empty-values null handle.
+    */
+  val adMatchRules: Seq[graft.functions.MatchRules.MatchRule] = {
+    import graft.functions.MatchRules.MatchRule
+    Seq(
+      MatchRule(1, "purchase", "plan", 1, "equal", Seq("pro")),
+      MatchRule(2, "purchase", "plan", 1, "not contains", Seq("o")),
+      MatchRule(3, "purchase", "dru", 2, "gt", Seq("1000")),
+      MatchRule(4, "click", "cn", 1, "begin with", Seq("huawei")),
+      MatchRule(5, "purchase", "ct", 3, "absolute", Seq("2024-01-08", "2024-01-20")),
+      MatchRule(6, "click", "ct", 3, "relative", Seq("25")),
+      MatchRule(7, "purchase", "vn", 1, "is null", Seq.empty),
+      MatchRule(8, "click", "ua", 1, "regexp", Seq("Chrome/1[012][0-9]")),
+      MatchRule(9, "purchase", "dru", 2, "le", Seq("2500")),
+      MatchRule(10, "click", "plan", 1, "is not null", Seq("x")))
+  }
+
+  /** The label -> pr lookup compareProValue does (`_label` custom first,
+    * `$label` builtin overriding; OperatorUtil.java:84-92) resolved onto
+    * the envelope's pr columns. Labels here never collide across the two
+    * prefixes, so the override order is untestable on this corpus (noted,
+    * not modeled).
+    */
+  def matchValue(label: String): org.apache.spark.sql.Column = label match {
+    case "plan" => col("pr_plan")                      // pr._plan
+    case "cn"   => col("cn")                           // pr.$cn
+    case "vn"   => col("vn")                           // pr.$vn
+    case "dru"  => col("dru")                          // pr.$dru
+    case "cr"   => col("cr")                           // pr.$cr
+    case "ua"   => col("ua")                           // pr.$ua
+    case "ct"   => col("ts").cast("long").cast("string") // pr.$ct (epoch s)
+    case other  => throw new IllegalArgumentException(s"unmapped label: $other")
+  }
+
+  /** #27d adv_convert_match — the audience-condition leg of
+    * AdvConvertEventFlatMapFunction (java:226-236): each registered-app
+    * conversion event is tested against every ads_link rule for its event
+    * name via OperatorUtil.compareProValue, and per link the match volume
+    * is reported. The config-sized rule set compiles to literal Catalyst
+    * predicates (regexes compiled at plan time, all branches inside
+    * whole-stage codegen); ONE event scan computes every rule's flag, an
+    * explode of the R-element struct array fans out to (rule x event) and
+    * map-side partial aggregation collapses it — at 100 TB the shuffle
+    * carries R x |links| partial rows, not events.
+    */
+  def convertMatch(t: Tables): DataFrame = {
+    import graft.functions.MatchRules
+    val e = env(t).filter(col("dt") === "evt")
+      .join(advApps(t), Seq("appkey"))
+    val cells = adMatchRules.map { r =>
+      struct(
+        lit(r.linkId).as("link_id"),
+        lit(r.eventType).as("event_name"),
+        (col("event_type") === r.eventType).as("admitted"),
+        (col("event_type") === r.eventType &&
+          MatchRules.condition(matchValue(r.label), r, matchNowMs)).as("matched"))
+    }
+    e.select(col("user_id"), explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.link_id").as("link_id"), col("c.event_name").as("event_name"))
+      .agg(
+        sum(when(col("c.admitted"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("c.matched"), 1L).otherwise(0L)).as("n_matched"),
+        count_distinct(when(col("c.matched"), col("user_id"))).as("n_users"))
+      .orderBy(col("link_id"))
+  }
 }
