@@ -85,6 +85,8 @@ object SparkEntry {
     "dw_user_active"           -> ((s, d) => Dw.userActive(tables(s, d))),
     "dw_user_duration"         -> ((s, d) => Dw.userDuration(tables(s, d))),
     "dw_user_detail"           -> ((s, d) => Dw.userDetail(tables(s, d))),
+    "dw_user_detail_sum"       -> ((s, d) => Dw.userDetailSum(tables(s, d))),
+    "dw_user_all"              -> ((s, d) => Dw.userAll(tables(s, d))),
     "dw_user_anonymous"        -> ((s, d) => Dw.userAnonymous(tables(s, d))),
     // §2.6 ads / attribution
     "adv_click_join"       -> ((s, d) => Adv.clickJoin(tables(s, d))),
@@ -331,13 +333,12 @@ object SparkEntry {
     * in `adm` (mirrors Dw.admitted) — shared by the three DW rollup
     * oracles so the admission rule can't drift between them.
     */
-  private def dwAdmittedCtes: String =
-    s"""${Envelope.oracleRaw},
-       ${zgidCtes()},
-       zg AS ($zgidSelect),
-       $platformDimCte,
-       $devMapCte,
-       adm AS (SELECT r.*, z.zgid, dv.zg_did,
+  /** The admitted-DW-corpus CTE body (`adm`) — expects `raw`, `zg`, `dev`
+    * and `dim` already defined upstream, so it can ride either the
+    * dedicated prefix below or the wider `eventAttrRowCtes` chain.
+    */
+  private def dwAdmittedBody: String =
+    """adm AS (SELECT r.*, z.zgid, dv.zg_did,
            coalesce(d.platform_id, 0) AS platform,
            CAST(strftime(r.ts, '%Y%m%d') AS INT) AS begin_day_id,
            CAST(year(r.ts) * 100 + weekofyear(CAST(r.ts AS DATE)) AS INT) AS yearweek,
@@ -348,6 +349,100 @@ object SparkEntry {
          LEFT JOIN dim d ON r.pl = d.pl
          WHERE r.dt IN ('evt','vtl','mkt','ss','se','abp')
            AND z.zgid IS NOT NULL AND r.did <> '')"""
+
+  /** The t_user_join row set as a CTE (`ujoin`) over `adm`. */
+  private def userJoinBody: String =
+    """uj0 AS (SELECT *, row_number() OVER (PARTITION BY zgid
+           ORDER BY ts, event_id) AS rn
+         FROM adm),
+       ujoin AS (SELECT zgid AS zg_id, zg_did AS device_id,
+           epoch_ns(ts) // 1000000000 AS begin_date, begin_day_id,
+           md5(concat_ws(':', appkey, CAST(event_id AS VARCHAR), dt)) AS uuid,
+           yearweek, yearmonth, platform
+         FROM uj0 WHERE rn = 1)"""
+
+  private def dwAdmittedCtes: String =
+    s"""${Envelope.oracleRaw},
+       ${zgidCtes()},
+       zg AS ($zgidSelect),
+       $platformDimCte,
+       $devMapCte,
+       $dwAdmittedBody"""
+
+  /** The t_user_detail row set (mirror of Dw.userDetail) as a CTE chain
+    * ending in `udetail` — shared by dw_user_detail, dw_user_detail_sum
+    * and the f_user_all composition so the profile surface cannot drift.
+    */
+  private def userDetailCtes: String =
+    s"""$eventAttrRowCtes,
+       dd AS (SELECT r.event_id, r.appkey, dv.zg_did,
+           coalesce(d.platform_id, 0) AS pid,
+           list_filter(string_split_regex(r.rs, '[^0-9]'), x -> x <> '') AS rs_runs,
+           r.dev_brand, r.dev_model
+         FROM raw r
+         JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
+         LEFT JOIN dim d ON r.pl = d.pl
+         WHERE r.dt = 'pl' AND r.did <> '' AND r.appkey <> ''),
+       dl AS (SELECT *, row_number() OVER (PARTITION BY appkey, zg_did
+                ORDER BY event_id DESC) AS rn
+              FROM dd),
+       dcur AS (SELECT appkey, zg_did,
+           CASE WHEN len(rs_runs) >= 2 THEN try_cast(rs_runs[1] AS INT) END AS current_l,
+           CASE WHEN len(rs_runs) >= 2 THEN try_cast(rs_runs[2] AS INT) END AS current_h,
+           CASE WHEN pid = 2 THEN 'Apple'
+                WHEN dev_brand IS NULL OR dev_brand = '' THEN '\\N'
+                ELSE dev_brand END AS cur_brand,
+           CASE WHEN dev_model IS NULL OR dev_model = '' THEN '\\N'
+                ELSE dev_model END AS cur_model
+         FROM dl WHERE rn = 1),
+       wf AS (SELECT *,
+           row_number() OVER (PARTITION BY zgid
+             ORDER BY begin_date, event_id) AS rn_f,
+           row_number() OVER (PARTITION BY zgid
+             ORDER BY begin_date DESC, event_id DESC) AS rn_l
+         FROM ea),
+       fst AS (SELECT zgid, app_version AS first_version,
+           channel AS first_channel, website AS first_website,
+           utm_source, utm_medium, utm_campaign, utm_content, utm_term,
+           referrer_url AS first_referrer_url
+         FROM wf WHERE rn_f = 1),
+       lst AS (SELECT zgid, platform_id AS platform,
+           string_split(zgid, ':')[3] AS appkey,
+           app_version AS current_app_version,
+           channel AS current_app_channel,
+           country AS current_country, area AS current_area,
+           city AS current_city,
+           try_cast(mccmnc AS INT) AS current_mccmnc,
+           bs AS current_bs, try_cast(bv AS INT) AS current_bv,
+           os AS current_os,
+           try_cast(string_split(ov, '.')[1] AS INT) AS current_ov,
+           zg_did AS cur_did
+         FROM wf WHERE rn_l = 1),
+       ag AS (SELECT zgid,
+           min(begin_date) AS first_visit_time,
+           max(begin_date) AS last_visit_time,
+           CAST(count(DISTINCT CASE WHEN zg_sid <> -1 THEN zg_sid END) AS INT)
+             AS visit_times,
+           CAST(sum(try_cast(duration AS BIGINT)) AS BIGINT) AS duration,
+           max(CASE WHEN zg_uid <> '\\N' THEN 1 ELSE 0 END) AS is_registered
+         FROM ea GROUP BY zgid),
+       udetail AS (SELECT a.zgid AS zg_id, l.platform, a.first_visit_time,
+           a.last_visit_time, a.visit_times, a.duration,
+           f.first_version, f.first_channel,
+           l.current_app_version, l.current_app_channel, f.first_website,
+           f.utm_source, f.utm_medium, f.utm_campaign, f.utm_content,
+           f.utm_term, f.first_referrer_url,
+           l.current_country, l.current_area, l.current_city,
+           l.current_mccmnc, l.current_bs, l.current_bv, l.current_os,
+           l.current_ov, dc.current_l, dc.current_h,
+           coalesce(dc.cur_brand, '\\N') AS current_device_brand,
+           coalesce(dc.cur_model, '\\N') AS current_device_model,
+           a.is_registered, '\\N' AS attr1, '\\N' AS attr2, '\\N' AS attr3,
+           '\\N' AS attr4, '\\N' AS attr5
+         FROM ag a
+         JOIN fst f ON a.zgid = f.zgid
+         JOIN lst l ON a.zgid = l.zgid
+         LEFT JOIN dcur dc ON l.appkey = dc.appkey AND l.cur_did = dc.zg_did)"""
 
   /** The b_user row set (mirror of Route.routeUserRow) as a CTE chain
     * ending in `burow` — shared by route_user_row and the b_user_anonymous
@@ -1101,14 +1196,8 @@ object SparkEntry {
          FROM m WHERE rn = 1 ORDER BY zgid, prop_id""",
     "dw_user_join" ->
       s"""WITH $dwAdmittedCtes,
-         j AS (SELECT *, row_number() OVER (PARTITION BY zgid
-                 ORDER BY ts, event_id) AS rn
-               FROM adm)
-         SELECT zgid AS zg_id, zg_did AS device_id,
-           epoch_ns(ts) // 1000000000 AS begin_date, begin_day_id,
-           md5(concat_ws(':', appkey, CAST(event_id AS VARCHAR), dt)) AS uuid,
-           yearweek, yearmonth, platform
-         FROM j WHERE rn = 1 ORDER BY zg_id""",
+         $userJoinBody
+         SELECT * FROM ujoin ORDER BY zg_id""",
     "dw_user_active" ->
       s"""WITH $dwAdmittedCtes
          SELECT zgid AS zg_id, begin_day_id, CAST(count(*) AS INT) AS times,
@@ -1125,76 +1214,43 @@ object SparkEntry {
          FROM adm GROUP BY 1, 2, 3, 6, 7, 8
          ORDER BY zg_id, day_id, period, platform""",
     "dw_user_detail" ->
-      s"""WITH $eventAttrRowCtes,
-         dd AS (SELECT r.event_id, r.appkey, dv.zg_did,
-             coalesce(d.platform_id, 0) AS pid,
-             list_filter(string_split_regex(r.rs, '[^0-9]'), x -> x <> '') AS rs_runs,
-             r.dev_brand, r.dev_model
-           FROM raw r
-           JOIN dev dv ON r.appkey = dv.appkey AND r.did = dv.did
-           LEFT JOIN dim d ON r.pl = d.pl
-           WHERE r.dt = 'pl' AND r.did <> '' AND r.appkey <> ''),
-         dl AS (SELECT *, row_number() OVER (PARTITION BY appkey, zg_did
-                  ORDER BY event_id DESC) AS rn
-                FROM dd),
-         dcur AS (SELECT appkey, zg_did,
-             CASE WHEN len(rs_runs) >= 2 THEN try_cast(rs_runs[1] AS INT) END AS current_l,
-             CASE WHEN len(rs_runs) >= 2 THEN try_cast(rs_runs[2] AS INT) END AS current_h,
-             CASE WHEN pid = 2 THEN 'Apple'
-                  WHEN dev_brand IS NULL OR dev_brand = '' THEN '\\N'
-                  ELSE dev_brand END AS cur_brand,
-             CASE WHEN dev_model IS NULL OR dev_model = '' THEN '\\N'
-                  ELSE dev_model END AS cur_model
-           FROM dl WHERE rn = 1),
-         wf AS (SELECT *,
-             row_number() OVER (PARTITION BY zgid
-               ORDER BY begin_date, event_id) AS rn_f,
-             row_number() OVER (PARTITION BY zgid
-               ORDER BY begin_date DESC, event_id DESC) AS rn_l
-           FROM ea),
-         fst AS (SELECT zgid, app_version AS first_version,
-             channel AS first_channel, website AS first_website,
-             utm_source, utm_medium, utm_campaign, utm_content, utm_term,
-             referrer_url AS first_referrer_url
-           FROM wf WHERE rn_f = 1),
-         lst AS (SELECT zgid, platform_id AS platform,
-             string_split(zgid, ':')[3] AS appkey,
-             app_version AS current_app_version,
-             channel AS current_app_channel,
-             country AS current_country, area AS current_area,
-             city AS current_city,
-             try_cast(mccmnc AS INT) AS current_mccmnc,
-             bs AS current_bs, try_cast(bv AS INT) AS current_bv,
-             os AS current_os,
-             try_cast(string_split(ov, '.')[1] AS INT) AS current_ov,
-             zg_did AS cur_did
-           FROM wf WHERE rn_l = 1),
-         ag AS (SELECT zgid,
-             min(begin_date) AS first_visit_time,
-             max(begin_date) AS last_visit_time,
-             CAST(count(DISTINCT CASE WHEN zg_sid <> -1 THEN zg_sid END) AS INT)
-               AS visit_times,
-             CAST(sum(try_cast(duration AS BIGINT)) AS BIGINT) AS duration,
-             max(CASE WHEN zg_uid <> '\\N' THEN 1 ELSE 0 END) AS is_registered
-           FROM ea GROUP BY zgid)
-         SELECT a.zgid AS zg_id, l.platform, a.first_visit_time,
-           a.last_visit_time, a.visit_times, a.duration,
-           f.first_version, f.first_channel,
-           l.current_app_version, l.current_app_channel, f.first_website,
-           f.utm_source, f.utm_medium, f.utm_campaign, f.utm_content,
-           f.utm_term, f.first_referrer_url,
-           l.current_country, l.current_area, l.current_city,
-           l.current_mccmnc, l.current_bs, l.current_bv, l.current_os,
-           l.current_ov, dc.current_l, dc.current_h,
-           coalesce(dc.cur_brand, '\\N') AS current_device_brand,
-           coalesce(dc.cur_model, '\\N') AS current_device_model,
-           a.is_registered, '\\N' AS attr1, '\\N' AS attr2, '\\N' AS attr3,
-           '\\N' AS attr4, '\\N' AS attr5
-         FROM ag a
-         JOIN fst f ON a.zgid = f.zgid
-         JOIN lst l ON a.zgid = l.zgid
-         LEFT JOIN dcur dc ON l.appkey = dc.appkey AND l.cur_did = dc.zg_did
-         ORDER BY zg_id""",
+      s"""WITH $userDetailCtes
+         SELECT * FROM udetail ORDER BY zg_id""",
+    "dw_user_detail_sum" ->
+      s"""WITH $userDetailCtes
+         SELECT zg_id, platform, visit_times, duration,
+           attr1, attr2, attr3, attr4, attr5
+         FROM udetail ORDER BY zg_id""",
+    "dw_user_all" -> {
+      val carrier = operators.Dw.carrierDim
+        .map { case (c, n) => s"WHEN $c THEN '$n'" }.mkString(" ")
+      val pname = Route.platformDim
+        .map { case (k, c) => s"WHEN $c THEN '$k'" }.mkString(" ")
+      s"""WITH $userDetailCtes,
+         $dwAdmittedBody,
+         $userJoinBody
+         SELECT d.zg_id, d.first_visit_time, d.last_visit_time,
+           d.first_version, d.first_channel,
+           d.current_app_version, d.current_app_channel,
+           d.first_website, d.utm_source, d.utm_medium, d.utm_campaign,
+           d.utm_content, d.utm_term, d.first_referrer_url,
+           d.current_country, d.current_area, d.current_city,
+           d.current_mccmnc, d.current_bs, d.current_bv, d.current_os,
+           d.current_ov, d.current_l, d.current_h,
+           d.current_device_brand, d.current_device_model, d.is_registered,
+           j.device_id, j.begin_date, j.begin_day_id, j.uuid,
+           j.yearweek, j.yearmonth, j.platform,
+           CAST(d.visit_times AS BIGINT) AS visit_times, d.duration,
+           CASE WHEN d.current_mccmnc IS NOT NULL
+                 AND d.current_mccmnc >= 46000 AND d.current_mccmnc < 46100
+             THEN CASE d.current_mccmnc - 46000 $carrier ELSE '\\N' END
+             ELSE '\\N' END AS current_mccmnc_name,
+           d.current_device_model AS current_device_model_name,
+           CASE j.platform $pname ELSE '\\N' END AS platform_name,
+           d.attr1, d.attr2, d.attr3, d.attr4, d.attr5
+         FROM udetail d LEFT JOIN ujoin j ON d.zg_id = j.zg_id
+         ORDER BY d.zg_id"""
+    },
     "dw_user_anonymous" ->
       s"""WITH $userRowCtes
          SELECT zgid AS zg_id,

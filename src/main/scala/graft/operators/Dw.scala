@@ -55,7 +55,11 @@ object Dw {
     * epoch begin_date, day/week/month ids, the deterministic $uuid of that
     * first event, platform. ONE window rank on the zgid axis.
     */
-  def userJoin(t: Tables): DataFrame = {
+  def userJoin(t: Tables): DataFrame =
+    joinRows(t).orderBy(col("zg_id"))
+
+  /** The unordered t_user_join rows — shared with `userAll`. */
+  private def joinRows(t: Tables): DataFrame = {
     val w = Window.partitionBy("zgid").orderBy("ts", "event_id")
     admitted(t)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -66,7 +70,6 @@ object Dw {
         col("begin_day_id"),
         md5(concat_ws(":", col("appkey"), col("event_id"), col("dt"))).as("uuid"),
         col("yearweek"), col("yearmonth"), col("platform"))
-      .orderBy(col("zg_id"))
   }
 
   /** dw_user_active — t_user_active (1.sql:414-425): per (zgid, day,
@@ -125,7 +128,13 @@ object Dw {
     * relative to the fact table). The fact scan itself is the shared
     * routeEventAttr build.
     */
-  def userDetail(t: Tables): DataFrame = {
+  def userDetail(t: Tables): DataFrame =
+    detailRows(t).orderBy(col("zg_id"))
+
+  /** The unordered t_user_detail rows — shared by `userDetail`,
+    * `userDetailSum` and the `userAll` composition.
+    */
+  private def detailRows(t: Tables): DataFrame = {
     val n = lit("\\N")
     val ea = Route.routeEventAttr(t)
     val ord = struct(col("begin_date"), col("event_id"))
@@ -209,7 +218,6 @@ object Dw {
         col("is_registered"),
         n.as("attr1"), n.as("attr2"), n.as("attr3"), n.as("attr4"),
         n.as("attr5"))
-      .orderBy(col("zg_id"))
   }
 
   /** dw_user_anonymous — the b_user_anonymous view (1.sql:645-654):
@@ -225,4 +233,89 @@ object Dw {
       .withColumn("is_anonymous",
         when(col("user_id").isNull, "匿名").otherwise("实名"))
       .orderBy(col("zg_id"))
+
+  /** dw_user_detail_sum — t_user_detail_sum / f_user_detail_sum
+    * (1.sql:448-466, 530-546): the sums-only projection of the detail
+    * table the reference materializes separately (the ad-audience
+    * evaluator reads visit_times/duration from THIS table,
+    * OperatorUtil.java:31-43). Same single zgid groupBy underneath — the
+    * narrow projection exists so the hot audience lookups never touch the
+    * wide profile row.
+    */
+  def userDetailSum(t: Tables): DataFrame = {
+    val n = lit("\\N")
+    detailRows(t)
+      .select(col("zg_id"), col("platform"), col("visit_times"),
+        col("duration"),
+        n.as("attr1"), n.as("attr2"), n.as("attr3"), n.as("attr4"),
+        n.as("attr5"))
+      .orderBy(col("zg_id"))
+  }
+
+  /** China MCC-MNC -> carrier display name (public ITU/MIIT allocations).
+    * The reference's f_user_all carries `current_mccmnc_name` but fills it
+    * through an external dim service that is not in the repo — the
+    * well-known 460-XX allocation is the public stand-in; 6-digit codes
+    * and non-China MCCs resolve to the \\N sentinel.
+    */
+  val carrierDim: Seq[(Int, String)] = Seq(
+    0 -> "中国移动", 2 -> "中国移动", 4 -> "中国移动", 7 -> "中国移动",
+    8 -> "中国移动",
+    1 -> "中国联通", 6 -> "中国联通", 9 -> "中国联通",
+    3 -> "中国电信", 5 -> "中国电信", 11 -> "中国电信")
+
+  private def carrierName(mccmnc: org.apache.spark.sql.Column) = {
+    val mnc = mccmnc - 46000
+    val cases = carrierDim.foldRight(lit("\\N")) { case ((code, name), other) =>
+      when(mnc === code, name).otherwise(other)
+    }
+    when(mccmnc.isNotNull && mccmnc >= 46000 && mccmnc < 46100, cases)
+      .otherwise(lit("\\N"))
+  }
+
+  /** dw_user_all — f_user_all (1.sql:590-637): the full user summary the
+    * product reads for profiles — the detail row ⋈ the first-visit (join)
+    * row, the BIGINT visit/duration totals, and the three display-name
+    * columns (carrier from the public MCC-MNC dim above; platform name =
+    * the sdk dim's key label; the reference's device-model display dim is
+    * an external service, so the model string stands for itself — the
+    * same documented boundary as the carrier dim).
+    *
+    * Cost shape: both sides are already zgid-grain aggregates (tiny vs
+    * the fact table), so this is a post-rollup zgid equi-join plus
+    * broadcast-free literal CASE dims — nothing here rescans events; the
+    * shared identity/fact passes below are cached across the composition.
+    */
+  def userAll(t: Tables): DataFrame = {
+    val n = lit("\\N")
+    val detail = detailRows(t).drop("platform", "attr1", "attr2", "attr3",
+      "attr4", "attr5")
+    val platformName = Route.platformDim.foldRight(lit("\\N")) {
+      case ((name, code), other) =>
+        when(col("platform") === code, name).otherwise(other)
+    }
+    detail.join(joinRows(t), Seq("zg_id"), "left")
+      .select(
+        col("zg_id"), col("first_visit_time"), col("last_visit_time"),
+        col("first_version"), col("first_channel"),
+        col("current_app_version"), col("current_app_channel"),
+        col("first_website"), col("utm_source"), col("utm_medium"),
+        col("utm_campaign"), col("utm_content"), col("utm_term"),
+        col("first_referrer_url"), col("current_country"),
+        col("current_area"), col("current_city"), col("current_mccmnc"),
+        col("current_bs"), col("current_bv"), col("current_os"),
+        col("current_ov"), col("current_l"), col("current_h"),
+        col("current_device_brand"), col("current_device_model"),
+        col("is_registered"),
+        col("device_id"), col("begin_date"), col("begin_day_id"),
+        col("uuid"), col("yearweek"), col("yearmonth"), col("platform"),
+        col("visit_times").cast("bigint").as("visit_times"),
+        col("duration"),
+        carrierName(col("current_mccmnc")).as("current_mccmnc_name"),
+        col("current_device_model").as("current_device_model_name"),
+        platformName.as("platform_name"),
+        n.as("attr1"), n.as("attr2"), n.as("attr3"), n.as("attr4"),
+        n.as("attr5"))
+      .orderBy(col("zg_id"))
+  }
 }

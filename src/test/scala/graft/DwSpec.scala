@@ -94,4 +94,41 @@ class DwSpec extends SparkSpec {
     val users = Route.routeUserRow(t).select(col("zgid")).distinct().count()
     assert(a.count() == users)
   }
+
+  test("user_detail_sum is exactly the sums projection of user_detail") {
+    val d = Dw.userDetail(t)
+      .select("zg_id", "platform", "visit_times", "duration",
+        "attr1", "attr2", "attr3", "attr4", "attr5")
+    val s = Dw.userDetailSum(t)
+    assert(s.columns.toSeq == d.columns.toSeq)
+    assert(s.exceptAll(d).isEmpty && d.exceptAll(s).isEmpty)
+  }
+
+  test("user_all composes detail and join rows per zgid with name dims") {
+    val all = Dw.userAll(t)
+    val detail = Dw.userDetail(t)
+    assert(all.count() == detail.count())
+    // every detail zgid appears once; the join row attaches (same corpus)
+    assert(all.filter(col("uuid").isNull).count() == 0)
+    // names resolve per the dims: platform_name is a sdk dim key,
+    // carrier only for 5-digit China codes, model name = model string
+    val pnames = graft.operators.Route.platformDim.map(_._1).toSet + "\\N"
+    assert(all.collect().forall(r => pnames.contains(r.getAs[String]("platform_name"))))
+    val badCarrier = all.filter(
+      (col("current_mccmnc").isNull ||
+        col("current_mccmnc") < 46000 || col("current_mccmnc") >= 46100) &&
+        col("current_mccmnc_name") =!= "\\N")
+    assert(badCarrier.count() == 0)
+    assert(all.filter(col("current_device_model_name") =!=
+      col("current_device_model")).count() == 0)
+    // the mobile/unicom/telecom split follows the shared dim
+    val dim = Dw.carrierDim.toMap
+    all.select("current_mccmnc", "current_mccmnc_name").collect().foreach { r =>
+      if (!r.isNullAt(0)) {
+        val v = r.getInt(0)
+        if (v >= 46000 && v < 46100)
+          assert(r.getString(1) == dim.getOrElse(v - 46000, "\\N"))
+      }
+    }
+  }
 }
