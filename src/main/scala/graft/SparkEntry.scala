@@ -93,6 +93,7 @@ object SparkEntry {
     "adv_first_last_touch" -> ((s, d) => Adv.firstLastTouch(tables(s, d))),
     "adv_conversion"       -> ((s, d) => Adv.conversion(tables(s, d))),
     "adv_convert_match"    -> ((s, d) => Adv.convertMatch(tables(s, d))),
+    "adv_deep_convert"     -> ((s, d) => Adv.deepConvert(tables(s, d))),
     "adv_multi_touch"      -> ((s, d) => Adv.multiTouch(tables(s, d))),
     // §2.7 analytics core
     "q1_pricing_agg"       -> ((s, d) => Analytics.q1PricingAgg(tables(s, d))),
@@ -1359,6 +1360,74 @@ object SparkEntry {
          e AS (SELECT r.*, CAST(epoch_ns(r.ts) // 1000000000 AS VARCHAR) AS ct_s
                FROM raw r JOIN apps a ON r.appkey = a.appkey WHERE r.dt = 'evt')
          $ruleRows ORDER BY link_id"""
+    },
+    "adv_deep_convert" -> {
+      import graft.functions.MatchRules
+      val links = operators.Adv.adsLinkRegistry
+      val lids = links.map(_.lid)
+      val lidCase = lids.zipWithIndex
+        .map { case (lid, i) => s"WHEN $i THEN $lid" }.mkString(" ")
+      val convEvents = links.flatMap(_.eventIds).distinct
+      val evList = convEvents.map(e => s"'$e'").mkString(", ")
+      val mNulls = links.map(l => s"CAST(NULL AS BOOLEAN) AS m_${l.lid}").mkString(", ")
+      val mCols = links.map { l =>
+        val cond = l.rule
+          .map(r => MatchRules.conditionSql(r.label, r, operators.Adv.matchNowMs))
+          .getOrElse("TRUE")
+        s"$cond AS m_${l.lid}"
+      }.mkString(", ")
+      val qualify = links.map { l =>
+        val evs = l.eventIds.map(e => s"'$e'").mkString(", ")
+        s"WHEN ${l.lid} THEN event_name IN ($evs) " +
+          s"AND ct - click_ct <= ${l.windowSec * 1000L} AND m_${l.lid}"
+      }.mkString(" ")
+      val lastCols = convEvents.map(e =>
+        s"max(CASE WHEN event_name = '$e' THEN ct END) OVER wl AS last_$e")
+        .mkString(", ")
+      val completeCase = links.map { l =>
+        val conds = l.eventIds.map(e =>
+          s"(last_$e IS NOT NULL AND ct - last_$e <= ${l.windowSec * 1000L})")
+          .mkString(" AND ")
+        s"WHEN ${l.lid} THEN $conds"
+      }.mkString(" ")
+      s"""WITH ${Envelope.oracleRaw},
+         apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
+        .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
+         ${zgidCtes()},
+         zg AS ($zgidSelect),
+         base AS (SELECT r.event_id, a.ad_app_id, z.zgid,
+             epoch_ns(r.ts) // 1000000000 * 1000 AS ct, r.event_type, r.dru
+           FROM raw r JOIN apps a ON r.appkey = a.appkey
+           JOIN zg z ON r.event_id = z.event_id
+           WHERE r.dt = 'evt' AND z.zgid IS NOT NULL),
+         u AS (
+           SELECT ad_app_id, zgid, ct, 0 AS kind, event_id,
+             CASE CAST(event_id % ${lids.size} AS INT) $lidCase END AS lid,
+             CAST(NULL AS VARCHAR) AS event_name, $mNulls
+           FROM base WHERE event_type = 'click'
+           UNION ALL
+           SELECT ad_app_id, zgid, ct, 1, event_id, NULL, event_type, $mCols
+           FROM base WHERE event_type IN ($evList)),
+         wclick AS (SELECT *,
+             last_value(CASE WHEN kind = 0 THEN ct END IGNORE NULLS)
+               OVER w AS click_ct,
+             last_value(CASE WHEN kind = 0 THEN lid END IGNORE NULLS)
+               OVER w AS click_lid
+           FROM u
+           WINDOW w AS (PARTITION BY ad_app_id, zgid ORDER BY ct, kind, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         q AS (SELECT event_id, click_lid AS lid, event_name, zgid, ct, click_ct
+           FROM wclick
+           WHERE kind = 1 AND click_ct IS NOT NULL AND ct >= click_ct
+             AND (CASE click_lid $qualify ELSE FALSE END)),
+         comp AS (SELECT *, $lastCols FROM q
+           WINDOW wl AS (PARTITION BY lid ORDER BY ct, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         c2 AS (SELECT * FROM comp WHERE CASE lid $completeCase ELSE FALSE END),
+         sent AS (SELECT *, row_number() OVER (PARTITION BY event_name, lid, zgid
+             ORDER BY ct, event_id) AS rn FROM c2)
+         SELECT event_id, lid, event_name, zgid, ct AS conv_ct, click_ct
+         FROM sent WHERE rn = 1 ORDER BY event_id"""
     },
     "q_funnel_windowed" ->
       """WITH v AS (

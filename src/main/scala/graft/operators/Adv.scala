@@ -380,6 +380,142 @@ object Adv {
     case other  => throw new IllegalArgumentException(s"unmapped label: $other")
   }
 
+  /** One configured deep-conversion link (the ads_link_event row:
+    * link id, its conversion event set — the reference's `eventIds` CSV —
+    * the attribution window, and the optional audience condition;
+    * AdvConvertEventFlatMapFunction.java:505-535).
+    */
+  final case class AdsLink(
+      lid: Int, eventIds: Seq[String], windowSec: Long,
+      rule: Option[graft.functions.MatchRules.MatchRule])
+
+  /** The configured links — one single-event link WITH an audience
+    * condition, one without, and one multi-event (回传事件组) link
+    * exercising the completion AND.
+    */
+  val adsLinkRegistry: Seq[AdsLink] = {
+    import graft.functions.MatchRules.MatchRule
+    Seq(
+      AdsLink(101, Seq("purchase"), 3 * 86400,
+        Some(MatchRule(101, "purchase", "dru", 2, "gt", Seq("1000")))),
+      AdsLink(102, Seq("signup"), 7 * 86400, None),
+      AdsLink(103, Seq("view", "purchase"), 2 * 86400, None))
+  }
+
+  /** #27e adv_deep_convert — the deep-conversion callback decision
+    * (AdvConvertEventFlatMapFunction.java:180-300): a conversion fires for
+    * ad link L iff
+    *   1. the converting user's LAST ad click (the adtf:ct/adtf:data Redis
+    *      state) is at or before the event and within L's windowTime —
+    *      here an as-of join: clicks and conversions union once, ONE
+    *      (ad_app_id, zgid) window carries the latest click's (ct, lid)
+    *      forward;
+    *   2. the event is in L's configured event set (the lidConvertKey
+    *      probe) and L's match_json audience condition holds (compiled
+    *      via MatchRules);
+    *   3. for multi-event links every event id in the set has a LIVE
+    *      status key (adtf:convert:zgEid:lid, TTL = windowTime) — the
+    *      reference's status key carries NO user id, so completion is
+    *      corpus-global per link; re-expressed as running per-event max-ct
+    *      over ONE lid-partitioned window with the TTL as an age bound;
+    *   4. only the FIRST such conversion per (event, link, user) is sent
+    *      (the ads_frequency_first table).
+    *
+    * Sequential-state note (documented divergence): in the reference a
+    * frequency-blocked repeat conversion skips the status write; this
+    * batch form lets every qualifying row refresh the global status, so a
+    * repeat conversion can keep a link's completion window alive where
+    * the stream would have let it lapse — observable only in the
+    * cross-user TTL race the global key design already embodies.
+    *
+    * Scale note: the lid-partitioned completion window serializes each
+    * link's qualifying conversions into one partition — inherent to the
+    * reference's corpus-global status key, bounded by |qualifying
+    * conversions per link|, and only computed AFTER the window+match
+    * filters have cut the corpus down.
+    */
+  def deepConvert(t: Tables): DataFrame = {
+    import graft.functions.MatchRules
+    val (_, uz, dz) = Identity.zgidAxes(t)
+    val base = env(t)
+      .filter(col("dt") === "evt" && col("appkey") =!= "")
+      .join(advApps(t), Seq("appkey"))
+      .join(uz, Seq("appkey", "cuid"), "left")
+      .join(dz, Seq("appkey", "did"), "left")
+      .withColumn("zgid",
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid")))
+      .filter(col("zgid").isNotNull)
+      .withColumn("ct", unix_timestamp(col("ts")) * 1000)
+
+    // clicks carry the link they belong to (the stored ad message's lid)
+    val lids = adsLinkRegistry.map(_.lid)
+    val lidOfClick = lids.zipWithIndex.foldRight(lit(lids.head)) {
+      case ((lid, i), other) =>
+        when(pmod(col("event_id"), lit(lids.size)) === i, lid).otherwise(other)
+    }
+    val clicks = base.filter(col("event_type") === "click")
+      .select(Seq(col("ad_app_id"), col("zgid"), col("ct"), lit(0).as("kind"),
+        col("event_id"), lidOfClick.as("lid"),
+        lit(null).cast("string").as("event_name")) ++
+        adsLinkRegistry.map(l => lit(null).cast("boolean").as(s"m_${l.lid}")): _*)
+
+    // conversions precompute each link's audience flag (config-sized set)
+    val convEvents = adsLinkRegistry.flatMap(_.eventIds).distinct
+    val convs = base.filter(col("event_type").isin(convEvents: _*))
+      .select(Seq(col("ad_app_id"), col("zgid"), col("ct"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("int").as("lid"),
+        col("event_type").as("event_name")) ++
+        adsLinkRegistry.map(l =>
+          l.rule.map(r => MatchRules.condition(matchValue(r.label), r, matchNowMs))
+            .getOrElse(lit(true)).as(s"m_${l.lid}")): _*)
+
+    val wAsof = Window.partitionBy("ad_app_id", "zgid")
+      .orderBy("ct", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withClick = clicks.unionByName(convs)
+      .withColumn("click_ct",
+        last(when(col("kind") === 0, col("ct")), ignoreNulls = true).over(wAsof))
+      .withColumn("click_lid",
+        last(when(col("kind") === 0, col("lid")), ignoreNulls = true).over(wAsof))
+
+    // qualifying rows: configured event + window + audience, per the
+    // click's link
+    val qualify = adsLinkRegistry.foldRight(lit(false)) { case (l, other) =>
+      when(col("click_lid") === l.lid,
+        col("event_name").isin(l.eventIds: _*) &&
+          col("ct") >= col("click_ct") &&
+          (col("ct") - col("click_ct")) <= l.windowSec * 1000L &&
+          col(s"m_${l.lid}")).otherwise(other)
+    }
+    val q = withClick
+      .filter(col("kind") === 1 && col("click_ct").isNotNull && qualify)
+      .select(col("event_id"), col("click_lid").as("lid"), col("event_name"),
+        col("zgid"), col("ct"), col("click_ct"))
+
+    // completion: running per-event last-ct over the link's global axis
+    val wLid = Window.partitionBy("lid").orderBy("ct", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLast = convEvents.foldLeft(q) { (df, e) =>
+      df.withColumn(s"last_$e",
+        max(when(col("event_name") === e, col("ct"))).over(wLid))
+    }
+    val complete = adsLinkRegistry.foldRight(lit(false)) { case (l, other) =>
+      when(col("lid") === l.lid,
+        l.eventIds.map(e =>
+          col(s"last_$e").isNotNull &&
+            (col("ct") - col(s"last_$e")) <= l.windowSec * 1000L)
+          .reduce(_ && _)).otherwise(other)
+    }
+    val wFirst = Window.partitionBy("event_name", "lid", "zgid")
+      .orderBy("ct", "event_id")
+    withLast.filter(complete)
+      .withColumn("rn", row_number().over(wFirst)).filter(col("rn") === 1)
+      .select(col("event_id"), col("lid"), col("event_name"), col("zgid"),
+        col("ct").as("conv_ct"), col("click_ct"))
+      .orderBy(col("event_id"))
+  }
+
   /** #27d adv_convert_match — the audience-condition leg of
     * AdvConvertEventFlatMapFunction (java:226-236): each registered-app
     * conversion event is tested against every ads_link rule for its event

@@ -89,6 +89,35 @@ class MatchRulesSpec extends SparkSpec {
     assert(!eval("x", MatchRule(0, "e", "l", 1, "equal", Seq.empty)))
   }
 
+  test("deep-convert decisions respect link config, window and first-only send") {
+    val byLid = Adv.adsLinkRegistry.map(l => l.lid -> l).toMap
+    val rows = Adv.deepConvert(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val link = byLid(r.getAs[Int]("lid"))
+      assert(link.eventIds.contains(r.getAs[String]("event_name")), s"unconfigured event: $r")
+      val convCt = r.getAs[Long]("conv_ct")
+      val clickCt = r.getAs[Long]("click_ct")
+      assert(convCt >= clickCt, s"conversion precedes click: $r")
+      assert(convCt - clickCt <= link.windowSec * 1000L, s"outside window: $r")
+    }
+    // first-only: one send per (event, link, user)
+    val keys = rows.map(r => (r.getAs[String]("event_name"), r.getAs[Int]("lid"),
+      r.getAs[String]("zgid")))
+    assert(keys.distinct.length == keys.length)
+    // every configured link fires on this corpus, incl. the multi-event one
+    assert(rows.map(_.getAs[Int]("lid")).toSet == Adv.adsLinkRegistry.map(_.lid).toSet)
+    // the audience-gated link only sends rule-passing conversions: its rule
+    // is dru > 1000, so no sent purchase on link 101 carries a small dru
+    val env101 = graft.operators.Envelope.attach(t.events)
+      .select(col("event_id"), col("dru")).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("dru")).toMap
+    rows.filter(_.getAs[Int]("lid") == 101).foreach { r =>
+      val dru = env101(r.getAs[Long]("event_id"))
+      assert(dru.toLongOption.exists(_ > 1000L), s"rule-failing send on 101: dru=$dru")
+    }
+  }
+
   test("adv_convert_match rolls up every rule and bounds hold") {
     val rows = Adv.convertMatch(t).collect()
     assert(rows.length == Adv.adMatchRules.length)
