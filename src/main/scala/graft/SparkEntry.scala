@@ -94,6 +94,7 @@ object SparkEntry {
     "adv_conversion"       -> ((s, d) => Adv.conversion(tables(s, d))),
     "adv_convert_match"    -> ((s, d) => Adv.convertMatch(tables(s, d))),
     "adv_deep_convert"     -> ((s, d) => Adv.deepConvert(tables(s, d))),
+    "adv_add_utm"          -> ((s, d) => Adv.addUtm(tables(s, d))),
     "adv_multi_touch"      -> ((s, d) => Adv.multiTouch(tables(s, d))),
     // §2.7 analytics core
     "q1_pricing_agg"       -> ((s, d) => Analytics.q1PricingAgg(tables(s, d))),
@@ -1428,6 +1429,33 @@ object SparkEntry {
              ORDER BY ct, event_id) AS rn FROM c2)
          SELECT event_id, lid, event_name, zgid, ct AS conv_ct, click_ct
          FROM sent WHERE rn = 1 ORDER BY event_id"""
+    },
+    "adv_add_utm" -> {
+      val cfgRows = operators.Adv.utmConfigRegistry
+        .map { case (e, s0, m, c, ct, tm) => s"($e, '$s0', '$m', '$c', '$ct', '$tm')" }
+        .mkString(", ")
+      def pick(cfgCol: String, param: String) =
+        s"""CASE WHEN c.cfg_source IS NOT NULL THEN c.$cfgCol
+            WHEN contains(r.url, '$param=')
+              THEN regexp_extract(r.url, '$param=([^&#]*)', 1) END AS $param"""
+      s"""WITH ${Envelope.oracleRaw},
+         ereg AS (SELECT appkey, event_type,
+             dense_rank() OVER (PARTITION BY appkey ORDER BY fts, event_type) AS eid
+           FROM (SELECT appkey, event_type, min(ts) AS fts
+                 FROM raw WHERE appkey <> '' GROUP BY 1, 2)),
+         cfg(eid, cfg_source, cfg_medium, cfg_campaign, cfg_content, cfg_term)
+           AS (VALUES $cfgRows)
+         SELECT r.event_id, g.eid, (c.cfg_source IS NOT NULL) AS utm_hit,
+           ${pick("cfg_source", "utm_source")},
+           ${pick("cfg_medium", "utm_medium")},
+           ${pick("cfg_campaign", "utm_campaign")},
+           ${pick("cfg_content", "utm_content")},
+           ${pick("cfg_term", "utm_term")}
+         FROM raw r
+         JOIN ereg g ON r.appkey = g.appkey AND r.event_type = g.event_type
+         LEFT JOIN cfg c ON g.eid = c.eid
+         WHERE r.dt IN ('evt', 'abp') AND r.appkey <> ''
+         ORDER BY event_id"""
     },
     "q_funnel_windowed" ->
       """WITH v AS (

@@ -380,6 +380,51 @@ object Adv {
     case other  => throw new IllegalArgumentException(s"unmapped label: $other")
   }
 
+  /** The per-event-registry-id UTM config (the `utm:<zgEid>` Redis hash
+    * AdvAddUtmFlatMapFunction MGETs; java:126-147) — ad-ops configures a
+    * UTM block per tracked event; events of that registry id get their
+    * five `$utm_*` props OVERWRITTEN. The key carries no app id (global
+    * event-registry-id space), mirrored here on the registry's eid.
+    */
+  val utmConfigRegistry: Seq[(Int, String, String, String, String, String)] = Seq(
+    (1, "baidu_sem", "cpc", "q1_launch", "banner_a", "etl tools"),
+    (3, "toutiao_feed", "cpm", "brand_2024", "video_b", "spark engine"))
+
+  /** #27f adv_add_utm — AdvAddUtmFlatMapFunction: for admitted evt/abp
+    * items with a resolved registry event id, the configured UTM block
+    * replaces the event's own `$utm_*` props (the SDK fills those from the
+    * landing URL's query params — parsed inline here); events without
+    * config keep their own. The config is a broadcast dim; everything
+    * else is one scan inside codegen.
+    */
+  def addUtm(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val cfg = broadcast(utmConfigRegistry
+      .toDF("eid", "cfg_source", "cfg_medium", "cfg_campaign", "cfg_content", "cfg_term"))
+    def urlParam(p: String) = {
+      val v = regexp_extract(col("url"), p + "=([^&#]*)", 1)
+      when(col("url").contains(p + "="), v)
+    }
+    def pick(cfgCol: String, param: String) =
+      when(col("hit"), col(cfgCol))
+        .otherwise(urlParam(param)).as(param)
+    env(t)
+      .filter(col("dt").isin("evt", "abp") && col("appkey") =!= "")
+      .join(Derive.eventRegistry(t).select(col("appkey"),
+        col("event_name").as("event_type"), col("eid")),
+        Seq("appkey", "event_type"))
+      .join(cfg, Seq("eid"), "left")
+      .withColumn("hit", col("cfg_source").isNotNull)
+      .select(col("event_id"), col("eid"), col("hit").as("utm_hit"),
+        pick("cfg_source", "utm_source"),
+        pick("cfg_medium", "utm_medium"),
+        pick("cfg_campaign", "utm_campaign"),
+        pick("cfg_content", "utm_content"),
+        pick("cfg_term", "utm_term"))
+      .orderBy(col("event_id"))
+  }
+
   /** One configured deep-conversion link (the ads_link_event row:
     * link id, its conversion event set — the reference's `eventIds` CSV —
     * the attribution window, and the optional audience condition;
@@ -448,36 +493,35 @@ object Adv {
       .filter(col("zgid").isNotNull)
       .withColumn("ct", unix_timestamp(col("ts")) * 1000)
 
-    // clicks carry the link they belong to (the stored ad message's lid)
+    // ONE pass over the identity-resolved frame: a kind flag splits the
+    // click and conversion roles column-wise instead of a union, so the
+    // uz/dz identity joins appear once in the plan, not per branch
     val lids = adsLinkRegistry.map(_.lid)
     val lidOfClick = lids.zipWithIndex.foldRight(lit(lids.head)) {
       case ((lid, i), other) =>
         when(pmod(col("event_id"), lit(lids.size)) === i, lid).otherwise(other)
     }
-    val clicks = base.filter(col("event_type") === "click")
-      .select(Seq(col("ad_app_id"), col("zgid"), col("ct"), lit(0).as("kind"),
-        col("event_id"), lidOfClick.as("lid"),
-        lit(null).cast("string").as("event_name")) ++
-        adsLinkRegistry.map(l => lit(null).cast("boolean").as(s"m_${l.lid}")): _*)
-
-    // conversions precompute each link's audience flag (config-sized set)
     val convEvents = adsLinkRegistry.flatMap(_.eventIds).distinct
-    val convs = base.filter(col("event_type").isin(convEvents: _*))
-      .select(Seq(col("ad_app_id"), col("zgid"), col("ct"), lit(1).as("kind"),
-        col("event_id"), lit(null).cast("int").as("lid"),
-        col("event_type").as("event_name")) ++
+    val withClick = base
+      .filter(col("event_type").isin("click" +: convEvents: _*))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      .select(Seq(col("ad_app_id"), col("zgid"), col("ct"), col("kind"),
+        col("event_id"),
+        when(col("kind") === 0, lidOfClick).as("lid"),
+        when(col("kind") === 1, col("event_type")).as("event_name")) ++
         adsLinkRegistry.map(l =>
-          l.rule.map(r => MatchRules.condition(matchValue(r.label), r, matchNowMs))
-            .getOrElse(lit(true)).as(s"m_${l.lid}")): _*)
-
-    val wAsof = Window.partitionBy("ad_app_id", "zgid")
-      .orderBy("ct", "kind", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withClick = clicks.unionByName(convs)
-      .withColumn("click_ct",
-        last(when(col("kind") === 0, col("ct")), ignoreNulls = true).over(wAsof))
-      .withColumn("click_lid",
-        last(when(col("kind") === 0, col("lid")), ignoreNulls = true).over(wAsof))
+          (col("kind") === 1 &&
+            l.rule.map(r => MatchRules.condition(matchValue(r.label), r, matchNowMs))
+              .getOrElse(lit(true))).as(s"m_${l.lid}")): _*)
+      .transform { u =>
+        val wAsof = Window.partitionBy("ad_app_id", "zgid")
+          .orderBy("ct", "kind", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("click_ct",
+            last(when(col("kind") === 0, col("ct")), ignoreNulls = true).over(wAsof))
+          .withColumn("click_lid",
+            last(when(col("kind") === 0, col("lid")), ignoreNulls = true).over(wAsof))
+      }
 
     // qualifying rows: configured event + window + audience, per the
     // click's link

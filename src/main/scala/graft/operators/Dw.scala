@@ -53,23 +53,29 @@ object Dw {
     * user's FIRST admitted event (min (ts, event_id) — the same
     * first-writer rule as every identity operator): surrogate device id,
     * epoch begin_date, day/week/month ids, the deterministic $uuid of that
-    * first event, platform. ONE window rank on the zgid axis.
+    * first event, platform. ONE map-side-combined min_by groupBy on the
+    * zgid axis — at 100 TB the partial aggregates collapse each task's
+    * events before the exchange, where a window rank would shuffle and
+    * sort the whole admitted corpus.
     */
   def userJoin(t: Tables): DataFrame =
     joinRows(t).orderBy(col("zg_id"))
 
   /** The unordered t_user_join rows — shared with `userAll`. */
   private def joinRows(t: Tables): DataFrame = {
-    val w = Window.partitionBy("zgid").orderBy("ts", "event_id")
+    val ord = struct(col("ts"), col("event_id"))
+    def first(c: org.apache.spark.sql.Column) = min_by(c, ord)
     admitted(t)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(
-        col("zgid").as("zg_id"),
-        col("zg_did").as("device_id"),
-        unix_timestamp(col("ts")).as("begin_date"),
-        col("begin_day_id"),
-        md5(concat_ws(":", col("appkey"), col("event_id"), col("dt"))).as("uuid"),
-        col("yearweek"), col("yearmonth"), col("platform"))
+      .groupBy(col("zgid").as("zg_id"))
+      .agg(
+        first(col("zg_did")).as("device_id"),
+        first(unix_timestamp(col("ts"))).as("begin_date"),
+        first(col("begin_day_id")).as("begin_day_id"),
+        first(md5(concat_ws(":", col("appkey"), col("event_id"), col("dt"))))
+          .as("uuid"),
+        first(col("yearweek")).as("yearweek"),
+        first(col("yearmonth")).as("yearmonth"),
+        first(col("platform")).as("platform"))
   }
 
   /** dw_user_active — t_user_active (1.sql:414-425): per (zgid, day,

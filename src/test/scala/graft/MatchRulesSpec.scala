@@ -118,6 +118,27 @@ class MatchRulesSpec extends SparkSpec {
     }
   }
 
+  test("configured UTM overwrites the URL-parsed block, others keep their own") {
+    val cfg = Adv.utmConfigRegistry.map(c => c._1 -> c).toMap
+    val rows = Adv.addUtm(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("utm_hit")))
+    assert(rows.exists(!_.getAs[Boolean]("utm_hit")))
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("utm_hit")) {
+        val c = cfg(r.getAs[Int]("eid"))
+        assert(r.getAs[String]("utm_source") == c._2 &&
+          r.getAs[String]("utm_medium") == c._3 &&
+          r.getAs[String]("utm_term") == c._6, s"config not applied: $r")
+      } else {
+        // un-hit events carry the landing URL's own params (or nothing)
+        val s = r.getAs[String]("utm_source")
+        assert(s == null || s == "wechat", s"unexpected url param: $r")
+        assert(r.getAs[String]("utm_term") == null)
+      }
+    }
+  }
+
   test("adv_convert_match rolls up every rule and bounds hold") {
     val rows = Adv.convertMatch(t).collect()
     assert(rows.length == Adv.adMatchRules.length)

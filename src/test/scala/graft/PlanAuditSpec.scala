@@ -254,4 +254,37 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"window-frequency aggregate lost partial aggregation:\n$p")
   }
+
+  test("audience match is one scan with compiled predicates, one rollup shuffle") {
+    val p = plan(graft.operators.Adv.convertMatch(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"rule evaluation went pairwise:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ad registry shuffled:\n$p")
+    // rules compile to literals, never a rules-table join: exactly the
+    // registry broadcast, no second join
+    assert("Join".r.findAllIn(p).length <= 2, s"unexpected joins:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"rollup lost map-side partial aggregation:\n$p")
+  }
+
+  test("deep convert: as-of is a window, never a range self-join; dims broadcast") {
+    val p = plan(graft.operators.Adv.deepConvert(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"deep convert gained a pairwise join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ad registry shuffled:\n$p")
+    // clicks attach via the kind-flag + window asof, not a clicks x convs
+    // join: the only shuffle joins are the zgid identity-axis equi-joins
+    // (uz/dz construction + their single attach) — 5 today; a 6th would
+    // mean the asof decomposed into a join again
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 5,
+      s"asof decomposed into extra shuffle joins:\n$p")
+  }
+
+  test("f_user_all composes post-rollup frames; name dims stay literal CASEs") {
+    val p = plan(graft.operators.Dw.userAll(t))
+    assert(!p.contains("CartesianProduct"), s"profile join went quadratic:\n$p")
+    // the carrier/platform name dims are compiled CASE expressions — they
+    // must not appear as extra join relations
+    assert(!p.contains("carrierDim"), s"carrier dim joined instead of compiled:\n$p")
+  }
 }
