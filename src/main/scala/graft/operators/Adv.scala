@@ -447,6 +447,26 @@ object Adv {
       AdsLink(103, Seq("view", "purchase"), 2 * 86400, None))
   }
 
+  /** The click's link id (the lid inside the stored adtf:data message) —
+    * synthesized deterministically over the configured links; ONE
+    * definition shared by the batch operator and the streaming leg.
+    */
+  def clickLid: org.apache.spark.sql.Column = {
+    val lids = adsLinkRegistry.map(_.lid)
+    lids.zipWithIndex.foldRight(lit(lids.head)) { case ((lid, i), other) =>
+      when(pmod(col("event_id"), lit(lids.size)) === i, lid).otherwise(other)
+    }
+  }
+
+  /** A link's compiled audience flag (TRUE for empty match_json — the
+    * reference's `flag = true` else-branch); shared batch/stream.
+    */
+  def linkFlag(l: AdsLink): org.apache.spark.sql.Column = {
+    import graft.functions.MatchRules
+    l.rule.map(r => MatchRules.condition(matchValue(r.label), r, matchNowMs))
+      .getOrElse(lit(true))
+  }
+
   /** #27e adv_deep_convert — the deep-conversion callback decision
     * (AdvConvertEventFlatMapFunction.java:180-300): a conversion fires for
     * ad link L iff
@@ -496,11 +516,7 @@ object Adv {
     // ONE pass over the identity-resolved frame: a kind flag splits the
     // click and conversion roles column-wise instead of a union, so the
     // uz/dz identity joins appear once in the plan, not per branch
-    val lids = adsLinkRegistry.map(_.lid)
-    val lidOfClick = lids.zipWithIndex.foldRight(lit(lids.head)) {
-      case ((lid, i), other) =>
-        when(pmod(col("event_id"), lit(lids.size)) === i, lid).otherwise(other)
-    }
+    val lidOfClick = clickLid
     val convEvents = adsLinkRegistry.flatMap(_.eventIds).distinct
     val withClick = base
       .filter(col("event_type").isin("click" +: convEvents: _*))
@@ -510,9 +526,7 @@ object Adv {
         when(col("kind") === 0, lidOfClick).as("lid"),
         when(col("kind") === 1, col("event_type")).as("event_name")) ++
         adsLinkRegistry.map(l =>
-          (col("kind") === 1 &&
-            l.rule.map(r => MatchRules.condition(matchValue(r.label), r, matchNowMs))
-              .getOrElse(lit(true))).as(s"m_${l.lid}")): _*)
+          (col("kind") === 1 && linkFlag(l)).as(s"m_${l.lid}")): _*)
       .transform { u =>
         val wAsof = Window.partitionBy("ad_app_id", "zgid")
           .orderBy("ct", "kind", "event_id")

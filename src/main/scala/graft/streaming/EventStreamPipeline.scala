@@ -230,6 +230,86 @@ object EventStreamPipeline {
       }
   }
 
+  case class ConvIn(adAppId: Int, zgid: String, ct: Long, kind: Int,
+      eventId: Long, lid: Int, eventName: String, flags: Seq[Boolean])
+  case class AdConvState(clickCt: Long, clickLid: Int, sent: Set[String])
+  case class ConvSend(eventId: Long, lid: Int, eventName: String,
+      zgid: String, convCt: Long, clickCt: Long)
+
+  /** Streaming deep-conversion decisions — AdvConvertEventFlatMapFunction
+    * as keyed state, the shape the reference actually runs (the adtf:ct /
+    * adtf:data / ads_frequency_first Redis state): per (ad_app_id, zgid)
+    * the state holds the user's latest click (ct + lid) and the set of
+    * already-sent (event, link) pairs; each conversion checks the click's
+    * link config — event set, attribution window, compiled audience flag
+    * (`Adv.clickLid` / `Adv.linkFlag`: the SAME expressions as batch
+    * `deepConvert`) — and emits at most one send per (event, link, user).
+    *
+    * SCOPE: single-event links only. Multi-event 回传事件组 completion
+    * reads the reference's corpus-GLOBAL per-(event, link) status keys —
+    * that is a second stateful stage keyed by lid, not per-user state;
+    * the batch operator carries those semantics. Spec-matched against
+    * batch `deepConvert` restricted to single-event links.
+    *
+    * State per user: one click struct + a sent-set bounded by
+    * |links| x |their events| — strictly smaller than the reference's
+    * per-user Redis keys. The zgid axes arrive as static dimension frames
+    * (stream-static broadcast), exactly like `deviceZgidStream`.
+    */
+  def deepConvertStream(events: DataFrame, uz: DataFrame, dz: DataFrame): Dataset[ConvSend] = {
+    import graft.operators.Adv
+    val spark = events.sparkSession
+    import spark.implicits._
+    val links = Adv.adsLinkRegistry
+    val byLid = links.map(l => l.lid -> l).toMap
+    val idxOf = links.map(_.lid).zipWithIndex.toMap
+    val convEvents = links.flatMap(_.eventIds).distinct
+    val apps = broadcast(Adv.adAppRegistry.toDF("appkey", "ad_app_id"))
+    Envelope.attach(events)
+      .filter(col("dt") === "evt" && col("appkey") =!= "" &&
+        col("event_type").isin("click" +: convEvents: _*))
+      .join(apps, Seq("appkey"))
+      .join(broadcast(uz), Seq("appkey", "cuid"), "left")
+      .join(broadcast(dz), Seq("appkey", "did"), "left")
+      .withColumn("zgid",
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid")))
+      .filter(col("zgid").isNotNull)
+      .select(
+        col("ad_app_id").as("adAppId"), col("zgid"),
+        (unix_timestamp(col("ts")) * 1000).as("ct"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"),
+        col("event_id").as("eventId"),
+        when(col("event_type") === "click", Adv.clickLid).otherwise(-1).as("lid"),
+        col("event_type").as("eventName"),
+        array(links.map(Adv.linkFlag): _*).as("flags"))
+      .as[ConvIn]
+      .groupByKey(r => (r.adAppId, r.zgid))
+      .flatMapGroupsWithState[AdConvState, ConvSend](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((_, zgid), rows, state: GroupState[AdConvState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r.ct, r.kind, r.eventId))
+          var st = state.getOption.getOrElse(AdConvState(-1L, -1, Set.empty))
+          val out = ordered.flatMap { r =>
+            if (r.kind == 0) { st = st.copy(clickCt = r.ct, clickLid = r.lid); None }
+            else if (st.clickCt < 0) None
+            else byLid.get(st.clickLid) match {
+              case Some(l) if l.eventIds.size == 1 &&
+                  l.eventIds.contains(r.eventName) &&
+                  r.ct >= st.clickCt &&
+                  r.ct - st.clickCt <= l.windowSec * 1000L &&
+                  r.flags(idxOf(l.lid)) &&
+                  !st.sent(s"${r.eventName}:${l.lid}") =>
+                st = st.copy(sent = st.sent + s"${r.eventName}:${l.lid}")
+                Some(ConvSend(r.eventId, l.lid, r.eventName, zgid, r.ct, st.clickCt))
+              case _ => None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- stateful sessionization (streaming analog of #8 id_sessionize) ----
 
   case class SessionState(lastSec: Long, nEvents: Int, nSessions: Int)
