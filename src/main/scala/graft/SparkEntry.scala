@@ -139,6 +139,7 @@ object SparkEntry {
     "sample_stratified_stats" -> ((s, d) => TrainData.sampleStratifiedStats(tables(s, d))),
     "text_repetition"         -> ((s, d) => TextAnalysis.repetition(tables(s, d))),
     "text_contamination"      -> ((s, d) => TrainData.contamination(tables(s, d))),
+    "text_contamination_bloom" -> ((s, d) => TrainData.contaminationBloom(tables(s, d))),
     "pack_sequences"          -> ((s, d) => TrainData.packSequences(tables(s, d))),
     "pack_sequences_stats"    -> ((s, d) => TrainData.packSequencesStats(tables(s, d))),
     "pipeline_curation"       -> ((s, d) => TrainData.curation(tables(s, d))),

@@ -23,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorExpressions.HammingDistance].getName, "graft_hamming"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorExpressions.HammingDistance(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }

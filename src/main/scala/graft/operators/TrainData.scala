@@ -150,6 +150,44 @@ object TrainData {
       .orderBy(col("doc_id"))
   }
 
+  /** text_contamination_bloom — the 100 TB decontamination shape: when the
+    * eval-gram set outgrows a broadcast hash relation (100M+ grams), the
+    * membership probe becomes a Bloom sketch — `bloom_filter_agg` builds
+    * it distributed (mergeable partials, one binary blob out), the
+    * one-row blob broadcasts everywhere, and `graft_might_contain`
+    * (Spark's own codegen'd BloomFilterMightContain, registered via
+    * SketchExpressions) gates the train grams without any join. Bloom
+    * guarantees NO false negatives — every exactly-contaminated doc is
+    * flagged — at a configured false-positive rate; the spec pins both
+    * properties against the exact operator. Rows-only by design
+    * (probabilistic output has no SQL oracle).
+    */
+  def contaminationBloom(t: Tables): DataFrame = {
+    graft.functions.SketchExpressions.register(t.spark)
+    val grams = gramHashes(Dedup.withWords(t.documents))
+    val isEval = col("doc_id") % contamEvalMod === 0
+    // ~1% FPP at the eval-set scale; numBits sized for the sf0.1 corpus,
+    // a knob (items * 10 bits ≈ 0.8% FPP) at production scale. The built
+    // sketch collects to the driver ONCE (one binary blob, KBs-MBs — the
+    // same move Spark's own runtime row filters and df.stat.bloomFilter
+    // make) and ships as a foldable literal, which is what the probe
+    // expression requires.
+    val blob = grams.filter(isEval).select(col("gh")).distinct()
+      .agg(expr("graft_bloom_agg(xxhash64(gh), 100000L, 1000000L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hits = grams.filter(!isEval)
+      .filter(call_function("graft_might_contain", lit(blob), xxhash64(col("gh"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_maybe_hits"))
+    t.documents.filter(!isEval)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_maybe_hits"), lit(0L)).as("n_maybe_hits"),
+        (coalesce(col("n_maybe_hits"), lit(0L)) > 0).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Packing shards: parallelism of the packing pass. Each shard is one
     * ordered fill — at 100 TB you size this O(cluster cores) so every core
     * fills its own stream; 8 keeps the oracle window small here.

@@ -119,6 +119,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L) == ((0, 0L, false)))
   }
 
+  test("bloom decontamination has no false negatives and bounded false positives") {
+    val exact = TrainData.contamination(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    val bloom = TrainData.contaminationBloom(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("flagged")).toMap
+    assert(bloom.keySet == exact.keySet, "doc spine must match the exact pass")
+    // Bloom guarantee: every exactly-contaminated doc is flagged
+    val misses = exact.collect { case (id, true) if !bloom(id) => id }
+    assert(misses.isEmpty, s"bloom false negatives: $misses")
+    // false positives stay rare at the configured bits/items ratio
+    val cleanDocs = exact.count(!_._2)
+    val fps = exact.collect { case (id, false) if bloom(id) => id }
+    assert(cleanDocs == 0 || fps.size.toDouble / cleanDocs <= 0.05,
+      s"bloom FP rate ${fps.size}/$cleanDocs exceeds 5%")
+  }
+
   test("sequence packing fills bins contiguously with bounded overflow") {
     val rows = TrainData.packSequences(t).collect()
     val byShard = rows.groupBy(_.getAs[Long]("shard"))
