@@ -232,29 +232,34 @@ object EventStreamPipeline {
 
   case class ConvIn(adAppId: Int, zgid: String, ct: Long, kind: Int,
       eventId: Long, lid: Int, eventName: String, flags: Seq[Boolean])
-  case class AdConvState(clickCt: Long, clickLid: Int, sent: Set[String])
+  case class ClickState(clickCt: Long, clickLid: Int)
+  case class LidState(lastCt: Map[String, Long], sent: Set[String])
   case class ConvSend(eventId: Long, lid: Int, eventName: String,
       zgid: String, convCt: Long, clickCt: Long)
 
   /** Streaming deep-conversion decisions — AdvConvertEventFlatMapFunction
-    * as keyed state, the shape the reference actually runs (the adtf:ct /
-    * adtf:data / ads_frequency_first Redis state): per (ad_app_id, zgid)
-    * the state holds the user's latest click (ct + lid) and the set of
-    * already-sent (event, link) pairs; each conversion checks the click's
-    * link config — event set, attribution window, compiled audience flag
-    * (`Adv.clickLid` / `Adv.linkFlag`: the SAME expressions as batch
-    * `deepConvert`) — and emits at most one send per (event, link, user).
+    * as TWO chained keyed-state stages, the shape the reference actually
+    * runs against Redis:
     *
-    * SCOPE: single-event links only. Multi-event 回传事件组 completion
-    * reads the reference's corpus-GLOBAL per-(event, link) status keys —
-    * that is a second stateful stage keyed by lid, not per-user state;
-    * the batch operator carries those semantics. Spec-matched against
-    * batch `deepConvert` restricted to single-event links.
+    *   stage 1, keyed (ad_app_id, zgid) — the adtf:ct/adtf:data state:
+    *   holds the user's latest click (ct + lid); each conversion checks
+    *   the click's link config — event set, attribution window, compiled
+    *   audience flag (`Adv.clickLid` / `Adv.linkFlag`, the SAME
+    *   expressions as batch `deepConvert`) — and emits the QUALIFYING
+    *   conversions;
     *
-    * State per user: one click struct + a sent-set bounded by
-    * |links| x |their events| — strictly smaller than the reference's
-    * per-user Redis keys. The zgid axes arrive as static dimension frames
-    * (stream-static broadcast), exactly like `deviceZgidStream`.
+    *   stage 2, keyed lid — the corpus-global adtf:convert status keys +
+    *   ads_frequency_first: running per-event last-ct implements the
+    *   TTL'd multi-event 回传事件组 completion, and the sent-set caps each
+    *   (event, link, user) at one send. Same relational semantics as the
+    *   batch operator's lid window + first-send dedup, so the spec matches
+    *   stream to batch EXACTLY, multi-event links included.
+    *
+    * State bounds: stage 1 is one click struct per active user; stage 2 is
+    * |event names| cts plus the sent key set — the latter grows with
+    * senders exactly like the reference's ads_frequency_first table (no
+    * TTL by design there either). The zgid axes arrive as static dimension
+    * frames (stream-static broadcast), like `deviceZgidStream`.
     */
   def deepConvertStream(events: DataFrame, uz: DataFrame, dz: DataFrame): Dataset[ConvSend] = {
     import graft.operators.Adv
@@ -265,7 +270,7 @@ object EventStreamPipeline {
     val idxOf = links.map(_.lid).zipWithIndex.toMap
     val convEvents = links.flatMap(_.eventIds).distinct
     val apps = broadcast(Adv.adAppRegistry.toDF("appkey", "ad_app_id"))
-    Envelope.attach(events)
+    val qualifying = Envelope.attach(events)
       .filter(col("dt") === "evt" && col("appkey") =!= "" &&
         col("event_type").isin("click" +: convEvents: _*))
       .join(apps, Seq("appkey"))
@@ -285,25 +290,45 @@ object EventStreamPipeline {
         array(links.map(Adv.linkFlag): _*).as("flags"))
       .as[ConvIn]
       .groupByKey(r => (r.adAppId, r.zgid))
-      .flatMapGroupsWithState[AdConvState, ConvSend](
+      .flatMapGroupsWithState[ClickState, ConvSend](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case ((_, zgid), rows, state: GroupState[AdConvState]) =>
+        case ((_, zgid), rows, state: GroupState[ClickState]) =>
           val ordered = rows.toSeq.sortBy(r => (r.ct, r.kind, r.eventId))
-          var st = state.getOption.getOrElse(AdConvState(-1L, -1, Set.empty))
+          var st = state.getOption.getOrElse(ClickState(-1L, -1))
           val out = ordered.flatMap { r =>
-            if (r.kind == 0) { st = st.copy(clickCt = r.ct, clickLid = r.lid); None }
+            if (r.kind == 0) { st = ClickState(r.ct, r.lid); None }
             else if (st.clickCt < 0) None
             else byLid.get(st.clickLid) match {
-              case Some(l) if l.eventIds.size == 1 &&
-                  l.eventIds.contains(r.eventName) &&
+              case Some(l) if l.eventIds.contains(r.eventName) &&
                   r.ct >= st.clickCt &&
                   r.ct - st.clickCt <= l.windowSec * 1000L &&
-                  r.flags(idxOf(l.lid)) &&
-                  !st.sent(s"${r.eventName}:${l.lid}") =>
-                st = st.copy(sent = st.sent + s"${r.eventName}:${l.lid}")
+                  r.flags(idxOf(l.lid)) =>
                 Some(ConvSend(r.eventId, l.lid, r.eventName, zgid, r.ct, st.clickCt))
               case _ => None
             }
+          }
+          state.update(st)
+          out.iterator
+      }
+    qualifying
+      .groupByKey(_.lid)
+      .flatMapGroupsWithState[LidState, ConvSend](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (lid, rows, state: GroupState[LidState]) =>
+          val link = byLid(lid)
+          val ordered = rows.toSeq.sortBy(r => (r.convCt, r.eventId))
+          var st = state.getOption.getOrElse(LidState(Map.empty, Set.empty))
+          val out = ordered.flatMap { r =>
+            // own status refreshes first (the reference SETs before MGET)
+            st = st.copy(lastCt = st.lastCt.updated(r.eventName,
+              math.max(st.lastCt.getOrElse(r.eventName, Long.MinValue), r.convCt)))
+            val complete = link.eventIds.forall(e =>
+              st.lastCt.get(e).exists(s => r.convCt - s <= link.windowSec * 1000L))
+            val key = s"${r.eventName}:${r.zgid}"
+            if (complete && !st.sent(key)) {
+              st = st.copy(sent = st.sent + key)
+              Some(r)
+            } else None
           }
           state.update(st)
           out.iterator

@@ -139,7 +139,7 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "gate passed nothing on the test corpus")
   }
 
-  test("streaming deep-convert matches batch sends for single-event links") {
+  test("streaming deep-convert matches batch sends exactly, multi-event included") {
     import graft.operators.Adv
     val events = EventStreamPipeline.readEvents(spark, streamDir)
     val (_, uz, dz) = graft.operators.Identity.zgidAxes(t)
@@ -149,13 +149,14 @@ class StreamingSpec extends SparkSpec {
       "SELECT eventId, lid, eventName, zgid, convCt, clickCt FROM deepconv")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
         r.getString(3), r.getLong(4), r.getLong(5))).toSet
-    val singles = Adv.adsLinkRegistry.filter(_.eventIds.size == 1).map(_.lid)
-    val want = Adv.deepConvert(t)
-      .filter(col("lid").isin(singles: _*)).collect()
+    val want = Adv.deepConvert(t).collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("lid"),
         r.getAs[String]("event_name"), r.getAs[String]("zgid"),
         r.getAs[Long]("conv_ct"), r.getAs[Long]("click_ct"))).toSet
-    assert(want.nonEmpty, "no single-event sends on the test corpus")
+    assert(want.nonEmpty, "no sends on the test corpus")
+    // the multi-event link must be exercised for this to mean full parity
+    val multi = Adv.adsLinkRegistry.filter(_.eventIds.size > 1).map(_.lid).toSet
+    assert(want.exists(w => multi.contains(w._2)), "multi-event link never fired")
     assert(got == want)
   }
 
