@@ -1372,9 +1372,16 @@ object SparkEntry {
       val convEvents = links.flatMap(_.eventIds).distinct
       val evList = convEvents.map(e => s"'$e'").mkString(", ")
       val mNulls = links.map(l => s"CAST(NULL AS BOOLEAN) AS m_${l.lid}").mkString(", ")
+      // the same label -> pr column mapping Adv.matchValue compiles, over
+      // base's columns (ct_s = epoch seconds, matching matchValue("ct"))
+      def valueSql(label: String): String = label match {
+        case "ct"   => "ct_s"
+        case "plan" => "pr_plan"
+        case other  => other
+      }
       val mCols = links.map { l =>
         val cond = l.rule
-          .map(r => MatchRules.conditionSql(r.label, r, operators.Adv.matchNowMs))
+          .map(r => MatchRules.conditionSql(valueSql(r.label), r, operators.Adv.matchNowMs))
           .getOrElse("TRUE")
         s"$cond AS m_${l.lid}"
       }.mkString(", ")
@@ -1398,7 +1405,9 @@ object SparkEntry {
          ${zgidCtes()},
          zg AS ($zgidSelect),
          base AS (SELECT r.event_id, a.ad_app_id, z.zgid,
-             epoch_ns(r.ts) // 1000000000 * 1000 AS ct, r.event_type, r.dru
+             epoch_ns(r.ts) // 1000000000 * 1000 AS ct,
+             CAST(epoch_ns(r.ts) // 1000000000 AS VARCHAR) AS ct_s,
+             r.event_type, r.dru, r.pr_plan, r.cn, r.vn, r.cr, r.ua
            FROM raw r JOIN apps a ON r.appkey = a.appkey
            JOIN zg z ON r.event_id = z.event_id
            WHERE r.dt = 'evt' AND z.zgid IS NOT NULL),

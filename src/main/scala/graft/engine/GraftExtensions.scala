@@ -31,5 +31,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        children match {
+          case Seq(c)       => new BloomFilterAggregate(c)
+          case Seq(c, n)    => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_agg(value[, estimatedItems[, numBits]])")
+        }
+      }))
   }
 }

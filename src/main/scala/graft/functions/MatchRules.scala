@@ -55,9 +55,10 @@ object MatchRules {
 
   /** Long.parseLong's accepted shape (optional sign + digits), bounded to
     * 18 digits so the guarded cast can never overflow — identical guard on
-    * both engines; only a 19+-digit literal diverges from Java (false here
-    * vs false there anyway for out-of-range, so the visible behavior
-    * matches for any value either engine can parse).
+    * both engines. Known divergence from Java: an IN-RANGE 19-digit value
+    * (1e18..Long.MaxValue) parses in the reference but is rejected (rule
+    * false) here and in the oracle alike; no property in this corpus, and
+    * no epoch timestamp or realistic numeric prop, reaches 19 digits.
     */
   private val longRe = "^[+-]?[0-9]{1,18}$"
   private val longReSql = "[+-]?[0-9]{1,18}"
@@ -132,7 +133,7 @@ object MatchRules {
               case Some(days) => ms >= (nowMs - days * dayMs)
               case None       => lit(false)
             }
-          case "absolute" =>
+          case "absolute" if r.values.sizeIs >= 2 =>
             ms >= dayStartMs8(r.values(0)) && ms <= dayStartMs8(r.values(1))
           case _ => lit(false)
         }
@@ -201,7 +202,7 @@ object MatchRules {
               case Some(days) => s"$ms >= ${nowMs - days * dayMs}"
               case None       => "FALSE"
             }
-          case "absolute" =>
+          case "absolute" if r.values.sizeIs >= 2 =>
             s"($ms >= ${dayStartMs8(r.values(0))} AND $ms <= ${dayStartMs8(r.values(1))})"
           case _ => "FALSE"
         }

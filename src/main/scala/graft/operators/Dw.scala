@@ -184,10 +184,11 @@ object Dw {
     // the per-app b_device_{appId} table it mirrors) does not carry the
     // app axis this cross-app join needs
     val wD = Window.partitionBy("appkey", "zg_did").orderBy(col("event_id").desc)
+    val (idEnv, _, _) = Identity.zgidAxes(t)
     val dcur = Envelope.attach(t.events)
       .filter(col("dt") === "pl" && col("did") =!= "" && col("appkey") =!= "")
-      .join(Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did")),
-        Seq("appkey", "did"))
+      .join(Identity.deviceMapFrom(idEnv)
+        .select(col("appkey"), col("did"), col("zg_did")), Seq("appkey", "did"))
       .join(Route.platformId(t), Seq("pl"), "left")
       .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
       .withColumn("rs_runs", expr("filter(split(rs, '[^0-9]'), x -> x <> '')"))
@@ -248,15 +249,12 @@ object Dw {
     * narrow projection exists so the hot audience lookups never touch the
     * wide profile row.
     */
-  def userDetailSum(t: Tables): DataFrame = {
-    val n = lit("\\N")
+  def userDetailSum(t: Tables): DataFrame =
     detailRows(t)
       .select(col("zg_id"), col("platform"), col("visit_times"),
-        col("duration"),
-        n.as("attr1"), n.as("attr2"), n.as("attr3"), n.as("attr4"),
-        n.as("attr5"))
+        col("duration"), col("attr1"), col("attr2"), col("attr3"),
+        col("attr4"), col("attr5"))
       .orderBy(col("zg_id"))
-  }
 
   /** China MCC-MNC -> carrier display name (public ITU/MIIT allocations).
     * The reference's f_user_all carries `current_mccmnc_name` but fills it
@@ -293,9 +291,7 @@ object Dw {
     * shared identity/fact passes below are cached across the composition.
     */
   def userAll(t: Tables): DataFrame = {
-    val n = lit("\\N")
-    val detail = detailRows(t).drop("platform", "attr1", "attr2", "attr3",
-      "attr4", "attr5")
+    val detail = detailRows(t).drop("platform")
     val platformName = Route.platformDim.foldRight(lit("\\N")) {
       case ((name, code), other) =>
         when(col("platform") === code, name).otherwise(other)
@@ -320,8 +316,8 @@ object Dw {
         carrierName(col("current_mccmnc")).as("current_mccmnc_name"),
         col("current_device_model").as("current_device_model_name"),
         platformName.as("platform_name"),
-        n.as("attr1"), n.as("attr2"), n.as("attr3"), n.as("attr4"),
-        n.as("attr5"))
+        col("attr1"), col("attr2"), col("attr3"), col("attr4"),
+        col("attr5"))
       .orderBy(col("zg_id"))
   }
 }

@@ -233,7 +233,7 @@ object EventStreamPipeline {
   case class ConvIn(adAppId: Int, zgid: String, ct: Long, kind: Int,
       eventId: Long, lid: Int, eventName: String, flags: Seq[Boolean])
   case class ClickState(clickCt: Long, clickLid: Int)
-  case class LidState(lastCt: Map[String, Long], sent: Set[String])
+  case class LidState(lastCt: Map[String, Long], sent: Set[(String, String)])
   case class ConvSend(eventId: Long, lid: Int, eventName: String,
       zgid: String, convCt: Long, clickCt: Long)
 
@@ -324,7 +324,7 @@ object EventStreamPipeline {
               math.max(st.lastCt.getOrElse(r.eventName, Long.MinValue), r.convCt)))
             val complete = link.eventIds.forall(e =>
               st.lastCt.get(e).exists(s => r.convCt - s <= link.windowSec * 1000L))
-            val key = s"${r.eventName}:${r.zgid}"
+            val key = (r.eventName, r.zgid)
             if (complete && !st.sent(key)) {
               st = st.copy(sent = st.sent + key)
               Some(r)

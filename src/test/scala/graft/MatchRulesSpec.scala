@@ -71,6 +71,11 @@ class MatchRulesSpec extends SparkSpec {
     assert(eval("1705363200", rel))
     assert(!eval("1705363199", rel))
     assert(!eval("fast", rel))
+    // a malformed absolute rule (missing the end date) fails closed
+    // instead of throwing at plan time
+    val lame = MatchRule(0, "e", "l", 3, "absolute", Seq("2024-01-08"))
+    assert(!eval("1704643200", lame))
+    assert(MatchRules.conditionSql("v", lame, nowMs).contains("FALSE"))
   }
 
   test("empty value or empty values -> handleNullValue") {
