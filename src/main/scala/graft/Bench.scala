@@ -19,7 +19,8 @@ object Bench {
     "dedup_minhash_lsh", "dedup_simhash",
     "sim_ann_cosine_topk", "dedup_embedding_cosine", "sim_ann_lsh",
     "text_quality_score", "sink_partitioned_parquet",
-    "text_contamination", "pack_sequences", "q_asof_join")
+    "text_contamination", "pack_sequences", "q_asof_join",
+    "dw_user_detail", "dw_user_all", "adv_deep_convert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

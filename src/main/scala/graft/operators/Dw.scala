@@ -137,15 +137,23 @@ object Dw {
   def userDetail(t: Tables): DataFrame =
     detailRows(t).orderBy(col("zg_id"))
 
-  /** The unordered t_user_detail rows — shared by `userDetail`,
-    * `userDetailSum` and the `userAll` composition.
+  /** The attr1-5 reserved-slot sentinels (one definition — detail, sum and
+    * f_user_all all project the SAME columns).
     */
-  private def detailRows(t: Tables): DataFrame = {
+  private def attrCols: Seq[org.apache.spark.sql.Column] = {
     val n = lit("\\N")
+    (1 to 5).map(i => n.as(s"attr$i"))
+  }
+
+  /** The per-zgid detail AGGREGATE (everything except the current-device
+    * block) — `userDetailSum` reads this directly so the sums table never
+    * pays the device join it doesn't project.
+    */
+  private def detailAgg(t: Tables): DataFrame = {
     val ea = Route.routeEventAttr(t)
     val ord = struct(col("begin_date"), col("event_id"))
 
-    val agg = ea.groupBy(col("zgid").as("zg_id")).agg(
+    ea.groupBy(col("zgid").as("zg_id")).agg(
       max_by(col("platform_id"), ord).as("platform"),
       min(col("begin_date")).as("first_visit_time"),
       max(col("begin_date")).as("last_visit_time"),
@@ -177,7 +185,14 @@ object Dw {
       // so the device join must be app-qualified; the zgid string embeds
       // its appkey as the third ':'-segment (z:d:<appkey>:<did>)
       .withColumn("appkey", element_at(split(col("zg_id"), ":"), 3))
+  }
 
+  /** The unordered t_user_detail rows — the detail aggregate plus the
+    * current-device block; shared by `userDetail` and `userAll`.
+    */
+  private def detailRows(t: Tables): DataFrame = {
+    val n = lit("\\N")
+    val agg = detailAgg(t)
     // the current device's b_device merge row (UNIQUE KEY(device_id):
     // latest write wins = max event_id, the arrival order Doris sees) —
     // built inline rather than over routeDeviceRow because that row (like
@@ -204,7 +219,7 @@ object Dw {
           .otherwise(col("dev_model")).as("dev_cur_model"))
 
     agg.join(dcur, Seq("appkey", "cur_did"), "left")
-      .select(
+      .select(Seq(
         col("zg_id"), col("platform"), col("first_visit_time"),
         col("last_visit_time"), col("visit_times"), col("duration"),
         col("first_version"), col("first_channel"),
@@ -222,9 +237,7 @@ object Dw {
         col("current_l"), col("current_h"),
         coalesce(col("dev_cur_brand"), n).as("current_device_brand"),
         coalesce(col("dev_cur_model"), n).as("current_device_model"),
-        col("is_registered"),
-        n.as("attr1"), n.as("attr2"), n.as("attr3"), n.as("attr4"),
-        n.as("attr5"))
+        col("is_registered")) ++ attrCols: _*)
   }
 
   /** dw_user_anonymous — the b_user_anonymous view (1.sql:645-654):
@@ -250,10 +263,9 @@ object Dw {
     * wide profile row.
     */
   def userDetailSum(t: Tables): DataFrame =
-    detailRows(t)
-      .select(col("zg_id"), col("platform"), col("visit_times"),
-        col("duration"), col("attr1"), col("attr2"), col("attr3"),
-        col("attr4"), col("attr5"))
+    detailAgg(t)
+      .select(Seq(col("zg_id"), col("platform"), col("visit_times"),
+        col("duration")) ++ attrCols: _*)
       .orderBy(col("zg_id"))
 
   /** China MCC-MNC -> carrier display name (public ITU/MIIT allocations).
