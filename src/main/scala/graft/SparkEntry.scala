@@ -86,6 +86,7 @@ object SparkEntry {
     "dw_user_duration"         -> ((s, d) => Dw.userDuration(tables(s, d))),
     "dw_user_detail"           -> ((s, d) => Dw.userDetail(tables(s, d))),
     "dw_user_detail_sum"       -> ((s, d) => Dw.userDetailSum(tables(s, d))),
+    "dw_user_detail_inc"       -> ((s, d) => Dw.userDetailInc(tables(s, d))),
     "dw_user_all"              -> ((s, d) => Dw.userAll(tables(s, d))),
     "dw_user_anonymous"        -> ((s, d) => Dw.userAnonymous(tables(s, d))),
     // §2.6 ads / attribution
@@ -1217,6 +1218,11 @@ object SparkEntry {
          FROM adm GROUP BY 1, 2, 3, 6, 7, 8
          ORDER BY zg_id, day_id, period, platform""",
     "dw_user_detail" ->
+      s"""WITH $userDetailCtes
+         SELECT * FROM udetail ORDER BY zg_id""",
+    // the incremental fold must equal the full rescan — SAME oracle text,
+    // so a hash match proves the merge is lossless on this corpus
+    "dw_user_detail_inc" ->
       s"""WITH $userDetailCtes
          SELECT * FROM udetail ORDER BY zg_id""",
     "dw_user_detail_sum" ->

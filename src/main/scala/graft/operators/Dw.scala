@@ -149,8 +149,10 @@ object Dw {
     * block) — `userDetailSum` reads this directly so the sums table never
     * pays the device join it doesn't project.
     */
-  private def detailAgg(t: Tables): DataFrame = {
-    val ea = Route.routeEventAttr(t)
+  private def detailAgg(t: Tables): DataFrame =
+    detailAggOf(Route.routeEventAttr(t))
+
+  private def detailAggOf(ea: DataFrame): DataFrame = {
     val ord = struct(col("begin_date"), col("event_id"))
 
     ea.groupBy(col("zgid").as("zg_id")).agg(
@@ -190,9 +192,15 @@ object Dw {
   /** The unordered t_user_detail rows — the detail aggregate plus the
     * current-device block; shared by `userDetail` and `userAll`.
     */
-  private def detailRows(t: Tables): DataFrame = {
+  private def detailRows(t: Tables): DataFrame =
+    detailFinish(t, detailAgg(t))
+
+  /** Attach the current-device block and project the detail row — takes
+    * any frame with `detailAgg`'s columns, so the incremental fold
+    * finishes through the SAME tail as the full rescan.
+    */
+  private def detailFinish(t: Tables, agg: DataFrame): DataFrame = {
     val n = lit("\\N")
-    val agg = detailAgg(t)
     // the current device's b_device merge row (UNIQUE KEY(device_id):
     // latest write wins = max event_id, the arrival order Doris sees) —
     // built inline rather than over routeDeviceRow because that row (like
@@ -331,5 +339,97 @@ object Dw {
         col("attr1"), col("attr2"), col("attr3"), col("attr4"),
         col("attr5"))
       .orderBy(col("zg_id"))
+  }
+
+  // ---- incremental detail maintenance (the production update path) ----
+
+  /** Day boundaries splitting the corpus into three increments — stand-ins
+    * for "history so far" + two daily loads.
+    */
+  val incBoundaries: (String, String) = ("20240111", "20240121")
+
+  /** Mergeable per-zgid detail state over ONE event slice: first/last
+    * touch as (order-key, fields) structs so min_by/max_by re-merge across
+    * increments, sessions as an exact id set (the mergeable form of
+    * count_distinct; the 100 TB swap is an HLL sketch when per-user
+    * session sets stop being small), sums/maxes for the rest.
+    */
+  private def detailPartial(ea: DataFrame): DataFrame = {
+    val ord = struct(col("begin_date"), col("event_id"))
+    ea.groupBy(col("zgid").as("zg_id")).agg(
+      min_by(struct(ord.as("ord"), col("app_version"), col("channel"),
+        col("website"), col("utm_source"), col("utm_medium"),
+        col("utm_campaign"), col("utm_content"), col("utm_term"),
+        col("referrer_url")), ord).as("f"),
+      max_by(struct(ord.as("ord"), col("platform_id"), col("app_version"),
+        col("channel"), col("country"), col("area"), col("city"),
+        col("mccmnc"), col("bs"), col("bv"), col("os"), col("ov"),
+        col("zg_did")), ord).as("l"),
+      min(col("begin_date")).as("first_visit_time"),
+      max(col("begin_date")).as("last_visit_time"),
+      collect_set(when(col("zg_sid") =!= -1L, col("zg_sid"))).as("sids"),
+      sum(expr("try_cast(duration AS bigint)")).as("duration"),
+      max(when(col("zg_uid") =!= "\\N", 1).otherwise(0)).as("is_registered"))
+  }
+
+  /** Merge partial states (associative + commutative): min_by/max_by on
+    * the carried order keys, set-union for sessions, sum/min/max for the
+    * scalars. One groupBy over the unioned partials.
+    */
+  private def mergePartials(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _).groupBy("zg_id").agg(
+      min_by(col("f"), col("f.ord")).as("f"),
+      max_by(col("l"), col("l.ord")).as("l"),
+      min(col("first_visit_time")).as("first_visit_time"),
+      max(col("last_visit_time")).as("last_visit_time"),
+      array_distinct(flatten(collect_list(col("sids")))).as("sids"),
+      sum(col("duration")).as("duration"),
+      max(col("is_registered")).as("is_registered"))
+
+  /** dw_user_detail_inc — the INCREMENTAL maintenance path of
+    * t_user_detail: at 100 TB the profile table is never rebuilt by
+    * rescanning history; each load folds one day's partial state into the
+    * stored state (Doris's DUPLICATE KEY + job-side merge). Here the
+    * corpus splits into three increments, each collapses to its mergeable
+    * partial, the partials fold, and the SAME `detailFinish` tail projects
+    * the row — checked against the SAME oracle as `dw_user_detail`, so a
+    * hash match PROVES incremental == full rescan on this corpus.
+    */
+  def userDetailInc(t: Tables): DataFrame = {
+    val ea = Route.routeEventAttr(t)
+    val (d1, d2) = incBoundaries
+    val parts = Seq(
+      ea.filter(col("day_id") < d1),
+      ea.filter(col("day_id") >= d1 && col("day_id") < d2),
+      ea.filter(col("day_id") >= d2)).map(detailPartial)
+    val merged = mergePartials(parts).select(
+      col("zg_id"),
+      col("l.platform_id").as("platform"),
+      col("first_visit_time"), col("last_visit_time"),
+      size(col("sids")).cast("int").as("visit_times"),
+      col("duration"),
+      col("f.app_version").as("first_version"),
+      col("f.channel").as("first_channel"),
+      col("l.app_version").as("current_app_version"),
+      col("l.channel").as("current_app_channel"),
+      col("f.website").as("first_website"),
+      col("f.utm_source").as("utm_source"),
+      col("f.utm_medium").as("utm_medium"),
+      col("f.utm_campaign").as("utm_campaign"),
+      col("f.utm_content").as("utm_content"),
+      col("f.utm_term").as("utm_term"),
+      col("f.referrer_url").as("first_referrer_url"),
+      col("l.country").as("current_country"),
+      col("l.area").as("current_area"),
+      col("l.city").as("current_city"),
+      col("l.mccmnc").as("cur_mccmnc_s"),
+      col("l.bs").as("current_bs"),
+      col("l.bv").as("cur_bv_s"),
+      col("l.os").as("current_os"),
+      col("l.ov").as("cur_ov_s"),
+      col("l.zg_did").as("cur_did"),
+      col("is_registered"))
+      .withColumn("appkey", element_at(split(col("zg_id"), ":"), 3))
+    detailFinish(t, merged).orderBy(col("zg_id"))
   }
 }

@@ -95,6 +95,25 @@ class DwSpec extends SparkSpec {
     assert(a.count() == users)
   }
 
+  test("incremental detail fold equals the full rescan, with real increments") {
+    // every slice must contribute rows, or the merge proves nothing
+    val ea = Route.routeEventAttr(t)
+    val (d1, d2) = Dw.incBoundaries
+    assert(ea.filter(col("day_id") < d1).count() > 0)
+    assert(ea.filter(col("day_id") >= d1 && col("day_id") < d2).count() > 0)
+    assert(ea.filter(col("day_id") >= d2).count() > 0)
+    // and some zgid must span slices (the merge path with 2+ partials)
+    val spans = ea.select(col("zgid"),
+      (col("day_id") < d1).as("a"), (col("day_id") >= d2).as("b"))
+      .groupBy("zgid").agg(max(col("a")).as("a"), max(col("b")).as("b"))
+      .filter(col("a") && col("b")).count()
+    assert(spans > 0, "no user spans increments — merge untested")
+    val full = Dw.userDetail(t).collect().map(_.toSeq)
+    val inc = Dw.userDetailInc(t).collect().map(_.toSeq)
+    assert(inc.length == full.length)
+    inc.zip(full).foreach { case (i, f) => assert(i == f) }
+  }
+
   test("user_detail_sum is exactly the sums projection of user_detail") {
     val d = Dw.userDetail(t)
       .select("zg_id", "platform", "visit_times", "duration",
