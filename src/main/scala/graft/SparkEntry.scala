@@ -73,6 +73,7 @@ object SparkEntry {
     "route_user_prop_row"      -> ((s, d) => Route.routeUserPropRow(tables(s, d))),
     "route_event_attr"         -> ((s, d) => Route.routeEventAttr(tables(s, d))),
     "dq_validate"              -> ((s, d) => Route.dqValidate(tables(s, d))),
+    "dq_full_chain"            -> ((s, d) => Route.dqFullChain(tables(s, d))),
     "dq_error_stats"           -> ((s, d) => Route.dqErrorStats(tables(s, d))),
     "dim_platform"             -> ((s, d) => Route.dimPlatform(tables(s, d))),
     "dim_network"              -> ((s, d) => Route.dimNetwork(tables(s, d))),
@@ -328,6 +329,60 @@ object SparkEntry {
        FROM ev e
        LEFT JOIN uz u ON e.appkey = u.appkey AND e.cuid = u.cuid
        LEFT JOIN dz d ON e.appkey = d.appkey AND e.did = d.did"""
+
+  /** The basicSchema probe + error list as a CTE chain ending in `se`
+    * (carries every raw column plus okj/schema_errors) — the DuckDB mirror
+    * of Etl.withSchemaErrors, shared by etl_schema_check and
+    * dq_full_chain.
+    */
+  private def schemaProbeCtes: String = {
+    val duckPreds = Map(
+      "DATA_NONE"    -> "j_data IS NULL",
+      "DATA_DT_NONE" -> "j_data IS NOT NULL AND j_dt IS NULL",
+      "DATA_PR_NONE" -> "j_data IS NOT NULL AND j_pr IS NULL",
+      "SID_TYPE"     -> "j_sid IS NOT NULL AND try_cast(j_sid AS DOUBLE) IS NULL",
+      "CT_TYPE"      -> "j_ct IS NOT NULL AND try_cast(j_ct AS DOUBLE) IS NULL",
+      "TZ_NONE"      -> "j_tz IS NULL",
+      "AK_NONE"      -> "j_ak IS NULL",
+      "DEBUG_NONE"   -> "j_debug IS NULL",
+      "DEBUG_TYPE"   -> "j_debug IS NOT NULL AND try_cast(j_debug AS BIGINT) IS NULL",
+      "SLN_NONE"     -> "j_sln IS NULL",
+      "OWNER_NONE"   -> "j_owner IS NULL",
+      "PL_ENUM"      -> ("j_pl IS NULL OR j_pl NOT IN " +
+        "('none','and','ios','js','wxa','server','harmonyos')"),
+      "SDK_NONE"     -> "j_sdk IS NULL",
+      "SDKV_NONE"    -> "j_sdkv IS NULL",
+      "USR_NONE"     -> "j_usr IS NULL",
+      "DID_NONE"     -> "j_did IS NULL OR length(j_did) < 1",
+      "DID_LEN"      -> "j_did IS NOT NULL AND length(j_did) > 100",
+      "UT_NONE"      -> "j_ut IS NULL",
+      "IP_NONE"      -> "j_ip IS NULL",
+      "UA_NONE"      -> "j_ua IS NULL")
+    val cases = Etl.schemaMatrix
+      .map { case (tag, _) => s"CASE WHEN ${duckPreds(tag)} THEN '$tag' END" }
+      .mkString(", ")
+    s"""sp AS (SELECT raw.*, json_valid(msg) AS okj,
+           CASE WHEN json_valid(msg) THEN msg ELSE '{}' END AS jm
+         FROM raw),
+       sj AS (SELECT sp.*,
+           jm::JSON->'data' AS j_data,
+           jm::JSON->'data'->0->>'dt' AS j_dt,
+           jm::JSON->'data'->0->'pr' AS j_pr,
+           json_extract_string(jm, '$$.data[0].pr."$$sid"') AS j_sid,
+           json_extract_string(jm, '$$.data[0].pr."$$ct"') AS j_ct,
+           jm::JSON->>'tz' AS j_tz, jm::JSON->>'ak' AS j_ak,
+           jm::JSON->>'debug' AS j_debug, jm::JSON->>'sln' AS j_sln,
+           jm::JSON->>'owner' AS j_owner, jm::JSON->>'pl' AS j_pl,
+           jm::JSON->>'sdk' AS j_sdk, jm::JSON->>'sdkv' AS j_sdkv,
+           jm::JSON->'usr' AS j_usr, jm::JSON->'usr'->>'did' AS j_did,
+           jm::JSON->>'ut' AS j_ut, jm::JSON->>'ip' AS j_ip,
+           jm::JSON->>'ua' AS j_ua
+         FROM sp),
+       se AS (SELECT sj.*,
+           CASE WHEN NOT okj THEN 'BASIC_SCHEMA_FORMAT_NOT_MATCH'
+                ELSE concat_ws(',', $cases) END AS schema_errors
+         FROM sj)"""
+  }
 
   private def platformDimCte: String =
     "dim(pl, platform_id) AS (VALUES " +
@@ -755,56 +810,40 @@ object SparkEntry {
            CASE WHEN json_valid(raw_props) THEN 0 ELSE -1 END AS result,
            CASE WHEN json_valid(raw_props) THEN NULL ELSE 1020002 END AS error_code
          FROM raw ORDER BY event_id""",
-    "etl_schema_check" -> {
-      // DuckDB mirror of Etl.schemaMatrix over the same probe columns
-      val duckPreds = Map(
-        "DATA_NONE"    -> "j_data IS NULL",
-        "DATA_DT_NONE" -> "j_data IS NOT NULL AND j_dt IS NULL",
-        "DATA_PR_NONE" -> "j_data IS NOT NULL AND j_pr IS NULL",
-        "SID_TYPE"     -> "j_sid IS NOT NULL AND try_cast(j_sid AS DOUBLE) IS NULL",
-        "CT_TYPE"      -> "j_ct IS NOT NULL AND try_cast(j_ct AS DOUBLE) IS NULL",
-        "TZ_NONE"      -> "j_tz IS NULL",
-        "AK_NONE"      -> "j_ak IS NULL",
-        "DEBUG_NONE"   -> "j_debug IS NULL",
-        "DEBUG_TYPE"   -> "j_debug IS NOT NULL AND try_cast(j_debug AS BIGINT) IS NULL",
-        "SLN_NONE"     -> "j_sln IS NULL",
-        "OWNER_NONE"   -> "j_owner IS NULL",
-        "PL_ENUM"      -> ("j_pl IS NULL OR j_pl NOT IN " +
-          "('none','and','ios','js','wxa','server','harmonyos')"),
-        "SDK_NONE"     -> "j_sdk IS NULL",
-        "SDKV_NONE"    -> "j_sdkv IS NULL",
-        "USR_NONE"     -> "j_usr IS NULL",
-        "DID_NONE"     -> "j_did IS NULL OR length(j_did) < 1",
-        "DID_LEN"      -> "j_did IS NOT NULL AND length(j_did) > 100",
-        "UT_NONE"      -> "j_ut IS NULL",
-        "IP_NONE"      -> "j_ip IS NULL",
-        "UA_NONE"      -> "j_ua IS NULL")
-      val cases = Etl.schemaMatrix
-        .map { case (tag, _) => s"CASE WHEN ${duckPreds(tag)} THEN '$tag' END" }
-        .mkString(", ")
+    "etl_schema_check" ->
       s"""WITH ${Envelope.oracleRaw},
-         p AS (SELECT event_id, okj,
-             jm::JSON->'data' AS j_data,
-             jm::JSON->'data'->0->>'dt' AS j_dt,
-             jm::JSON->'data'->0->'pr' AS j_pr,
-             json_extract_string(jm, '$$.data[0].pr."$$sid"') AS j_sid,
-             json_extract_string(jm, '$$.data[0].pr."$$ct"') AS j_ct,
-             jm::JSON->>'tz' AS j_tz, jm::JSON->>'ak' AS j_ak,
-             jm::JSON->>'debug' AS j_debug, jm::JSON->>'sln' AS j_sln,
-             jm::JSON->>'owner' AS j_owner, jm::JSON->>'pl' AS j_pl,
-             jm::JSON->>'sdk' AS j_sdk, jm::JSON->>'sdkv' AS j_sdkv,
-             jm::JSON->'usr' AS j_usr, jm::JSON->'usr'->>'did' AS j_did,
-             jm::JSON->>'ut' AS j_ut, jm::JSON->>'ip' AS j_ip, jm::JSON->>'ua' AS j_ua
-           FROM (SELECT event_id, json_valid(msg) AS okj,
-                   CASE WHEN json_valid(msg) THEN msg ELSE '{}' END AS jm
-                 FROM raw)),
-         e AS (SELECT event_id,
-             CASE WHEN NOT okj THEN 'BASIC_SCHEMA_FORMAT_NOT_MATCH'
-                  ELSE concat_ws(',', $cases) END AS errors
-           FROM p)
+         $schemaProbeCtes
          SELECT event_id,
-           CASE WHEN errors <> '' THEN -1 ELSE 0 END AS result, errors
-         FROM e ORDER BY event_id"""
+           CASE WHEN schema_errors <> '' THEN -1 ELSE 0 END AS result,
+           schema_errors AS errors
+         FROM se ORDER BY event_id""",
+    "dq_full_chain" -> {
+      val ips = Etl.ipBlacklist.map { case (a, i) => s"('$a', '$i')" }.mkString(", ")
+      val uas = Etl.uaBlacklist.map { case (a, u) => s"('$a', '$u')" }.mkString(", ")
+      val aks = Etl.akBlacklist.map(a => s"'$a'").mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         $schemaProbeCtes,
+         ipb(appkey, ip) AS (VALUES $ips),
+         uab(appkey, ua) AS (VALUES $uas)
+         SELECT s.event_id,
+           CASE WHEN i.ip IS NOT NULL THEN ${Etl.Err.IpBlock}
+                WHEN u.ua IS NOT NULL THEN ${Etl.Err.UaBlock}
+                WHEN NOT s.okj THEN ${Etl.Err.JsonFormatError}
+                WHEN s.appkey = '' THEN ${Etl.Err.AkNone}
+                WHEN s.schema_errors <> '' THEN ${Etl.Err.BasicSchemaFormatNotMatch}
+                WHEN s.appkey = '' OR (s.did = '' AND s.cuid IS NULL)
+                  THEN ${Route.Err.ZgZgidNone}
+                WHEN s.did = '' THEN ${Route.Err.ZgDidNone}
+                WHEN s.sdk NOT IN ('zg_server','zg-cdp')
+                     AND (s.ts < TIMESTAMP '${Route.dqWindowStart}'
+                          OR s.ts >= TIMESTAMP '${Route.dqWindowEnd}')
+                  THEN ${Route.Err.EventTimeExceedsRange}
+                ELSE 0 END AS error_code
+         FROM se s
+         LEFT JOIN ipb i ON s.appkey = i.appkey AND s.ip = i.ip
+         LEFT JOIN uab u ON s.appkey = u.appkey AND s.ua = u.ua
+         WHERE s.appkey NOT IN ($aks)
+         ORDER BY s.event_id"""
     },
     "etl_appid_business" ->
       s"""WITH ${Envelope.oracleRaw},

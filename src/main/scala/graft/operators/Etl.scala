@@ -22,6 +22,7 @@ object Etl {
     val DidNone                   = 1020004 // DID_NONE
     val IpBlock                   = 1010001 // IP_BLOCK
     val UaBlock                   = 1010002 // UA_BLOCK
+    val JsonFormatError           = 1020001 // JSON_FORMAT_ERROR
   }
 
   /** Per-app gate blacklists (GateFlatMapFunction.java:46-58: the
@@ -132,36 +133,43 @@ object Etl {
     * JSONException catch); otherwise every matrix violation collects into
     * a comma-joined error list (the ValidationException message list).
     */
-  def schemaCheck(t: Tables): DataFrame = {
-    val probes = env(t).selectExpr(
-      "event_id", "msg",
-      "try_parse_json(msg) IS NOT NULL AS okj",
-      // ONE typed parse serves every probe column — per-field get_json_object
-      // calls would each re-parse the whole multi-KB message
-      "from_json(msg, 'data ARRAY<STRUCT<dt STRING, pr STRUCT<`$sid` STRING, `$ct` STRING>>>, " +
-        "tz STRING, ak STRING, debug STRING, sln STRING, owner STRING, pl STRING, " +
-        "sdk STRING, sdkv STRING, usr STRUCT<did STRING>, ut STRING, ip STRING, ua STRING') AS m")
-      .selectExpr(
-        "event_id", "msg", "okj",
-        "to_json(m.data) AS j_data",
-        "m.data[0].dt AS j_dt0",
-        "to_json(m.data[0].pr) AS j_pr",
-        "m.data[0].pr.`$sid` AS j_sid",
-        "m.data[0].pr.`$ct` AS j_ct",
-        "m.tz AS j_tz", "m.ak AS j_ak", "m.debug AS j_debug", "m.sln AS j_sln",
-        "m.owner AS j_owner", "m.pl AS j_pl", "m.sdk AS j_sdk", "m.sdkv AS j_sdkv",
-        "to_json(m.usr) AS j_usr", "m.usr.did AS j_did", "m.ut AS j_ut",
-        "m.ip AS j_ip", "m.ua AS j_ua")
-    val errorList = concat_ws(",",
-      schemaMatrix.map { case (tag, pred) => expr(s"CASE WHEN $pred THEN '$tag' END") }: _*)
-    probes.select(
-      col("event_id"),
-      when(!col("okj"), lit("BASIC_SCHEMA_FORMAT_NOT_MATCH")).otherwise(errorList).as("errors"))
+  def schemaCheck(t: Tables): DataFrame =
+    withSchemaErrors(env(t))
       .select(
         col("event_id"),
-        when(col("errors") =!= "", lit(-1)).otherwise(lit(0)).as("result"),
-        col("errors"))
+        when(col("schema_errors") =!= "", lit(-1)).otherwise(lit(0)).as("result"),
+        col("schema_errors").as("errors"))
       .orderBy(col("event_id"))
+
+  /** The schema validation as ADDED columns (`okj`, `schema_errors`) on an
+    * envelope frame — shared by schemaCheck and the unified DQ chain, so
+    * the matrix evaluates exactly once per consumer plan.
+    */
+  private[operators] def withSchemaErrors(e: DataFrame): DataFrame = {
+    val probed = e
+      .withColumn("okj", expr("try_parse_json(msg) IS NOT NULL"))
+      // ONE typed parse serves every probe column — per-field
+      // get_json_object calls would each re-parse the multi-KB message
+      .withColumn("m", expr(
+        "from_json(msg, 'data ARRAY<STRUCT<dt STRING, pr STRUCT<`$sid` STRING, `$ct` STRING>>>, " +
+          "tz STRING, ak STRING, debug STRING, sln STRING, owner STRING, pl STRING, " +
+          "sdk STRING, sdkv STRING, usr STRUCT<did STRING>, ut STRING, ip STRING, ua STRING')"))
+      .withColumns(Map(
+        "j_data" -> expr("to_json(m.data)"),
+        "j_dt0"  -> expr("m.data[0].dt"),
+        "j_pr"   -> expr("to_json(m.data[0].pr)"),
+        "j_sid"  -> expr("m.data[0].pr.`$sid`"),
+        "j_ct"   -> expr("m.data[0].pr.`$ct`"),
+        "j_tz"   -> expr("m.tz"), "j_ak" -> expr("m.ak"),
+        "j_debug" -> expr("m.debug"), "j_sln" -> expr("m.sln"),
+        "j_owner" -> expr("m.owner"), "j_pl" -> expr("m.pl"),
+        "j_sdk"  -> expr("m.sdk"), "j_sdkv" -> expr("m.sdkv"),
+        "j_usr"  -> expr("to_json(m.usr)"), "j_did" -> expr("m.usr.did"),
+        "j_ut"   -> expr("m.ut"), "j_ip" -> expr("m.ip"), "j_ua" -> expr("m.ua")))
+    val errorList = concat_ws(",",
+      schemaMatrix.map { case (tag, pred) => expr(s"CASE WHEN $pred THEN '$tag' END") }: _*)
+    probed.withColumn("schema_errors",
+      when(!col("okj"), lit("BASIC_SCHEMA_FORMAT_NOT_MATCH")).otherwise(errorList))
   }
 
   /** #4 etl_appid_business — SetAppIdAndBusinessOperator.java: the app

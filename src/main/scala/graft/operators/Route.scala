@@ -441,6 +441,41 @@ object Route {
     env(t).select(col("event_id"), errorCodeCol.as("error_code"))
       .orderBy(col("event_id"))
 
+  /** dq_full_chain — the unified DQ ledger: each surviving event's
+    * FIRST-failing error code across the whole chain, in the reference's
+    * processing order (GateJob:113-121 flatMap→process, then the DW-side
+    * transfer guards), with the real ErrorMessageEnum codes:
+    * blocked-ak messages drop outright (GateFlatMapFunction's silent
+    * drop), then IP_BLOCK / UA_BLOCK (1010001/2, the data_access_filter
+    * sets), JSON_FORMAT_ERROR (1020001, the resolver parse),
+    * AK_NONE (1010006, the app registry miss),
+    * BASIC_SCHEMA_FORMAT_NOT_MATCH (1020002, any matrix violation), and
+    * finally the DW admission codes dq_validate already pins. This is the
+    * content of the reference's DQ Kafka topic as one declarative pass:
+    * schema probes are computed ONCE (shared `withSchemaErrors` columns),
+    * blacklists broadcast, zero self-joins.
+    */
+  def dqFullChain(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip")
+      .withColumn("ip_blocked", lit(true)))
+    val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua")
+      .withColumn("ua_blocked", lit(true)))
+    Etl.withSchemaErrors(env(t))
+      .filter(!col("appkey").isin(Etl.akBlacklist: _*))
+      .join(ipB, Seq("appkey", "ip"), "left")
+      .join(uaB, Seq("appkey", "ua"), "left")
+      .select(col("event_id"),
+        when(col("ip_blocked"), lit(Etl.Err.IpBlock))
+          .when(col("ua_blocked"), lit(Etl.Err.UaBlock))
+          .when(!col("okj"), lit(Etl.Err.JsonFormatError))
+          .when(col("appkey") === "", lit(Etl.Err.AkNone))
+          .when(col("schema_errors") =!= "", lit(Etl.Err.BasicSchemaFormatNotMatch))
+          .otherwise(errorCodeCol).as("error_code"))
+      .orderBy(col("event_id"))
+  }
+
   /** The #21 validation verdict as a single column expression (shared by
     * dq_validate and dq_error_stats so the stats path needs no self-join —
     * one scan, one narrow shuffle).

@@ -5,6 +5,35 @@ import org.apache.spark.sql.functions._
 
 class RouteAdvSpec extends SparkSpec {
 
+  test("unified DQ chain emits known codes with gate-stage precedence") {
+    import graft.operators.Etl
+    val rows = Route.dqFullChain(t).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("error_code")).toMap
+    val known = Set(0, Etl.Err.IpBlock, Etl.Err.UaBlock, Etl.Err.JsonFormatError,
+      Etl.Err.AkNone, Etl.Err.BasicSchemaFormatNotMatch,
+      Route.Err.ZgZgidNone, Route.Err.ZgDidNone, Route.Err.EventTimeExceedsRange)
+    assert(rows.values.toSet.subsetOf(known))
+    // at least the gate, schema and dw stages all fire on this corpus
+    assert(rows.values.toSet.intersect(Set(Etl.Err.IpBlock,
+      Etl.Err.JsonFormatError, Etl.Err.AkNone)).nonEmpty)
+    assert(rows.values.exists(_ == Etl.Err.BasicSchemaFormatNotMatch))
+    assert(rows.values.exists(_ == Route.Err.EventTimeExceedsRange))
+    assert(rows.values.exists(_ == 0))
+    // stage shadowing: an empty did is a schema violation FIRST, so the
+    // dw-side ZG_DID_NONE can never surface in the unified ledger — every
+    // did='' event of a registered app reads an earlier-stage code
+    assert(!rows.values.exists(_ == Route.Err.ZgDidNone))
+    // blacklist outranks everything: a blacklisted-ip event of a registered
+    // app always reads IP_BLOCK even if its message is also schema-broken
+    val env = Envelope.attach(t.events)
+      .select("event_id", "appkey", "ip").collect()
+    val blocked = graft.operators.Etl.ipBlacklist.toSet
+    env.filter(r => blocked.contains((r.getAs[String]("appkey"), r.getAs[String]("ip"))))
+      .foreach { r =>
+        assert(rows(r.getAs[Long]("event_id")) == Etl.Err.IpBlock, s"$r")
+      }
+  }
+
   test("routing covers every event and only known sinks") {
     val rows = Route.routeByDt(t).collect()
     val routes = rows.map(_.getAs[String]("route")).toSet
