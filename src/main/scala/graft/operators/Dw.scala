@@ -396,6 +396,10 @@ object Dw {
     * hash match PROVES incremental == full rescan on this corpus.
     */
   def userDetailInc(t: Tables): DataFrame = {
+    // deliberately NOT checkpointed: the three increment filters each
+    // prune the wide row to the ~20 columns the partial needs, which
+    // measures faster than materializing the full row once (and in
+    // production each increment is its own physical partition anyway)
     val ea = Route.routeEventAttr(t)
     val (d1, d2) = incBoundaries
     val parts = Seq(

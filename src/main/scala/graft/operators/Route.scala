@@ -455,25 +455,34 @@ object Route {
     * schema probes are computed ONCE (shared `withSchemaErrors` columns),
     * blacklists broadcast, zero self-joins.
     */
-  def dqFullChain(t: Tables): DataFrame = {
-    val spark = t.spark
+  def dqFullChain(t: Tables): DataFrame =
+    withChainCode(env(t))
+      .select(col("event_id"), col("error_code"))
+      .orderBy(col("event_id"))
+
+  /** The unified chain verdict as an ADDED `error_code` column on any
+    * envelope frame — ONE definition shared by the batch ledger and the
+    * streaming DQ leg (all stateless expressions + broadcast dims, so it
+    * streams as-is).
+    */
+  private[graft] def withChainCode(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
     val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip")
       .withColumn("ip_blocked", lit(true)))
     val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua")
       .withColumn("ua_blocked", lit(true)))
-    Etl.withSchemaErrors(env(t))
+    Etl.withSchemaErrors(e)
       .filter(!col("appkey").isin(Etl.akBlacklist: _*))
       .join(ipB, Seq("appkey", "ip"), "left")
       .join(uaB, Seq("appkey", "ua"), "left")
-      .select(col("event_id"),
+      .withColumn("error_code",
         when(col("ip_blocked"), lit(Etl.Err.IpBlock))
           .when(col("ua_blocked"), lit(Etl.Err.UaBlock))
           .when(!col("okj"), lit(Etl.Err.JsonFormatError))
           .when(col("appkey") === "", lit(Etl.Err.AkNone))
           .when(col("schema_errors") =!= "", lit(Etl.Err.BasicSchemaFormatNotMatch))
-          .otherwise(errorCodeCol).as("error_code"))
-      .orderBy(col("event_id"))
+          .otherwise(errorCodeCol))
   }
 
   /** The #21 validation verdict as a single column expression (shared by

@@ -66,6 +66,19 @@ object EventStreamPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("route"), col("n"))
 
+  /** Watermarked hourly counts per UNIFIED chain error code — the live
+    * form of the reference's DQ Kafka topic with real ErrorMessageEnum
+    * codes. `Route.withChainCode` is the SAME expression set as the batch
+    * ledger (stateless + broadcast dims), so the stream cannot drift from
+    * the batch semantics.
+    */
+  def dqChainWindowCounts(events: DataFrame): DataFrame =
+    Route.withChainCode(Envelope.attach(events))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour"), col("error_code"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("error_code"), col("n"))
+
   /** Stream-static enrichment: the geo interval dim (tiny, broadcast) range-
     * joined against the live stream — the streaming form of #15. Stream-
     * static joins are stateless on the stream side, so this adds zero state

@@ -139,6 +139,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "gate passed nothing on the test corpus")
   }
 
+  test("streaming DQ chain counts agree with the batch ledger per code") {
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val out = EventStreamPipeline.dqChainWindowCounts(events)
+    // complete mode: append would withhold windows the 1-day watermark
+    // has not passed yet (the corpus's final day)
+    runToMemory("dqchain", out, "complete")
+    val got = spark.sql("SELECT error_code, sum(n) AS n FROM dqchain GROUP BY 1")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Route.dqFullChain(t)
+      .groupBy("error_code").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(want.size >= 4, "chain stages under-exercised on this corpus")
+  }
+
   test("streaming deep-convert matches batch sends exactly, multi-event included") {
     import graft.operators.Adv
     val events = EventStreamPipeline.readEvents(spark, streamDir)
