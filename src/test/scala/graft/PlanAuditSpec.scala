@@ -280,6 +280,25 @@ class PlanAuditSpec extends SparkSpec {
       s"asof decomposed into extra shuffle joins:\n$p")
   }
 
+  test("unified DQ chain is one scan with broadcast blacklists, no self-join") {
+    val p = plan(graft.operators.Route.dqFullChain(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"chain gained a shuffle join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"blacklist dims not broadcast:\n$p")
+    // exactly one events scan — the schema probes and the dw verdict must
+    // share it, not re-read
+    assert("Scan parquet".r.findAllIn(p).length <= 1, s"chain re-scans:\n$p")
+  }
+
+  test("incremental detail fold keeps partial aggregation per increment") {
+    val p = plan(graft.operators.Dw.userDetailInc(t))
+    assert(!p.contains("CartesianProduct"), s"fold went quadratic:\n$p")
+    // three increments x (partial + final) + the merge + finish layers
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).length >= 6,
+      s"partials lost map-side aggregation:\n$p")
+  }
+
   test("f_user_all composes post-rollup frames; name dims stay literal CASEs") {
     val p = plan(graft.operators.Dw.userAll(t))
     assert(!p.contains("CartesianProduct"), s"profile join went quadratic:\n$p")
