@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_paragraph"     -> ((s, d) => Dedup.paragraphBoiler(tables(s, d))),
     "dedup_substring"     -> ((s, d) => Dedup.substringDup(tables(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(tables(s, d))),
+    "dedup_minhash_inc"   -> ((s, d) => Dedup.minhashIncremental(tables(s, d))),
     "dedup_groups"        -> ((s, d) => Dedup.dupGroups(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
     "sim_ann_cosine_topk" -> ((s, d) => Sim.cosineTopK(tables(s, d))),
@@ -2056,6 +2057,48 @@ object SparkEntry {
          SELECT s.doc_id, md5(concat_ws(':', $allMh)) AS sig_id,
            coalesce(nc.n, 0) AS n_candidates
          FROM sig s LEFT JOIN nc ON s.doc_id = nc.doc_id ORDER BY s.doc_id"""
+    },
+    "dedup_minhash_inc" -> {
+      val p = Dedup.MersennePrime
+      val mins = (0 until Dedup.minhashK).map(j =>
+        s"min((h0 * ${2 * j + 3} + ${j.toLong * 2654435761L} + 1) % $p) AS mh$j").mkString(", ")
+      val allMh = (0 until Dedup.minhashK).map(j => s"mh$j").mkString(", ")
+      val bandSelects = (0 until Dedup.minhashK / Dedup.bandSize).map { b =>
+        val cols = (b * Dedup.bandSize until (b + 1) * Dedup.bandSize)
+          .map(j => s"mh$j").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(':', $cols)) AS band_key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+         s0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d3),
+         sh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s FROM s0),
+         h AS (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % $p AS h0
+               FROM sh),
+         sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         mx AS (SELECT max(doc_id) AS m FROM sig),
+         bands AS ($bandSelects),
+         db AS (SELECT b.* FROM bands b, mx WHERE b.doc_id * 5 > mx.m * 4),
+         ib AS (SELECT b.* FROM bands b, mx WHERE NOT (b.doc_id * 5 > mx.m * 4)),
+         ci AS (SELECT doc_id, count(*) AS n FROM
+                  (SELECT DISTINCT a.doc_id, b.doc_id AS pid
+                   FROM db a JOIN ib b
+                     ON a.band = b.band AND a.band_key = b.band_key)
+                GROUP BY doc_id),
+         cp AS (SELECT doc_id, count(*) AS n FROM
+                  (SELECT DISTINCT a.doc_id, b.doc_id AS pid
+                   FROM db a JOIN db b
+                     ON a.band = b.band AND a.band_key = b.band_key
+                        AND b.doc_id < a.doc_id)
+                GROUP BY doc_id),
+         delta AS (SELECT s.* FROM sig s, mx WHERE s.doc_id * 5 > mx.m * 4)
+         SELECT s.doc_id, md5(concat_ws(':', $allMh)) AS sig_id,
+           coalesce(ci.n, 0) AS n_index_candidates,
+           coalesce(cp.n, 0) AS n_prior_candidates,
+           (coalesce(ci.n, 0) > 0 OR coalesce(cp.n, 0) > 0) AS is_dup
+         FROM delta s LEFT JOIN ci ON s.doc_id = ci.doc_id
+           LEFT JOIN cp ON s.doc_id = cp.doc_id ORDER BY s.doc_id"""
     },
     "dedup_simhash" -> {
       val bits = Dedup.simhashBits

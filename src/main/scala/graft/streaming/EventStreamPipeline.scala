@@ -22,9 +22,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreamPipeline {
 
-  /** Events schema as the streaming source sees it (ts = TIMESTAMP(NANOS)
-    * arrives as long under nanosAsLong; converted right after read, exactly
-    * like sources.Tables.events).
+  /** Events schema as the streaming source sees it. `ts` is declared a raw
+    * long: the generator's physical type has varied across rounds
+    * (TIMESTAMP(NANOS), TIMESTAMP(MICROS)/NTZ — both INT64 on disk), and a
+    * long schema reads every variant; `Tables.epochMicros` then detects the
+    * precision by magnitude and restores a proper timestamp, exactly like
+    * the batch loader.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -39,7 +42,7 @@ object EventStreamPipeline {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", timestamp_micros(graft.sources.Tables.epochMicros(col("ts"))))
 
   /** The IdJob+DwJob chain as one streaming transform: envelope → owner
     * normalization → DQ verdict → route. All stateless column work —
