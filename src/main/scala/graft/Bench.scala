@@ -35,7 +35,13 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset (local spot timing)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    val results = selected.map { case (name, fn) =>
       val g0 = gcMs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

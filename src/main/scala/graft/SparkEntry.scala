@@ -37,6 +37,7 @@ object SparkEntry {
     "id_zgid_resolution"   -> ((s, d) => Identity.zgidResolution(tables(s, d))),
     "id_sessionize"        -> ((s, d) => Identity.sessionize(tables(s, d))),
     "id_archive_dedup"     -> ((s, d) => Identity.archiveDedup(tables(s, d))),
+    "id_archive_route"     -> ((s, d) => Identity.archiveRoute(tables(s, d))),
     // §2.3 config-driven derivation
     "derive_virtual_property" -> ((s, d) => Derive.virtualProperty(tables(s, d))),
     "derive_virtual_event"    -> ((s, d) => Derive.virtualEvent(tables(s, d))),
@@ -61,6 +62,7 @@ object SparkEntry {
     "adv_attribute_event"     -> ((s, d) => Adv.attributeEvent(tables(s, d))),
     "adv_channel_rollup"      -> ((s, d) => Adv.channelRollup(tables(s, d))),
     "adv_asa_fields"          -> ((s, d) => Adv.asaFields(tables(s, d))),
+    "adv_admission_stats"     -> ((s, d) => Adv.admissionStats(tables(s, d))),
     "sim_ann_ivf"             -> ((s, d) => Sim.ivfTopK(tables(s, d))),
     // end-to-end: the full IdJob→DwJob chain in one plan
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
@@ -185,15 +187,35 @@ object SparkEntry {
   private def advOrigList: String = operators.Adv.adIdOriginExclude.map(s => s"'$s'").mkString(", ")
   private def advMd5List: String = operators.Adv.adIdMd5Exclude.map(s => s"'$s'").mkString(", ")
 
+  /** The AdvJob admission CTE chain ending in `advadm` (mirrors
+    * Adv.advAdmitted): raw ⋈ the company/business-admitted ad-app registry,
+    * minus the per-app data_access_filter ip/ua blacklist rows — shared by
+    * every adv oracle so the gate cannot drift between legs.
+    */
+  private def advAdmitCte: String = {
+    val apps = operators.Adv.adAppRegistry
+      .map { case (k, id) => s"('$k', $id)" }.mkString(", ")
+    val ips = Etl.ipBlacklist.map { case (a, i) => s"('$a', '$i')" }.mkString(", ")
+    val uas = Etl.uaBlacklist.map { case (a, u) => s"('$a', '$u')" }.mkString(", ")
+    s"""apps(appkey, ad_app_id) AS (VALUES $apps),
+       aipb(appkey, ip) AS (VALUES $ips),
+       auab(appkey, ua) AS (VALUES $uas),
+       advadm AS (SELECT r.*, a.ad_app_id FROM raw r
+         JOIN apps a ON r.appkey = a.appkey
+         WHERE NOT EXISTS (SELECT 1 FROM aipb b
+             WHERE b.appkey = r.appkey AND b.ip = r.ip)
+           AND NOT EXISTS (SELECT 1 FROM auab b
+             WHERE b.appkey = r.appkey AND b.ua = r.ua))"""
+  }
+
   /** Shared DuckDB CTE chain for the ad-state operators (mirrors
     * Adv.appAdLatest): registered apps → synthesized adtf clicks →
     * normalized ids → match keys → latest-per-key rank in `l`.
     */
   private def advAdStateCtes: String =
-    s"""apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
-      .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
+    s"""$advAdmitCte,
        clicks AS (
-         SELECT r.event_id AS lid, a.ad_app_id, r.ip, r.ua,
+         SELECT r.event_id AS lid, r.ad_app_id, r.ip, r.ua,
            CASE r.event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
              WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
              WHEN 4 THEN md5(concat('m', cast(r.user_id AS string)))
@@ -202,7 +224,7 @@ object SparkEntry {
              ELSE concat('oaid-', cast(r.user_id AS string)) END AS oaid_raw,
            CASE WHEN r.event_id % 2 = 0 THEN (1700000000 + r.event_id) * 1000
              ELSE 1700000000000 + r.event_id END AS click_time
-         FROM raw r JOIN apps a ON r.appkey = a.appkey
+         FROM advadm r
          WHERE r.event_type = 'click'),
        nrm AS (SELECT *,
            CASE WHEN click_time < 10000000000 THEN click_time * 1000
@@ -259,7 +281,7 @@ object SparkEntry {
            CASE WHEN args_t = 'VARCHAR' AND json_valid(args_s)
                 THEN args_s::JSON->>'encrypt' END AS arg_encrypt
          FROM p),
-       v AS (SELECT event_id, ip_s, now_s, hdr_ua,
+       v AS MATERIALIZED (SELECT event_id, ip_s, now_s, hdr_ua,
            CASE WHEN NOT okj THEN 'JSON_BAD'
                 WHEN ip_s IS NULL OR ip_t IN $num THEN 'IP_BAD'
                 WHEN now_s IS NULL OR now_t NOT IN $num THEN 'NOW_BAD'
@@ -299,12 +321,12 @@ object SparkEntry {
     * the Id-entry operators, the gate-passed set for the AllJob chain).
     */
   private def zgidCtes(src: String = "raw"): String =
-    s"""ev AS (SELECT event_id, ts, appkey, did, cuid FROM $src WHERE appkey <> ''),
-       ufd AS (SELECT appkey, cuid, did FROM (
+    s"""ev AS MATERIALIZED (SELECT event_id, ts, appkey, did, cuid FROM $src WHERE appkey <> ''),
+       ufd AS MATERIALIZED (SELECT appkey, cuid, did FROM (
          SELECT appkey, cuid, did,
            row_number() OVER (PARTITION BY appkey, cuid ORDER BY ts, event_id) AS rn
          FROM ev WHERE cuid IS NOT NULL AND did <> '') WHERE rn = 1),
-       dfu AS (SELECT appkey, did, cuid AS first_cuid FROM (
+       dfu AS MATERIALIZED (SELECT appkey, did, cuid AS first_cuid FROM (
          SELECT appkey, did, cuid,
            row_number() OVER (PARTITION BY appkey, did ORDER BY ts, event_id) AS rn
          FROM ev WHERE did <> '' AND cuid IS NOT NULL) WHERE rn = 1),
@@ -312,11 +334,11 @@ object SparkEntry {
            CASE WHEN f.first_cuid = u.cuid THEN concat('z:d:', u.appkey, ':', u.did)
                 ELSE concat('z:u:', u.appkey, ':', u.cuid) END AS zgid
          FROM ufd u LEFT JOIN dfu f ON u.appkey = f.appkey AND u.did = f.did),
-       uz AS (SELECT a.appkey, a.cuid,
+       uz AS MATERIALIZED (SELECT a.appkey, a.cuid,
            coalesce(z.zgid, concat('z:u:', a.appkey, ':', a.cuid)) AS u_zgid
          FROM (SELECT DISTINCT appkey, cuid FROM ev WHERE cuid IS NOT NULL) a
          LEFT JOIN uz0 z ON a.appkey = z.appkey AND a.cuid = z.cuid),
-       dz AS (SELECT d.appkey, d.did,
+       dz AS MATERIALIZED (SELECT d.appkey, d.did,
            coalesce(z.u_zgid, concat('z:d:', d.appkey, ':', d.did)) AS d_zgid
          FROM (SELECT DISTINCT appkey, did FROM ev WHERE did <> '') d
          LEFT JOIN dfu f ON d.appkey = f.appkey AND d.did = f.did
@@ -398,7 +420,7 @@ object SparkEntry {
     * dedicated prefix below or the wider `eventAttrRowCtes` chain.
     */
   private def dwAdmittedBody: String =
-    """adm AS (SELECT r.*, z.zgid, dv.zg_did,
+    """adm AS MATERIALIZED (SELECT r.*, z.zgid, dv.zg_did,
            coalesce(d.platform_id, 0) AS platform,
            CAST(strftime(r.ts, '%Y%m%d') AS INT) AS begin_day_id,
            CAST(year(r.ts) * 100 + weekofyear(CAST(r.ts AS DATE)) AS INT) AS yearweek,
@@ -424,7 +446,7 @@ object SparkEntry {
   private def dwAdmittedCtes: String =
     s"""${Envelope.oracleRaw},
        ${zgidCtes()},
-       zg AS ($zgidSelect),
+       zg AS MATERIALIZED ($zgidSelect),
        $platformDimCte,
        $devMapCte,
        $dwAdmittedBody"""
@@ -486,7 +508,7 @@ object SparkEntry {
            CAST(sum(try_cast(duration AS BIGINT)) AS BIGINT) AS duration,
            max(CASE WHEN zg_uid <> '\\N' THEN 1 ELSE 0 END) AS is_registered
          FROM ea GROUP BY zgid),
-       udetail AS (SELECT a.zgid AS zg_id, l.platform, a.first_visit_time,
+       udetail AS MATERIALIZED (SELECT a.zgid AS zg_id, l.platform, a.first_visit_time,
            a.last_visit_time, a.visit_times, a.duration,
            f.first_version, f.first_channel,
            l.current_app_version, l.current_app_channel, f.first_website,
@@ -512,7 +534,7 @@ object SparkEntry {
     s"""${Envelope.oracleRaw},
        ${Envelope.appRegistryOracle},
        ${zgidCtes()},
-       zg AS ($zgidSelect),
+       zg AS MATERIALIZED ($zgidSelect),
        $platformDimCte,
        $devMapCte,
        $usrMapCte,
@@ -550,7 +572,7 @@ object SparkEntry {
       s"""${Envelope.oracleRaw},
          ${Envelope.appRegistryOracle},
          ${zgidCtes()},
-         zg AS ($zgidSelect),
+         zg AS MATERIALIZED ($zgidSelect),
          $platformDimCte,
          netd(net, network_id) AS (VALUES $nets),
          $devMapCte,
@@ -569,7 +591,7 @@ object SparkEntry {
                        AND cus_key NOT IN ($reserved)))
                  GROUP BY 1, 2, 3)),
          cidx AS (SELECT * FROM cidx0 WHERE col_index <= ${Derive.customColumns}),
-         ea AS (SELECT r.event_id,
+         ea AS MATERIALIZED (SELECT r.event_id,
            z.zgid,
            coalesce(try_cast(r.sid_raw AS BIGINT), -1) AS zg_sid,
            md5(concat_ws(':', r.appkey, CAST(r.event_id AS VARCHAR), r.dt)) AS uuid,
@@ -657,13 +679,13 @@ object SparkEntry {
     * shared by every row-build oracle so an ordering change can't drift.
     */
   private def devMapCte: String =
-    """dev AS (SELECT appkey, did,
+    """dev AS MATERIALIZED (SELECT appkey, did,
          dense_rank() OVER (PARTITION BY appkey ORDER BY did) AS zg_did
        FROM (SELECT DISTINCT appkey, did FROM raw WHERE appkey <> '' AND did <> ''))"""
 
   /** Surrogate user-id map CTE (mirrors Identity.userMap). */
   private def usrMapCte: String =
-    """usrm AS (SELECT appkey, cuid,
+    """usrm AS MATERIALIZED (SELECT appkey, cuid,
          dense_rank() OVER (PARTITION BY appkey ORDER BY cuid) AS zg_uid
        FROM (SELECT DISTINCT appkey, cuid FROM raw WHERE appkey <> '' AND cuid IS NOT NULL))"""
 
@@ -706,7 +728,7 @@ object SparkEntry {
     s"""${Envelope.oracleRaw},
        ${Envelope.appRegistryOracle},
        ${zgidCtes()},
-       zg AS ($zgidSelect),
+       zg AS MATERIALIZED ($zgidSelect),
        $platformDimCte,
        $usrMapCte,
        upreg AS (SELECT appkey, prop_key,
@@ -717,7 +739,7 @@ object SparkEntry {
                WHERE dt = 'usr' AND cuid IS NOT NULL AND appkey <> ''
                  AND concat('p', cast(user_id % 7 AS string)) NOT IN ($bl)
                GROUP BY 1, 2)),
-       base AS (SELECT r.*, ar.app_id, z.zgid, u.zg_uid,
+       base AS MATERIALIZED (SELECT r.*, ar.app_id, z.zgid, u.zg_uid,
            coalesce(d.platform_id, 0) AS pid,
            epoch_ns(r.ts) // 1000000000 AS lu,
            concat('p', cast(r.user_id % 7 AS string)) AS pn
@@ -900,7 +922,7 @@ object SparkEntry {
     "pipeline_event_attr" ->
       s"""WITH ${Envelope.oracleRaw},
          ${zgidCtes()},
-         zg AS ($zgidSelect),
+         zg AS MATERIALIZED ($zgidSelect),
          $platformDimCte
          ${eventAttrSelect("raw")}""",
     "pipeline_all_job" -> {
@@ -911,7 +933,7 @@ object SparkEntry {
          $gateVerdictCtes,
          ipb(appkey, ip) AS (VALUES $ips),
          uab(appkey, ua) AS (VALUES $uas),
-         pass AS (
+         pass AS MATERIALIZED (
            SELECT r.* FROM raw r
            JOIN v ON r.event_id = v.event_id
            LEFT JOIN ipb i ON r.appkey = i.appkey AND r.ip = i.ip
@@ -919,7 +941,7 @@ object SparkEntry {
            WHERE v.verdict = 'OK' AND r.appkey NOT IN ($aks)
              AND i.ip IS NULL AND u.ua IS NULL),
          ${zgidCtes("pass")},
-         zg AS ($zgidSelect),
+         zg AS MATERIALIZED ($zgidSelect),
          $platformDimCte
          ${eventAttrSelect("pass")}"""
     },
@@ -942,6 +964,69 @@ object SparkEntry {
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
          FROM x GROUP BY user_id, sess_idx ORDER BY user_id, session_id""",
+    "id_archive_route" ->
+      s"""WITH ${Envelope.oracleRaw},
+         ${Envelope.appRegistryOracle},
+         ${zgidCtes()},
+         $devMapCte,
+         $usrMapCte,
+         fe AS (SELECT appkey, cuid, ts, event_id FROM (
+             SELECT appkey, cuid, ts, event_id,
+               row_number() OVER (PARTITION BY appkey, cuid
+                 ORDER BY ts, event_id) AS rn
+             FROM ev WHERE cuid IS NOT NULL) WHERE rn = 1),
+         zu AS (SELECT appkey, map_key, map_value FROM (
+             SELECT u.appkey, u.u_zgid AS map_key,
+               CAST(m.zg_uid AS VARCHAR) AS map_value,
+               row_number() OVER (PARTITION BY u.appkey, u.u_zgid
+                 ORDER BY f.ts DESC, f.event_id DESC) AS rn
+             FROM uz u
+             JOIN fe f ON u.appkey = f.appkey AND u.cuid = f.cuid
+             JOIN usrm m ON u.appkey = m.appkey AND u.cuid = m.cuid)
+           WHERE rn = 1),
+         allmaps AS (
+           SELECT 1 AS archive_type, 'DEVICE' AS type_name, appkey,
+             did AS map_key, CAST(zg_did AS VARCHAR) AS map_value FROM dev
+           UNION ALL
+           SELECT 2, 'USER', appkey, cuid, CAST(zg_uid AS VARCHAR) FROM usrm
+           UNION ALL
+           SELECT 3, 'DEVICE_ZGID', d.appkey, CAST(v.zg_did AS VARCHAR), d.d_zgid
+           FROM dz d JOIN dev v ON d.appkey = v.appkey AND d.did = v.did
+           UNION ALL
+           SELECT 4, 'USER_ZGID', u.appkey, CAST(m.zg_uid AS VARCHAR), u.u_zgid
+           FROM uz u JOIN usrm m ON u.appkey = m.appkey AND u.cuid = m.cuid
+           UNION ALL
+           SELECT 5, 'ZGID_USER', appkey, map_key, map_value FROM zu)
+         SELECT a.archive_type, a.type_name, g.app_id, a.map_key, a.map_value
+         FROM allmaps a JOIN reg g ON a.appkey = g.appkey
+         ORDER BY a.archive_type, g.app_id, a.map_key""",
+    "adv_admission_stats" -> {
+      val comp = operators.Adv.advCompanyRegistry
+        .map { case (k, a, c) => s"('$k', $a, $c)" }.mkString(", ")
+      val adm = operators.Adv.adAppRegistry
+        .map { case (k, _) => s"('$k')" }.mkString(", ")
+      val ips = Etl.ipBlacklist.map { case (a, i) => s"('$a', '$i')" }.mkString(", ")
+      val uas = Etl.uaBlacklist.map { case (a, u) => s"('$a', '$u')" }.mkString(", ")
+      s"""WITH ${Envelope.oracleRaw},
+         comp(appkey, ad_app_id, company_id) AS (VALUES $comp),
+         adm(appkey) AS (VALUES $adm),
+         aipb(appkey, ip) AS (VALUES $ips),
+         auab(appkey, ua) AS (VALUES $uas)
+         SELECT r.appkey,
+           CASE WHEN c.ad_app_id IS NULL THEN 'NOT_AD_APP'
+                WHEN a.appkey IS NULL THEN 'BUSINESS_BLOCKED'
+                WHEN i.ip IS NOT NULL THEN 'IP_BLOCK'
+                WHEN u.ua IS NOT NULL THEN 'UA_BLOCK'
+                ELSE 'OK' END AS verdict,
+           count(*) AS n
+         FROM raw r
+         LEFT JOIN comp c ON r.appkey = c.appkey
+         LEFT JOIN adm a ON r.appkey = a.appkey
+         LEFT JOIN aipb i ON r.appkey = i.appkey AND r.ip = i.ip
+         LEFT JOIN auab u ON r.appkey = u.appkey AND r.ua = u.ua
+         WHERE r.appkey <> ''
+         GROUP BY 1, 2 ORDER BY r.appkey, verdict"""
+    },
     "id_archive_dedup" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT appkey, did, cuid, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen
@@ -1080,12 +1165,12 @@ object SparkEntry {
          $advAdStateCtes,
          state AS (SELECT match_key, lid, ct FROM l WHERE rn = 1),
          probes AS (
-           SELECT r.event_id, a.ad_app_id, r.ip, r.ua,
+           SELECT r.event_id, r.ad_app_id, r.ip, r.ua,
              CASE r.event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
                WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
                WHEN 4 THEN md5(concat('m', cast(r.user_id AS string)))
                ELSE concat('muid-', cast(r.user_id AS string)) END AS muid_raw
-           FROM raw r JOIN apps a ON r.appkey = a.appkey
+           FROM advadm r
            WHERE r.event_type = 'purchase'),
          pn AS (SELECT *,
              CASE WHEN muid_raw IN (${advOrigList}) OR lower(muid_raw) IN (${advMd5List}) THEN ''
@@ -1108,12 +1193,11 @@ object SparkEntry {
       val dims = operators.Adv.adChannelDim
         .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
       s"""WITH ${Envelope.oracleRaw},
-         apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
-        .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
+         $advAdmitCte,
          dim(channel_type, channel_name) AS (VALUES $dims),
          clicks AS (
            SELECT r.event_id AS lid, cast(r.event_id % 16 AS string) AS channel_type
-           FROM raw r JOIN apps a ON r.appkey = a.appkey
+           FROM advadm r
            WHERE r.event_type = 'click')
          SELECT c.channel_type, coalesce(d.channel_name, '') AS channel_name,
            count(*) AS n_clicks, max(c.lid) AS last_lid
@@ -1128,10 +1212,9 @@ object SparkEntry {
       def pick(key: String, field: String, alias: String) =
         s"CASE WHEN legacy THEN ${legacy(key)} ELSE ${json(field)} END AS $alias"
       s"""WITH ${Envelope.oracleRaw},
-         apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
-        .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
-         c AS (SELECT r.event_id, r.user_id FROM raw r
-               JOIN apps a ON r.appkey = a.appkey WHERE r.event_type = 'click'),
+         $advAdmitCte,
+         c AS (SELECT r.event_id, r.user_id FROM advadm r
+               WHERE r.event_type = 'click'),
          w AS (SELECT event_id,
                  CASE event_id % 3
                  WHEN 0 THEN concat('iad-org-id=', cast(user_id AS string),
@@ -1403,10 +1486,9 @@ object SparkEntry {
             FROM e"""
       }.mkString(" UNION ALL ")
       s"""WITH ${Envelope.oracleRaw},
-         apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
-        .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
+         $advAdmitCte,
          e AS (SELECT r.*, CAST(epoch_ns(r.ts) // 1000000000 AS VARCHAR) AS ct_s
-               FROM raw r JOIN apps a ON r.appkey = a.appkey WHERE r.dt = 'evt')
+               FROM advadm r WHERE r.dt = 'evt')
          $ruleRows ORDER BY link_id"""
     },
     "adv_deep_convert" -> {
@@ -1446,15 +1528,14 @@ object SparkEntry {
         s"WHEN ${l.lid} THEN $conds"
       }.mkString(" ")
       s"""WITH ${Envelope.oracleRaw},
-         apps(appkey, ad_app_id) AS (VALUES ${operators.Adv.adAppRegistry
-        .map { case (k, id) => s"('$k', $id)" }.mkString(", ")}),
+         $advAdmitCte,
          ${zgidCtes()},
-         zg AS ($zgidSelect),
-         base AS (SELECT r.event_id, a.ad_app_id, z.zgid,
+         zg AS MATERIALIZED ($zgidSelect),
+         base AS (SELECT r.event_id, r.ad_app_id, z.zgid,
              epoch_ns(r.ts) // 1000000000 * 1000 AS ct,
              CAST(epoch_ns(r.ts) // 1000000000 AS VARCHAR) AS ct_s,
              r.event_type, r.dru, r.pr_plan, r.cn, r.vn, r.cr, r.ua
-           FROM raw r JOIN apps a ON r.appkey = a.appkey
+           FROM advadm r
            JOIN zg z ON r.event_id = z.event_id
            WHERE r.dt = 'evt' AND z.zgid IS NOT NULL),
          u AS (

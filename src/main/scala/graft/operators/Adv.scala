@@ -100,17 +100,89 @@ object Adv {
       .orderBy(col("source"))
   }
 
+  /** company_app (AdvFlatMapFunction.initTable2Company_app:138-172): the
+    * live ak → (appId, companyId) registry the AdvJob polls per minute —
+    * is_delete/stop/transfer-status filtering is the reference's SQL; here
+    * the rows ARE the live set.
+    */
+  val advCompanyRegistry: Seq[(String, Int, Int)] =
+    Seq(("app0", 201, 301), ("app1", 202, 302), ("app2", 203, 303))
+
+  /** business (initTable2Business:188-214): admission is membership of
+    * `companyId + "_" + identifier` in the enabled-business set. Company
+    * 303's business ("cdp") is deliberately absent, so the company axis
+    * visibly rejects app2 — an ak→appId-only gate would admit it.
+    */
+  val advBusinessSet: Set[String] = Set("301_analytics", "302_marketing")
+
+  /** The business identifier of one appkey (the reference reads it off the
+    * app registry the Gate stage already loaded).
+    */
+  private def businessOf(ak: String): String =
+    Envelope.appRegistry.collectFirst { case (k, _, b) if k == ak => b }
+      .getOrElse("")
+
   /** Registered advertising apps (the reference's per-minute MySQL registry
     * poll as a dim): the SINGLE source for the save leg, the attribute leg,
     * and the DuckDB oracle CTEs — key agreement between the legs breaks
-    * silently if any copy drifts, so there are no copies.
+    * silently if any copy drifts, so there are no copies. DERIVED through
+    * the company/business gate: ak→appId, kept only when the app's
+    * company+business pair is enabled (AdvFlatMapFunction's
+    * ak2AppIdMap ∘ appId2companyIdMap ∘ businessSet membership).
     */
-  val adAppRegistry: Seq[(String, Int)] = Seq("app0" -> 201, "app1" -> 202)
+  val adAppRegistry: Seq[(String, Int)] = advCompanyRegistry.collect {
+    case (ak, appId, companyId)
+        if advBusinessSet(s"${companyId}_${businessOf(ak)}") => (ak, appId)
+  }
 
   private def advApps(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     broadcast(adAppRegistry.toDF("appkey", "ad_app_id"))
+  }
+
+  /** The AdvJob entry gate (AdvFlatMapFunction.java:42-270): events from a
+    * company/business-admitted ad app, minus the app's data_access_filter
+    * ip/ua blacklist rows (initTable2DataAccessFilter — the same filter
+    * table the GateJob reads, re-checked on the adv stream). Every adv leg
+    * that keys on the registry enters through this one frame.
+    */
+  private def advAdmitted(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip"))
+    val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua"))
+    env(t).filter(col("appkey") =!= "")
+      .join(advApps(t), Seq("appkey"))
+      .join(ipB, Seq("appkey", "ip"), "left_anti")
+      .join(uaB, Seq("appkey", "ua"), "left_anti")
+  }
+
+  /** adv_admission_stats — the AdvJob gate's verdict histogram per app:
+    * NOT_AD_APP (ak not in company_app), BUSINESS_BLOCKED (company's
+    * business not enabled), IP_BLOCK / UA_BLOCK (data_access_filter), OK.
+    * Makes the company-axis admission itself first-class and
+    * oracle-checkable.
+    */
+  def admissionStats(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val company = broadcast(advCompanyRegistry.toDF("appkey", "ad_app_id", "company_id")
+      .withColumn("biz_ok", col("appkey").isin(adAppRegistry.map(_._1): _*)))
+    val ipB = broadcast(Etl.ipBlacklist.toDF("appkey", "ip").withColumn("ip_blocked", lit(true)))
+    val uaB = broadcast(Etl.uaBlacklist.toDF("appkey", "ua").withColumn("ua_blocked", lit(true)))
+    env(t).filter(col("appkey") =!= "")
+      .join(company, Seq("appkey"), "left")
+      .join(ipB, Seq("appkey", "ip"), "left")
+      .join(uaB, Seq("appkey", "ua"), "left")
+      .groupBy(col("appkey"),
+        when(col("ad_app_id").isNull, "NOT_AD_APP")
+          .when(!col("biz_ok"), "BUSINESS_BLOCKED")
+          .when(col("ip_blocked"), "IP_BLOCK")
+          .when(col("ua_blocked"), "UA_BLOCK")
+          .otherwise("OK").as("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("appkey"), col("verdict"))
   }
 
   /** Sentinel values third-party ad platforms send instead of real device
@@ -144,9 +216,8 @@ object Adv {
   def appAdLatest(t: Tables): DataFrame = {
     // the adtf click payload synthesized from click events: raw ids carry
     // the platforms' sentinel junk; click_time mixes second/ms precision
-    val clicks = env(t)
-      .filter(col("event_type") === "click" && col("appkey") =!= "")
-      .join(advApps(t), Seq("appkey"))
+    val clicks = advAdmitted(t)
+      .filter(col("event_type") === "click")
       .selectExpr(
         "event_id AS lid", "ad_app_id", "ip", "ua",
         """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
@@ -194,9 +265,8 @@ object Adv {
     val state = graft.engine.Reliability.planCheckpoint(appAdLatest(t))
     // conversion-side events from registered advertising apps, probing with
     // the same synthesized id fields as the save leg
-    val probes = env(t)
-      .filter(col("event_type") === "purchase" && col("appkey") =!= "")
-      .join(advApps(t), Seq("appkey"))
+    val probes = advAdmitted(t)
+      .filter(col("event_type") === "purchase")
       .selectExpr(
         "event_id", "ad_app_id", "ip", "ua",
         """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
@@ -245,9 +315,8 @@ object Adv {
     val spark = t.spark
     import spark.implicits._
     val dim = broadcast(adChannelDim.toDF("channel_type", "channel_name"))
-    env(t)
-      .filter(col("event_type") === "click" && col("appkey") =!= "")
-      .join(advApps(t), Seq("appkey"))
+    advAdmitted(t)
+      .filter(col("event_type") === "click")
       .select(col("event_id").as("lid"),
         (col("event_id") % 16).cast("string").as("channel_type"))
       .join(dim, Seq("channel_type"), "left")
@@ -300,9 +369,8 @@ object Adv {
     def pick(legacyKey: String, jsonField: String) =
       when(isLegacy, legacyVal(legacyKey))
         .otherwise(coalesce(col(s"j.$jsonField"), lit(0L))).cast("string")
-    env(t)
-      .filter(col("event_type") === "click" && col("appkey") =!= "")
-      .join(advApps(t), Seq("appkey"))
+    advAdmitted(t)
+      .filter(col("event_type") === "click")
       .withColumn("asa_raw", raw)
       .withColumn("j", js)
       .select(
@@ -502,9 +570,8 @@ object Adv {
   def deepConvert(t: Tables): DataFrame = {
     import graft.functions.MatchRules
     val (_, uz, dz) = Identity.zgidAxes(t)
-    val base = env(t)
-      .filter(col("dt") === "evt" && col("appkey") =!= "")
-      .join(advApps(t), Seq("appkey"))
+    val base = advAdmitted(t)
+      .filter(col("dt") === "evt")
       .join(uz, Seq("appkey", "cuid"), "left")
       .join(dz, Seq("appkey", "did"), "left")
       .withColumn("zgid",
@@ -587,8 +654,7 @@ object Adv {
     */
   def convertMatch(t: Tables): DataFrame = {
     import graft.functions.MatchRules
-    val e = env(t).filter(col("dt") === "evt")
-      .join(advApps(t), Seq("appkey"))
+    val e = advAdmitted(t).filter(col("dt") === "evt")
     val cells = adMatchRules.map { r =>
       struct(
         lit(r.linkId).as("link_id"),

@@ -25,10 +25,32 @@ import org.apache.spark.sql.functions._
   */
 object Dw {
 
-  /** The admitted event_attr corpus with the rollups' shared derived
-    * columns (day id, ISO week paired with calendar year — the same
-    * pairing route_event_attr's year_week uses — month id, platform code,
-    * surrogate device id).
+  /** THE shared admitted-fact frame every Dw table derives from: the full
+    * event_attr transfer row (`Route.eventAttrWithMeta` — admission, zgid,
+    * surrogate ids, uuid, time components) plus the rollups' derived keys,
+    * all computed FROM the transfer columns so the rollups and the fact
+    * table they summarize structurally cannot drift:
+    *  - begin_day_id / yearmonth re-read day_id (yyyyMMdd);
+    *  - yearweek collapses the year_week string (yyyy-ww ⇒ yyyyww — the
+    *    same calendar-year + ISO-week pairing as year(ts)*100 + week);
+    *  - platform is the transfer's coalesced platform_id.
+    * ONE fact scan; each rollup then adds exactly its own key exchange.
+    */
+  private def factWide(t: Tables): DataFrame =
+    Route.eventAttrWithMeta(t)
+      .withColumn("begin_day_id", col("day_id").cast("int"))
+      .withColumn("yearweek",
+        regexp_replace(col("year_week"), "-", "").cast("int"))
+      .withColumn("yearmonth", substring(col("day_id"), 1, 6).cast("int"))
+      .withColumn("platform", col("platform_id"))
+
+  /** The LIGHT admitted frame for the narrow rollups (join/active/
+    * duration): the same admission and key columns as the transfer row —
+    * begin_date/uuid/day keys pinned to the transfer's own definitions —
+    * WITHOUT the enrichment legs (UA/geo/UTM/registry joins) those tables
+    * never read. Catalyst cannot eliminate unreferenced left joins, so
+    * riding the full transfer build would pay them; the wide frame is for
+    * the profile composition (`userAll`), this one is for the rollups.
     */
   private def admitted(t: Tables): DataFrame = {
     val (idEnv, uz, dz) = Identity.zgidAxes(t)
@@ -43,6 +65,9 @@ object Dw {
       .join(Identity.deviceMapFrom(idEnv), Seq("appkey", "did"))
       .join(Route.platformId(t), Seq("pl"), "left")
       .withColumn("platform", coalesce(col("platform_id"), lit(0)))
+      .withColumn("begin_date", unix_timestamp(col("ts")))
+      .withColumn("uuid",
+        md5(concat_ws(":", col("appkey"), col("event_id"), col("dt"))))
       .withColumn("begin_day_id", date_format(col("ts"), "yyyyMMdd").cast("int"))
       .withColumn("yearweek",
         (year(col("ts")) * 100 + weekofyear(col("ts"))).cast("int"))
@@ -59,20 +84,24 @@ object Dw {
     * sort the whole admitted corpus.
     */
   def userJoin(t: Tables): DataFrame =
-    joinRows(t).orderBy(col("zg_id"))
+    joinRowsOf(admitted(t)).orderBy(col("zg_id"))
 
-  /** The unordered t_user_join rows — shared with `userAll`. */
-  private def joinRows(t: Tables): DataFrame = {
+  /** The unordered t_user_join rows — ONE definition of the rollup over
+    * either admission frame (the light one for the standalone table, the
+    * shared wide one inside `userAll`): every projected field is the
+    * frame's own column at the user's first admitted event (min over the
+    * full-precision (ts, event_id) key).
+    */
+  private def joinRowsOf(wide: DataFrame): DataFrame = {
     val ord = struct(col("ts"), col("event_id"))
     def first(c: org.apache.spark.sql.Column) = min_by(c, ord)
-    admitted(t)
+    wide
       .groupBy(col("zgid").as("zg_id"))
       .agg(
         first(col("zg_did")).as("device_id"),
-        first(unix_timestamp(col("ts"))).as("begin_date"),
+        first(col("begin_date")).as("begin_date"),
         first(col("begin_day_id")).as("begin_day_id"),
-        first(md5(concat_ws(":", col("appkey"), col("event_id"), col("dt"))))
-          .as("uuid"),
+        first(col("uuid")).as("uuid"),
         first(col("yearweek")).as("yearweek"),
         first(col("yearmonth")).as("yearmonth"),
         first(col("platform")).as("platform"))
@@ -152,10 +181,13 @@ object Dw {
   private def detailAgg(t: Tables): DataFrame =
     detailAggOf(Route.routeEventAttr(t))
 
-  private def detailAggOf(ea: DataFrame): DataFrame = {
+  /** The per-zgid detail aggregate expressions — one list, used by the
+    * standalone detail aggregate AND fused with the join-leg aggregates in
+    * `userAll` (one groupBy computes both tables' fields).
+    */
+  private def detailAggExprs: Seq[org.apache.spark.sql.Column] = {
     val ord = struct(col("begin_date"), col("event_id"))
-
-    ea.groupBy(col("zgid").as("zg_id")).agg(
+    Seq(
       max_by(col("platform_id"), ord).as("platform"),
       min(col("begin_date")).as("first_visit_time"),
       max(col("begin_date")).as("last_visit_time"),
@@ -183,6 +215,11 @@ object Dw {
       max_by(col("ov"), ord).as("cur_ov_s"),
       max_by(col("zg_did"), ord).as("cur_did"),
       max(when(col("zg_uid") =!= "\\N", 1).otherwise(0)).as("is_registered"))
+  }
+
+  private def detailAggOf(ea: DataFrame): DataFrame = {
+    val exprs = detailAggExprs
+    ea.groupBy(col("zgid").as("zg_id")).agg(exprs.head, exprs.tail: _*)
       // zg_did is a PER-APP surrogate (dense_rank partitioned by appkey),
       // so the device join must be app-qualified; the zgid string embeds
       // its appkey as the third ':'-segment (z:d:<appkey>:<did>)
@@ -197,9 +234,11 @@ object Dw {
 
   /** Attach the current-device block and project the detail row — takes
     * any frame with `detailAgg`'s columns, so the incremental fold
-    * finishes through the SAME tail as the full rescan.
+    * finishes through the SAME tail as the full rescan. `extra` columns
+    * (the fused join-leg fields in `userAll`) ride through the projection.
     */
-  private def detailFinish(t: Tables, agg: DataFrame): DataFrame = {
+  private def detailFinish(t: Tables, agg: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val n = lit("\\N")
     // the current device's b_device merge row (UNIQUE KEY(device_id):
     // latest write wins = max event_id, the arrival order Doris sees) —
@@ -245,7 +284,7 @@ object Dw {
         col("current_l"), col("current_h"),
         coalesce(col("dev_cur_brand"), n).as("current_device_brand"),
         coalesce(col("dev_cur_model"), n).as("current_device_model"),
-        col("is_registered")) ++ attrCols: _*)
+        col("is_registered")) ++ attrCols ++ extra: _*)
   }
 
   /** dw_user_anonymous — the b_user_anonymous view (1.sql:645-654):
@@ -305,18 +344,45 @@ object Dw {
     * an external service, so the model string stands for itself — the
     * same documented boundary as the carrier dim).
     *
-    * Cost shape: both sides are already zgid-grain aggregates (tiny vs
-    * the fact table), so this is a post-rollup zgid equi-join plus
-    * broadcast-free literal CASE dims — nothing here rescans events; the
-    * shared identity/fact passes below are cached across the composition.
+    * Cost shape: the fact corpus is scanned and aggregated ONCE — the
+    * detail fields and the first-visit (join-table) fields are computed in
+    * the SAME zgid groupBy (the join leg's min_by aggregates fused beside
+    * the detail ones), so there is no second rollup, no post-rollup join
+    * and no cache: one fact pass, one exchange, plus the device-current
+    * block and broadcast-free literal CASE dims.
     */
   def userAll(t: Tables): DataFrame = {
-    val detail = detailRows(t).drop("platform")
+    val ordJ = struct(col("ts"), col("event_id"))
+    def firstJ(c: org.apache.spark.sql.Column) = min_by(c, ordJ)
+    // the t_user_join fields at the user's first admitted event, fused
+    // into the detail groupBy (platform collides with the detail
+    // aggregate's name — the composition reads the JOIN leg's value, so
+    // the detail one is dropped in the final projection)
+    val joinExprs = Seq(
+      firstJ(col("zg_did")).as("device_id"),
+      firstJ(col("begin_date")).as("begin_date"),
+      firstJ(col("begin_day_id")).as("begin_day_id"),
+      firstJ(col("uuid")).as("uuid"),
+      firstJ(col("yearweek")).as("yearweek"),
+      firstJ(col("yearmonth")).as("yearmonth"),
+      firstJ(col("platform")).as("platform_j"))
+    val exprs = detailAggExprs ++ joinExprs
+    val fused = factWide(t)
+      .groupBy(col("zgid").as("zg_id")).agg(exprs.head, exprs.tail: _*)
+      .withColumn("appkey", element_at(split(col("zg_id"), ":"), 3))
+    val joinOut = Seq(
+      col("device_id"), col("begin_date"), col("begin_day_id"),
+      col("uuid"), col("yearweek"), col("yearmonth"), col("platform_j"))
+    val detail = detailFinish(t, fused, joinOut).drop("platform")
+    // the detail-side platform was dropped above, so after the rename
+    // col("platform") resolves to the join leg's value — the one the
+    // composition and the display-name dim read
     val platformName = Route.platformDim.foldRight(lit("\\N")) {
       case ((name, code), other) =>
         when(col("platform") === code, name).otherwise(other)
     }
-    detail.join(joinRows(t), Seq("zg_id"), "left")
+    detail
+      .withColumnRenamed("platform_j", "platform")
       .select(
         col("zg_id"), col("first_visit_time"), col("last_visit_time"),
         col("first_version"), col("first_channel"),

@@ -269,13 +269,20 @@ object Envelope {
 
   /** Oracle side: the same snippets as a three-layer CTE. Use as
     * s"WITH ${Envelope.oracleRaw}, ... SELECT ... FROM raw".
+    *
+    * `raw` is MATERIALIZED: DuckDB inlines CTEs by default, so an oracle
+    * whose downstream chain references `raw` k times re-synthesizes the
+    * full ~60-column envelope k times — the deep pipeline oracles expand
+    * that multiplicatively (every `ev`/`uz`/`dz` reference re-inlines the
+    * whole chain) and the un-capped driver harness OOMs on kernel commit
+    * with 32 DuckDB threads. One materialization is O(|events|) and tiny.
     */
   def oracleRaw: String =
     "raw0 AS (SELECT events.*, " +
       defs.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
       " FROM events), raw1 AS (SELECT raw0.*, " +
       derivedDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
-      " FROM raw0), raw AS (SELECT raw1.*, " +
+      " FROM raw0), raw AS MATERIALIZED (SELECT raw1.*, " +
       gateDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
       " FROM raw1)"
 

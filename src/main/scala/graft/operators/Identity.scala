@@ -69,11 +69,15 @@ object Identity {
   /** deviceMap over an already-derived identity envelope — the row builds
     * pass zgidAxes' PERSISTED frame here so the surrogate map rides the
     * cached pass instead of re-scanning and re-deriving the envelope.
+    * The map itself is persisted too: several compositions read it twice
+    * (the fact build AND the device-current leg of the profile), and the
+    * three-stage denseIds pipeline should run once per corpus, not per
+    * consumer. Equal plans collapse to one cache entry.
     */
   private[operators] def deviceMapFrom(e: DataFrame): DataFrame =
     denseIds(
       e.filter(col("did") =!= "").select(col("appkey"), col("did")).distinct(),
-      "appkey", "did", "zg_did")
+      "appkey", "did", "zg_did").persist()
 
   /** #6 id_user_map — UserIdAsyncOperator / OneIdService.java:367-409: same
     * hash per app keyed by cuid.
@@ -235,6 +239,64 @@ object Identity {
         concat(col("user_id"), lit("-"), col("sess_idx")).as("session_id"),
         col("n_events"), col("start_ts"), col("end_ts"))
       .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** id_archive_route — IdArchiveRouterOperator.java:74-127 routes archive
+    * messages into FIVE mapping tables by ArchiveType (ArchiveType.java:
+    * 11-18): DEVICE (device key → surrogate device id), USER (cuid →
+    * surrogate user id), DEVICE_ZGID (device id → zgid), USER_ZGID (user id
+    * → zgid) and ZGID_USER (zgid → user id, the reverse map). The batch
+    * re-expression materializes all five from the SAME identity axes the
+    * pipeline already computes — dense surrogate maps for 1/2, the uz/dz
+    * zgid bindings for 3/4 — as one unioned frame with the ArchiveType code
+    * + name. The first four maps are single-valued per key by
+    * construction; ZGID_USER is the one true many-to-one, resolved
+    * latest-wins like the operator's per-record overwrite: the winning
+    * binding is the one whose user FIRST appeared (= when the uz write
+    * happens) latest.
+    *
+    * Cost shape: every leg rides the (appkey, cuid)/(appkey, did) axes off
+    * zgidAxes' one persisted envelope pass; the union is five narrow
+    * projections, no event-axis work at all.
+    */
+  def archiveRoute(t: Tables): DataFrame = {
+    val (e, uz, dz) = zgidAxes(t)
+    val dev = deviceMapFrom(e)
+    val usr = userMapFrom(e)
+    val reg = broadcast(
+      Envelope.appRegistryDf(t.spark).select(col("appkey"), col("app_id")))
+    def leg(tpe: Int, name: String, rows: DataFrame) =
+      rows.join(reg, Seq("appkey"))
+        .select(lit(tpe).as("archive_type"), lit(name).as("type_name"),
+          col("app_id"), col("map_key"), col("map_value"))
+
+    val device = dev.select(col("appkey"), col("did").as("map_key"),
+      col("zg_did").cast("string").as("map_value"))
+    val user = usr.select(col("appkey"), col("cuid").as("map_key"),
+      col("zg_uid").cast("string").as("map_value"))
+    val devZg = dz.join(dev, Seq("appkey", "did"))
+      .select(col("appkey"), col("zg_did").cast("string").as("map_key"),
+        col("d_zgid").as("map_value"))
+    val usrZg = uz.join(usr, Seq("appkey", "cuid"))
+      .select(col("appkey"), col("zg_uid").cast("string").as("map_key"),
+        col("u_zgid").as("map_value"))
+    // reverse map: each user's uz binding is written at their FIRST event;
+    // per zgid the LAST-written binding wins (the operator's overwrite)
+    val bindOrd = struct(col("ts"), col("event_id"))
+    val firstEvt = e.filter(col("cuid").isNotNull)
+      .groupBy(col("appkey"), col("cuid")).agg(min(bindOrd).as("bind_ord"))
+    val zgUser = firstEvt
+      .join(uz, Seq("appkey", "cuid"))
+      .join(usr, Seq("appkey", "cuid"))
+      .groupBy(col("appkey"), col("u_zgid").as("map_key"))
+      .agg(max_by(col("zg_uid").cast("string"), col("bind_ord")).as("map_value"))
+
+    leg(1, "DEVICE", device)
+      .unionByName(leg(2, "USER", user))
+      .unionByName(leg(3, "DEVICE_ZGID", devZg))
+      .unionByName(leg(4, "USER_ZGID", usrZg))
+      .unionByName(leg(5, "ZGID_USER", zgUser))
+      .orderBy(col("archive_type"), col("app_id"), col("map_key"))
   }
 
   /** #9 id_archive_dedup — IdArchiveJob / IdArchiveRouterOperator: the

@@ -99,7 +99,16 @@ object Route {
     * work. utcDate (wall-clock at sink time) is the one reference field
     * deliberately omitted — nondeterministic by definition.
     */
-  def routeEventAttr(t: Tables): DataFrame = {
+  def routeEventAttr(t: Tables): DataFrame =
+    eventAttrWithMeta(t).drop("ts").orderBy(col("event_id"))
+
+  /** The same event_attr row plus the raw event timestamp (`ts`) — the
+    * Dw rollups derive ALL their tables from this one frame (persisted at
+    * the `Dw.userAll` composition), and the join table's first-writer rule
+    * orders by the full-precision ts, not the epoch-second begin_date, so
+    * the transfer projection alone is not enough.
+    */
+  private[operators] def eventAttrWithMeta(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val n = lit("\\N")
@@ -248,8 +257,7 @@ object Route {
       n.as("attr3"),
       n.as("attr4"),
       concat(col("zgid"), lit("_"), sid.cast("string")).as("attr5")
-    ) ++ cusCols ++ ptCols: _*)
-      .orderBy(col("event_id"))
+    ) ++ cusCols ++ ptCols ++ Seq(col("ts")): _*)
   }
 
   /** The transfers' tz-offset validity bound: 48h in ms. */

@@ -91,6 +91,30 @@ class EtlIdentitySpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("archive route: five ArchiveType legs, keys unique, axes consistent") {
+    val rows = Identity.archiveRoute(t).collect()
+    val byType = rows.groupBy(_.getAs[Int]("archive_type"))
+    assert(byType.keySet == Set(1, 2, 3, 4, 5))
+    assert(byType(1).head.getAs[String]("type_name") == "DEVICE")
+    assert(byType(5).head.getAs[String]("type_name") == "ZGID_USER")
+    // every leg is single-valued per (app, key) — the routed tables are maps
+    byType.values.foreach { leg =>
+      val keys = leg.map(r => (r.getAs[Int]("app_id"), r.getAs[String]("map_key")))
+      assert(keys.distinct.length == keys.length)
+    }
+    // DEVICE_ZGID keys are exactly the DEVICE values (same surrogate axis)
+    def pairs(tp: Int, f: org.apache.spark.sql.Row => String) =
+      byType(tp).map(r => (r.getAs[Int]("app_id"), f(r))).toSet
+    assert(pairs(3, _.getAs[String]("map_key")) == pairs(1, _.getAs[String]("map_value")))
+    // ZGID_USER inverts a subset of USER_ZGID's bindings
+    val uz = byType(4).map(r => (r.getAs[Int]("app_id"),
+      r.getAs[String]("map_key"), r.getAs[String]("map_value"))).toSet
+    byType(5).foreach { r =>
+      assert(uz.contains((r.getAs[Int]("app_id"),
+        r.getAs[String]("map_value"), r.getAs[String]("map_key"))))
+    }
+  }
+
   test("incremental assignment never renumbers history and continues above it") {
     val rows = Identity.incrementalAssign(t).collect()
     val keys = rows.map(r => (r.getAs[String]("appkey"), r.getAs[String]("did")))

@@ -261,8 +261,10 @@ class PlanAuditSpec extends SparkSpec {
       s"rule evaluation went pairwise:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"ad registry shuffled:\n$p")
     // rules compile to literals, never a rules-table join: exactly the
-    // registry broadcast, no second join
-    assert("Join".r.findAllIn(p).length <= 2, s"unexpected joins:\n$p")
+    // registry broadcast plus the two data_access_filter anti-joins of
+    // the AdvJob admission gate — all broadcast, nothing else
+    assert("Join".r.findAllIn(p).length <= 4, s"unexpected joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"admission gate shuffled:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"rollup lost map-side partial aggregation:\n$p")
   }

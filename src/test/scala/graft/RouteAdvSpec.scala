@@ -227,6 +227,34 @@ class RouteAdvSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("channel_name") == ""))
   }
 
+  test("adv admission: business gate rejects app2, blacklists drop rows") {
+    // the derived registry keeps only company/business-admitted apps
+    assert(Adv.adAppRegistry.map(_._1).toSet == Set("app0", "app1"))
+    assert(Adv.advCompanyRegistry.exists(_._1 == "app2"),
+      "app2 must be a registered company app — rejected by the business gate, not absent")
+    val stats = Adv.admissionStats(t).collect()
+    def n(ak: String, verdict: String): Long = stats
+      .filter(r => r.getAs[String]("appkey") == ak && r.getAs[String]("verdict") == verdict)
+      .map(_.getAs[Long]("n")).sum
+    // app2 traffic exists and every row of it is BUSINESS_BLOCKED
+    assert(n("app2", "BUSINESS_BLOCKED") > 0)
+    assert(stats.filter(_.getAs[String]("appkey") == "app2")
+      .forall(_.getAs[String]("verdict") == "BUSINESS_BLOCKED"))
+    // the per-app blacklists fire on the adv stream too
+    assert(n("app0", "IP_BLOCK") > 0 && n("app1", "UA_BLOCK") > 0)
+    // and the admitted legs genuinely exclude those rows: a blacklisted
+    // (app, ip) pair never contributes a fuzzy match key to ITS app's
+    // ad state (the filter is per-app, so other apps may still carry it)
+    val appIdOf = Adv.adAppRegistry.toMap
+    val keys = Adv.appAdLatest(t).collect().map(_.getAs[String]("match_key"))
+    graft.operators.Etl.ipBlacklist.foreach { case (ak, ip) =>
+      appIdOf.get(ak).foreach { adId =>
+        assert(!keys.exists(k => k.startsWith(s"adtfad:$adId:$ip")),
+          s"blacklisted ($ak, $ip) leaked into the ad state")
+      }
+    }
+  }
+
   test("user-profile normalizers follow the reference's DimUtils contracts") {
     val rows = graft.operators.Route.dimUserProfile(t).collect()
     rows.foreach { r =>
