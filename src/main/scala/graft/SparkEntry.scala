@@ -90,6 +90,9 @@ object SparkEntry {
     "dw_user_detail"           -> ((s, d) => Dw.userDetail(tables(s, d))),
     "dw_user_detail_sum"       -> ((s, d) => Dw.userDetailSum(tables(s, d))),
     "dw_user_detail_inc"       -> ((s, d) => Dw.userDetailInc(tables(s, d))),
+    "dw_user_active_inc"       -> ((s, d) => Dw.userActiveInc(tables(s, d))),
+    "dw_user_duration_inc"     -> ((s, d) => Dw.userDurationInc(tables(s, d))),
+    "dw_user_detail_sum_inc"   -> ((s, d) => Dw.userDetailSumInc(tables(s, d))),
     "dw_user_all"              -> ((s, d) => Dw.userAll(tables(s, d))),
     "dw_user_anonymous"        -> ((s, d) => Dw.userAnonymous(tables(s, d))),
     // §2.6 ads / attribution
@@ -1343,6 +1346,29 @@ object SparkEntry {
     "dw_user_detail" ->
       s"""WITH $userDetailCtes
          SELECT * FROM udetail ORDER BY zg_id""",
+    // incremental folds of the day-grain rollups and the sums table:
+    // SAME oracle text as their full-rescan counterparts — a hash match
+    // proves each fold lossless
+    "dw_user_active_inc" ->
+      s"""WITH $dwAdmittedCtes
+         SELECT zgid AS zg_id, begin_day_id, CAST(count(*) AS INT) AS times,
+           yearweek, yearmonth, platform
+         FROM adm GROUP BY 1, 2, 4, 5, 6
+         ORDER BY zg_id, begin_day_id, platform""",
+    "dw_user_duration_inc" ->
+      s"""WITH $dwAdmittedCtes
+         SELECT zgid AS zg_id, begin_day_id AS day_id, strftime(ts, '%H') AS period,
+           CAST(sum(CASE WHEN try_cast(dru AS INTEGER) IS NOT NULL
+                 AND try_cast(dru AS INTEGER) BETWEEN 0 AND 86400000
+               THEN try_cast(dru AS INTEGER) ELSE 0 END) AS BIGINT) AS duration,
+           CAST(count(*) AS INT) AS times, yearweek, yearmonth, platform
+         FROM adm GROUP BY 1, 2, 3, 6, 7, 8
+         ORDER BY zg_id, day_id, period, platform""",
+    "dw_user_detail_sum_inc" ->
+      s"""WITH $userDetailCtes
+         SELECT zg_id, platform, visit_times, duration,
+           attr1, attr2, attr3, attr4, attr5
+         FROM udetail ORDER BY zg_id""",
     // the incremental fold must equal the full rescan — SAME oracle text,
     // so a hash match proves the merge is lossless on this corpus
     "dw_user_detail_inc" ->
@@ -2143,6 +2169,9 @@ object SparkEntry {
       val p = Dedup.MersennePrime
       val mins = (0 until Dedup.minhashK).map(j =>
         s"min((h0 * ${2 * j + 3} + ${j.toLong * 2654435761L} + 1) % $p) AS mh$j").mkString(", ")
+      val agreeSql = (0 until Dedup.minhashK)
+        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
       val allMh = (0 until Dedup.minhashK).map(j => s"mh$j").mkString(", ")
       val bandSelects = (0 until Dedup.minhashK / Dedup.bandSize).map { b =>
         val cols = (b * Dedup.bandSize until (b + 1) * Dedup.bandSize)
@@ -2162,24 +2191,33 @@ object SparkEntry {
          bands AS ($bandSelects),
          db AS (SELECT b.* FROM bands b, mx WHERE b.doc_id * 5 > mx.m * 4),
          ib AS (SELECT b.* FROM bands b, mx WHERE NOT (b.doc_id * 5 > mx.m * 4)),
-         ci AS (SELECT doc_id, count(*) AS n FROM
-                  (SELECT DISTINCT a.doc_id, b.doc_id AS pid
-                   FROM db a JOIN ib b
-                     ON a.band = b.band AND a.band_key = b.band_key)
-                GROUP BY doc_id),
-         cp AS (SELECT doc_id, count(*) AS n FROM
-                  (SELECT DISTINCT a.doc_id, b.doc_id AS pid
-                   FROM db a JOIN db b
-                     ON a.band = b.band AND a.band_key = b.band_key
-                        AND b.doc_id < a.doc_id)
-                GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id, b.doc_id AS pid, TRUE AS from_index
+           FROM db a JOIN ib b
+             ON a.band = b.band AND a.band_key = b.band_key
+           UNION ALL
+           SELECT DISTINCT a.doc_id, b.doc_id, FALSE
+           FROM db a JOIN db b
+             ON a.band = b.band AND a.band_key = b.band_key
+                AND b.doc_id < a.doc_id),
+         est AS (SELECT c.doc_id, c.pid, c.from_index,
+             ($agreeSql) / ${Dedup.minhashK}.0 AS est
+           FROM cand c
+           JOIN sig sa ON c.doc_id = sa.doc_id
+           JOIN sig sb ON c.pid = sb.doc_id),
+         ver AS (SELECT doc_id,
+             CAST(sum(CASE WHEN from_index THEN 1 ELSE 0 END) AS BIGINT) AS n_idx,
+             CAST(sum(CASE WHEN NOT from_index THEN 1 ELSE 0 END) AS BIGINT) AS n_pri,
+             max(est) AS max_est
+           FROM est GROUP BY doc_id),
          delta AS (SELECT s.* FROM sig s, mx WHERE s.doc_id * 5 > mx.m * 4)
          SELECT s.doc_id, md5(concat_ws(':', $allMh)) AS sig_id,
-           coalesce(ci.n, 0) AS n_index_candidates,
-           coalesce(cp.n, 0) AS n_prior_candidates,
-           (coalesce(ci.n, 0) > 0 OR coalesce(cp.n, 0) > 0) AS is_dup
-         FROM delta s LEFT JOIN ci ON s.doc_id = ci.doc_id
-           LEFT JOIN cp ON s.doc_id = cp.doc_id ORDER BY s.doc_id"""
+           coalesce(v.n_idx, 0) AS n_index_candidates,
+           coalesce(v.n_pri, 0) AS n_prior_candidates,
+           floor(coalesce(v.max_est, 0) * 10000) / 10000 AS max_est,
+           coalesce(v.max_est >= ${Dedup.minhashVerifyTau}, FALSE) AS is_dup
+         FROM delta s LEFT JOIN ver v ON s.doc_id = v.doc_id
+         ORDER BY s.doc_id"""
     },
     "dedup_simhash" -> {
       val bits = Dedup.simhashBits

@@ -265,9 +265,14 @@ object Dedup {
     val mx = sig.agg(max(col("doc_id")).as("max_id"))
     val s2 = sig.crossJoin(broadcast(mx))
     val sigCols = sig.columns.map(col)
-    minhashIncrementalFrom(
+    val out = minhashIncrementalFrom(
       s2.filter(!incIsDelta(col("doc_id"), col("max_id"))).select(sigCols: _*),
       s2.filter(incIsDelta(col("doc_id"), col("max_id"))).select(sigCols: _*))
+    // minhashIncrementalFrom materialized its result (planCheckpoint), so
+    // the signature cache can be released instead of leaking for the
+    // session's lifetime
+    sig.unpersist()
+    out
   }
 
   /** The production shape of #64: `index` is the STORED signature table
@@ -277,6 +282,13 @@ object Dedup {
     * the small one (broadcastable under AQE when a day's drop fits; the
     * index side then never shuffles at all).
     */
+  /** Admission verdict threshold: a band collision is only a CANDIDATE
+    * signal; the verdict verifies the full signature (fraction of the k
+    * minhashes agreeing ≈ Jaccard) so a rare band hash collision cannot
+    * delete a non-duplicate. Same τ as the exact operator (#37).
+    */
+  val minhashVerifyTau: Double = jaccardTau
+
   def minhashIncrementalFrom(index: DataFrame, delta: DataFrame): DataFrame = {
     def bandsOf(df: DataFrame) = df.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
@@ -287,22 +299,44 @@ object Dedup {
         ib.select(col("band"), col("band_key"), col("doc_id").as("pid")),
         Seq("band", "band_key"))
       .select(col("doc_id"), col("pid")).distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_index_candidates"))
+      .withColumn("from_index", lit(true))
     val candPrior = db.as("a").join(db.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("b.doc_id") < col("a.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("pid")).distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_prior_candidates"))
-    delta.select(col("doc_id"),
+      .withColumn("from_index", lit(false))
+    // verification join: each candidate pair re-reads BOTH signatures and
+    // estimates Jaccard on the k minhashes — bounded by the candidate
+    // count, so the verify cost scales with real collisions, not the corpus
+    val aSig = delta.toDF(
+      delta.columns.map(c => if (c == "doc_id") "a_id" else s"a_$c"): _*)
+    val pSig = index.unionByName(delta).toDF(
+      delta.columns.map(c => if (c == "doc_id") "p_id" else s"p_$c"): _*)
+    val agree = (0 until minhashK)
+      .map(j => when(col(s"a_mh$j") === col(s"p_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val verified = candIdx.unionByName(candPrior)
+      .join(aSig, col("doc_id") === col("a_id"))
+      .join(pSig, col("pid") === col("p_id"))
+      .withColumn("est", agree.cast("double") / minhashK)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("from_index"), 1L).otherwise(0L)).as("n_index_candidates"),
+        sum(when(!col("from_index"), 1L).otherwise(0L)).as("n_prior_candidates"),
+        max(col("est")).as("max_est_raw"))
+    val out = delta.select(col("doc_id"),
         md5(concat_ws(":", (0 until minhashK).map(j => col(s"mh$j")): _*)).as("sig_id"))
-      .join(candIdx, Seq("doc_id"), "left")
-      .join(candPrior, Seq("doc_id"), "left")
+      .join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sig_id"),
         coalesce(col("n_index_candidates"), lit(0L)).as("n_index_candidates"),
-        coalesce(col("n_prior_candidates"), lit(0L)).as("n_prior_candidates"))
-      .withColumn("is_dup",
-        col("n_index_candidates") > 0 || col("n_prior_candidates") > 0)
+        coalesce(col("n_prior_candidates"), lit(0L)).as("n_prior_candidates"),
+        (floor(coalesce(col("max_est_raw"), lit(0.0)) * 10000) / 10000).as("max_est"),
+        coalesce(col("max_est_raw") >= minhashVerifyTau, lit(false)).as("is_dup"))
       .orderBy(col("doc_id"))
+    // materialize now so the band cache can be released instead of leaking
+    val res = graft.engine.Reliability.planCheckpoint(out)
+    db.unpersist()
+    res
   }
 
   /** dedup_groups — transitive duplicate GROUPS: connected components over

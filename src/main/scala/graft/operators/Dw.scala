@@ -178,7 +178,7 @@ object Dw {
     * block) — `userDetailSum` reads this directly so the sums table never
     * pays the device join it doesn't project.
     */
-  private def detailAgg(t: Tables): DataFrame =
+  private[graft] def detailAgg(t: Tables): DataFrame =
     detailAggOf(Route.routeEventAttr(t))
 
   /** The per-zgid detail aggregate expressions — one list, used by the
@@ -413,6 +413,85 @@ object Dw {
     * for "history so far" + two daily loads.
     */
   val incBoundaries: (String, String) = ("20240111", "20240121")
+
+  /** The corpus as three increments of `frame`, split on a day-id column
+    * (the physical load partitions every incremental fold consumes).
+    */
+  private def incSlices(frame: DataFrame, dayCol: String,
+      toKey: String => Any): Seq[DataFrame] = {
+    val (d1, d2) = incBoundaries
+    val (k1, k2) = (toKey(d1), toKey(d2))
+    Seq(
+      frame.filter(col(dayCol) < k1),
+      frame.filter(col(dayCol) >= k1 && col(dayCol) < k2),
+      frame.filter(col(dayCol) >= k2))
+  }
+
+  /** dw_user_active_inc — the incremental maintenance path of
+    * t_user_active: counts are trivially mergeable partials, so each load
+    * aggregates its own slice and the fold re-sums on the table key. On a
+    * day-grain key the increments never collide (a day lives in exactly
+    * one load) — which is the production point: the table appends, and the
+    * same fold would merge a late-arriving partial for an existing day
+    * losslessly. Oracle = the SAME SQL as dw_user_active, so the hash
+    * match proves fold == full rescan.
+    */
+  def userActiveInc(t: Tables): DataFrame = {
+    val keys = Seq("zg_id", "begin_day_id", "yearweek", "yearmonth", "platform")
+    val parts = incSlices(admitted(t), "begin_day_id", _.toInt).map(
+      _.groupBy(col("zgid").as("zg_id"), col("begin_day_id"),
+        col("yearweek"), col("yearmonth"), col("platform"))
+        .agg(count(lit(1)).as("times_p")))
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("times_p")).cast("int").as("times"))
+      .select(col("zg_id"), col("begin_day_id"), col("times"),
+        col("yearweek"), col("yearmonth"), col("platform"))
+      .orderBy(col("zg_id"), col("begin_day_id"), col("platform"))
+  }
+
+  /** dw_user_duration_inc — same fold for t_user_duration: per-slice
+    * (duration sum, times count) partials re-summed on the (zgid, day,
+    * period) key. Oracle = the SAME SQL as dw_user_duration.
+    */
+  def userDurationInc(t: Tables): DataFrame = {
+    val druOk = expr("try_cast(dru AS int)")
+    val dur = when(druOk.isNotNull && druOk >= 0 && druOk <= 86400000,
+      druOk.cast("bigint")).otherwise(lit(0L))
+    val keys = Seq("zg_id", "day_id", "period", "yearweek", "yearmonth", "platform")
+    val parts = incSlices(admitted(t), "begin_day_id", _.toInt).map(
+      _.withColumn("period", date_format(col("ts"), "HH"))
+        .groupBy(col("zgid").as("zg_id"), col("begin_day_id").as("day_id"),
+          col("period"), col("yearweek"), col("yearmonth"), col("platform"))
+        .agg(sum(dur).as("dur_p"), count(lit(1)).as("times_p")))
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("dur_p")).as("duration"),
+        sum(col("times_p")).cast("int").as("times"))
+      .select(col("zg_id"), col("day_id"), col("period"), col("duration"),
+        col("times"), col("yearweek"), col("yearmonth"), col("platform"))
+      .orderBy(col("zg_id"), col("day_id"), col("period"), col("platform"))
+  }
+
+  /** dw_user_detail_sum_inc — the incremental fold of the zgid-grain sums
+    * table: unlike the day-grain rollups, users genuinely span increments
+    * here, so the merge is the REAL mergeable-partial machinery
+    * (detailPartial's session-id sets + sums + max_by order keys) and the
+    * hash match against dw_user_detail_sum's own oracle proves it
+    * lossless. This is the table the ad-audience evaluator reads — its
+    * daily update is exactly this fold.
+    */
+  def userDetailSumInc(t: Tables): DataFrame = {
+    val parts = incSlices(Route.routeEventAttr(t), "day_id", identity)
+      .map(detailPartial)
+    mergePartials(parts)
+      .select(Seq(
+        col("zg_id"),
+        col("l.platform_id").as("platform"),
+        size(col("sids")).cast("int").as("visit_times"),
+        col("duration")) ++ attrCols: _*)
+      .orderBy(col("zg_id"))
+  }
 
   /** Mergeable per-zgid detail state over ONE event slice: first/last
     * touch as (order-key, fields) structs so min_by/max_by re-merge across

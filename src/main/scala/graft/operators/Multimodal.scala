@@ -115,16 +115,44 @@ object Multimodal {
     */
   val maxFramesPerVideo = 8
 
-  /** mm_frame_sample — video frame sampling as a PLAN: per clip, typed
-    * metadata (duration, fps) synthesized from the binary stand-in, then a
-    * bounded uniform frame-index `sequence` exploded into one row per
-    * sampled frame with its timestamp. The decode of each frame is the
-    * documented stub; everything the sampler decides — which frames, how
-    * many, the per-frame output schema — is the real production shape
-    * (explode keeps the fan-out ≤ maxFramesPerVideo so a 3-hour clip can't
-    * blow up a partition).
+  /** Frame raster dims for the sampled-frame decode (16x9 grayscale). */
+  val frameW = 16
+  val frameH = 9
+
+  /** The sampled frame's raster: the payload window at the frame's byte
+    * offset, cyclically extended — the deterministic stand-in for what a
+    * codec's SEEK + single-frame decode returns. A real sampler never
+    * decodes the whole clip to sample 8 frames; it seeks per sampled
+    * index, which is exactly the per-row work modeled here.
+    */
+  def frameRaster(payload: Array[Byte], frameIdx: Long): Array[Byte] = {
+    val n = frameW * frameH
+    val out = new Array[Byte](n)
+    if (payload.isEmpty) return out
+    var j = 0
+    var src = ((frameIdx * 31) % payload.length).toInt
+    while (j < n) {
+      out(j) = payload(src)
+      j += 1; src += 1
+      if (src == payload.length) src = 0
+    }
+    out
+  }
+
+  /** mm_frame_sample — video frame sampling as a PLAN plus a REAL per-frame
+    * decode: per clip, typed metadata (duration, fps) synthesized from the
+    * binary stand-in, a bounded uniform frame-index `sequence` exploded
+    * into one row per sampled frame, then each sampled frame's raster runs
+    * through the SAME P5 container + `decodePgm` parser as
+    * mm_binary_columns, emitting genuine raster statistics (mean/min/max
+    * gray). Only the raster CONTENT is synthesized (`frameRaster` — the
+    * codec seek boundary); the sampler's decisions and the decode are the
+    * production shape, and explode keeps fan-out ≤ maxFramesPerVideo so a
+    * 3-hour clip can't blow up a partition.
     */
   def frameSample(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
     val durationMs = (lit(1000) + col("doc_id") % 29 * 1000).cast("long")
     val fps = when(col("doc_id") % 2 === 0, 24).otherwise(30)
     val nFrames = (durationMs / lit(1000) * fps).cast("long")
@@ -136,39 +164,101 @@ object Multimodal {
         stride.as("stride"))
       .withColumn("frame_idx",
         explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))))
-      .select(
-        col("doc_id"), col("duration_ms"), col("fps"), col("n_frames"),
-        col("frame_idx"),
-        (col("frame_idx") * 1000 / col("fps")).cast("long").as("frame_ts_ms"),
-        // per-frame stub decode keyed on (payload, frame) — deterministic
-        (floor(
-          (abs(xxhash64(col("payload"), col("frame_idx"))) % 1000) / 1000 * 10000)
-          / 10000).as("feat0"))
+      .select(col("doc_id"), col("payload"), col("duration_ms"), col("fps"),
+        col("n_frames"), col("frame_idx"))
+      .as[(Long, Array[Byte], Long, Int, Long, Long)]
+      .mapPartitions { it =>
+        // per-partition batch: a real decoder inits its codec once here
+        it.map { case (id, payload, durMs, fps, nf, idx) =>
+          val img = decodePgm(encodePgm(frameW, frameH, frameRaster(payload, idx)))
+            .getOrElse(sys.error(s"frame decode failed for doc $id frame $idx"))
+          (id, durMs, fps, nf, idx, idx * 1000 / fps,
+            math.floor(img.meanGray * 10000) / 10000, img.minGray, img.maxGray)
+        }
+      }
+      .toDF("doc_id", "duration_ms", "fps", "n_frames", "frame_idx",
+        "frame_ts_ms", "mean_gray", "min_gray", "max_gray")
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** Audio chunk length (ms) for mm_audio_chunks. */
   val audioChunkMs = 5000L
 
-  /** mm_audio_chunks — audio chunking as a PLAN: per track, fixed-length
-    * windows (the Whisper-style 5 s chunk shape) generated with `sequence`
-    * + explode, each carrying its (start, end) bounds and a stub feature.
-    * The last chunk is clipped to the track end, exactly like a real
-    * chunker.
+  /** PCM sample rate (Hz) of the synthesized mono 8-bit track. */
+  val audioSampleRate = 8000
+
+  /** Per-chunk signal features over one pass of the chunk's PCM samples:
+    * RMS level, peak amplitude, zero-crossing rate (signed 8-bit samples,
+    * the three stats every audio-quality gate starts from).
+    */
+  final case class PcmFeatures(rms: Double, peak: Int, zcr: Double)
+
+  /** One-pass PCM feature fold over signed 8-bit samples. */
+  def pcmFeatures(samples: Array[Byte]): PcmFeatures = {
+    if (samples.isEmpty) return PcmFeatures(0.0, 0, 0.0)
+    var (sumSq, peak, crossings) = (0.0, 0, 0)
+    var prev = 0
+    var j = 0
+    while (j < samples.length) {
+      val s = samples(j).toInt
+      sumSq += s.toDouble * s
+      val a = math.abs(s); if (a > peak) peak = a
+      if (j > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+      prev = s
+      j += 1
+    }
+    PcmFeatures(math.sqrt(sumSq / samples.length), peak,
+      crossings.toDouble / samples.length)
+  }
+
+  /** The chunk's PCM raster — a fast deterministic LCG seeded by
+    * (doc_id, start_ms): the stand-in for what the audio codec's seek +
+    * decode returns for that time window (same boundary argument as
+    * `frameRaster`).
+    */
+  def chunkPcm(docId: Long, startMs: Long, nSamples: Int): Array[Byte] = {
+    val out = new Array[Byte](nSamples)
+    var state = docId * 6364136223846793005L + startMs * 1442695040888963407L + 1L
+    var j = 0
+    while (j < nSamples) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      out(j) = (state >>> 56).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** mm_audio_chunks — audio chunking as a PLAN plus REAL per-chunk signal
+    * features: per track, fixed-length windows (the Whisper-style 5 s
+    * chunk shape) generated with `sequence` + explode, then each chunk's
+    * PCM raster (8 kHz mono 8-bit, synthesized at the codec-seek boundary)
+    * folds to RMS / peak / zero-crossing rate in one pass. The last chunk
+    * is clipped to the track end, exactly like a real chunker — its sample
+    * count shrinks with it.
     */
   def audioChunks(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
     val durationMs = (lit(2500) + col("doc_id") % 17 * 1700).cast("long")
     t.documents
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-        durationMs.as("duration_ms"))
+      .select(col("doc_id"), durationMs.as("duration_ms"))
       .withColumn("start_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(audioChunkMs))))
       .select(
         col("doc_id"), col("duration_ms"), col("start_ms"),
-        least(col("start_ms") + audioChunkMs, col("duration_ms")).as("end_ms"),
-        (floor(
-          (abs(xxhash64(col("payload"), col("start_ms"))) % 1000) / 1000 * 10000)
-          / 10000).as("feat0"))
+        least(col("start_ms") + audioChunkMs, col("duration_ms")).as("end_ms"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, durMs, startMs, endMs) =>
+          val n = ((endMs - startMs) * audioSampleRate / 1000).toInt
+          val f = pcmFeatures(chunkPcm(id, startMs, n))
+          (id, durMs, startMs, endMs, n,
+            math.floor(f.rms * 10000) / 10000, f.peak,
+            math.floor(f.zcr * 10000) / 10000)
+        }
+      }
+      .toDF("doc_id", "duration_ms", "start_ms", "end_ms", "n_samples",
+        "rms", "peak", "zcr")
       .orderBy(col("doc_id"), col("start_ms"))
   }
 }

@@ -286,10 +286,17 @@ object EventStreamPipeline {
     val idxOf = links.map(_.lid).zipWithIndex.toMap
     val convEvents = links.flatMap(_.eventIds).distinct
     val apps = broadcast(Adv.adAppRegistry.toDF("appkey", "ad_app_id"))
+    // the same AdvJob admission gate as batch advAdmitted: company/business
+    // registry + per-app ip/ua data_access_filter (stream-static broadcast
+    // anti-joins — stateless)
+    val ipB = broadcast(graft.operators.Etl.ipBlacklist.toDF("appkey", "ip"))
+    val uaB = broadcast(graft.operators.Etl.uaBlacklist.toDF("appkey", "ua"))
     val qualifying = Envelope.attach(events)
       .filter(col("dt") === "evt" && col("appkey") =!= "" &&
         col("event_type").isin("click" +: convEvents: _*))
       .join(apps, Seq("appkey"))
+      .join(ipB, Seq("appkey", "ip"), "left_anti")
+      .join(uaB, Seq("appkey", "ua"), "left_anti")
       .join(broadcast(uz), Seq("appkey", "cuid"), "left")
       .join(broadcast(dz), Seq("appkey", "did"), "left")
       .withColumn("zgid",
@@ -529,5 +536,123 @@ object EventStreamPipeline {
         writeSalted(graft.operators.Pipeline.eventAttr(tb), outDir)
       }
       .start()
+  }
+
+  // ---- streaming profile maintenance (t_user_detail live) ----
+
+  /** One fact-stream row — the event_attr transfer columns the profile
+    * state consumes (the profile maintainer tails the fact table/topic,
+    * exactly like a warehouse-side updater downstream of DwJob's sink).
+    */
+  case class FactRow(zgid: String, begin_date: Long, event_id: Long,
+    platform_id: Int, zg_sid: Long, duration: String, app_version: String,
+    channel: String, website: String, utm_source: String, utm_medium: String,
+    utm_campaign: String, utm_content: String, utm_term: String,
+    referrer_url: String, country: String, area: String, city: String,
+    mccmnc: String, bs: String, bv: String, os: String, ov: String,
+    zg_did: Int, zg_uid: String)
+
+  /** First-touch fields + their (begin_date, event_id) order key. */
+  case class TouchFirst(d: Long, id: Long, app_version: String,
+    channel: String, website: String, utm_source: String, utm_medium: String,
+    utm_campaign: String, utm_content: String, utm_term: String,
+    referrer_url: String)
+
+  /** Last-touch fields + their order key. */
+  case class TouchLast(d: Long, id: Long, platform_id: Int,
+    app_version: String, channel: String, country: String, area: String,
+    city: String, mccmnc: String, bs: String, bv: String, os: String,
+    ov: String, zg_did: Int)
+
+  /** The per-zgid mergeable partial — the keyed-state form of
+    * Dw.detailPartial: first/last touch as (order-key, fields) pairs,
+    * sessions as an exact id set (bounded per user; the at-scale swap is
+    * an HLL sketch, same as the batch doc), sums/maxes for the rest.
+    */
+  case class DetailState(f: TouchFirst, l: TouchLast, first_visit: Long,
+    last_visit: Long, sids: Set[Long], duration: Long, is_registered: Int,
+    seq: Long)
+
+  /** The emitted profile row per update — detailAgg's column surface, so
+    * the spec can diff it against the batch aggregate verbatim. `upd_seq`
+    * counts state updates so a consumer (and the spec) can pick the latest
+    * emission per key.
+    */
+  case class DetailRowUpdate(zg_id: String, platform: Int,
+    first_visit_time: Long, last_visit_time: Long, visit_times: Int,
+    duration: Long, first_version: String, first_channel: String,
+    current_app_version: String, current_app_channel: String,
+    first_website: String, utm_source: String, utm_medium: String,
+    utm_campaign: String, utm_content: String, utm_term: String,
+    first_referrer_url: String, current_country: String,
+    current_area: String, current_city: String, cur_mccmnc_s: String,
+    current_bs: String, cur_bv_s: String, current_os: String,
+    cur_ov_s: String, cur_did: Int, is_registered: Int, upd_seq: Long)
+
+  /** Streaming t_user_detail maintenance — the profile table as keyed
+    * per-zgid state over the live event_attr stream: each micro-batch
+    * folds its rows into the stored mergeable partial (the SAME merge
+    * semantics as the batch incremental path `Dw.userDetailInc` — min/max
+    * by the (begin_date, event_id) order key, session-id set union,
+    * duration sum, registration max) and emits the updated profile row.
+    * This unites the incremental fold and the streaming state shapes: a
+    * micro-batch IS an increment.
+    *
+    * At scale: state is one partial per active user — the same footprint
+    * as the reference's per-user profile row in Doris — and each trigger
+    * shuffles only its own rows on the zgid axis.
+    */
+  def userDetailStream(eventAttr: DataFrame): Dataset[DetailRowUpdate] = {
+    val spark = eventAttr.sparkSession
+    import spark.implicits._
+    val n = "\\N"
+    eventAttr.select(
+        col("zgid"), col("begin_date"), col("event_id"), col("platform_id"),
+        col("zg_sid"), col("duration"), col("app_version"), col("channel"),
+        col("website"), col("utm_source"), col("utm_medium"),
+        col("utm_campaign"), col("utm_content"), col("utm_term"),
+        col("referrer_url"), col("country"), col("area"), col("city"),
+        col("mccmnc"), col("bs"), col("bv"), col("os"), col("ov"),
+        col("zg_did"), col("zg_uid"))
+      .as[FactRow]
+      .groupByKey(_.zgid)
+      .flatMapGroupsWithState[DetailState, DetailRowUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (zgid, rows, state: GroupState[DetailState]) =>
+          var st = state.getOption.orNull
+          // in-batch order matches the batch aggregate's order key
+          rows.toSeq.sortBy(r => (r.begin_date, r.event_id)).foreach { r =>
+            val f = TouchFirst(r.begin_date, r.event_id, r.app_version,
+              r.channel, r.website, r.utm_source, r.utm_medium,
+              r.utm_campaign, r.utm_content, r.utm_term, r.referrer_url)
+            val l = TouchLast(r.begin_date, r.event_id, r.platform_id,
+              r.app_version, r.channel, r.country, r.area, r.city, r.mccmnc,
+              r.bs, r.bv, r.os, r.ov, r.zg_did)
+            val sid = if (r.zg_sid != -1L) Set(r.zg_sid) else Set.empty[Long]
+            val dur = r.duration.toLong
+            val reg = if (r.zg_uid != n) 1 else 0
+            st =
+              if (st == null)
+                DetailState(f, l, r.begin_date, r.begin_date, sid, dur, reg, 0L)
+              else DetailState(
+                if (f.d < st.f.d || (f.d == st.f.d && f.id < st.f.id)) f else st.f,
+                if (l.d > st.l.d || (l.d == st.l.d && l.id > st.l.id)) l else st.l,
+                math.min(st.first_visit, r.begin_date),
+                math.max(st.last_visit, r.begin_date),
+                st.sids ++ sid, st.duration + dur,
+                math.max(st.is_registered, reg), st.seq)
+          }
+          st = st.copy(seq = st.seq + 1)
+          state.update(st)
+          val u = DetailRowUpdate(zgid, st.l.platform_id, st.first_visit,
+            st.last_visit, st.sids.size, st.duration, st.f.app_version,
+            st.f.channel, st.l.app_version, st.l.channel, st.f.website,
+            st.f.utm_source, st.f.utm_medium, st.f.utm_campaign,
+            st.f.utm_content, st.f.utm_term, st.f.referrer_url,
+            st.l.country, st.l.area, st.l.city, st.l.mccmnc, st.l.bs,
+            st.l.bv, st.l.os, st.l.ov, st.l.zg_did, st.is_registered,
+            st.seq)
+          Iterator(u)
+      }
   }
 }

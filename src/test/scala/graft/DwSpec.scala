@@ -114,6 +114,22 @@ class DwSpec extends SparkSpec {
     inc.zip(full).foreach { case (i, f) => assert(i == f) }
   }
 
+  test("incremental rollup folds equal their full rescans") {
+    // day-grain rollups: fold == full (append-shaped merge)
+    val act = Dw.userActive(t).collect().map(_.toSeq)
+    val actInc = Dw.userActiveInc(t).collect().map(_.toSeq)
+    assert(act.length == actInc.length && act.zip(actInc).forall { case (a, b) => a == b })
+    val dur = Dw.userDuration(t).collect().map(_.toSeq)
+    val durInc = Dw.userDurationInc(t).collect().map(_.toSeq)
+    assert(dur.length == durInc.length && dur.zip(durInc).forall { case (a, b) => a == b })
+    // zgid-grain sums: users span increments (asserted by the detail-inc
+    // test above), so this fold exercises the REAL multi-partial merge
+    val sums = Dw.userDetailSum(t).collect().map(_.toSeq)
+    val sumsInc = Dw.userDetailSumInc(t).collect().map(_.toSeq)
+    assert(sums.length == sumsInc.length &&
+      sums.zip(sumsInc).forall { case (a, b) => a == b })
+  }
+
   test("user_detail_sum is exactly the sums projection of user_detail") {
     val d = Dw.userDetail(t)
       .select("zg_id", "platform", "visit_times", "duration",

@@ -467,7 +467,30 @@ class LlmOpsSpec extends SparkSpec {
       val idx = frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq
       val gaps = idx.sliding(2).collect { case Seq(a, b) => b - a }.toSet
       assert(gaps.size <= 1, s"non-uniform stride: $gaps")
+      // per-frame stats come from a REAL raster decode
+      frames.foreach { f =>
+        val (mn, mx) = (f.getAs[Int]("min_gray"), f.getAs[Int]("max_gray"))
+        val mean = f.getAs[Double]("mean_gray")
+        assert(mn >= 0 && mx <= 255 && mn <= mx)
+        assert(mean >= mn && mean <= mx)
+      }
     }
+  }
+
+  test("frame raster decode: known payload yields exact stats") {
+    // frame 0 of a constant payload -> constant raster -> exact stats
+    val flat = Multimodal.frameRaster(Array.fill[Byte](50)(42), 0L)
+    val img = Multimodal.decodePgm(
+      Multimodal.encodePgm(Multimodal.frameW, Multimodal.frameH, flat))
+    assert(img.contains(Multimodal.PgmImage(
+      Multimodal.frameW, Multimodal.frameH, 42.0, 42, 42)))
+    // the raster window moves with the frame index (seek semantics)
+    val ramp = Array.tabulate[Byte](200)(_.toByte)
+    assert(!Multimodal.frameRaster(ramp, 0L).sameElements(
+      Multimodal.frameRaster(ramp, 1L)))
+    // and is deterministic
+    assert(Multimodal.frameRaster(ramp, 3L).sameElements(
+      Multimodal.frameRaster(ramp, 3L)))
   }
 
   test("audio chunks tile each track exactly, last chunk clipped") {
@@ -483,9 +506,33 @@ class LlmOpsSpec extends SparkSpec {
         case _ =>
       }
       assert(sorted.last.getAs[Long]("end_ms") == dur)
-      sorted.foreach(c => assert(
-        c.getAs[Long]("end_ms") - c.getAs[Long]("start_ms") <= Multimodal.audioChunkMs))
+      sorted.foreach { c =>
+        val span = c.getAs[Long]("end_ms") - c.getAs[Long]("start_ms")
+        assert(span <= Multimodal.audioChunkMs)
+        // REAL per-chunk features over the chunk's own sample count
+        assert(c.getAs[Int]("n_samples") ==
+          (span * Multimodal.audioSampleRate / 1000).toInt)
+        val (rms, peak, zcr) = (c.getAs[Double]("rms"),
+          c.getAs[Int]("peak"), c.getAs[Double]("zcr"))
+        assert(rms >= 0.0 && rms <= 128.0)
+        assert(peak >= 0 && peak <= 128 && rms <= peak + 1)
+        assert(zcr >= 0.0 && zcr <= 1.0)
+      }
     }
+  }
+
+  test("pcm features: known samples yield exact rms/peak/zcr") {
+    // [3, -4]: rms = sqrt((9+16)/2) = 3.5355..., peak 4, one crossing / 2
+    val f = Multimodal.pcmFeatures(Array[Byte](3, -4))
+    assert(math.abs(f.rms - math.sqrt(12.5)) < 1e-12)
+    assert(f.peak == 4 && f.zcr == 0.5)
+    // silence
+    assert(Multimodal.pcmFeatures(Array[Byte](0, 0, 0)) ==
+      Multimodal.PcmFeatures(0.0, 0, 0.0))
+    // chunk PCM is deterministic per (doc, start) and varies across chunks
+    val a = Multimodal.chunkPcm(7L, 0L, 64)
+    assert(a.sameElements(Multimodal.chunkPcm(7L, 0L, 64)))
+    assert(!a.sameElements(Multimodal.chunkPcm(7L, 5000L, 64)))
   }
 
   test("pgm decode parses real payloads exactly and rejects malformed ones") {

@@ -110,8 +110,15 @@ class MatchRulesSpec extends SparkSpec {
     val keys = rows.map(r => (r.getAs[String]("event_name"), r.getAs[Int]("lid"),
       r.getAs[String]("zgid")))
     assert(keys.distinct.length == keys.length)
-    // every configured link fires on this corpus, incl. the multi-event one
-    assert(rows.map(_.getAs[Int]("lid")).toSet == Adv.adsLinkRegistry.map(_.lid).toSet)
+    // only configured links ever fire; the widened AdvJob admission
+    // (blacklist anti-joins) prunes the tiny sf0.001 corpus below full
+    // link coverage, so the all-links-fire guarantee is pinned at sf0.01
+    val fired = rows.map(_.getAs[Int]("lid")).toSet
+    assert(fired.subsetOf(Adv.adsLinkRegistry.map(_.lid).toSet) && fired.size >= 2)
+    val fired01 = Adv.deepConvert(graft.sources.Tables(spark, "/root/testdata/sf0.01"))
+      .select("lid").distinct().collect().map(_.getInt(0)).toSet
+    assert(fired01 == Adv.adsLinkRegistry.map(_.lid).toSet,
+      s"not every configured link fires at sf0.01: $fired01")
     // the audience-gated link only sends rule-passing conversions: its rule
     // is dru > 1000, so no sent purchase on link 101 carries a small dru
     val env101 = graft.operators.Envelope.attach(t.events)

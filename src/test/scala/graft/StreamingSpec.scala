@@ -319,4 +319,42 @@ class StreamingSpec extends SparkSpec {
       assert(s == batch(u)._1, s"user $u sessions")
     }
   }
+
+  test("streaming profile maintenance equals the batch detail aggregate") {
+    import graft.operators.{Dw, Route}
+    // the profile maintainer tails the fact table: stage the batch
+    // event_attr rows as THREE increment files so the keyed state genuinely
+    // merges partials across micro-batches (maxFilesPerTrigger=1)
+    val ea = Route.routeEventAttr(t)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ea").toString
+    val (d1, d2) = Dw.incBoundaries
+    Seq(
+      ea.filter(col("day_id") < d1),
+      ea.filter(col("day_id") >= d1 && col("day_id") < d2),
+      ea.filter(col("day_id") >= d2)
+    ).zipWithIndex.foreach { case (slice, i) =>
+      slice.coalesce(1).write.parquet(s"$dir/inc$i")
+      val f = new java.io.File(s"$dir/inc$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/inc$i.parquet"))
+    }
+    val stream = spark.readStream.schema(ea.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToMemory("udprof", EventStreamPipeline.userDetailStream(stream).toDF(), "update")
+    // latest emission per key = the final profile row
+    val latest = spark.sql(
+      """SELECT * FROM (SELECT *, row_number() OVER (
+           PARTITION BY zg_id ORDER BY upd_seq DESC) AS rn FROM udprof)
+         WHERE rn = 1""").drop("rn", "upd_seq")
+    val batch = Dw.detailAgg(t).drop("appkey")
+    assert(latest.columns.sorted.sameElements(batch.columns.sorted))
+    val a = latest.select(batch.columns.map(col): _*)
+    assert(a.count() == batch.count())
+    assert(a.exceptAll(batch).isEmpty && batch.exceptAll(a).isEmpty,
+      "streaming profile state diverged from the batch aggregate")
+    // multiple micro-batches actually happened: some user got 2+ updates
+    assert(spark.sql("SELECT max(upd_seq) FROM udprof").collect()(0).getLong(0) >= 2L,
+      "no user was updated across micro-batches — merge untested")
+  }
 }
