@@ -1324,6 +1324,18 @@ object SparkEntry {
          SELECT event_id, app_id, zgid, user_id, prop_id, prop_name,
            prop_type, prop_value, platform_id, last_update
          FROM m WHERE rn = 1 ORDER BY zgid, prop_id""",
+    // the partitioned sink's readback is a pure per-day count of the
+    // envelope rows it wrote — the write/readback machinery is what the
+    // spec pins; the CONTENT is oracle-checkable
+    "sink_partitioned_parquet" ->
+      """SELECT strftime(ts, '%Y%m%d') AS day_id, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY day_id""",
+    // the bucketed sink's readback join of facts to their own per-user
+    // rollup counts each user's facts beside the rollup's ltv — both pure
+    // functions of the events table
+    "sink_bucketed_join" ->
+      """SELECT user_id, round(sum(value), 4) AS ltv, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY user_id""",
     "dw_user_join" ->
       s"""WITH $dwAdmittedCtes,
          $userJoinBody

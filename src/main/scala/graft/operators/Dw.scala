@@ -179,7 +179,15 @@ object Dw {
     * pays the device join it doesn't project.
     */
   private[graft] def detailAgg(t: Tables): DataFrame =
-    detailAggOf(Route.routeEventAttr(t))
+    detailAggOf(eaUnsorted(t))
+
+  /** The event_attr row WITHOUT routeEventAttr's presentation orderBy:
+    * EliminateSorts cannot prove the min_by/max_by aggregates above these
+    * consumers order-irrelevant, so riding the sorted frame would pay a
+    * full-corpus range exchange + sort that feeds straight into a groupBy.
+    */
+  private def eaUnsorted(t: Tables): DataFrame =
+    Route.eventAttrWithMeta(t).drop("ts")
 
   /** The per-zgid detail aggregate expressions — one list, used by the
     * standalone detail aggregate AND fused with the join-leg aggregates in
@@ -294,7 +302,7 @@ object Dw {
     * warehouse (the view Doris computes on read, materialized).
     */
   def userAnonymous(t: Tables): DataFrame =
-    Route.routeUserRow(t)
+    Route.userRowUnsorted(t)
       .groupBy(col("zgid").as("zg_id"))
       .agg(max(expr("try_cast(user_id AS bigint)")).as("user_id"))
       .withColumn("is_anonymous",
@@ -482,7 +490,7 @@ object Dw {
     * daily update is exactly this fold.
     */
   def userDetailSumInc(t: Tables): DataFrame = {
-    val parts = incSlices(Route.routeEventAttr(t), "day_id", identity)
+    val parts = incSlices(eaUnsorted(t), "day_id", identity)
       .map(detailPartial)
     mergePartials(parts)
       .select(Seq(
@@ -545,7 +553,7 @@ object Dw {
     // prune the wide row to the ~20 columns the partial needs, which
     // measures faster than materializing the full row once (and in
     // production each increment is its own physical partition anyway)
-    val ea = Route.routeEventAttr(t)
+    val ea = eaUnsorted(t)
     val (d1, d2) = incBoundaries
     val parts = Seq(
       ea.filter(col("day_id") < d1),

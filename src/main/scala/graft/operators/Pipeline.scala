@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def eventAttr(t: Tables): DataFrame = {
+  def eventAttr(t: Tables): DataFrame =
+    eventAttrUnsorted(t).orderBy(col("event_id"))
+
+  /** The pipeline row without the presentation orderBy — the streaming
+    * salted sink repartitions by (day, salt) right after, so a global sort
+    * here would be shuffled away unread.
+    */
+  private[graft] def eventAttrUnsorted(t: Tables): DataFrame = {
     val env = Envelope.attach(t.events)
       .filter(col("dt").isin("evt", "vtl", "mkt", "ss", "se", "abp"))
     // zgids resolve on the (appkey, cuid)/(appkey, did) KEY AXES — the same
@@ -64,7 +71,6 @@ object Pipeline {
         browser.as("browser"),
         source.as("utm_source"),
         medium.as("utm_medium"))
-      .orderBy(col("event_id"))
   }
 
   /** pipeline_all_job — AllJob.java:49-56, the reference's full-chain job:

@@ -271,7 +271,14 @@ object Route {
     * device/user ids the id legs wrote into pr ($zg_did / $zg_uid — the
     * deviceMap/userMap joins), epoch seconds and the platform code.
     */
-  def routeUserRow(t: Tables): DataFrame = {
+  def routeUserRow(t: Tables): DataFrame =
+    userRowUnsorted(t).orderBy(col("event_id"))
+
+  /** The b_user rows WITHOUT the presentation orderBy — internal
+    * consumers that aggregate on top (`Dw.userAnonymous`) must not pay a
+    * full-corpus range exchange + sort EliminateSorts cannot remove.
+    */
+  private[operators] def userRowUnsorted(t: Tables): DataFrame = {
     val (idEnv, uz, dz) = Identity.zgidAxes(t)
     val tzOk = expr("try_cast(tzms AS bigint)")
     env(t).filter(col("dt") === "zgid" && col("did") =!= "" && col("appkey") =!= "")
@@ -292,7 +299,6 @@ object Route {
         coalesce(col("zg_uid").cast("string"), lit("\\N")).as("user_id"),
         unix_timestamp(col("ts")).as("begin_date"),
         coalesce(col("platform_id"), lit(0)).as("platform_id"))
-      .orderBy(col("event_id"))
   }
 
   /** route_device_row — the full DeviceTransfer row
@@ -367,7 +373,15 @@ object Route {
     * last_update. Real-name users additionally emit the implicit
     * app_user_id row (property id -1, type string, value = $cuid).
     */
-  def routeUserPropRow(t: Tables): DataFrame = {
+  def routeUserPropRow(t: Tables): DataFrame =
+    userPropRowUnsorted(t).orderBy(col("event_id"), col("prop_name"))
+
+  /** The user-property rows without the presentation orderBy — the
+    * unique-key merge re-shuffles on (zgid, prop_id), so feeding it the
+    * sorted frame would sort the whole prop corpus only to discard the
+    * order at the next exchange.
+    */
+  private[operators] def userPropRowUnsorted(t: Tables): DataFrame = {
     val spark = t.spark
     val tzOk = expr("try_cast(tzms AS bigint)")
     // cuid is non-null on every admitted row, so the user axis alone
@@ -408,7 +422,7 @@ object Route {
         lit("string").as("prop_type"),
         col("cuid").as("prop_value"),
         col("pid").as("platform_id"), col("last_update"))
-    custom.unionByName(appUserId).orderBy(col("event_id"), col("prop_name"))
+    custom.unionByName(appUserId)
   }
 
   /** sink_unique_key_merge — EVERY Doris table the reference sinks into is
@@ -429,7 +443,7 @@ object Route {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("zgid", "prop_id")
       .orderBy(col("last_update").desc, col("event_id").desc)
-    routeUserPropRow(t)
+    userPropRowUnsorted(t)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .orderBy(col("zgid"), col("prop_id"))
   }
@@ -682,6 +696,9 @@ object Route {
       .join(spark.table("graft_usr_bucketed"), "user_id")
       .groupBy(col("user_id"), col("ltv"))
       .agg(count(lit(1)).as("n"))
+      // 4-dp rounding only at the OUTPUT so the oracle's independent
+      // sum(value) can hash-match (float sums differ in the last bits)
+      .select(col("user_id"), round(col("ltv"), 4).as("ltv"), col("n"))
       .orderBy(col("user_id"))
   }
 

@@ -533,7 +533,7 @@ object EventStreamPipeline {
         val tb = new graft.sources.Tables(batch.sparkSession, sfDir) {
           override def events: DataFrame = passed
         }
-        writeSalted(graft.operators.Pipeline.eventAttr(tb), outDir)
+        writeSalted(graft.operators.Pipeline.eventAttrUnsorted(tb), outDir)
       }
       .start()
   }

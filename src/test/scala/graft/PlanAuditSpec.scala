@@ -246,6 +246,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dw/sink aggregates never ride the presentation-sorted row builds") {
+    // routeEventAttr/routeUserRow/routeUserPropRow end in a global orderBy
+    // for the registered queries; internal consumers that aggregate on top
+    // must use the unsorted cores — EliminateSorts cannot remove the sort
+    // under min_by/max_by aggregates, so riding the sorted frame costs a
+    // full-corpus range exchange + sort per consumer (a real r6 find: the
+    // Dw family paid it on every leg)
+    for ((name, df) <- Seq(
+        "dw_user_detail_sum" -> graft.operators.Dw.userDetailSum(t),
+        "dw_user_anonymous" -> graft.operators.Dw.userAnonymous(t),
+        "sink_unique_key_merge" -> graft.operators.Route.sinkUniqueKeyMerge(t))) {
+      val p = plan(df)
+      assert(!p.contains("Sort [event_id"),
+        s"$name still sorts the corpus on event_id before aggregating:\n$p")
+    }
+  }
+
   test("substring dedup has no pairwise step") {
     val p = plan(Dedup.substringDup(t))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
