@@ -213,7 +213,14 @@ object Adv {
     * Redis maxCt/data state pair re-expressed as one groupBy-latest. The
     * reference's per-minute MySQL registry poll is the broadcast dim join.
     */
-  def appAdLatest(t: Tables): DataFrame = {
+  def appAdLatest(t: Tables): DataFrame =
+    appAdLatestUnsorted(t).orderBy(col("match_key"))
+
+  /** The ad state without the presentation orderBy — `attributeEvent`
+    * checkpoints this frame and re-joins it by hash, so a range exchange
+    * before the checkpoint would be written out and never read.
+    */
+  private def appAdLatestUnsorted(t: Tables): DataFrame = {
     // the adtf click payload synthesized from click events: raw ids carry
     // the platforms' sentinel junk; click_time mixes second/ms precision
     val clicks = advAdmitted(t)
@@ -247,7 +254,6 @@ object Adv {
     keys
       .withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
       .select(col("match_key"), col("lid"), col("ct"))
-      .orderBy(col("match_key"))
   }
 
   /** adv_attribute_event — the AdvProcessFunction leg: app events from
@@ -262,7 +268,7 @@ object Adv {
   def attributeEvent(t: Tables): DataFrame = {
     // materialize the ad state once: it feeds BOTH key probes below, and an
     // unmaterialized plan would re-run the whole save leg per join branch
-    val state = graft.engine.Reliability.planCheckpoint(appAdLatest(t))
+    val state = graft.engine.Reliability.planCheckpoint(appAdLatestUnsorted(t))
     // conversion-side events from registered advertising apps, probing with
     // the same synthesized id fields as the save leg
     val probes = advAdmitted(t)

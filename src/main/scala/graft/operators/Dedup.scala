@@ -101,7 +101,14 @@ object Dedup {
     *     arrays (codegen array_intersect); floor-rounding so the oracle can
     *     never disagree on a decimal tie.
     */
-  def ngramJaccard(t: Tables): DataFrame = {
+  def ngramJaccard(t: Tables): DataFrame =
+    ngramJaccardUnsorted(t).orderBy(col("da"), col("db"))
+
+  /** The verified pair list without the presentation orderBy — `dupGroups`
+    * checkpoints and re-joins this frame by hash, so sorting it first
+    * would materialize a range exchange nothing reads.
+    */
+  private def ngramJaccardUnsorted(t: Tables): DataFrame = {
     val sh = shingles(t)
     // step 1: df via a COUNT groupBy (map-side combined) joined back on the
     // shingle — never a window over s (single-task funnel for the hottest
@@ -150,7 +157,6 @@ object Dedup {
       .filter(col("jaccard") >= jaccardTau)
       .select(col("da"), col("db"),
         (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
 
   // ---- #38 minhash ----
@@ -363,7 +369,7 @@ object Dedup {
     // candidate-generation pipeline once per branch (exchange reuse does
     // not span the differing final projections)
     val pairs = graft.engine.Reliability.planCheckpoint(
-      ngramJaccard(t).select(col("da"), col("db")))
+      ngramJaccardUnsorted(t).select(col("da"), col("db")))
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
     var labels = graft.engine.Reliability.planCheckpoint(
