@@ -63,6 +63,8 @@ object SparkEntry {
     "adv_channel_rollup"      -> ((s, d) => Adv.channelRollup(tables(s, d))),
     "adv_asa_fields"          -> ((s, d) => Adv.asaFields(tables(s, d))),
     "adv_admission_stats"     -> ((s, d) => Adv.admissionStats(tables(s, d))),
+    "adv_lid_user_first_end"  -> ((s, d) => Adv.lidUserFirstEnd(tables(s, d))),
+    "adv_user_ad_source"      -> ((s, d) => Adv.userAdSource(tables(s, d))),
     "sim_ann_ivf"             -> ((s, d) => Sim.ivfTopK(tables(s, d))),
     // end-to-end: the full IdJob→DwJob chain in one plan
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
@@ -1030,6 +1032,113 @@ object SparkEntry {
          WHERE r.appkey <> ''
          GROUP BY 1, 2 ORDER BY r.appkey, verdict"""
     },
+    "adv_lid_user_first_end" -> {
+      val nameCase = operators.Adv.adChannelDim
+        .map { case (c, n) => s"WHEN '$c' THEN '$n'" }.mkString(" ")
+      s"""WITH ${Envelope.oracleRaw},
+         $advAdmitCte,
+         ${zgidCtes()},
+         zg AS MATERIALIZED ($zgidSelect),
+         base AS (SELECT r.event_id, r.ad_app_id, z.zgid,
+             epoch_ns(r.ts) // 1000000000 * 1000 AS ct, r.event_type
+           FROM advadm r JOIN zg z ON r.event_id = z.event_id
+           WHERE r.dt = 'evt' AND z.zgid IS NOT NULL),
+         tch AS (SELECT *,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+             CASE WHEN event_type = 'click' THEN event_id END AS t_lid,
+             CASE WHEN event_type = 'click'
+               THEN concat('link-', CAST(event_id AS VARCHAR)) END AS t_lname,
+             CASE WHEN event_type = 'click' THEN
+               (CASE WHEN event_id % 16 = 0 THEN ''
+                     ELSE CAST(event_id % 16 AS VARCHAR) END) END AS t_ctype,
+             CASE WHEN event_type = 'click' THEN
+               (CASE WHEN event_id % 5 = 0 THEN ''
+                     ELSE concat('acct-', CAST(event_id % 50 AS VARCHAR)) END) END AS t_acct,
+             CASE WHEN event_type = 'click' THEN event_id % 100 END AS t_camp,
+             CASE WHEN event_type = 'click' THEN event_id % 37 END AS t_adg,
+             CASE WHEN event_type = 'click' THEN event_id % 23 END AS t_adid,
+             CASE WHEN event_type = 'click' THEN event_id % 11 END AS t_kw
+           FROM base),
+         wst AS (SELECT *,
+             last_value(t_lid IGNORE NULLS) OVER wa AS l_lid,
+             last_value(t_lname IGNORE NULLS) OVER wa AS l_lname,
+             last_value(t_ctype IGNORE NULLS) OVER wa AS l_ctype,
+             last_value(t_acct IGNORE NULLS) OVER wa AS l_acct,
+             last_value(t_camp IGNORE NULLS) OVER wa AS l_camp,
+             last_value(t_adg IGNORE NULLS) OVER wa AS l_adg,
+             last_value(t_adid IGNORE NULLS) OVER wa AS l_adid,
+             last_value(t_kw IGNORE NULLS) OVER wa AS l_kw,
+             first_value(t_lid IGNORE NULLS) OVER wa AS f_lid,
+             first_value(t_lname IGNORE NULLS) OVER wa AS f_lname
+           FROM tch
+           WINDOW wa AS (PARTITION BY ad_app_id, zgid ORDER BY ct, kind, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id,
+           coalesce(l_lid, -1) AS lid,
+           CASE WHEN l_lid IS NOT NULL AND l_ctype <> '' THEN l_ctype
+                ELSE '\\N' END AS channel_type,
+           CASE WHEN l_lid IS NOT NULL AND l_ctype <> ''
+                THEN (CASE l_ctype $nameCase ELSE '' END)
+                ELSE '\\N' END AS channel_name,
+           CASE WHEN l_lid IS NOT NULL AND l_acct <> ''
+                THEN concat(l_ctype, chr(36), l_acct) ELSE '\\N' END AS account_id,
+           CASE WHEN l_lid IS NOT NULL AND l_camp <> 0
+                THEN concat(l_ctype, chr(36), CAST(l_camp AS VARCHAR))
+                ELSE '\\N' END AS campaign_id,
+           CASE WHEN l_lid IS NOT NULL AND l_adg <> 0
+                THEN concat(l_ctype, chr(36), CAST(l_adg AS VARCHAR))
+                ELSE '\\N' END AS adgroup_id,
+           CASE WHEN l_lid IS NOT NULL AND l_adid <> 0
+                THEN concat(l_ctype, chr(36), CAST(l_adid AS VARCHAR))
+                ELSE '\\N' END AS ad_id,
+           CASE WHEN l_lid IS NOT NULL AND l_kw <> 0
+                THEN concat(l_ctype, chr(36), CAST(l_kw AS VARCHAR))
+                ELSE '\\N' END AS keyword_id,
+           coalesce(f_lid, -1) AS first_lid,
+           coalesce(f_lname, '\\N') AS first_ad_source,
+           CASE WHEN l_lid IS NOT NULL AND
+                  concat(CAST(l_lid AS VARCHAR), ',', l_lname) <>
+                  concat(CAST(f_lid AS VARCHAR), ',', f_lname)
+                THEN l_lid ELSE -1 END AS fol_lid,
+           CASE WHEN l_lid IS NOT NULL AND
+                  concat(CAST(l_lid AS VARCHAR), ',', l_lname) <>
+                  concat(CAST(f_lid AS VARCHAR), ',', f_lname)
+                THEN l_lname ELSE '\\N' END AS fol_ad_source
+         FROM wst WHERE kind = 1 ORDER BY event_id"""
+    },
+    "adv_user_ad_source" ->
+      s"""WITH ${Envelope.oracleRaw},
+         $advAdmitCte,
+         ${zgidCtes()},
+         zg AS MATERIALIZED ($zgidSelect),
+         tc AS (SELECT r.event_id, r.ad_app_id, z.zgid,
+             epoch_ns(r.ts) // 1000000000 * 1000 AS ct,
+             r.event_id AS t_lid,
+             concat('link-', CAST(r.event_id AS VARCHAR)) AS t_lname
+           FROM advadm r JOIN zg z ON r.event_id = z.event_id
+           WHERE r.dt = 'evt' AND r.event_type = 'click' AND z.zgid IS NOT NULL),
+         ws AS (SELECT *,
+             row_number() OVER (PARTITION BY ad_app_id, zgid
+               ORDER BY ct, event_id) AS rna,
+             row_number() OVER (PARTITION BY ad_app_id, zgid
+               ORDER BY ct DESC, event_id DESC) AS rnd,
+             count(*) OVER (PARTITION BY ad_app_id, zgid) AS n_touches
+           FROM tc),
+         fl AS (SELECT ad_app_id, zgid, n_touches,
+             max(CASE WHEN rna = 1 THEN t_lid END) AS first_lid,
+             max(CASE WHEN rna = 1 THEN t_lname END) AS first_ad_source,
+             max(CASE WHEN rnd = 1 THEN t_lid END) AS last_lid,
+             max(CASE WHEN rnd = 1 THEN t_lname END) AS last_lname
+           FROM ws GROUP BY 1, 2, 3)
+         SELECT ad_app_id, zgid, first_lid, first_ad_source,
+           CASE WHEN concat(CAST(last_lid AS VARCHAR), ',', last_lname) <>
+                  concat(CAST(first_lid AS VARCHAR), ',', first_ad_source)
+                THEN last_lid ELSE -1 END AS fol_lid,
+           CASE WHEN concat(CAST(last_lid AS VARCHAR), ',', last_lname) <>
+                  concat(CAST(first_lid AS VARCHAR), ',', first_ad_source)
+                THEN last_lname ELSE '\\N' END AS fol_ad_source,
+           n_touches
+         FROM fl ORDER BY ad_app_id, zgid""",
     "id_archive_dedup" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT appkey, did, cuid, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen

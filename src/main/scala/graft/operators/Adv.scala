@@ -677,4 +677,142 @@ object Adv {
         count_distinct(when(col("c.matched"), col("user_id"))).as("n_users"))
       .orderBy(col("link_id"))
   }
+
+  /** The synthesized ad-touch fields of one click row — the landing URL's
+    * parsed param block (lid, lname, channel_type + the five channel ids;
+    * ToolUtil.urlParseToMap over $landing_url in
+    * AdvLidAndUserFirstEndFlatMapFunction.processWebAndAppleASA:785-787).
+    * Zeros/empties appear on purpose: the prop-attach rules gate on them.
+    * ONE definition shared by the event-attach leg, the user rollup and
+    * (via the mirrored SQL in SparkEntry) the DuckDB oracles.
+    */
+  private def touchStruct = struct(
+    col("event_id").as("lid"),
+    concat(lit("link-"), col("event_id")).as("lname"),
+    when(pmod(col("event_id"), lit(16)) === 0, lit(""))
+      .otherwise(pmod(col("event_id"), lit(16)).cast("string")).as("ctype"),
+    when(pmod(col("event_id"), lit(5)) === 0, lit(""))
+      .otherwise(concat(lit("acct-"), pmod(col("event_id"), lit(50)))).as("acct"),
+    pmod(col("event_id"), lit(100)).as("camp"),
+    pmod(col("event_id"), lit(37)).as("adg"),
+    pmod(col("event_id"), lit(23)).as("adid"),
+    pmod(col("event_id"), lit(11)).as("kw"))
+
+  /** adv_lid_user_first_end — the EVENT-PROP attach of
+    * AdvLidAndUserFirstEndFlatMapFunction (java:166-475): every evt from
+    * an ad-registered app reads the user's (appId, zgid) ad state — maxCt
+    * plus the latest touch's ad detail — and, when the event is at or
+    * after that touch (ct >= maxCt, java:668), carries
+    *   - _广告分析链接ID = the latest touch's lid,
+    *   - _广告渠道ID/名称 only when channel_type is non-empty (java:540-543),
+    *   - _广告账号ID = channelType$accountId when the account is non-empty,
+    *   - 计划/组/创意/关键词 ids as channelType$id only when ≠ 0
+    *     (java:545-473 — getLongValue's 0 default means "absent"),
+    * plus the first/follow ad-source pair the user props carry (the stored
+    * "firstLid,firstLname::folLid,folLname" string, java:299-306: the
+    * first part never changes; the second is the latest touch IFF its
+    * "lid,lname" differs from the first).
+    *
+    * Batch re-expression: the Redis state read IS the as-of state of the
+    * touch stream in event-time order — ONE kind-flagged window over
+    * (ad_app_id, zgid) carries the latest and the running-first touch
+    * forward (same rewrite as `deepConvert`; the reference's ct >= maxCt
+    * guard is exactly what as-of ordering guarantees). Clicks are the
+    * touch writers; every other evt row is a receiver. Absent props
+    * surface as the \N sentinel, lid as -1.
+    *
+    * Cost shape at 100 TB: the identity joins ride the key axes, the
+    * window is one (ad_app_id, zgid) exchange, the channel dim is a
+    * literal CASE — no second event-axis pass, no self-join.
+    */
+  def lidUserFirstEnd(t: Tables): DataFrame = {
+    val n = lit("\\N")
+    val (_, uz, dz) = Identity.zgidAxes(t)
+    val base = advAdmitted(t)
+      .filter(col("dt") === "evt")
+      .join(uz, Seq("appkey", "cuid"), "left")
+      .join(dz, Seq("appkey", "did"), "left")
+      .withColumn("zgid",
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid")))
+      .filter(col("zgid").isNotNull)
+      .withColumn("ct", unix_timestamp(col("ts")) * 1000)
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("touch", when(col("kind") === 0, touchStruct))
+    val wAsof = Window.partitionBy("ad_app_id", "zgid")
+      .orderBy("ct", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = base
+      .withColumn("lastT", last(col("touch"), ignoreNulls = true).over(wAsof))
+      .withColumn("firstT", first(col("touch"), ignoreNulls = true).over(wAsof))
+      .filter(col("kind") === 1)
+    val ctype = col("lastT.ctype")
+    val channelName = adChannelDim.foldRight(lit("")) { case ((code, name), other) =>
+      when(ctype === code, name).otherwise(other)
+    }
+    def idProp(c: org.apache.spark.sql.Column) =
+      when(col("lastT").isNotNull && c =!= 0, concat(ctype, lit("$"), c)).otherwise(n)
+    val tKey = concat(col("lastT.lid"), lit(","), col("lastT.lname"))
+    val fKey = concat(col("firstT.lid"), lit(","), col("firstT.lname"))
+    st.select(
+      col("event_id"),
+      coalesce(col("lastT.lid"), lit(-1L)).as("lid"),
+      when(col("lastT").isNotNull && ctype =!= "", ctype).otherwise(n).as("channel_type"),
+      when(col("lastT").isNotNull && ctype =!= "", channelName).otherwise(n).as("channel_name"),
+      when(col("lastT").isNotNull && col("lastT.acct") =!= "",
+        concat(ctype, lit("$"), col("lastT.acct"))).otherwise(n).as("account_id"),
+      idProp(col("lastT.camp")).as("campaign_id"),
+      idProp(col("lastT.adg")).as("adgroup_id"),
+      idProp(col("lastT.adid")).as("ad_id"),
+      idProp(col("lastT.kw")).as("keyword_id"),
+      coalesce(col("firstT.lid"), lit(-1L)).as("first_lid"),
+      coalesce(col("firstT.lname"), n).as("first_ad_source"),
+      when(col("lastT").isNotNull && tKey =!= fKey, col("lastT.lid"))
+        .otherwise(lit(-1L)).as("fol_lid"),
+      when(col("lastT").isNotNull && tKey =!= fKey, col("lastT.lname"))
+        .otherwise(n).as("fol_ad_source"))
+      .orderBy(col("event_id"))
+  }
+
+  /** adv_user_ad_source — the USER-PROP side of the same operator: the
+    * final per-(ad_app_id, zgid) first/follow ad-source state (the
+    * _首次广告来源 / _末次广告来源 pair the reference writes into usr items,
+    * java:497-510). First = min (ct, event_id) touch, latest = max; the
+    * follow pair exists only when the latest touch's "lid,lname" differs
+    * from the first (java:299-306). One map-side-combined min_by/max_by
+    * groupBy on the (app, zgid) key — the same shape as `Dw.joinRowsOf`.
+    */
+  def userAdSource(t: Tables): DataFrame = {
+    val n = lit("\\N")
+    val (_, uz, dz) = Identity.zgidAxes(t)
+    val ord = struct(col("ct"), col("event_id"))
+    val touches = advAdmitted(t)
+      .filter(col("dt") === "evt" && col("event_type") === "click")
+      .join(uz, Seq("appkey", "cuid"), "left")
+      .join(dz, Seq("appkey", "did"), "left")
+      .withColumn("zgid",
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid")))
+      .filter(col("zgid").isNotNull)
+      .withColumn("ct", unix_timestamp(col("ts")) * 1000)
+      .withColumn("touch", touchStruct)
+    touches
+      .groupBy(col("ad_app_id"), col("zgid"))
+      .agg(
+        min_by(col("touch"), ord).as("firstT"),
+        max_by(col("touch"), ord).as("lastT"),
+        count(lit(1)).as("n_touches"))
+      .select(
+        col("ad_app_id"), col("zgid"),
+        col("firstT.lid").as("first_lid"),
+        col("firstT.lname").as("first_ad_source"),
+        when(concat(col("lastT.lid"), lit(","), col("lastT.lname")) =!=
+            concat(col("firstT.lid"), lit(","), col("firstT.lname")),
+          col("lastT.lid")).otherwise(lit(-1L)).as("fol_lid"),
+        when(concat(col("lastT.lid"), lit(","), col("lastT.lname")) =!=
+            concat(col("firstT.lid"), lit(","), col("firstT.lname")),
+          col("lastT.lname")).otherwise(n).as("fol_ad_source"),
+        col("n_touches"))
+      .orderBy(col("ad_app_id"), col("zgid"))
+  }
 }

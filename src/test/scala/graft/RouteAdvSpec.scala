@@ -128,6 +128,54 @@ class RouteAdvSpec extends SparkSpec {
     assert(all.length > merged.length)
   }
 
+  test("lid attach: as-of touch state, channel-prop gates, first/follow pair") {
+    val rows = Adv.lidUserFirstEnd(t).collect()
+    assert(rows.nonEmpty)
+    val n = "\\N"
+    // events before any touch carry the -1/\N sentinels
+    val untouched = rows.filter(_.getAs[Long]("lid") == -1L)
+    assert(untouched.forall { r =>
+      r.getAs[String]("channel_type") == n &&
+        r.getAs[String]("account_id") == n &&
+        r.getAs[Long]("first_lid") == -1L
+    })
+    val touched = rows.filter(_.getAs[Long]("lid") != -1L)
+    assert(touched.nonEmpty)
+    touched.foreach { r =>
+      val lid = r.getAs[Long]("lid")
+      // the channel-type gate: code 0 synthesizes the empty string, which
+      // must suppress the type/name props but NOT the $-prefixed ids
+      if (lid % 16 == 0) {
+        assert(r.getAs[String]("channel_type") == n)
+        assert(r.getAs[String]("channel_name") == n)
+        if (lid % 100 != 0)
+          assert(r.getAs[String]("campaign_id") == "$" + (lid % 100))
+      } else if (r.getAs[String]("channel_type") != n) {
+        assert(r.getAs[String]("channel_type") == (lid % 16).toString)
+      }
+      // the zero gate: a 0 id means absent (getLongValue's default)
+      if (lid % 100 == 0) assert(r.getAs[String]("campaign_id") == n)
+      if (lid % 11 == 0) assert(r.getAs[String]("keyword_id") == n)
+      // follow exists only when the latest touch differs from the first
+      if (r.getAs[Long]("fol_lid") != -1L) {
+        assert(r.getAs[Long]("fol_lid") == lid)
+        assert(r.getAs[Long]("first_lid") != lid)
+      }
+    }
+    // the user rollup agrees with the reference's update rule: single-touch
+    // users never carry a follow pair, multi-touch users always do (every
+    // synthesized touch key is distinct)
+    val us = Adv.userAdSource(t).collect()
+    us.foreach { r =>
+      if (r.getAs[Long]("n_touches") == 1L)
+        assert(r.getAs[Long]("fol_lid") == -1L)
+      else
+        assert(r.getAs[Long]("fol_lid") != -1L &&
+          r.getAs[Long]("fol_lid") != r.getAs[Long]("first_lid"))
+    }
+    assert(us.exists(_.getAs[Long]("n_touches") > 1L))
+  }
+
   test("bucketed sink reads back with a zero-exchange join and aggregation") {
     val out = Route.sinkBucketedJoin(t)
     assert(out.count() > 0)
