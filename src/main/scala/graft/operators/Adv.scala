@@ -686,7 +686,7 @@ object Adv {
     * ONE definition shared by the event-attach leg, the user rollup and
     * (via the mirrored SQL in SparkEntry) the DuckDB oracles.
     */
-  private def touchStruct = struct(
+  private[graft] def touchStruct = struct(
     col("event_id").as("lid"),
     concat(lit("link-"), col("event_id")).as("lname"),
     when(pmod(col("event_id"), lit(16)) === 0, lit(""))

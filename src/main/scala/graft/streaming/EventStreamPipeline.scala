@@ -358,6 +358,103 @@ object EventStreamPipeline {
       }
   }
 
+  case class LidIn(adAppId: Int, zgid: String, ct: Long, kind: Int,
+    eventId: Long, lname: String, ctype: String, acct: String,
+    camp: Long, adg: Long, adid: Long, kw: Long)
+  case class AdTouch(lid: Long, lname: String, ctype: String, acct: String,
+    camp: Long, adg: Long, adid: Long, kw: Long)
+  case class LidAttachState(first: Option[AdTouch], last: Option[AdTouch])
+  case class LidAttach(eventId: Long, lid: Long, channelType: String,
+    channelName: String, accountId: String, campaignId: String,
+    adgroupId: String, adId: String, keywordId: String, firstLid: Long,
+    firstAdSource: String, folLid: Long, folAdSource: String)
+
+  /** Streaming ad-prop attach — AdvLidAndUserFirstEndFlatMapFunction in
+    * its native keyed-state shape: per (ad_app_id, zgid) the state is
+    * exactly the reference's Redis pair (the latest touch's detail = the
+    * adms JSON at maxCt, plus the first/follow "lid,lname" string —
+    * carried as first/last `AdTouch`s). Clicks update the state; every
+    * other evt row reads it and emits the attach row — the same columns,
+    * gates ($-formatting, zero-means-absent, empty-channel suppression)
+    * and first/follow rule as batch `Adv.lidUserFirstEnd`, which the spec
+    * matches EXACTLY. Touch synthesis is the SAME `Adv.touchStruct`
+    * column as batch — the state function never re-derives it.
+    *
+    * State bounds: two fixed-size touch structs per active (app, user) —
+    * the reference's own per-user Redis footprint.
+    */
+  def lidAttachStream(events: DataFrame, uz: DataFrame,
+      dz: DataFrame): Dataset[LidAttach] = {
+    import graft.operators.Adv
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = "\\N"
+    val dim = Adv.adChannelDim.toMap
+    val apps = broadcast(Adv.adAppRegistry.toDF("appkey", "ad_app_id"))
+    val ipB = broadcast(graft.operators.Etl.ipBlacklist.toDF("appkey", "ip"))
+    val uaB = broadcast(graft.operators.Etl.uaBlacklist.toDF("appkey", "ua"))
+    Envelope.attach(events)
+      .filter(col("dt") === "evt" && col("appkey") =!= "")
+      .join(apps, Seq("appkey"))
+      .join(ipB, Seq("appkey", "ip"), "left_anti")
+      .join(uaB, Seq("appkey", "ua"), "left_anti")
+      .join(broadcast(uz), Seq("appkey", "cuid"), "left")
+      .join(broadcast(dz), Seq("appkey", "did"), "left")
+      .withColumn("zgid",
+        when(col("cuid").isNotNull, col("u_zgid"))
+          .when(col("did") =!= "", col("d_zgid")))
+      .filter(col("zgid").isNotNull)
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("touch", when(col("kind") === 0, Adv.touchStruct))
+      .select(
+        col("ad_app_id").as("adAppId"), col("zgid"),
+        (unix_timestamp(col("ts")) * 1000).as("ct"),
+        col("kind"), col("event_id").as("eventId"),
+        col("touch.lname").as("lname"), col("touch.ctype").as("ctype"),
+        col("touch.acct").as("acct"),
+        coalesce(col("touch.camp"), lit(0L)).as("camp"),
+        coalesce(col("touch.adg"), lit(0L)).as("adg"),
+        coalesce(col("touch.adid"), lit(0L)).as("adid"),
+        coalesce(col("touch.kw"), lit(0L)).as("kw"))
+      .as[LidIn]
+      .groupByKey(r => (r.adAppId, r.zgid))
+      .flatMapGroupsWithState[LidAttachState, LidAttach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[LidAttachState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r.ct, r.kind, r.eventId))
+          var st = state.getOption.getOrElse(LidAttachState(None, None))
+          def fmt(ctype: String, v: String) = s"$ctype$$$v"
+          val out = ordered.flatMap { r =>
+            if (r.kind == 0) {
+              val tch = AdTouch(r.eventId, r.lname, r.ctype, r.acct,
+                r.camp, r.adg, r.adid, r.kw)
+              st = LidAttachState(st.first.orElse(Some(tch)), Some(tch))
+              None
+            } else (st.first, st.last) match {
+              case (Some(f), Some(l)) =>
+                val folDiffers = s"${l.lid},${l.lname}" != s"${f.lid},${f.lname}"
+                Some(LidAttach(
+                  r.eventId, l.lid,
+                  if (l.ctype != "") l.ctype else n,
+                  if (l.ctype != "") dim.getOrElse(l.ctype, "") else n,
+                  if (l.acct != "") fmt(l.ctype, l.acct) else n,
+                  if (l.camp != 0) fmt(l.ctype, l.camp.toString) else n,
+                  if (l.adg != 0) fmt(l.ctype, l.adg.toString) else n,
+                  if (l.adid != 0) fmt(l.ctype, l.adid.toString) else n,
+                  if (l.kw != 0) fmt(l.ctype, l.kw.toString) else n,
+                  f.lid, f.lname,
+                  if (folDiffers) l.lid else -1L,
+                  if (folDiffers) l.lname else n))
+              case _ =>
+                Some(LidAttach(r.eventId, -1L, n, n, n, n, n, n, n,
+                  -1L, n, -1L, n))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- stateful sessionization (streaming analog of #8 id_sessionize) ----
 
   case class SessionState(lastSec: Long, nEvents: Int, nSessions: Int)

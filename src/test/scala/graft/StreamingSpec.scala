@@ -175,6 +175,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming lid attach matches the batch ad-prop rows exactly") {
+    import graft.operators.Adv
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val (_, uz, dz) = graft.operators.Identity.zgidAxes(t)
+    val out = EventStreamPipeline.lidAttachStream(events, uz, dz).toDF()
+    runToMemory("lidattach", out, "append")
+    val got = spark.sql(
+      """SELECT eventId, lid, channelType, accountId, campaignId, keywordId,
+         firstLid, firstAdSource, folLid, folAdSource FROM lidattach""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getLong(6),
+        r.getString(7), r.getLong(8), r.getString(9))).toSet
+    val want = Adv.lidUserFirstEnd(t).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("lid"),
+        r.getAs[String]("channel_type"), r.getAs[String]("account_id"),
+        r.getAs[String]("campaign_id"), r.getAs[String]("keyword_id"),
+        r.getAs[Long]("first_lid"), r.getAs[String]("first_ad_source"),
+        r.getAs[Long]("fol_lid"), r.getAs[String]("fol_ad_source"))).toSet
+    assert(want.nonEmpty, "no ad-app events on the test corpus")
+    // attach must actually fire (a lid carried) for parity to mean much
+    assert(want.exists(_._2 != -1L), "no event ever matched a touch")
+    assert(got == want)
+  }
+
   test("streaming zgid read side emits the batch dz bindings end-to-end") {
     val events = EventStreamPipeline.readEvents(spark, streamDir)
     val (_, uz, dz) = graft.operators.Identity.zgidAxes(t)
