@@ -65,6 +65,7 @@ object SparkEntry {
     "adv_admission_stats"     -> ((s, d) => Adv.admissionStats(tables(s, d))),
     "adv_lid_user_first_end"  -> ((s, d) => Adv.lidUserFirstEnd(tables(s, d))),
     "adv_user_ad_source"      -> ((s, d) => Adv.userAdSource(tables(s, d))),
+    "adv_ss_click_match"      -> ((s, d) => Adv.ssClickMatch(tables(s, d))),
     "sim_ann_ivf"             -> ((s, d) => Sim.ivfTopK(tables(s, d))),
     // end-to-end: the full IdJob→DwJob chain in one plan
     "pipeline_event_attr"  -> ((s, d) => Pipeline.eventAttr(tables(s, d))),
@@ -1139,6 +1140,60 @@ object SparkEntry {
                 THEN last_lname ELSE '\\N' END AS fol_ad_source,
            n_touches
          FROM fl ORDER BY ad_app_id, zgid""",
+    "adv_ss_click_match" ->
+      s"""WITH ${Envelope.oracleRaw},
+         $advAdStateCtes,
+         st AS (SELECT match_key, lid, ct FROM l WHERE rn = 1),
+         probes AS (SELECT r.event_id, r.ad_app_id, r.ip, r.ua,
+             epoch_ns(r.ts) // 1000000000 * 1000 AS ct,
+             CASE r.event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
+               WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
+               WHEN 4 THEN md5(concat('m', cast(r.user_id AS string)))
+               ELSE concat('muid-', cast(r.user_id AS string)) END AS muid_raw,
+             CASE WHEN r.event_id % 7 = 0 THEN '(null)'
+               ELSE concat('oaid-', cast(r.user_id AS string)) END AS oaid_raw
+           FROM advadm r WHERE r.dt = 'ss'),
+         pn AS (SELECT *,
+             CASE WHEN muid_raw IN ($advOrigList) OR lower(muid_raw) IN ($advMd5List) THEN ''
+                  WHEN length(muid_raw) = 32 THEN lower(muid_raw)
+                  ELSE md5(muid_raw) END AS muid,
+             CASE WHEN oaid_raw IN ($advOrigList) OR lower(oaid_raw) IN ($advMd5List) THEN ''
+                  WHEN length(oaid_raw) = 32 THEN lower(oaid_raw)
+                  ELSE md5(oaid_raw) END AS oaid
+           FROM probes),
+         pk AS (SELECT *,
+             CASE WHEN muid <> '' THEN concat('adtfad:', cast(ad_app_id AS string), ':', muid) END AS muid_key,
+             CASE WHEN oaid <> '' THEN concat('adtfad:', cast(ad_app_id AS string), ':', oaid) END AS oaid_key,
+             concat('adtfad:', cast(ad_app_id AS string), ':', ip, ua) AS ipua_key
+           FROM pn),
+         hit AS (SELECT p.event_id, p.ct,
+             m.lid AS lid_muid, m.ct AS ct_muid,
+             o.lid AS lid_oaid, o.ct AS ct_oaid,
+             f.lid AS lid_ipua, f.ct AS ct_ipua
+           FROM pk p
+           LEFT JOIN st m ON p.muid_key = m.match_key
+           LEFT JOIN st o ON p.oaid_key = o.match_key
+           LEFT JOIN st f ON p.ipua_key = f.match_key),
+         b AS (SELECT *,
+             coalesce(lid_muid, lid_oaid, lid_ipua) AS m_lid,
+             CASE WHEN lid_muid IS NOT NULL THEN ct_muid
+                  WHEN lid_oaid IS NOT NULL THEN ct_oaid
+                  ELSE ct_ipua END AS m_ct,
+             CASE WHEN lid_muid IS NOT NULL THEN 'muid'
+                  WHEN lid_oaid IS NOT NULL THEN 'oaid'
+                  WHEN lid_ipua IS NOT NULL THEN 'ipua' END AS m_axis
+           FROM hit),
+         rk AS (SELECT *, row_number() OVER (
+             PARTITION BY coalesce(m_lid, -event_id)
+             ORDER BY ct, event_id) AS rn2 FROM b)
+         SELECT event_id,
+           CASE WHEN m_lid IS NOT NULL AND rn2 = 1 THEN m_lid
+                ELSE -1 END AS matched_lid,
+           CASE WHEN m_lid IS NOT NULL AND rn2 = 1 THEN m_ct
+                ELSE -1 END AS click_ct,
+           CASE WHEN m_lid IS NOT NULL AND rn2 = 1 THEN m_axis
+                ELSE 'none' END AS match_axis
+         FROM rk ORDER BY event_id""",
     "id_archive_dedup" ->
       s"""WITH ${Envelope.oracleRaw}
          SELECT appkey, did, cuid, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen

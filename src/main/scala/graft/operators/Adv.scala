@@ -815,4 +815,85 @@ object Adv {
         col("n_touches"))
       .orderBy(col("ad_app_id"), col("zgid"))
   }
+
+  /** adv_ss_click_match — processAppSS
+    * (AdvLidAndUserFirstEndFlatMapFunction.java:1044-1247), the app-side
+    * install-attribution bridge: a session-start from an ad-registered app
+    * probes the stored app-click state by device id in PRIORITY order
+    * (iOS: idfa; Android: oaid > android_id > imei — collapsed here onto
+    * the corpus's muid/oaid axes), falling back to the fuzzy ip+ua key
+    * only when no exact id hits; the matched click is then promoted into
+    * the user's (appId, zgid) ad state and its keys are DELETED, so every
+    * click attributes at most one session-start.
+    *
+    * Deterministic batch re-expression: the state is `appAdLatest` (the
+    * save leg's latest-click-per-key store); each ss takes its
+    * highest-priority live key hit; the one-shot delete becomes
+    * first-ss-per-click (min (ct, event_id) over the matched lid) — later
+    * ss of a consumed click emit no match. Documented divergence: the
+    * reference's delete lets a later ss fall through to its
+    * NEXT-priority key in a fresh probe; the batch form ranks once, so a
+    * losing ss emits 'none' instead of re-probing — observable only when
+    * one device carries two different live clicks under different key
+    * axes.
+    *
+    * Cost shape: three hash joins against the checkpointed state (each on
+    * the key axis) + one window over matched clicks — partitioned by lid
+    * for matches and by a per-row key for non-matches, so the null axis
+    * never concentrates.
+    */
+  def ssClickMatch(t: Tables): DataFrame = {
+    val state = graft.engine.Reliability.planCheckpoint(appAdLatestUnsorted(t))
+    def keyed(axis: String) = state.select(
+      col("match_key").as(s"${axis}_key"),
+      col("lid").as(s"lid_$axis"), col("ct").as(s"ct_$axis"))
+    val probes = advAdmitted(t)
+      .filter(col("dt") === "ss")
+      .selectExpr(
+        "event_id", "ad_app_id", "ip", "ua", "ts",
+        """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
+           WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
+           WHEN 4 THEN md5(concat('m', cast(user_id AS string)))
+           ELSE concat('muid-', cast(user_id AS string)) END AS muid_raw""",
+        """CASE WHEN event_id % 7 = 0 THEN '(null)'
+           ELSE concat('oaid-', cast(user_id AS string)) END AS oaid_raw""")
+      .withColumn("ct", unix_timestamp(col("ts")) * 1000)
+      .withColumn("muid", normId(col("muid_raw")))
+      .withColumn("oaid", normId(col("oaid_raw")))
+      .withColumn("muid_key", when(col("muid") =!= "",
+        concat(lit("adtfad:"), col("ad_app_id"), lit(":"), col("muid"))))
+      .withColumn("oaid_key", when(col("oaid") =!= "",
+        concat(lit("adtfad:"), col("ad_app_id"), lit(":"), col("oaid"))))
+      .withColumn("ipua_key",
+        concat(lit("adtfad:"), col("ad_app_id"), lit(":"), col("ip"), col("ua")))
+    val hit = probes
+      .join(keyed("muid"), Seq("muid_key"), "left")
+      .join(keyed("oaid"), Seq("oaid_key"), "left")
+      .join(keyed("ipua"), Seq("ipua_key"), "left")
+      .withColumn("m_lid", coalesce(col("lid_muid"), col("lid_oaid"), col("lid_ipua")))
+      .withColumn("m_ct", coalesce(
+        when(col("lid_muid").isNotNull, col("ct_muid")),
+        when(col("lid_oaid").isNotNull, col("ct_oaid")),
+        col("ct_ipua")))
+      .withColumn("m_axis",
+        when(col("lid_muid").isNotNull, "muid")
+          .when(col("lid_oaid").isNotNull, "oaid")
+          .when(col("lid_ipua").isNotNull, "ipua"))
+    // one-shot consumption: the click goes to its FIRST matching ss;
+    // unmatched rows get a per-row partition key so no null-key skew
+    val wClick = Window
+      .partitionBy(coalesce(col("m_lid"), -col("event_id")))
+      .orderBy(col("ct"), col("event_id"))
+    hit
+      .withColumn("rn", row_number().over(wClick))
+      .select(
+        col("event_id"),
+        when(col("m_lid").isNotNull && col("rn") === 1, col("m_lid"))
+          .otherwise(lit(-1L)).as("matched_lid"),
+        when(col("m_lid").isNotNull && col("rn") === 1, col("m_ct"))
+          .otherwise(lit(-1L)).as("click_ct"),
+        when(col("m_lid").isNotNull && col("rn") === 1, col("m_axis"))
+          .otherwise(lit("none")).as("match_axis"))
+      .orderBy(col("event_id"))
+  }
 }

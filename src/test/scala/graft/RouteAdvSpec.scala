@@ -176,6 +176,27 @@ class RouteAdvSpec extends SparkSpec {
     assert(us.exists(_.getAs[Long]("n_touches") > 1L))
   }
 
+  test("ss click match: priority axes fire and every click attributes once") {
+    val rows = Adv.ssClickMatch(t).collect()
+    assert(rows.nonEmpty)
+    val matched = rows.filter(_.getAs[Long]("matched_lid") != -1L)
+    assert(matched.nonEmpty, "no session-start ever matched a click")
+    // one-shot consumption: a click id appears at most once
+    val lids = matched.map(_.getAs[Long]("matched_lid"))
+    assert(lids.distinct.length == lids.length, "a click attributed twice")
+    // the exact axes must fire; the fuzzy ip+ua key only collides by
+    // coincidence on this corpus (ip/ua derive from event_id, not the
+    // device), so its PATH is pinned by the oracle, not by volume here
+    val axes = matched.map(_.getAs[String]("match_axis")).toSet
+    assert(axes.contains("muid") || axes.contains("oaid"), s"no exact hit: $axes")
+    assert(axes.subsetOf(Set("muid", "oaid", "ipua")))
+    // unmatched rows carry the full sentinel triple
+    rows.filter(_.getAs[Long]("matched_lid") == -1L).foreach { r =>
+      assert(r.getAs[Long]("click_ct") == -1L)
+      assert(r.getAs[String]("match_axis") == "none")
+    }
+  }
+
   test("bucketed sink reads back with a zero-exchange join and aggregation") {
     val out = Route.sinkBucketedJoin(t)
     assert(out.count() > 0)
