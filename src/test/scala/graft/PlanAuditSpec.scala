@@ -246,6 +246,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ad-prop attach and ss bridge stay on the key axes, never quadratic") {
+    for ((name, df) <- Seq(
+        "adv_lid_user_first_end" -> graft.operators.Adv.lidUserFirstEnd(t),
+        "adv_user_ad_source" -> graft.operators.Adv.userAdSource(t),
+        "adv_ss_click_match" -> graft.operators.Adv.ssClickMatch(t))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+        s"$name went quadratic:\n$p")
+      // the ad-app registry and blacklists are broadcast, not shuffled
+      assert(p.contains("BroadcastHashJoin"), s"$name shuffled a config dim:\n$p")
+    }
+  }
+
   test("dw/sink aggregates never ride the presentation-sorted row builds") {
     // routeEventAttr/routeUserRow/routeUserPropRow end in a global orderBy
     // for the registered queries; internal consumers that aggregate on top
