@@ -39,8 +39,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // SPARK_GRAFT_ORACLE_ALL=1 writes the unfiltered oracle map even under
+    // SPARK_GRAFT_ONLY (lets a spot check refresh oracle_sql.json without
+    // re-dumping all queries)
     val oracles =
-      if (only.isEmpty) SparkEntry.oracleSql
+      if (only.isEmpty || sys.env.contains("SPARK_GRAFT_ORACLE_ALL")) SparkEntry.oracleSql
       else SparkEntry.oracleSql.view.filterKeys(only).toMap
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
