@@ -422,17 +422,21 @@ object Dw {
     */
   val incBoundaries: (String, String) = ("20240111", "20240121")
 
-  /** The corpus as three increments of `frame`, split on a day-id column
-    * (the physical load partitions every incremental fold consumes).
+  /** The row's increment index (0/1/2) by its day column — the same three
+    * load slices the folds consume, tagged in ONE pass of the fact frame.
+    * Filtering the frame three times would rebuild the whole fact pass per
+    * slice (measured 1.6-2× the whole query); the tag makes the slice a
+    * grouping key instead, so the per-increment partials come out of a
+    * single scan while staying EXACTLY the rows a per-load aggregation
+    * would produce (in production each increment is its own physical
+    * partition and only the newest one is ever aggregated — the fold
+    * merges it into the stored state).
     */
-  private def incSlices(frame: DataFrame, dayCol: String,
-      toKey: String => Any): Seq[DataFrame] = {
+  private def incSliceIdx(dayCol: String,
+      toKey: String => Any): org.apache.spark.sql.Column = {
     val (d1, d2) = incBoundaries
-    val (k1, k2) = (toKey(d1), toKey(d2))
-    Seq(
-      frame.filter(col(dayCol) < k1),
-      frame.filter(col(dayCol) >= k1 && col(dayCol) < k2),
-      frame.filter(col(dayCol) >= k2))
+    when(col(dayCol) < lit(toKey(d1)), 0)
+      .when(col(dayCol) < lit(toKey(d2)), 1).otherwise(2)
   }
 
   /** dw_user_active_inc — the incremental maintenance path of
@@ -446,11 +450,12 @@ object Dw {
     */
   def userActiveInc(t: Tables): DataFrame = {
     val keys = Seq("zg_id", "begin_day_id", "yearweek", "yearmonth", "platform")
-    val parts = incSlices(admitted(t), "begin_day_id", _.toInt).map(
-      _.groupBy(col("zgid").as("zg_id"), col("begin_day_id"),
-        col("yearweek"), col("yearmonth"), col("platform"))
-        .agg(count(lit(1)).as("times_p")))
-    parts.reduce(_ unionByName _)
+    val parts = admitted(t)
+      .withColumn("inc_slice", incSliceIdx("begin_day_id", _.toInt))
+      .groupBy(col("zgid").as("zg_id"), col("begin_day_id"),
+        col("yearweek"), col("yearmonth"), col("platform"), col("inc_slice"))
+      .agg(count(lit(1)).as("times_p"))
+    parts
       .groupBy(keys.map(col): _*)
       .agg(sum(col("times_p")).cast("int").as("times"))
       .select(col("zg_id"), col("begin_day_id"), col("times"),
@@ -467,12 +472,14 @@ object Dw {
     val dur = when(druOk.isNotNull && druOk >= 0 && druOk <= 86400000,
       druOk.cast("bigint")).otherwise(lit(0L))
     val keys = Seq("zg_id", "day_id", "period", "yearweek", "yearmonth", "platform")
-    val parts = incSlices(admitted(t), "begin_day_id", _.toInt).map(
-      _.withColumn("period", date_format(col("ts"), "HH"))
-        .groupBy(col("zgid").as("zg_id"), col("begin_day_id").as("day_id"),
-          col("period"), col("yearweek"), col("yearmonth"), col("platform"))
-        .agg(sum(dur).as("dur_p"), count(lit(1)).as("times_p")))
-    parts.reduce(_ unionByName _)
+    val parts = admitted(t)
+      .withColumn("inc_slice", incSliceIdx("begin_day_id", _.toInt))
+      .withColumn("period", date_format(col("ts"), "HH"))
+      .groupBy(col("zgid").as("zg_id"), col("begin_day_id").as("day_id"),
+        col("period"), col("yearweek"), col("yearmonth"), col("platform"),
+        col("inc_slice"))
+      .agg(sum(dur).as("dur_p"), count(lit(1)).as("times_p"))
+    parts
       .groupBy(keys.map(col): _*)
       .agg(sum(col("dur_p")).as("duration"),
         sum(col("times_p")).cast("int").as("times"))
@@ -490,8 +497,8 @@ object Dw {
     * daily update is exactly this fold.
     */
   def userDetailSumInc(t: Tables): DataFrame = {
-    val parts = incSlices(eaUnsorted(t), "day_id", identity)
-      .map(detailPartial)
+    val parts = detailPartial(
+      eaUnsorted(t).withColumn("inc_slice", incSliceIdx("day_id", identity)))
     mergePartials(parts)
       .select(Seq(
         col("zg_id"),
@@ -501,15 +508,20 @@ object Dw {
       .orderBy(col("zg_id"))
   }
 
-  /** Mergeable per-zgid detail state over ONE event slice: first/last
-    * touch as (order-key, fields) structs so min_by/max_by re-merge across
-    * increments, sessions as an exact id set (the mergeable form of
-    * count_distinct; the 100 TB swap is an HLL sketch when per-user
-    * session sets stop being small), sums/maxes for the rest.
+  /** Mergeable per-zgid detail state over each event slice (the frame's
+    * `inc_slice` tag, when present, keys the per-increment grouping — same
+    * partial rows as aggregating each load separately, one scan):
+    * first/last touch as (order-key, fields) structs so min_by/max_by
+    * re-merge across increments, sessions as an exact id set (the
+    * mergeable form of count_distinct; the 100 TB swap is an HLL sketch
+    * when per-user session sets stop being small), sums/maxes for the
+    * rest.
     */
   private def detailPartial(ea: DataFrame): DataFrame = {
     val ord = struct(col("begin_date"), col("event_id"))
-    ea.groupBy(col("zgid").as("zg_id")).agg(
+    val keys = col("zgid").as("zg_id") ::
+      (if (ea.columns.contains("inc_slice")) List(col("inc_slice")) else Nil)
+    ea.groupBy(keys: _*).agg(
       min_by(struct(ord.as("ord"), col("app_version"), col("channel"),
         col("website"), col("utm_source"), col("utm_medium"),
         col("utm_campaign"), col("utm_content"), col("utm_term"),
@@ -527,10 +539,10 @@ object Dw {
 
   /** Merge partial states (associative + commutative): min_by/max_by on
     * the carried order keys, set-union for sessions, sum/min/max for the
-    * scalars. One groupBy over the unioned partials.
+    * scalars. One groupBy over the per-increment partial rows.
     */
-  private def mergePartials(parts: Seq[DataFrame]): DataFrame =
-    parts.reduce(_ unionByName _).groupBy("zg_id").agg(
+  private def mergePartials(parts: DataFrame): DataFrame =
+    parts.groupBy("zg_id").agg(
       min_by(col("f"), col("f.ord")).as("f"),
       max_by(col("l"), col("l.ord")).as("l"),
       min(col("first_visit_time")).as("first_visit_time"),
@@ -549,16 +561,8 @@ object Dw {
     * hash match PROVES incremental == full rescan on this corpus.
     */
   def userDetailInc(t: Tables): DataFrame = {
-    // deliberately NOT checkpointed: the three increment filters each
-    // prune the wide row to the ~20 columns the partial needs, which
-    // measures faster than materializing the full row once (and in
-    // production each increment is its own physical partition anyway)
-    val ea = eaUnsorted(t)
-    val (d1, d2) = incBoundaries
-    val parts = Seq(
-      ea.filter(col("day_id") < d1),
-      ea.filter(col("day_id") >= d1 && col("day_id") < d2),
-      ea.filter(col("day_id") >= d2)).map(detailPartial)
+    val parts = detailPartial(
+      eaUnsorted(t).withColumn("inc_slice", incSliceIdx("day_id", identity)))
     val merged = mergePartials(parts).select(
       col("zg_id"),
       col("l.platform_id").as("platform"),

@@ -166,6 +166,14 @@ object Multimodal {
         explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))))
       .select(col("doc_id"), col("payload"), col("duration_ms"), col("fps"),
         col("n_frames"), col("frame_idx"))
+      // spread the exploded frame axis before the per-frame decode: the
+      // documents scan is a handful of input splits, and without this the
+      // decode fold runs on those few partitions (measured single-threaded).
+      // The EXPLICIT count matters: the shuffled rows are a few hundred KB,
+      // so AQE would coalesce a column-only repartition back to one task —
+      // the cost here is decode CPU per row, not bytes
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("doc_id"), col("frame_idx"))
       .as[(Long, Array[Byte], Long, Int, Long, Long)]
       .mapPartitions { it =>
         // per-partition batch: a real decoder inits its codec once here
@@ -247,6 +255,13 @@ object Multimodal {
       .select(
         col("doc_id"), col("duration_ms"), col("start_ms"),
         least(col("start_ms") + audioChunkMs, col("duration_ms")).as("end_ms"))
+      // spread the chunk axis: each chunk folds 40k PCM samples, and the
+      // few documents input splits would otherwise serialize the decode
+      // (measured 6.9 s single-threaded vs sub-second spread). Explicit
+      // count — the rows are tiny, so AQE would coalesce a column-only
+      // repartition back into one task; the cost is CPU, not bytes
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("doc_id"), col("start_ms"))
       .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, durMs, startMs, endMs) =>
