@@ -85,6 +85,7 @@ object SparkEntry {
     "dim_user_profile"         -> ((s, d) => Route.dimUserProfile(tables(s, d))),
     "sink_partitioned_parquet" -> ((s, d) => Route.sinkPartitionedParquet(tables(s, d))),
     "sink_bucketed_join"       -> ((s, d) => Route.sinkBucketedJoin(tables(s, d))),
+    "sink_dynamic_route"       -> ((s, d) => Route.sinkDynamicRoute(tables(s, d))),
     "sink_unique_key_merge"    -> ((s, d) => Route.sinkUniqueKeyMerge(tables(s, d))),
     // DW rollup tables downstream of event_attr (DUPLICATE KEY model)
     "dw_user_join"             -> ((s, d) => Dw.userJoin(tables(s, d))),
@@ -1500,6 +1501,15 @@ object SparkEntry {
     "sink_bucketed_join" ->
       """SELECT user_id, round(sum(value), 4) AS ltv, count(*) AS n
          FROM events GROUP BY 1 ORDER BY user_id""",
+    // the dynamic sink's readback is the per-app routed row count — the
+    // registry join decides which table (if any) each row lands in
+    "sink_dynamic_route" ->
+      s"""WITH ${Envelope.oracleRaw},
+         ${Envelope.appRegistryOracle}
+         SELECT concat('b_user_event_attr_', CAST(g.app_id AS VARCHAR)) AS table_name,
+           g.app_id, count(*) AS n
+         FROM raw r JOIN reg g ON r.appkey = g.appkey
+         GROUP BY g.app_id ORDER BY g.app_id""",
     "dw_user_join" ->
       s"""WITH $dwAdmittedCtes,
          $userJoinBody

@@ -702,6 +702,42 @@ object Route {
       .orderBy(col("user_id"))
   }
 
+  /** sink_dynamic_route — the dynamic per-app table fan-out of
+    * DynamicDorisSinkBuilder.java:17-60 (动态分表: table = tablePrefix +
+    * "_" + appId, `.rebalance()` spread, group-commit row thresholds),
+    * re-expressed warehouse-native: `partitionBy(app_id)` IS the table
+    * router — every registered app's rows land in their own directory
+    * (= their own Doris table), the salt spreads each table's write
+    * across writers exactly like rebalance spreads subtasks (explicit
+    * partition count so AQE can't coalesce the writers back together),
+    * and `maxRecordsPerFile` is the batchMaxRows group-commit threshold.
+    * Unregistered appkeys have no table to route to and drop, mirroring
+    * the appIdExtractor contract. Emits per-table readback stats so the
+    * oracle can recompute the routed counts from the registry join.
+    */
+  def sinkDynamicRoute(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val out = outDir.getOrElse(
+      s"/tmp/graft_dynsink/${java.util.UUID.randomUUID().toString.take(8)}")
+    val reg = broadcast(
+      Envelope.appRegistryDf(t.spark).select(col("appkey"), col("app_id")))
+    env(t)
+      .join(reg, Seq("appkey"))
+      .select(col("event_id"), col("app_id"), col("event_type"), col("value"))
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(sinkWritersPerDay)))
+      .repartition(t.spark.sessionState.conf.numShufflePartitions,
+        col("app_id"), col("salt"))
+      .drop("salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", sinkMaxRecordsPerFile)
+      .partitionBy("app_id").parquet(out)
+    t.spark.read.parquet(out)
+      .groupBy(col("app_id").cast("int").as("app_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(concat(lit("b_user_event_attr_"), col("app_id")).as("table_name"),
+        col("app_id"), col("n"))
+      .orderBy(col("app_id"))
+  }
+
   def sinkPartitionedParquet(t: Tables, outDir: Option[String] = None): DataFrame = {
     val out = outDir.getOrElse(
       s"/tmp/graft_sink/${java.util.UUID.randomUUID().toString.take(8)}")

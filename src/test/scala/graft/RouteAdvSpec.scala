@@ -231,6 +231,21 @@ class RouteAdvSpec extends SparkSpec {
     assert(back.agg(sum("n")).collect()(0).getLong(0) == t.events.count())
   }
 
+  test("dynamic sink routes each registered app into its own table dir") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dynsink_spec").toString
+    val stats = Route.sinkDynamicRoute(t, Some(out)).collect()
+    // one directory (= one dynamic Doris table) per registered app seen
+    val appDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("app_id=")).map(_.getName).toSet
+    assert(appDirs == stats.map(r => s"app_id=${r.getAs[Int]("app_id")}").toSet)
+    assert(stats.forall(_.getAs[String]("table_name").startsWith("b_user_event_attr_")))
+    // routed rows = envelope rows of registered apps; unregistered drop
+    val reg = Envelope.appRegistryDf(spark).select("appkey")
+    val expected = Envelope.attach(t.events).join(reg, "appkey").count()
+    assert(stats.map(_.getAs[Long]("n")).sum == expected)
+    assert(expected < t.events.count(), "corpus has no unregistered appkey rows")
+  }
+
   test("salted sink spreads a heavy day over multiple bounded files") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
     Route.sinkPartitionedParquet(t, Some(out)).collect()
