@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
 /** Identity resolution — "one-id" (SURVEY.md §2.2, rows 5-9).
   *
   * The reference assigns surrogate ids through per-record async RPCs against
-  * Kvrocks hashes with HSETNX first-writer-wins (OneIdService.java:312-660).
-  * Batch-on-Spark, the same semantics become deterministic set operations:
+  * Kvrocks hashes with HSETNX first-writer-wins (OneIdService.java:312-660);
+  * the id VALUES it stores come from a per-worker SnowflakeIdGenerator
+  * (OneIdService.java:245-246) — unique but wall-clock/worker dependent.
+  * Batch-on-Spark, the same semantics become deterministic set operations
+  * (dense ranks replace snowflakes: same uniqueness contract, reproducible
+  * and oracle-checkable, no clock-rollback machinery to carry):
   *
   *  - id assignment  = dense_rank over the DISTINCT key set (ranking runs
   *    over |unique keys|, not |events| — at 100 TB this is the difference

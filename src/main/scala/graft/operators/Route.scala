@@ -712,8 +712,11 @@ object Route {
     * partition count so AQE can't coalesce the writers back together),
     * and `maxRecordsPerFile` is the batchMaxRows group-commit threshold.
     * Unregistered appkeys have no table to route to and drop, mirroring
-    * the appIdExtractor contract. Emits per-table readback stats so the
-    * oracle can recompute the routed counts from the registry join.
+    * the appIdExtractor contract. The reference pre-creates each table's
+    * DDL at job start (DorisTableInitializer.java:20-60); parquet dirs
+    * materialize on first write, so that step has no batch counterpart.
+    * Emits per-table readback stats so the oracle can recompute the
+    * routed counts from the registry join.
     */
   def sinkDynamicRoute(t: Tables, outDir: Option[String] = None): DataFrame = {
     val out = outDir.getOrElse(

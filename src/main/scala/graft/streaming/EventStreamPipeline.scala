@@ -246,6 +246,135 @@ object EventStreamPipeline {
       }
   }
 
+  case class ArchMsg(archiveType: Int, appId: Int, appkey: String,
+      mapKey: String, mapValue: String, ordNs: Long, ordId: Long)
+  case class ArchSeen(seen: Boolean)
+  case class ArchRouteState(ordNs: Long, ordId: Long, value: String, seq: Long)
+  case class ArchRouteUpdate(archiveType: Int, typeName: String, appId: Int,
+      mapKey: String, mapValue: String, seq: Long)
+
+  private val archTypeNames = Map(1 -> "DEVICE", 2 -> "USER",
+    3 -> "DEVICE_ZGID", 4 -> "USER_ZGID", 5 -> "ZGID_USER")
+
+  private def archOrdNs(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000000L + ts.getNanos
+
+  /** Streaming 5-way archive router — IdArchiveJob in its native shape
+    * (IdArchiveRouterOperator.java:74-127 + ArchiveType.java:11-18). The
+    * reference's id legs emit ONE archive message per id-binding WRITE
+    * (the Kvrocks HSETNX that fired); the router fans each message into
+    * its ArchiveType mapping table, where the sink upserts latest-wins.
+    * Re-expressed as two keyed stages sharing the batch axis definitions:
+    *
+    *   stage 1, keyed (appkey, did) / (appkey, cuid) — the HSETNX gate:
+    *   a device/user emits its archive messages exactly ONCE, at first
+    *   sight, stamped with that event's order key. The id VALUES ride
+    *   stream-static broadcast dims (the continuously-maintained
+    *   surrogate/zgid maps — `deviceZgidStream`'s state-store argument);
+    *   a device key yields DEVICE + DEVICE_ZGID, a user key yields USER +
+    *   USER_ZGID + ZGID_USER, exactly the reference's per-write fan-out.
+    *
+    *   stage 2, keyed (archive_type, appkey, map_key) — the router + the
+    *   sink's UNIQUE KEY upsert: state carries the winning (order, value)
+    *   and emits a table update only when a LATER-ordered message changes
+    *   the value (types 1-4 are single-valued per key by construction, so
+    *   the contest only ever fires on the ZGID_USER reverse map — the same
+    *   latest-wins the batch leg resolves with max_by).
+    *
+    * State bounds: one boolean per ever-seen key axis member (stage 1 —
+    * the reference's own hash-existence bound) and one small struct per
+    * mapping-table row (stage 2 — the table itself). Spec-matched against
+    * batch `Identity.archiveRoute` across day-sliced micro-batches.
+    */
+  def archiveRouteStream(events: DataFrame, devMap: DataFrame,
+      usrMap: DataFrame, uz: DataFrame, dz: DataFrame): Dataset[ArchRouteUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val reg = broadcast(
+      graft.operators.Envelope.appRegistryDf(spark).select(col("appkey"), col("app_id")))
+    val env = Envelope.attach(events).filter(col("appkey") =!= "")
+
+    val devMsgs = env.filter(col("did") =!= "")
+      .select(col("appkey"), col("did"), col("ts"), col("event_id"))
+      .join(reg, Seq("appkey"))
+      .join(broadcast(devMap.select(col("appkey"), col("did"), col("zg_did"))),
+        Seq("appkey", "did"))
+      .join(broadcast(dz.select(col("appkey"), col("did"), col("d_zgid"))),
+        Seq("appkey", "did"), "left")
+      .select(col("appkey"), col("did"), col("ts"), col("event_id"),
+        col("app_id"), col("zg_did"), col("d_zgid"))
+      .as[(String, String, java.sql.Timestamp, Long, Int, Int, Option[String])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[ArchSeen, ArchMsg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((appkey, did), rows, state: GroupState[ArchSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(r => (archOrdNs(r._3), r._4))
+            state.update(ArchSeen(true))
+            val ord = archOrdNs(first._3)
+            val dev = ArchMsg(1, first._5, appkey, did,
+              first._6.toString, ord, first._4)
+            first._7 match {
+              case Some(z) =>
+                Iterator(dev, ArchMsg(3, first._5, appkey,
+                  first._6.toString, z, ord, first._4))
+              case None => Iterator(dev)
+            }
+          }
+      }
+
+    val usrMsgs = env.filter(col("cuid").isNotNull)
+      .select(col("appkey"), col("cuid"), col("ts"), col("event_id"))
+      .join(reg, Seq("appkey"))
+      .join(broadcast(usrMap.select(col("appkey"), col("cuid"), col("zg_uid"))),
+        Seq("appkey", "cuid"))
+      .join(broadcast(uz.select(col("appkey"), col("cuid"), col("u_zgid"))),
+        Seq("appkey", "cuid"))
+      .select(col("appkey"), col("cuid"), col("ts"), col("event_id"),
+        col("app_id"), col("zg_uid"), col("u_zgid"))
+      .as[(String, String, java.sql.Timestamp, Long, Int, Int, String)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[ArchSeen, ArchMsg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((appkey, cuid), rows, state: GroupState[ArchSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(r => (archOrdNs(r._3), r._4))
+            state.update(ArchSeen(true))
+            val ord = archOrdNs(first._3)
+            Iterator(
+              ArchMsg(2, first._5, appkey, cuid, first._6.toString, ord, first._4),
+              ArchMsg(4, first._5, appkey, first._6.toString, first._7, ord, first._4),
+              ArchMsg(5, first._5, appkey, first._7, first._6.toString, ord, first._4))
+          }
+      }
+
+    devMsgs.union(usrMsgs)
+      .groupByKey(m => (m.archiveType, m.appkey, m.mapKey))
+      .flatMapGroupsWithState[ArchRouteState, ArchRouteUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((tpe, _, key), rows, state: GroupState[ArchRouteState]) =>
+          val ordered = rows.toSeq.sortBy(m => (m.ordNs, m.ordId))
+          var st = state.getOption.getOrElse(
+            ArchRouteState(Long.MinValue, Long.MinValue, null, 0L))
+          val out = ordered.flatMap { m =>
+            val later = m.ordNs > st.ordNs ||
+              (m.ordNs == st.ordNs && m.ordId >= st.ordId)
+            if (later && m.mapValue != st.value) {
+              st = ArchRouteState(m.ordNs, m.ordId, m.mapValue, st.seq + 1)
+              Some(ArchRouteUpdate(tpe, archTypeNames(tpe), m.appId,
+                key, m.mapValue, st.seq))
+            } else {
+              if (later) st = st.copy(ordNs = m.ordNs, ordId = m.ordId)
+              None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class ConvIn(adAppId: Int, zgid: String, ct: Long, kind: Int,
       eventId: Long, lid: Int, eventName: String, flags: Seq[Boolean])
   case class ClickState(clickCt: Long, clickLid: Int)

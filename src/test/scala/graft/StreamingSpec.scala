@@ -344,6 +344,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming archive router equals the batch 5-way archive output") {
+    import graft.operators.Identity
+    // day-sliced event files so first-seen gating and the latest-wins
+    // contest genuinely cross micro-batches (maxFilesPerTrigger=1)
+    val ev = t.events
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_arch").toString
+    val days = Seq(
+      ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
+      ev.filter(dayofmonth(col("ts")) > 20))
+    days.zipWithIndex.foreach { case (slice, i) =>
+      slice.coalesce(1).write.parquet(s"$dir/d$i")
+      val f = new java.io.File(s"$dir/d$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/d$i.parquet"))
+    }
+    val events = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val (_, uz, dz) = Identity.zgidAxes(t)
+    val out = EventStreamPipeline.archiveRouteStream(
+      events, Identity.deviceMap(t), Identity.userMap(t), uz, dz)
+    runToMemory("archroute", out.toDF(), "append")
+    // latest emission per (type, app, key) = the mapping table's row
+    val got = spark.sql(
+      """SELECT * FROM (SELECT *, row_number() OVER (
+           PARTITION BY archiveType, appId, mapKey ORDER BY seq DESC) AS rn
+         FROM archroute) WHERE rn = 1""")
+      .collect().map(r => (r.getAs[Int]("archiveType"), r.getAs[String]("typeName"),
+        r.getAs[Int]("appId"), r.getAs[String]("mapKey")) -> r.getAs[String]("mapValue"))
+      .toMap
+    val batch = Identity.archiveRoute(t).collect()
+      .map(r => (r.getAs[Int]("archive_type"), r.getAs[String]("type_name"),
+        r.getAs[Int]("app_id"), r.getAs[String]("map_key")) ->
+        r.getAs[String]("map_value")).toMap
+    assert(got.keySet == batch.keySet, "routed key sets differ")
+    got.foreach { case (k, v) =>
+      assert(v == batch(k), s"$k stream=$v batch=${batch(k)}")
+    }
+    // all five tables route something on this corpus
+    assert(got.keySet.map(_._1) == Set(1, 2, 3, 4, 5))
+    // the HSETNX gate held across micro-batches: single-valued maps
+    // (types 1-4) never re-emitted even though their keys recur in later
+    // batches
+    val reEmits = spark.sql(
+      "SELECT max(seq) FROM archroute WHERE archiveType < 5").collect()(0).getLong(0)
+    assert(reEmits == 1L, s"a single-valued mapping emitted $reEmits updates")
+  }
+
   test("streaming profile maintenance equals the batch detail aggregate") {
     import graft.operators.{Dw, Route}
     // the profile maintainer tails the fact table: stage the batch
