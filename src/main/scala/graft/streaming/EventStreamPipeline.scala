@@ -246,6 +246,50 @@ object EventStreamPipeline {
       }
   }
 
+  case class UserPropRegState(assigned: Map[String, Int], counts: Map[String, Long])
+  case class UserPropRegUpdate(appkey: String, propKey: String, propId: Int, n: Long)
+
+  /** Streaming user-prop registry — UserPropAsyncOperator's per-record id
+    * registration (the user_property:{appId} Kvrocks hash) as keyed state
+    * per app: every NEW upper-cased prop key gets the next dense id in
+    * first-seen order (blacklisted names skipped — the same gate as batch
+    * `Derive.userPropRegistry`), and each touched key re-emits its
+    * registry row with the running observation count. In-batch rows
+    * process in (ts, prop_key, event_id) order so replays agree with the
+    * batch dense_rank's (first_ts, prop_key) tie-break. State per app is
+    * the prop map itself — exactly the reference's hash size.
+    * Spec-matched against the batch registry.
+    */
+  def userPropRegistryStream(events: DataFrame): Dataset[UserPropRegUpdate] = {
+    import graft.operators.Derive
+    val spark = events.sparkSession
+    import spark.implicits._
+    Envelope.attach(events)
+      .filter(col("dt") === "usr" && col("cuid").isNotNull && col("appkey") =!= "")
+      .select(col("appkey"), col("ts"), col("event_id"),
+        concat(lit("p"), col("user_id") % 7).as("prop_name"))
+      .filter(!col("prop_name").isin(Derive.userPropBlacklist: _*))
+      .select(col("appkey"), upper(col("prop_name")).as("prop_key"),
+        col("ts"), col("event_id"))
+      .as[(String, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserPropRegState, UserPropRegUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (appkey, rows, state: GroupState[UserPropRegState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._3.getTime, r._2, r._4))
+          var st = state.getOption.getOrElse(UserPropRegState(Map.empty, Map.empty))
+          ordered.foreach { r =>
+            if (!st.assigned.contains(r._2))
+              st = st.copy(assigned = st.assigned + (r._2 -> (st.assigned.size + 1)))
+            st = st.copy(counts =
+              st.counts.updated(r._2, st.counts.getOrElse(r._2, 0L) + 1L))
+          }
+          state.update(st)
+          ordered.map(_._2).distinct.map(k =>
+            UserPropRegUpdate(appkey, k, st.assigned(k), st.counts(k))).iterator
+      }
+  }
+
   case class ArchMsg(archiveType: Int, appId: Int, appkey: String,
       mapKey: String, mapValue: String, ordNs: Long, ordId: Long)
   case class ArchSeen(seen: Boolean)

@@ -242,6 +242,28 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (k, i) => assert(i == batch(k), s"$k: stream $i batch ${batch(k)}") }
   }
 
+  test("streaming user-prop registry matches the batch ids and counts") {
+    val events = EventStreamPipeline.readEvents(spark, streamDir)
+    val out = EventStreamPipeline.userPropRegistryStream(events)
+    runToMemory("upreg", out.toDF(), "update")
+    // the registry row's latest emission carries the final running count
+    val got = spark.sql(
+      """SELECT * FROM (SELECT *, row_number() OVER (
+           PARTITION BY appkey, propKey ORDER BY n DESC) AS rn FROM upreg)
+         WHERE rn = 1""").collect()
+      .map(r => (r.getAs[String]("appkey"), r.getAs[String]("propKey")) ->
+        ((r.getAs[Int]("propId"), r.getAs[Long]("n")))).toMap
+    val batch = graft.operators.Derive.userPropRegistry(t).collect()
+      .map(r => (r.getAs[String]("appkey"), r.getAs[String]("prop_key")) ->
+        ((r.getAs[Int]("prop_id"), r.getAs[Long]("n")))).toMap
+    assert(got.keySet == batch.keySet, "registered prop sets differ")
+    got.foreach { case (k, v) =>
+      assert(v == batch(k), s"$k: stream $v batch ${batch(k)}")
+    }
+    // the blacklist gate held
+    assert(!got.keySet.exists(_._2 == "P6"))
+  }
+
   test("streaming AllJob lands exactly the batch pipeline_all_job rows") {
     val out = java.nio.file.Files.createTempDirectory("graft_alljob_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_alljob_ckpt").toString
