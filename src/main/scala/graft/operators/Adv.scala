@@ -195,6 +195,22 @@ object Adv {
     "37a6259cc0c1dae299a7866489dff0bd", "d41d8cd98f00b204e9800998ecf8427e",
     "a4d2f177eb466a7d08f8f2b340b77129")
 
+  /** The synthesized raw ad device ids (the adtf payload's muid/oaid with
+    * the platforms' sentinel junk) — ONE definition shared by the save
+    * (`appAdLatest`), attribute (`attributeEvent`) and ss-match
+    * (`ssClickMatch`) legs: the match-key axes of the three legs break
+    * silently if any copy drifts, so there are no copies.
+    */
+  private val muidRawSql =
+    """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
+       WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
+       WHEN 4 THEN md5(concat('m', cast(user_id AS string)))
+       ELSE concat('muid-', cast(user_id AS string)) END AS muid_raw"""
+
+  private val oaidRawSql =
+    """CASE WHEN event_id % 7 = 0 THEN '(null)'
+       ELSE concat('oaid-', cast(user_id AS string)) END AS oaid_raw"""
+
   /** Device-id normalization for ad match keys
     * (AdvSaveAppAdDataFlatMapFunction.setMuidProcess): sentinels and their
     * MD5s ⇒ no key; 32-char values pass through lowercased; anything else
@@ -227,12 +243,8 @@ object Adv {
       .filter(col("event_type") === "click")
       .selectExpr(
         "event_id AS lid", "ad_app_id", "ip", "ua",
-        """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
-           WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
-           WHEN 4 THEN md5(concat('m', cast(user_id AS string)))
-           ELSE concat('muid-', cast(user_id AS string)) END AS muid_raw""",
-        """CASE WHEN event_id % 7 = 0 THEN '(null)'
-           ELSE concat('oaid-', cast(user_id AS string)) END AS oaid_raw""",
+        muidRawSql,
+        oaidRawSql,
         // 10-digit second timestamps are normalized to ms (java:251-253)
         """CASE WHEN event_id % 2 = 0 THEN (1700000000 + event_id) * 1000
            ELSE 1700000000000 + event_id END AS click_time""")
@@ -275,10 +287,7 @@ object Adv {
       .filter(col("event_type") === "purchase")
       .selectExpr(
         "event_id", "ad_app_id", "ip", "ua",
-        """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
-           WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
-           WHEN 4 THEN md5(concat('m', cast(user_id AS string)))
-           ELSE concat('muid-', cast(user_id AS string)) END AS muid_raw""")
+        muidRawSql)
       .withColumn("muid", normId(col("muid_raw")))
       .withColumn("muid_key",
         when(col("muid") =!= "",
@@ -851,12 +860,8 @@ object Adv {
       .filter(col("dt") === "ss")
       .selectExpr(
         "event_id", "ad_app_id", "ip", "ua", "ts",
-        """CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
-           WHEN 3 THEN 'cfcd208495d565ef66e7dff9f98764da'
-           WHEN 4 THEN md5(concat('m', cast(user_id AS string)))
-           ELSE concat('muid-', cast(user_id AS string)) END AS muid_raw""",
-        """CASE WHEN event_id % 7 = 0 THEN '(null)'
-           ELSE concat('oaid-', cast(user_id AS string)) END AS oaid_raw""")
+        muidRawSql,
+        oaidRawSql)
       .withColumn("ct", unix_timestamp(col("ts")) * 1000)
       .withColumn("muid", normId(col("muid_raw")))
       .withColumn("oaid", normId(col("oaid_raw")))

@@ -314,10 +314,16 @@ object Dedup {
     // verification join: each candidate pair re-reads BOTH signatures and
     // estimates Jaccard on the k minhashes — bounded by the candidate
     // count, so the verify cost scales with real collisions, not the corpus
-    val aSig = delta.toDF(
-      delta.columns.map(c => if (c == "doc_id") "a_id" else s"a_$c"): _*)
-    val pSig = index.unionByName(delta).toDF(
-      delta.columns.map(c => if (c == "doc_id") "p_id" else s"p_$c"): _*)
+    // rename via an explicit canonical projection: toDF is positional, and
+    // a stored index read back with a different column ORDER than the delta
+    // would otherwise bind p_id to a minhash column and silently admit
+    // every real duplicate
+    val sigCols = "doc_id" +: (0 until minhashK).map(j => s"mh$j")
+    val aSig = delta.select(sigCols.map(col): _*).toDF(
+      sigCols.map(c => if (c == "doc_id") "a_id" else s"a_$c"): _*)
+    val pSig = index.select(sigCols.map(col): _*)
+      .unionByName(delta.select(sigCols.map(col): _*)).toDF(
+        sigCols.map(c => if (c == "doc_id") "p_id" else s"p_$c"): _*)
     val agree = (0 until minhashK)
       .map(j => when(col(s"a_mh$j") === col(s"p_mh$j"), 1).otherwise(0))
       .reduce(_ + _)

@@ -89,11 +89,14 @@ object Identity {
   def userMap(t: Tables): DataFrame =
     userMapFrom(ev(t)).orderBy(col("appkey"), col("cuid"))
 
-  /** See [[deviceMapFrom]]. */
+  /** See [[deviceMapFrom]] — persisted for the same reason: archiveRoute
+    * reads the user map in three union branches and the row builds read it
+    * beside the device map.
+    */
   private[operators] def userMapFrom(e: DataFrame): DataFrame =
     denseIds(
       e.filter(col("cuid").isNotNull).select(col("appkey"), col("cuid")).distinct(),
-      "appkey", "cuid", "zg_uid")
+      "appkey", "cuid", "zg_uid").persist()
 
   /** #7 id_zgid_resolution — ZgidAsyncOperator / OneIdService.java:441-660.
     *

@@ -276,7 +276,9 @@ object EventStreamPipeline {
       .flatMapGroupsWithState[UserPropRegState, UserPropRegUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (appkey, rows, state: GroupState[UserPropRegState]) =>
-          val ordered = rows.toSeq.sortBy(r => (r._3.getTime, r._2, r._4))
+          // full-precision first_ts tie-break: the batch dense_rank orders
+          // by exact (first_ts, prop_key), so the replay must too
+          val ordered = rows.toSeq.sortBy(r => (eventOrdNs(r._3), r._2, r._4))
           var st = state.getOption.getOrElse(UserPropRegState(Map.empty, Map.empty))
           ordered.foreach { r =>
             if (!st.assigned.contains(r._2))
@@ -300,7 +302,11 @@ object EventStreamPipeline {
   private val archTypeNames = Map(1 -> "DEVICE", 2 -> "USER",
     3 -> "DEVICE_ZGID", 4 -> "USER_ZGID", 5 -> "ZGID_USER")
 
-  private def archOrdNs(ts: java.sql.Timestamp): Long =
+  /** Full-precision event-time order key (epoch ns): Timestamp.getTime is
+    * ms-truncated, so ms-tied micro-distinct events would sort by the
+    * wrong axis; getNanos restores the sub-second part exactly.
+    */
+  private def eventOrdNs(ts: java.sql.Timestamp): Long =
     ts.getTime / 1000L * 1000000000L + ts.getNanos
 
   /** Streaming 5-way archive router — IdArchiveJob in its native shape
@@ -354,9 +360,9 @@ object EventStreamPipeline {
         case ((appkey, did), rows, state: GroupState[ArchSeen]) =>
           if (state.exists) Iterator.empty
           else {
-            val first = rows.minBy(r => (archOrdNs(r._3), r._4))
+            val first = rows.minBy(r => (eventOrdNs(r._3), r._4))
             state.update(ArchSeen(true))
-            val ord = archOrdNs(first._3)
+            val ord = eventOrdNs(first._3)
             val dev = ArchMsg(1, first._5, appkey, did,
               first._6.toString, ord, first._4)
             first._7 match {
@@ -384,9 +390,9 @@ object EventStreamPipeline {
         case ((appkey, cuid), rows, state: GroupState[ArchSeen]) =>
           if (state.exists) Iterator.empty
           else {
-            val first = rows.minBy(r => (archOrdNs(r._3), r._4))
+            val first = rows.minBy(r => (eventOrdNs(r._3), r._4))
             state.update(ArchSeen(true))
-            val ord = archOrdNs(first._3)
+            val ord = eventOrdNs(first._3)
             Iterator(
               ArchMsg(2, first._5, appkey, cuid, first._6.toString, ord, first._4),
               ArchMsg(4, first._5, appkey, first._6.toString, first._7, ord, first._4),
@@ -450,23 +456,23 @@ object EventStreamPipeline {
     * TTL by design there either). The zgid axes arrive as static dimension
     * frames (stream-static broadcast), like `deviceZgidStream`.
     */
-  def deepConvertStream(events: DataFrame, uz: DataFrame, dz: DataFrame): Dataset[ConvSend] = {
+  /** The streaming AdvJob admission + zgid attach — ONE definition of the
+    * gate batch centralizes in `Adv.advAdmitted` (ad-app registry join,
+    * per-app ip/ua data_access_filter broadcast anti-joins — all
+    * stateless) plus the zgid resolution on the broadcast axes. Both ad
+    * streams (`deepConvertStream`, `lidAttachStream`) derive through it
+    * so their admitted sets cannot drift.
+    */
+  private def advAdmittedStream(events: DataFrame, uz: DataFrame,
+      dz: DataFrame): DataFrame = {
     import graft.operators.Adv
     val spark = events.sparkSession
     import spark.implicits._
-    val links = Adv.adsLinkRegistry
-    val byLid = links.map(l => l.lid -> l).toMap
-    val idxOf = links.map(_.lid).zipWithIndex.toMap
-    val convEvents = links.flatMap(_.eventIds).distinct
     val apps = broadcast(Adv.adAppRegistry.toDF("appkey", "ad_app_id"))
-    // the same AdvJob admission gate as batch advAdmitted: company/business
-    // registry + per-app ip/ua data_access_filter (stream-static broadcast
-    // anti-joins — stateless)
     val ipB = broadcast(graft.operators.Etl.ipBlacklist.toDF("appkey", "ip"))
     val uaB = broadcast(graft.operators.Etl.uaBlacklist.toDF("appkey", "ua"))
-    val qualifying = Envelope.attach(events)
-      .filter(col("dt") === "evt" && col("appkey") =!= "" &&
-        col("event_type").isin("click" +: convEvents: _*))
+    Envelope.attach(events)
+      .filter(col("dt") === "evt" && col("appkey") =!= "")
       .join(apps, Seq("appkey"))
       .join(ipB, Seq("appkey", "ip"), "left_anti")
       .join(uaB, Seq("appkey", "ua"), "left_anti")
@@ -476,6 +482,18 @@ object EventStreamPipeline {
         when(col("cuid").isNotNull, col("u_zgid"))
           .when(col("did") =!= "", col("d_zgid")))
       .filter(col("zgid").isNotNull)
+  }
+
+  def deepConvertStream(events: DataFrame, uz: DataFrame, dz: DataFrame): Dataset[ConvSend] = {
+    import graft.operators.Adv
+    val spark = events.sparkSession
+    import spark.implicits._
+    val links = Adv.adsLinkRegistry
+    val byLid = links.map(l => l.lid -> l).toMap
+    val idxOf = links.map(_.lid).zipWithIndex.toMap
+    val convEvents = links.flatMap(_.eventIds).distinct
+    val qualifying = advAdmittedStream(events, uz, dz)
+      .filter(col("event_type").isin("click" +: convEvents: _*))
       .select(
         col("ad_app_id").as("adAppId"), col("zgid"),
         (unix_timestamp(col("ts")) * 1000).as("ct"),
@@ -563,20 +581,7 @@ object EventStreamPipeline {
     import spark.implicits._
     val n = "\\N"
     val dim = Adv.adChannelDim.toMap
-    val apps = broadcast(Adv.adAppRegistry.toDF("appkey", "ad_app_id"))
-    val ipB = broadcast(graft.operators.Etl.ipBlacklist.toDF("appkey", "ip"))
-    val uaB = broadcast(graft.operators.Etl.uaBlacklist.toDF("appkey", "ua"))
-    Envelope.attach(events)
-      .filter(col("dt") === "evt" && col("appkey") =!= "")
-      .join(apps, Seq("appkey"))
-      .join(ipB, Seq("appkey", "ip"), "left_anti")
-      .join(uaB, Seq("appkey", "ua"), "left_anti")
-      .join(broadcast(uz), Seq("appkey", "cuid"), "left")
-      .join(broadcast(dz), Seq("appkey", "did"), "left")
-      .withColumn("zgid",
-        when(col("cuid").isNotNull, col("u_zgid"))
-          .when(col("did") =!= "", col("d_zgid")))
-      .filter(col("zgid").isNotNull)
+    advAdmittedStream(events, uz, dz)
       .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
       .withColumn("touch", when(col("kind") === 0, Adv.touchStruct))
       .select(
@@ -899,7 +904,10 @@ object EventStreamPipeline {
               r.app_version, r.channel, r.country, r.area, r.city, r.mccmnc,
               r.bs, r.bv, r.os, r.ov, r.zg_did)
             val sid = if (r.zg_sid != -1L) Set(r.zg_sid) else Set.empty[Long]
-            val dur = r.duration.toLong
+            // null-safe like the batch partial's try_cast: a malformed
+            // duration from a producer bypassing the transfer's own "0"
+            // guard must degrade (skip), not kill the streaming query
+            val dur = r.duration.toLongOption.getOrElse(0L)
             val reg = if (r.zg_uid != n) 1 else 0
             st =
               if (st == null)

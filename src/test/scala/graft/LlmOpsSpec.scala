@@ -730,4 +730,24 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("covered_toks") == 0L && r.getAs[Boolean]("keep"))
     }
   }
+
+  test("incremental minhash from a stored index is order-insensitive and matches in-plan") {
+    import org.apache.spark.sql.functions._
+    val sig = Dedup.minhashSignaturesWide(t)
+    val maxId = sig.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val index = sig.filter(!Dedup.incIsDelta(col("doc_id"), lit(maxId)))
+    val delta = sig.filter(Dedup.incIsDelta(col("doc_id"), lit(maxId)))
+    val inPlan = Dedup.minhashIncremental(t).collect().map(_.toSeq)
+    val fromStored = Dedup.minhashIncrementalFrom(index, delta)
+      .collect().map(_.toSeq)
+    assert(fromStored.length == inPlan.length)
+    fromStored.zip(inPlan).foreach { case (a, b) => assert(a == b) }
+    // a stored index read back with a DIFFERENT column order must bind the
+    // signature columns by NAME, not position (the p_id/p_mh rename trap)
+    val shuffled = index.select(
+      (index.columns.filter(_ != "doc_id") :+ "doc_id").map(col): _*)
+    val fromShuffled = Dedup.minhashIncrementalFrom(shuffled, delta)
+      .collect().map(_.toSeq)
+    fromShuffled.zip(inPlan).foreach { case (a, b) => assert(a == b) }
+  }
 }
