@@ -246,6 +246,72 @@ object EventStreamPipeline {
       }
   }
 
+  case class MintIn(appkey: String, key: String, ts: java.sql.Timestamp,
+      eventId: Long)
+  case class NewKey(appkey: String, key: String, ordNs: Long, ordId: Long)
+  case class MintCounter(next: Long)
+  case class SurrogateAssign(appkey: String, key: String, surrogateId: Long)
+
+  /** Streaming surrogate-id mint — OneIdService's WRITE path
+    * (OneIdService.java:312-409: HSETNX first-writer-wins on the
+    * device_id/user_id hash, then INCR for the new id) as two keyed
+    * stages with BOUNDED state:
+    *
+    *   stage 1, keyed (appkey, key) — the HSETNX gate: each device/user
+    *   key passes exactly once, at first sight, stamped with its event's
+    *   full-precision order key (one boolean per ever-seen key — the
+    *   hash-existence bound the reference itself carries);
+    *
+    *   stage 2, keyed appkey — the INCR counter: new keys take the next
+    *   dense id in first-seen order. State is ONE long per app; the
+    *   per-app serialization point is the same one the reference has in
+    *   the Kvrocks counter.
+    *
+    * Arrival-order ids are the reference's real semantics (snowflake/INCR
+    * values depend on arrival, not key ordering), so the batch parity
+    * contract is BIJECTION with `Identity.deviceMap`/`userMap` — same key
+    * set, dense 1..n per app — plus cross-batch monotonicity (earlier
+    * first-sight ⇒ smaller id), not value equality with the batch dense
+    * rank. `axis` = "did" (device) or "cuid" (user).
+    */
+  def surrogateIdStream(events: DataFrame, axis: String): Dataset[SurrogateAssign] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keep =
+      if (axis == "did") col("did") =!= "" else col("cuid").isNotNull
+    val fresh = Envelope.attach(events)
+      .filter(col("appkey") =!= "" && keep)
+      .select(col("appkey"), col(axis).as("key"), col("ts"), col("event_id").as("eventId"))
+      .as[MintIn]
+      .groupByKey(r => (r.appkey, r.key))
+      .flatMapGroupsWithState[ArchSeen, NewKey](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((appkey, key), rows, state: GroupState[ArchSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(r => (eventOrdNs(r.ts), r.eventId))
+            state.update(ArchSeen(true))
+            Iterator(NewKey(appkey, key, eventOrdNs(first.ts), first.eventId))
+          }
+      }
+    fresh
+      .groupByKey(_.appkey)
+      .flatMapGroupsWithState[MintCounter, SurrogateAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (appkey, rows, state: GroupState[MintCounter]) =>
+          var next = state.getOption.map(_.next).getOrElse(1L)
+          // (ord, key, id): the KEY tie-break keeps a same-instant replay
+          // deterministic, like the column-index registry
+          val out = rows.toSeq.sortBy(r => (r.ordNs, r.key, r.ordId)).map { r =>
+            val a = SurrogateAssign(appkey, r.key, next)
+            next += 1
+            a
+          }
+          state.update(MintCounter(next))
+          out.iterator
+      }
+  }
+
   case class UserPropRegState(assigned: Map[String, Int], counts: Map[String, Long])
   case class UserPropRegUpdate(appkey: String, propKey: String, propId: Int, n: Long)
 

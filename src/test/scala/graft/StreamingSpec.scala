@@ -242,6 +242,56 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (k, i) => assert(i == batch(k), s"$k: stream $i batch ${batch(k)}") }
   }
 
+  test("streaming surrogate mint: bijection with batch maps, dense, arrival-ordered") {
+    import graft.operators.Identity
+    // reuse the day-sliced corpus so first-sight order crosses batches
+    val ev = t.events
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mint").toString
+    val days = Seq(
+      ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
+      ev.filter(dayofmonth(col("ts")) > 20))
+    days.zipWithIndex.foreach { case (slice, i) =>
+      slice.coalesce(1).write.parquet(s"$dir/d$i")
+      val f = new java.io.File(s"$dir/d$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/d$i.parquet"))
+    }
+    def stream() = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    for ((axis, batchMap, keyName, idName) <- Seq(
+        ("did", Identity.deviceMap(t), "did", "zg_did"),
+        ("cuid", Identity.userMap(t), "cuid", "zg_uid"))) {
+      val out = EventStreamPipeline.surrogateIdStream(stream(), axis)
+      runToMemory(s"mint_$axis", out.toDF(), "append")
+      val got = spark.sql(s"SELECT appkey, key, surrogateId FROM mint_$axis")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = batchMap.collect()
+        .map(r => (r.getAs[String]("appkey"), r.getAs[String](keyName)) ->
+          r.getAs[Int](idName).toLong).toMap
+      // bijection contract: same key set, each app's ids dense 1..n
+      assert(got.keySet == batch.keySet, s"$axis key sets differ")
+      got.groupBy(_._1._1).values.foreach { g =>
+        val ids = g.values.toSeq.sorted
+        assert(ids == (1L to ids.length), s"$axis ids not dense: ${ids.take(5)}...")
+      }
+      // arrival order: a key first seen in an earlier micro-batch always
+      // minted a smaller id than one first seen later (per app)
+      val firstSlice = graft.operators.Envelope.attach(ev)
+        .filter(col("appkey") =!= "" &&
+          (if (axis == "did") col("did") =!= "" else col("cuid").isNotNull))
+        .groupBy(col("appkey"), col(axis).as("key"))
+        .agg(min(when(dayofmonth(col("ts")) <= 10, 0)
+          .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2)).as("slice"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+      got.groupBy(_._1._1).foreach { case (_, g) =>
+        val byId: Seq[Int] = g.toSeq.sortBy(_._2).map { case (k, _) => firstSlice(k) }
+        assert(byId == byId.sorted, s"$axis mint order violates first-sight order")
+      }
+    }
+  }
+
   test("streaming user-prop registry matches the batch ids and counts") {
     val events = EventStreamPipeline.readEvents(spark, streamDir)
     val out = EventStreamPipeline.userPropRegistryStream(events)
