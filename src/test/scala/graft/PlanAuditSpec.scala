@@ -338,4 +338,21 @@ class PlanAuditSpec extends SparkSpec {
     // must not appear as extra join relations
     assert(!p.contains("carrierDim"), s"carrier dim joined instead of compiled:\n$p")
   }
+
+  test("archive route: five key-axis legs, registry broadcast, no cartesian") {
+    val p = plan(Identity.archiveRoute(t))
+    assert(!p.contains("CartesianProduct"), s"archive route went quadratic:\n$p")
+    // the app registry rides every leg as a broadcast, never a shuffle join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 5,
+      s"registry dim lost its broadcast:\n$p")
+  }
+
+  test("dynamic sink readback aggregates per table with partial aggregation") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dynsink_plan").toString
+    val p = plan(graft.operators.Route.sinkDynamicRoute(t, Some(out)))
+    assert(!p.contains("CartesianProduct"), s"dynamic sink went quadratic:\n$p")
+    // readback = per-app count with map-side combine over the routed files
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"readback lost partial aggregation:\n$p")
+  }
 }
