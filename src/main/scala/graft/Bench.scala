@@ -20,7 +20,9 @@ object Bench {
     "sim_ann_cosine_topk", "dedup_embedding_cosine", "sim_ann_lsh",
     "text_quality_score", "sink_partitioned_parquet",
     "text_contamination", "pack_sequences", "q_asof_join",
-    "dw_user_detail", "dw_user_all", "adv_deep_convert")
+    "dw_user_detail", "dw_user_all", "adv_deep_convert",
+    "pipeline_all_job", "dw_user_detail_inc", "id_archive_route",
+    "mm_audio_chunks", "sink_dynamic_route")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
