@@ -163,7 +163,12 @@ object SparkEntry {
     "mix_domains_stats"       -> ((s, d) => TrainData.mixDomainsStats(tables(s, d))),
     "emb_cluster_assign"      -> ((s, d) => Sim.clusterAssign(tables(s, d))),
     "dedup_semantic"          -> ((s, d) => Sim.semanticDedup(tables(s, d))),
-    "id_incremental_assign"   -> ((s, d) => Identity.incrementalAssign(tables(s, d)))
+    "id_incremental_assign"   -> ((s, d) => Identity.incrementalAssign(tables(s, d))),
+    "text_quality_classifier" -> ((s, d) => TextAnalysis.qualityClassifier(tables(s, d))),
+    "shard_assign"            -> ((s, d) => TrainData.shardAssign(tables(s, d))),
+    "shard_assign_stats"      -> ((s, d) => TrainData.shardAssignStats(tables(s, d))),
+    "emb_random_projection"   -> ((s, d) => Sim.randomProjection(tables(s, d))),
+    "dedup_url"               -> ((s, d) => Dedup.urlDedup(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -2741,6 +2746,128 @@ object SparkEntry {
          SELECT appkey, did, zg_did, false AS is_new FROM ex
          UNION ALL
          SELECT appkey, did, zg_did, true AS is_new FROM asg
-         ORDER BY appkey, did"""
+         ORDER BY appkey, did""",
+    "text_quality_classifier" -> {
+      val d = TextAnalysis.qcBuckets
+      // same rational weight formula as TextAnalysis.qualityClassifier:
+      // hash → bucket → Knuth mix into [-0.5, 0.5); left-fold sums so the
+      // accumulation order (and therefore every bit) matches Spark's
+      def wSum(listCol: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform($listCol, x ->
+             CAST((CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % $d)
+                  * 2654435761 % 1000 AS DOUBLE) / 1000 - 0.5)),
+             (a, b) -> a + b)"""
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         g AS (SELECT doc_id, w,
+                 CASE WHEN len(w) >= 2
+                   THEN list_transform(generate_series(1, len(w)-1),
+                          i -> concat(w[i], ' ', w[i+1]))
+                   ELSE [] END AS g
+               FROM d),
+         s AS (SELECT doc_id, len(w) + len(g) AS n_feats,
+                 ${wSum("w")} + ${wSum("g")} AS raw
+               FROM g),
+         m AS (SELECT doc_id, n_feats, raw / n_feats AS m FROM s)
+         SELECT doc_id, n_feats,
+           floor((0.5 + 0.5 * m / (1 + abs(m))) * 10000) / 10000 AS qc_score,
+           floor((0.5 + 0.5 * m / (1 + abs(m))) * 10000) / 10000
+             >= ${TextAnalysis.qcKeepTau} AS keep
+         FROM m ORDER BY doc_id"""
+    },
+    "shard_assign" ->
+      s"""WITH k AS (SELECT doc_id,
+             CAST(concat('0x', substring(md5(concat('order:',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord_key
+           FROM documents)
+         SELECT doc_id, ord_key % ${TrainData.orderShards} AS shard,
+           CAST(row_number() OVER (PARTITION BY ord_key % ${TrainData.orderShards}
+             ORDER BY ord_key, doc_id) AS BIGINT) AS pos,
+           ord_key
+         FROM k ORDER BY doc_id""",
+    "shard_assign_stats" ->
+      s"""WITH k AS (SELECT doc_id,
+             CAST(concat('0x', substring(md5(concat('order:',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord_key
+           FROM documents),
+         a AS (SELECT doc_id, ord_key % ${TrainData.orderShards} AS shard,
+             CAST(row_number() OVER (PARTITION BY ord_key % ${TrainData.orderShards}
+               ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+           FROM k)
+         SELECT shard, count(*) AS n_docs, max(pos) AS max_pos,
+           count(*) = max(pos) AS contiguous
+         FROM a GROUP BY shard ORDER BY shard""",
+    "emb_random_projection" -> {
+      // fold strings generated from the SAME projSign matrix as the Spark
+      // plan, ascending d, left-assoc — bitwise-identical accumulation
+      def fold(j: Int): String =
+        "(0.0" + (0 until 64).flatMap { d =>
+          Sim.projSign(d, j) match {
+            case 1  => Some(s" + v[${d + 1}]")
+            case -1 => Some(s" - v[${d + 1}]")
+            case _  => None
+          }
+        }.mkString + ")"
+      val fs = (0 until Sim.projDims).map(j => s"${fold(j)} AS f$j").mkString(",\n             ")
+      val ps = (0 until Sim.projDims)
+        .map(j => s"floor(f$j * (sqrt(3) / 4) * 10000) / 10000 AS p$j").mkString(",\n           ")
+      val nsum = (0 until Sim.projDims).map(j => s"f$j * f$j * 3").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         f AS (SELECT vec_id, v,
+             $fs
+           FROM e)
+         SELECT vec_id,
+           $ps,
+           floor(sqrt($nsum) / 4 / sqrt(list_dot_product(v, v)) * 10000) / 10000
+             AS norm_ratio
+         FROM f ORDER BY vec_id"""
+    },
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+               CASE WHEN doc_id % 2 = 0
+                 THEN concat('WWW.Example', CAST(doc_id % 40 AS VARCHAR), '.COM')
+                 ELSE concat('www.example', CAST(doc_id % 40 AS VARCHAR), '.com') END,
+               CASE WHEN doc_id % 5 = 0
+                 THEN CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END
+                 WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
+               concat('/articles/item', CAST(doc_id % 25 AS VARCHAR),
+                 CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
+               '?',
+               concat_ws('&',
+                 CASE WHEN doc_id % 2 = 0
+                   THEN concat('utm_source=feed', CAST(doc_id % 3 AS VARCHAR)) END,
+                 concat('id=', CAST(doc_id % 25 AS VARCHAR)),
+                 CASE WHEN doc_id % 7 < 3 THEN 'ref=rss' END),
+               CASE WHEN doc_id % 6 < 2
+                 THEN concat('#sec', CAST(doc_id % 3 AS VARCHAR)) ELSE '' END
+             ) AS url
+           FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+         hd AS (SELECT doc_id,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(nf, '^[A-Za-z]+://[^/?#]*')),
+               '^(https://[^/:]*):443$', '\1'),
+               '^(http://[^/:]*):80$', '\1') AS head,
+             substring(nf, length(regexp_extract(nf, '^[A-Za-z]+://[^/?#]*')) + 1) AS rest
+           FROM nf),
+         pq AS (SELECT doc_id, head,
+             regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '') AS path,
+             regexp_extract(rest, '\?(.*)$', 1) AS q
+           FROM hd),
+         pr AS (SELECT doc_id, head, path,
+             array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&')
+               AS params
+           FROM pq),
+         c AS (SELECT doc_id,
+             concat(head, path,
+               CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS canon_url
+           FROM pr)
+         SELECT doc_id, canon_url,
+           doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep,
+           count(*) OVER (PARTITION BY canon_url) AS n_aliases
+         FROM c ORDER BY doc_id"""
   )
 }

@@ -53,6 +53,74 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .orderBy(col("h"))
 
+  /** Deterministic messy-URL synthesis for the URL-dedup operator: the
+    * corpus tables carry no source URL, so one is derived from doc_id with
+    * every mess a crawl frontier actually sees — mixed-case scheme/host,
+    * scheme-default ports, tracking params, trailing slashes, fragments.
+    * Integer mods + concat only, replayed verbatim by the oracle SQL
+    * (same discipline as Envelope's synthesized wire columns).
+    */
+  def syntheticUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, lit("HTTPS")).otherwise(lit("http"))
+    val host = when(id % 2 === 0,
+        concat(lit("WWW.Example"), (id % 40).cast("string"), lit(".COM")))
+      .otherwise(concat(lit("www.example"), (id % 40).cast("string"), lit(".com")))
+    val port = when(id % 5 === 0,
+        when(id % 3 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(id % 5 === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val path = concat(lit("/articles/item"), (id % 25).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")))
+    // concat_ws skips absent (null) params in both engines
+    val params = concat_ws("&",
+      when(id % 2 === 0, concat(lit("utm_source=feed"), (id % 3).cast("string"))),
+      concat(lit("id="), (id % 25).cast("string")),
+      when(id % 7 < 3, lit("ref=rss")))
+    val frag = when(id % 6 < 2, concat(lit("#sec"), (id % 3).cast("string")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, lit("?"), params, frag)
+  }
+
+  /** dedup_url — URL-level dedup, the cheapest and first dedup pass of any
+    * web-crawl pipeline (the same page refetched under trackingparams /
+    * case / port / slash variants must collapse BEFORE content dedup pays
+    * for it). Canonicalization: drop fragment, lowercase scheme+authority,
+    * strip scheme-default ports (:80 http / :443 https), strip trailing
+    * path slashes, drop tracking params (utm_*, fbclid, gclid), sort the
+    * survivors. Keep = min doc_id per canonical URL.
+    *
+    * Scale shape: canonicalization is pure codegen'd string work on the
+    * scan; the only shuffle is the canonical-key window — same posture as
+    * dedup_exact's hash groupBy.
+    */
+  def urlDedup(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val headPat = "^[A-Za-z]+://[^/?#]*"
+    val staged = t.documents.select(col("doc_id"), syntheticUrl.as("url"))
+      .withColumn("nf", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("head",
+        regexp_replace(
+          regexp_replace(lower(regexp_extract(col("nf"), headPat, 0)),
+            "^(https://[^/:]*):443$", "$1"),
+          "^(http://[^/:]*):80$", "$1"))
+      .withColumn("rest",
+        col("nf").substr(length(regexp_extract(col("nf"), headPat, 0)) + 1, lit(100000)))
+      .withColumn("path",
+        regexp_replace(regexp_replace(col("rest"), "\\?.*$", ""), "/+$", ""))
+      .withColumn("q", regexp_extract(col("rest"), "\\?(.*)$", 1))
+      .withColumn("params", array_join(array_sort(filter(split(col("q"), "&"),
+        x => x =!= "" && !x.rlike("^(utm_|fbclid|gclid)"))), "&"))
+      .withColumn("canon_url", concat(col("head"), col("path"),
+        when(col("params") === "", lit("")).otherwise(concat(lit("?"), col("params")))))
+    val w = Window.partitionBy("canon_url")
+    staged
+      .select(col("doc_id"), col("canon_url"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("n_aliases", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
   /** Jaccard similarity threshold for #37 — 0.5 is the conventional
     * near-duplicate floor (true template pairs sit at J ≥ 0.8; below ~0.5
     * documents are topically related, not duplicates).

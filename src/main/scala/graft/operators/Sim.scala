@@ -331,6 +331,60 @@ object Sim {
       .orderBy(col("vec_id"))
   }
 
+  /** Target dimensionality of the random projection. */
+  val projDims = 16
+
+  /** emb_random_projection — Johnson-Lindenstrauss dimensionality reduction
+    * (64 → `projDims`): the standard scale move before clustering /
+    * LSH / brute-force rerank when the vector corpus itself is the storage
+    * and compute bottleneck — pairwise geometry survives within (1±ε) while
+    * dot products get 4× cheaper. The projection matrix is the sparse
+    * Achlioptas family in deterministic form: R[d][j] ∈ {-1, 0, +1} · √3
+    * chosen by a Knuth mix of (d, j) with P(±1)=1/6 each (E[R²]=1), scaled
+    * by the JL 1/√k — no RNG in the plan, reproducible across runs AND
+    * engines. The √3/√k constant is folded OUT of the per-row fold (applied
+    * once at the end), so the fold is integer-weighted double sums —
+    * order-pinned, exactly replayable in the oracle. Output: projected
+    * coords + the norm-ratio audit column (JL says it concentrates near 1).
+    *
+    * Scale shape: pure per-row array math, zero shuffle, one codegen'd
+    * scan; the matrix is 64×16 literals baked into the plan.
+    */
+  /** Projection-matrix entry sign: mix (d·projDims + j) into [0, 6);
+    * 0 ⇒ +1, 1 ⇒ −1, else 0 (the Achlioptas 1/6 density). Shared with the
+    * oracle generator so both engines bake the identical matrix.
+    */
+  def projSign(d: Int, j: Int): Int = {
+    val m = ((d.toLong * projDims + j) * 2654435761L % 1000003L % 6L).toInt
+    if (m == 0) 1 else if (m == 1) -1 else 0
+  }
+
+  def randomProjection(t: Tables): DataFrame = {
+    val proj = (0 until projDims).map { j =>
+      val terms = (0 until 64).map(d => (d, projSign(d, j))).filter(_._2 != 0)
+      val folded = terms.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
+        if (s > 0) acc + element_at(col("v"), d + 1)
+        else acc - element_at(col("v"), d + 1)
+      }
+      (floor(folded * (math.sqrt(3.0) / 4.0) * 10000) / 10000).as(s"p$j")
+    }
+    val nIn = norm(col("v"))
+    // /4 = the exact-halving 1/√k for k = 16 projected dims
+    val nOut = sqrt(
+      (0 until projDims).map { j =>
+        val terms = (0 until 64).map(d => (d, projSign(d, j))).filter(_._2 != 0)
+        val folded = terms.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
+          if (s > 0) acc + element_at(col("v"), d + 1)
+          else acc - element_at(col("v"), d + 1)
+        }
+        folded * folded * 3.0
+      }.reduce(_ + _)) / 4.0
+    vecs(t)
+      .select(col("vec_id") +: proj :+
+        (floor(nOut / nIn * 10000) / 10000).as("norm_ratio"): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-(table, band_key) populations for the registered LSH instance —
     * the bucket-balance audit surface (spec bounds the max population).
     */

@@ -261,6 +261,51 @@ object TextAnalysis {
         c4KeepCol.as("keep"))
       .orderBy(col("doc_id"))
 
+  /** Hashed-feature dimensionality of the linear quality classifier. */
+  val qcBuckets = 32
+  /** Keep threshold on the squashed [0,1] score. */
+  val qcKeepTau = 0.5
+
+  /** text_quality_classifier — the fastText/CCNet-shaped linear quality
+    * classifier every production pretraining pipeline runs after the
+    * heuristic gates: features = unigrams + word bigrams hashed into
+    * `qcBuckets` buckets, score = mean bucket weight squashed to [0, 1].
+    * Weights here are a deterministic RATIONAL function of the bucket id
+    * (a Knuth mix into [-0.5, 0.5)) standing in for trained parameters —
+    * the plumbing (hashing trick, per-row fold, squash, threshold) is the
+    * real thing; swapping in trained weights is a broadcast literal away.
+    *
+    * Every arithmetic step is order-pinned and uses only IEEE
+    * correctly-rounded ops (+, /, abs — no exp/sin), so the DuckDB oracle
+    * replays it bit-for-bit: hash-checked, not rows-only. Scale shape:
+    * pure per-row folds, zero shuffle, one codegen'd scan pass.
+    */
+  def qualityClassifier(t: Tables): DataFrame = {
+    def weight(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(pmod(Dedup.portableHash(tok), lit(qcBuckets)) * 2654435761L, lit(1000L))
+        .cast("double") / 1000.0 - 0.5
+    val grams = expr(
+      "IF(size(w) >= 2, transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])), " +
+        "array())")
+    val fold = (arr: org.apache.spark.sql.Column) =>
+      aggregate(arr, lit(0.0), (acc, x) => acc + weight(x))
+    docsW(t)
+      .withColumn("g", grams)
+      .select(
+        col("doc_id"),
+        (size(col("w")) + size(col("g"))).as("n_feats"),
+        (fold(col("w")) + fold(col("g"))).as("raw"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("raw") / col("n_feats")).as("m"))
+      // rational logistic stand-in: 0.5 + 0.5 * m / (1 + |m|) — monotone,
+      // bounded, and exactly replayable (no transcendental)
+      .select(col("doc_id"), col("n_feats"),
+        (floor((lit(0.5) + lit(0.5) * col("m") / (lit(1.0) + abs(col("m")))) * 10000) / 10000)
+          .as("qc_score"))
+      .withColumn("keep", col("qc_score") >= qcKeepTau)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level n-gram report size. */
   val topNgramK = 20
 

@@ -292,6 +292,47 @@ object TrainData {
       .orderBy(col("doc_id"))
   }
 
+  /** Output shard count for the training-order shuffle. Sized O(output
+    * files) in prod (thousands); 8 keeps the oracle windows small here.
+    */
+  val orderShards = 8L
+
+  /** shard_assign — the deterministic global training-order shuffle: every
+    * epoch-0 data loader wants the corpus in a pseudo-random order that is
+    * reproducible across reruns and independent of input partitioning. RNG
+    * + repartition can't give that (seed is partition-dependent); a hash
+    * CAN: order key = portable hash of the doc id under a named salt,
+    * shard = key mod `orderShards`, position = rank of the key within the
+    * shard. Same inputs ⇒ same shard files in the same order, bit for bit.
+    *
+    * Scale shape: ONE shuffle (the per-shard window), no global sort — each
+    * shard sorts independently, and the shard count is the parallelism/
+    * file-size knob. The hash key is uniform, so shards are balanced by
+    * construction (the stats twin audits it).
+    */
+  def shardAssign(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = Dedup.portableHash(concat(lit("order:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("ord_key"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), key.as("ord_key"))
+      .withColumn("shard", pmod(col("ord_key"), lit(orderShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("ord_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** shard_assign_stats — balance audit of the training-order shuffle:
+    * per-shard doc counts and the contiguity invariant (max pos == count).
+    */
+  def shardAssignStats(t: Tables): DataFrame =
+    shardAssign(t)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), max(col("pos")).as("max_pos"))
+      .select(col("shard"), col("n_docs"), col("max_pos"),
+        (col("n_docs") === col("max_pos")).as("contiguous"))
+      .orderBy(col("shard"))
+
   /** sample_stratified_stats — the mix audit: kept vs total per stratum with
     * the realized fraction (floor-rounded for the oracle). One
     * map-side-combined groupBy over the same zero-shuffle filter.

@@ -22,12 +22,14 @@ import org.apache.spark.sql.types._
   */
 object EventStreamPipeline {
 
-  /** Events schema as the streaming source sees it. `ts` is declared a raw
+  /** Events schema as the streaming source sees it. `ts` defaults to a raw
     * long: the generator's physical type has varied across rounds
     * (TIMESTAMP(NANOS), TIMESTAMP(MICROS)/NTZ — both INT64 on disk), and a
-    * long schema reads every variant; `Tables.epochMicros` then detects the
-    * precision by magnitude and restores a proper timestamp, exactly like
-    * the batch loader.
+    * long schema reads every INT64 variant; `Tables.epochMicros` then detects
+    * the precision by magnitude and restores a proper timestamp, exactly like
+    * the batch loader. `readEvents` probes the parquet footer once at stream
+    * setup and swaps in the actual physical type, so a future non-INT64 form
+    * (e.g. a plain instant timestamp) streams too instead of failing the read.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -37,12 +39,23 @@ object EventStreamPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // One batch footer probe at setup (files are staged before the stream
+    // starts); the normalization then mirrors Tables.events exactly.
+    val physicalTs = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physicalTs) else f))
+    val raw = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(graft.sources.Tables.epochMicros(col("ts"))))
+    physicalTs match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(graft.sources.Tables.epochMicros(col("ts"))))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
 
   /** The IdJob+DwJob chain as one streaming transform: envelope → owner
     * normalization → DQ verdict → route. All stateless column work —

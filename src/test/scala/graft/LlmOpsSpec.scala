@@ -750,4 +750,84 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(_.toSeq)
     fromShuffled.zip(inPlan).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("quality classifier scores are bounded, thresholded, content-sensitive") {
+    val rows = TextAnalysis.qualityClassifier(t).collect()
+    assert(rows.length == t.documents.count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("qc_score")
+      assert(s >= 0.0 && s <= 1.0, s"score out of range: $s")
+      assert(r.getAs[Boolean]("keep") == (s >= TextAnalysis.qcKeepTau))
+    }
+    // hashed-feature scores must actually discriminate documents
+    assert(rows.map(_.getAs[Double]("qc_score")).distinct.length > 10)
+  }
+
+  test("quality classifier: identical content scores identically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words entirely here")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val byId = TextAnalysis.qualityClassifier(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("qc_score")).toMap
+    assert(byId(1L) == byId(2L))
+  }
+
+  test("shard assignment: balanced contiguous permutation, partitioning-independent") {
+    val rows = TrainData.shardAssign(t).collect()
+    assert(rows.length == t.documents.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    val stats = TrainData.shardAssignStats(t).collect()
+    assert(stats.forall(_.getAs[Boolean]("contiguous")))
+    val counts = stats.map(_.getAs[Long]("n_docs"))
+    assert(counts.max <= counts.min * 3, s"hash shards unbalanced: ${counts.toSeq}")
+    // the training order must not depend on how the input was partitioned
+    val t2 = new graft.sources.Tables(spark, sf) {
+      override def documents = t.documents.repartition(7)
+    }
+    val again = TrainData.shardAssign(t2).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos"))
+    assert(rows.map(key).toSet == again.map(key).toSet)
+  }
+
+  test("random projection: basis vector reads its matrix row, norms concentrate") {
+    import spark.implicits._
+    val d0 = 5
+    val v = Array.fill(64)(0.0); v(d0) = 1.0
+    val one = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = one }
+    val r = Sim.randomProjection(t2).collect().head
+    (0 until Sim.projDims).foreach { j =>
+      val expect = math.floor(Sim.projSign(d0, j) * (math.sqrt(3.0) / 4.0) * 10000) / 10000
+      assert(r.getAs[Double](s"p$j") == expect, s"p$j mismatch")
+    }
+    // JL concentration: the norm ratio sits near 1 on the real corpus
+    val ratios = Sim.randomProjection(t).collect().map(_.getAs[Double]("norm_ratio"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"norm ratio mean drifted: $mean")
+  }
+
+  test("url dedup collapses tracking/case/port/slash/fragment variants") {
+    val rows = Dedup.urlDedup(t).collect()
+    assert(rows.length == t.documents.count())
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 20 and 220 differ in host case, default port, trailing slash,
+    // utm params and fragment — the same canonical page
+    assert(byId(20L).getAs[String]("canon_url") ==
+      "http://www.example20.com/articles/item20?id=20")
+    assert(byId(220L).getAs[String]("canon_url") ==
+      byId(20L).getAs[String]("canon_url"))
+    assert(byId(20L).getAs[Boolean]("keep") && !byId(220L).getAs[Boolean]("keep"))
+    // non-default ports survive canonicalization
+    assert(byId(41L).getAs[String]("canon_url").contains(":8080"))
+    // keep is exactly min-per-canonical-group
+    rows.groupBy(_.getAs[String]("canon_url")).values.foreach { g =>
+      val minId = g.map(_.getAs[Long]("doc_id")).min
+      g.foreach(r =>
+        assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("doc_id") == minId)))
+    }
+  }
 }

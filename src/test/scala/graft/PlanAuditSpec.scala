@@ -355,4 +355,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"readback lost partial aggregation:\n$p")
   }
+
+  test("quality classifier and random projection are zero-shuffle scan passes") {
+    // the final presentation orderBy is the only allowed exchange source;
+    // strip it by auditing the pre-sort child semantics: count real
+    // shuffles (rangepartitioning from the sort is fine, hash is not)
+    val pc = plan(TextAnalysis.qualityClassifier(t))
+    assert(!pc.contains("hashpartitioning"),
+      s"classifier grew a hash shuffle:\n$pc")
+    val pp = plan(graft.operators.Sim.randomProjection(t))
+    assert(!pp.contains("hashpartitioning"),
+      s"projection grew a hash shuffle:\n$pp")
+  }
+
+  test("shard assign and url dedup shuffle once, on their key axis only") {
+    val ps = plan(TrainData.shardAssign(t))
+    assert("hashpartitioning".r.findAllIn(ps).length <= 1,
+      s"shard assign shuffles more than the per-shard window:\n$ps")
+    val pu = plan(Dedup.urlDedup(t))
+    assert("hashpartitioning".r.findAllIn(pu).length <= 1,
+      s"url dedup shuffles more than the canonical window:\n$pu")
+    assert(!pu.contains("CartesianProduct"))
+  }
 }
