@@ -42,15 +42,22 @@ object VectorExpressions {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // freshName on every local: two cosine calls in one generated
+        // function must not redeclare the same variables (a collision
+        // makes janino reject the WHOLE projection → interpreter fallback)
+        val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i"); val d = ctx.freshName("d")
+        val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
         s"""
-           |int n = Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, nx = 0.0, ny = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double xi = $a.getDouble(i); double yi = $b.getDouble(i);
-           |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+           |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
            |}
-           |double d = Math.sqrt(nx) * Math.sqrt(ny);
-           |${ev.value} = (d == 0.0) ? 0.0 : dot / d;
+           |double $d = Math.sqrt($nx) * Math.sqrt($ny);
+           |${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
          """.stripMargin
       })
 

@@ -40,6 +40,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.filter(col("h") =!= col("ref")).count() == 0)
   }
 
+  test("two cosine calls in one projection still COMPILE (freshName locals)") {
+    // fixed local names in doGenCode collide when the expression appears
+    // twice in one generated function; janino then rejects the whole
+    // projection and Spark silently interprets it — compile directly so a
+    // regression fails loudly instead of just logging a fallback
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def vec(xs: Double*) = Literal.create(xs.toArray, ArrayType(DoubleType))
+    val e1 = VectorExpressions.CosineSim(vec(1.0, 2.0), vec(2.0, 1.0))
+    val e2 = VectorExpressions.CosineSim(vec(1.0, 0.0), vec(0.0, 1.0))
+    val proj = GenerateUnsafeProjection.generate(Seq(e1, e2)) // throws on janino error
+    val row = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(math.abs(row.getDouble(0) - 0.8) < 1e-12)
+    assert(row.getDouble(1) == 0.0)
+  }
+
   test("native functions run inside whole-stage codegen") {
     VectorExpressions.register(spark)
     val e = t.embeddings.select(col("embedding").cast("array<double>").as("v"))
