@@ -165,6 +165,8 @@ object SparkEntry {
     "dedup_semantic"          -> ((s, d) => Sim.semanticDedup(tables(s, d))),
     "id_incremental_assign"   -> ((s, d) => Identity.incrementalAssign(tables(s, d))),
     "text_quality_classifier" -> ((s, d) => TextAnalysis.qualityClassifier(tables(s, d))),
+    "text_bpe_merges"         -> ((s, d) => TextAnalysis.bpeMerges(tables(s, d))),
+    "text_bpe_encode"         -> ((s, d) => TextAnalysis.bpeEncode(tables(s, d))),
     "shard_assign"            -> ((s, d) => TrainData.shardAssign(tables(s, d))),
     "shard_assign_stats"      -> ((s, d) => TrainData.shardAssignStats(tables(s, d))),
     "emb_random_projection"   -> ((s, d) => Sim.randomProjection(tables(s, d))),
@@ -173,6 +175,59 @@ object SparkEntry {
 
   /** DuckDB list literal for a stopword set. */
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** The BPE training oracle: K chained merge rounds as generated CTE
+    * stages — each round recounts pairs over the previous sequences, takes
+    * the (cnt DESC, lhs, rhs) argmax, and applies the literal double-space
+    * replace, exactly like TextAnalysis.bpeTrain. Every multiply-referenced
+    * CTE is MATERIALIZED (DuckDB inlines by default — the r5
+    * pipeline_all_job lesson).
+    */
+  private def bpeOracle(encode: Boolean): String = {
+    val k = TextAnalysis.bpeMergeRounds
+    val rounds = (1 to k).map { r =>
+      s"""t$r AS (SELECT wcount, string_split(trim(seq), '  ') AS tk FROM s${r - 1}),
+         e$r AS (SELECT wcount, tk, unnest(generate_series(1, len(tk)-1)) AS i
+                 FROM t$r WHERE len(tk) >= 2),
+         p$r AS (SELECT tk[i] AS lhs, tk[i+1] AS rhs, sum(wcount) AS cnt
+                 FROM e$r GROUP BY 1, 2),
+         b$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$r
+                 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         s$r AS MATERIALIZED (SELECT word, wcount,
+                 replace(seq, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                         ' ' || b.lhs || b.rhs || ' ') AS seq
+                 FROM s${r - 1}, b$r b)"""
+    }.mkString(",\n         ")
+    val ctes =
+      s"""WITH w0 AS (SELECT w AS word, count(*) AS wcount FROM
+           (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents) GROUP BY 1),
+         s0 AS MATERIALIZED (SELECT word, wcount,
+           ' ' || substring(regexp_replace(word, '(.)', '\\1  ', 'g'),
+                            1, length(word)*3 - 1) AS seq
+           FROM w0),
+         $rounds"""
+    if (!encode) {
+      val unions = (1 to k).map(r =>
+        s"SELECT $r AS round, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count, " +
+          s"lhs || rhs AS merged FROM b$r").mkString("\n         UNION ALL ")
+      s"""$ctes
+         $unions
+         ORDER BY round"""
+    } else {
+      s"""$ctes,
+         m AS (SELECT word,
+             CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tok,
+             CAST(length(word) AS BIGINT) AS n_char FROM s$k),
+         d AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+           FROM documents)
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+           floor(sum(n_char) * 10000.0 / sum(n_tok)) / 10000 AS chars_per_token
+         FROM d JOIN m USING (word) GROUP BY doc_id ORDER BY doc_id"""
+    }
+  }
 
   /** Expected UA-parse results per Envelope.uaSet index — the oracle's
     * independently hand-derived truth table for the regexp-based parser
@@ -2747,6 +2802,8 @@ object SparkEntry {
          UNION ALL
          SELECT appkey, did, zg_did, true AS is_new FROM asg
          ORDER BY appkey, did""",
+    "text_bpe_merges" -> bpeOracle(encode = false),
+    "text_bpe_encode" -> bpeOracle(encode = true),
     "text_quality_classifier" -> {
       val d = TextAnalysis.qcBuckets
       // same rational weight formula as TextAnalysis.qualityClassifier:

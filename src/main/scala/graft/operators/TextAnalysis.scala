@@ -261,6 +261,99 @@ object TextAnalysis {
         c4KeepCol.as("keep"))
       .orderBy(col("doc_id"))
 
+  /** Number of BPE merge rounds to learn. Real tokenizers run this to a
+    * vocab budget (tens of thousands); the round count is the only knob
+    * that changes, not the shape.
+    */
+  val bpeMergeRounds = 6
+
+  /** The BPE word-frequency dictionary: distinct corpus words with counts
+    * and the char-level start sequence. BPE trains on this dict, NOT the
+    * corpus — after the one groupBy every round's pair count is bounded by
+    * |vocab|, which is what makes tokenizer training feasible at 100 TB
+    * (the dict is megabytes; production persists it across rounds).
+    *
+    * Sequence encoding: tokens joined by TWO spaces with a single leading/
+    * trailing space — ' t  h  e '. A merge (a, b) is then the literal
+    * (non-regex) replacement ' a  b ' → ' ab ', which is non-overlapping
+    * left-to-right in both engines, i.e. exactly BPE's greedy merge order,
+    * and the oracle replays it with the same replace().
+    */
+  def bpeVocab(t: Tables): DataFrame =
+    docsW(t).select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+      .withColumn("seq", concat(lit(" "),
+        expr("substring(regexp_replace(word, '(.)', '$1  '), 1, length(word)*3 - 1)")))
+
+  /** One BPE training run: K rounds of (count adjacent token pairs over
+    * the dict, weighted by word count) → (argmax pair, ties broken by
+    * (lhs, rhs)) → (merge applied to every sequence). The per-round argmax
+    * is a 1-row collect — the same bounded driver action as dedup_groups'
+    * convergence check; everything wide stays a vocab-bounded groupBy.
+    */
+  def bpeTrain(t: Tables,
+               rounds: Int = bpeMergeRounds): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seqs = bpeVocab(t)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = seqs
+        .select(col("wcount"), split(trim(col("seq")), "  ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("wcount"), explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS lhs, tk[i+1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("wcount")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (bl, br) = (best(0).getAs[String]("lhs"), best(0).getAs[String]("rhs"))
+        merges += ((r, bl, br, best(0).getAs[Long]("cnt")))
+        seqs = seqs.withColumn("seq",
+          replace(col("seq"), lit(s" $bl  $br "), lit(s" $bl$br ")))
+        r += 1
+      }
+    }
+    (merges.toSeq, seqs)
+  }
+
+  /** text_bpe_merges — BPE tokenizer training (Sennrich et al. 2016) on the
+    * corpus: the learned merge table (round, pair, merged token, weighted
+    * pair count) — the artifact a tokenizer build step publishes.
+    */
+  def bpeMerges(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (merges, _) = bpeTrain(t)
+    merges.toDF("round", "lhs", "rhs", "pair_count")
+      .withColumn("merged", concat(col("lhs"), col("rhs")))
+      .orderBy(col("round"))
+  }
+
+  /** text_bpe_encode — the apply side: tokenize every document with the
+    * learned merges and report the per-doc compression (chars/token, the
+    * pretraining cost estimator under the REAL learned vocab rather than
+    * #44's regex stand-in). One broadcast-sized word→token-count join.
+    */
+  def bpeEncode(t: Tables): DataFrame = {
+    val (_, seqs) = bpeTrain(t)
+    val wordToks = seqs.select(col("word"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("n_tok"),
+      length(col("word")).cast("long").as("n_char"))
+    docsW(t).select(col("doc_id"), explode(col("w")).as("word"))
+      .join(broadcast(wordToks), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("bpe_tokens"),
+        sum(col("n_char")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("bpe_tokens"),
+        (floor(col("n_chars") * lit(10000.0) / col("bpe_tokens")) / 10000)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed-feature dimensionality of the linear quality classifier. */
   val qcBuckets = 32
   /** Keep threshold on the squashed [0,1] score. */

@@ -751,6 +751,37 @@ class LlmOpsSpec extends SparkSpec {
     fromShuffled.zip(inPlan).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("bpe training learns the hand-computed merges in order") {
+    import spark.implicits._
+    // word dict: aaab ×3, ab ×1. Round 1: (a,a)=6 beats (a,b)=4 → 'aa'
+    // (greedy-left: 'a a a b' → 'aa a b', not 'a aa b'). Round 2: (a,b)=4
+    // beats (aa,a)=3 → 'ab'. Round 3: (aa,ab)=3 — the only pair left.
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val (merges, _) = TextAnalysis.bpeTrain(t2, rounds = 3)
+    assert(merges == Seq((1, "a", "a", 6L), (2, "a", "b", 4L), (3, "aa", "ab", 3L)))
+    // more rounds than mergeable pairs: stop clean, never crash
+    val (all, _) = TextAnalysis.bpeTrain(t2, rounds = 10)
+    assert(all.length == 3)
+    // encode under the learned merges: every word is one token
+    val enc = TextAnalysis.bpeEncode(t2).collect().head
+    assert(enc.getAs[Long]("n_words") == 4L)
+    assert(enc.getAs[Long]("bpe_tokens") == 4L)
+    assert(enc.getAs[Double]("chars_per_token") == 3.5)
+  }
+
+  test("bpe merges on the corpus shrink tokens monotonically") {
+    val merged = TextAnalysis.bpeMerges(t).collect()
+    assert(merged.length == TextAnalysis.bpeMergeRounds)
+    // counts never increase as rarer pairs get merged later... not strictly
+    // monotone in general, but round 1 must be the global max
+    val counts = merged.sortBy(_.getAs[Int]("round")).map(_.getAs[Long]("pair_count"))
+    assert(counts.head == counts.max)
+    // encoding with merges beats char-level: chars/token > 1 somewhere
+    val enc = TextAnalysis.bpeEncode(t).collect()
+    assert(enc.nonEmpty && enc.exists(_.getAs[Double]("chars_per_token") > 1.0))
+  }
+
   test("quality classifier scores are bounded, thresholded, content-sensitive") {
     val rows = TextAnalysis.qualityClassifier(t).collect()
     assert(rows.length == t.documents.count())
