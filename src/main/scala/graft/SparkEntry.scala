@@ -168,6 +168,9 @@ object SparkEntry {
     "text_bpe_merges"         -> ((s, d) => TextAnalysis.bpeMerges(tables(s, d))),
     "text_bpe_encode"         -> ((s, d) => TextAnalysis.bpeEncode(tables(s, d))),
     "shard_assign"            -> ((s, d) => TrainData.shardAssign(tables(s, d))),
+    "text_chunk_windows"      -> ((s, d) => TrainData.chunkWindows(tables(s, d))),
+    "mix_epochs"              -> ((s, d) => TrainData.mixEpochs(tables(s, d))),
+    "mix_epochs_stats"        -> ((s, d) => TrainData.mixEpochsStats(tables(s, d))),
     "shard_assign_stats"      -> ((s, d) => TrainData.shardAssignStats(tables(s, d))),
     "emb_random_projection"   -> ((s, d) => Sim.randomProjection(tables(s, d))),
     "dedup_url"               -> ((s, d) => Dedup.urlDedup(tables(s, d)))
@@ -2802,6 +2805,61 @@ object SparkEntry {
          UNION ALL
          SELECT appkey, did, zg_did, true AS is_new FROM asg
          ORDER BY appkey, did""",
+    "text_chunk_windows" -> {
+      val (cs, st) = (TrainData.chunkSize, TrainData.chunkStride)
+      s"""WITH d AS (SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words
+           FROM documents),
+         w AS (SELECT doc_id, n_words,
+             unnest(generate_series(0,
+               greatest(0, CAST(ceil((n_words - 1) / $st.0) AS BIGINT)))) AS win
+           FROM d)
+         SELECT doc_id, win, win * $st AS tok_start,
+           least(win * $st + $cs, n_words) AS tok_end,
+           least(win * $st + $cs, n_words) - win * $st AS n_tokens
+         FROM w WHERE win * $st < n_words ORDER BY doc_id, win"""
+    },
+    "mix_epochs" -> {
+      val values = TrainData.epochFactors
+        .map { case (k, f) => s"('$k', $f)" }.mkString(", ")
+      s"""WITH f(source, factor) AS (VALUES $values),
+         d AS (SELECT doc_id, 'src' || CAST(doc_id % 6 AS VARCHAR) AS source
+               FROM documents),
+         j AS (SELECT d.doc_id, d.source,
+                 coalesce(CAST(f.factor AS DOUBLE), ${TrainData.epochDefaultFactor})
+                   AS factor
+               FROM d LEFT JOIN f USING (source)),
+         c AS (SELECT doc_id, source, factor,
+             CAST(floor(factor) AS BIGINT)
+               + CASE WHEN (doc_id % 100003) * 2654435761 % 1000000
+                        < (factor - floor(factor)) * 1000000
+                 THEN 1 ELSE 0 END AS n_copies
+           FROM j)
+         SELECT doc_id, source, factor, n_copies,
+           unnest(generate_series(0, n_copies - 1)) AS epoch
+         FROM c WHERE n_copies > 0 ORDER BY doc_id, epoch"""
+    },
+    "mix_epochs_stats" -> {
+      val values = TrainData.epochFactors
+        .map { case (k, f) => s"('$k', $f)" }.mkString(", ")
+      s"""WITH f(source, factor) AS (VALUES $values),
+         d AS (SELECT doc_id, 'src' || CAST(doc_id % 6 AS VARCHAR) AS source
+               FROM documents),
+         j AS (SELECT d.doc_id, d.source,
+                 coalesce(CAST(f.factor AS DOUBLE), ${TrainData.epochDefaultFactor})
+                   AS factor
+               FROM d LEFT JOIN f USING (source)),
+         c AS (SELECT doc_id, source,
+             CAST(floor(factor) AS BIGINT)
+               + CASE WHEN (doc_id % 100003) * 2654435761 % 1000000
+                        < (factor - floor(factor)) * 1000000
+                 THEN 1 ELSE 0 END AS n_copies
+           FROM j)
+         SELECT source, count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_copies,
+           floor(sum(n_copies) * 10000.0 / count(DISTINCT doc_id)) / 10000 AS realized
+         FROM c WHERE n_copies > 0 GROUP BY source ORDER BY source"""
+    },
     "text_bpe_merges" -> bpeOracle(encode = false),
     "text_bpe_encode" -> bpeOracle(encode = true),
     "text_quality_classifier" -> {

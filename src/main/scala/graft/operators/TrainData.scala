@@ -292,6 +292,80 @@ object TrainData {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk window size / stride in whitespace tokens. Stride < size ⇒
+    * overlapping windows (the RAG-indexing default; packing uses
+    * stride = size).
+    */
+  val chunkSize = 64L
+  val chunkStride = 48L
+
+  /** text_chunk_windows — fixed-size overlapping token windows per document
+    * (the splitting pass of RAG indexing / long-document training): window
+    * w covers tokens [w·stride, w·stride + size), windows start while their
+    * offset is inside the doc, the last window is clipped at the doc end.
+    * Pure per-row `sequence` + explode — zero shuffle, the chunk axis is
+    * born distributed; the downstream embedder/indexer reads a stream that
+    * already is the chunk table.
+    */
+  def chunkWindows(t: Tables): DataFrame =
+    Dedup.withWords(t.documents)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .withColumn("win", explode(expr(
+        s"sequence(0L, greatest(0L, ceil((n_words - 1) / $chunkStride)))")))
+      .filter(col("win") * chunkStride < col("n_words"))
+      .select(col("doc_id"), col("win"),
+        (col("win") * chunkStride).as("tok_start"),
+        least(col("win") * chunkStride + chunkSize, col("n_words")).as("tok_end"))
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
+      .orderBy(col("doc_id"), col("win"))
+
+  /** Per-source epoch factors for repeat-factor mixing: a source with
+    * factor 2.5 contributes every doc twice plus a deterministic 50%
+    * third copy — the way curated high-quality sources are upsampled in
+    * real pretraining mixes. Sources not listed get factor 1.0.
+    */
+  val epochFactors: Seq[(String, Double)] = Seq(
+    "src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 3.0)
+
+  val epochDefaultFactor = 1.0
+
+  /** mix_epochs — repeat-factor corpus mixing: doc with factor f appears
+    * ⌊f⌋ times always, plus one more copy when the key mix lands under the
+    * fractional part — deterministic, partition-independent, audit-exact
+    * (unlike RNG upsampling). Zero shuffle: the repeat axis is a per-row
+    * `sequence` + explode fused into the scan; each copy carries its epoch
+    * index so downstream shuffles (shard_assign) can spread the copies.
+    */
+  def mixEpochs(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val factors = broadcast(epochFactors.toDF("source", "factor"))
+    val docs = t.documents
+      .withColumn("source", concat(lit("src"), (col("doc_id") % 6).cast("string")))
+      .join(factors, Seq("source"), "left")
+      .withColumn("factor", coalesce(col("factor"), lit(epochDefaultFactor)))
+    docs
+      .withColumn("n_copies",
+        floor(col("factor")).cast("long") +
+          when(mix(col("doc_id")) < (col("factor") - floor(col("factor"))) * 1000000L, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("factor"), col("n_copies"),
+        explode(expr("sequence(0L, n_copies - 1)")).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** mix_epochs_stats — realized epoch factor per source (copies / docs),
+    * the audit a mixture config review reads.
+    */
+  def mixEpochsStats(t: Tables): DataFrame =
+    mixEpochs(t)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_copies"))
+      .select(col("source"), col("n_docs"), col("n_copies"),
+        (floor(col("n_copies") * lit(10000.0) / col("n_docs")) / 10000).as("realized"))
+      .orderBy(col("source"))
+
   /** Output shard count for the training-order shuffle. Sized O(output
     * files) in prod (thousands); 8 keeps the oracle windows small here.
     */

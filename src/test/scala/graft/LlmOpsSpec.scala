@@ -751,6 +751,53 @@ class LlmOpsSpec extends SparkSpec {
     fromShuffled.zip(inPlan).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("chunk windows tile each doc with stride overlap, last window clipped") {
+    import spark.implicits._
+    val words100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words100), (2L, "a b c")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = TrainData.chunkWindows(t2).collect()
+    val d1 = rows.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Long]("win"))
+    // stride 48, size 64 over 100 words: [0,64) [48,100) [96,100)
+    assert(d1.map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"))).toSeq ==
+      Seq((0L, 64L), (48L, 100L), (96L, 100L)))
+    // a short doc is one clipped window
+    val d2 = rows.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"))).toSeq ==
+      Seq((0L, 3L)))
+    // full corpus: every window non-empty and inside its doc
+    TrainData.chunkWindows(t).collect().foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0 &&
+        r.getAs[Long]("tok_end") > r.getAs[Long]("tok_start"))
+    }
+  }
+
+  test("epoch mixing repeats by integer part and keeps the fraction deterministically") {
+    val rows = TrainData.mixEpochs(t).collect()
+    // src3 (factor 3.0): exactly 3 copies of every doc, epochs 0,1,2
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc("src3").groupBy(_.getAs[Long]("doc_id")).values.foreach { copies =>
+      assert(copies.map(_.getAs[Long]("epoch")).sorted.toSeq == Seq(0L, 1L, 2L))
+    }
+    // src1 (factor 0.5): some docs dropped, kept docs appear once
+    val src1Docs = bySrc("src1").groupBy(_.getAs[Long]("doc_id"))
+    assert(src1Docs.values.forall(_.length == 1))
+    val stats = TrainData.mixEpochsStats(t).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("realized")).toMap
+    assert(stats("src3") == 3.0)
+    assert(stats("src0") > 2.0 && stats("src0") < 3.0) // factor 2.5
+    // unlisted sources (src4, src5) default to 1.0
+    assert(stats("src4") == 1.0 && stats("src5") == 1.0)
+    // partitioning independence
+    val t2 = new graft.sources.Tables(spark, sf) {
+      override def documents = t.documents.repartition(7)
+    }
+    val again = TrainData.mixEpochs(t2).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"))
+    assert(rows.map(key).toSet == again.map(key).toSet)
+  }
+
   test("bpe training learns the hand-computed merges in order") {
     import spark.implicits._
     // word dict: aaab ×3, ab ×1. Round 1: (a,a)=6 beats (a,b)=4 → 'aa'
