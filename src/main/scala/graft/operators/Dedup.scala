@@ -94,28 +94,30 @@ object Dedup {
     * scan; the only shuffle is the canonical-key window — same posture as
     * dedup_exact's hash groupBy.
     */
+  /** The canonicalization itself, as one reusable column expression
+    * (idempotent: canon(canon(u)) == canon(u), property-spec'd).
+    */
+  def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val headPat = "^[A-Za-z]+://[^/?#]*"
+    val nf = regexp_replace(u, "#.*$", "")
+    val head = regexp_replace(
+      regexp_replace(lower(regexp_extract(nf, headPat, 0)),
+        "^(https://[^/:]*):443$", "$1"),
+      "^(http://[^/:]*):80$", "$1")
+    val rest = nf.substr(length(regexp_extract(nf, headPat, 0)) + 1, lit(100000))
+    val path = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/+$", "")
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_join(array_sort(filter(split(q, "&"),
+      x => x =!= "" && !x.rlike("^(utm_|fbclid|gclid)"))), "&")
+    concat(head, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
   def urlDedup(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val headPat = "^[A-Za-z]+://[^/?#]*"
-    val staged = t.documents.select(col("doc_id"), syntheticUrl.as("url"))
-      .withColumn("nf", regexp_replace(col("url"), "#.*$", ""))
-      .withColumn("head",
-        regexp_replace(
-          regexp_replace(lower(regexp_extract(col("nf"), headPat, 0)),
-            "^(https://[^/:]*):443$", "$1"),
-          "^(http://[^/:]*):80$", "$1"))
-      .withColumn("rest",
-        col("nf").substr(length(regexp_extract(col("nf"), headPat, 0)) + 1, lit(100000)))
-      .withColumn("path",
-        regexp_replace(regexp_replace(col("rest"), "\\?.*$", ""), "/+$", ""))
-      .withColumn("q", regexp_extract(col("rest"), "\\?(.*)$", 1))
-      .withColumn("params", array_join(array_sort(filter(split(col("q"), "&"),
-        x => x =!= "" && !x.rlike("^(utm_|fbclid|gclid)"))), "&"))
-      .withColumn("canon_url", concat(col("head"), col("path"),
-        when(col("params") === "", lit("")).otherwise(concat(lit("?"), col("params")))))
     val w = Window.partitionBy("canon_url")
-    staged
-      .select(col("doc_id"), col("canon_url"))
+    t.documents
+      .select(col("doc_id"), canonicalUrl(syntheticUrl).as("canon_url"))
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
       .withColumn("n_aliases", count(lit(1)).over(w))
       .orderBy(col("doc_id"))

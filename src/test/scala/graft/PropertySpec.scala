@@ -81,4 +81,26 @@ class PropertySpec extends SparkSpec {
     val dupGroup = groups.find(_.getAs[Long]("n") == 3).get
     assert(dupGroup.getAs[Long]("keep_id") == 1L)
   }
+
+  test("url canonicalization is idempotent on messy and already-clean urls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val nasty = Seq(
+      "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&id=1#frag",
+      "http://ex.com:80//",
+      "http://ex.com:8080/p?b=2&a=1&fbclid=zz",
+      "https://ex.com/p/q///?gclid=1",
+      "http://ex.com/p",
+      "HTTP://EX.com/p?z=9&utm_medium=m&y=8#x").toDF("url")
+    val once = nasty.select(Dedup.canonicalUrl(col("url")).as("c1"))
+    val twice = once.select(col("c1"), Dedup.canonicalUrl(col("c1")).as("c2")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+    // the whole synthetic corpus is idempotent too
+    val corpus = t.documents
+      .select(Dedup.canonicalUrl(Dedup.syntheticUrl).as("c1"))
+      .select(col("c1"), Dedup.canonicalUrl(col("c1")).as("c2"))
+      .filter(col("c1") =!= col("c2"))
+    assert(corpus.count() == 0)
+  }
 }
