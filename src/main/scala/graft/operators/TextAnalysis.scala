@@ -293,7 +293,18 @@ object TextAnalysis {
     */
   def bpeTrain(t: Tables,
                rounds: Int = bpeMergeRounds): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var seqs = bpeVocab(t)
+    // Persist the dict for the duration of training: every round's argmax
+    // job then reads the |vocab|-sized cache instead of re-scanning the
+    // corpus. Unpersisted before returning (leak discipline) — the returned
+    // sequences recompute the dict ONCE in whatever plan consumes them.
+    val dict = bpeVocab(t).persist()
+    try bpeTrainRounds(dict, rounds)
+    finally dict.unpersist(blocking = false)
+  }
+
+  private def bpeTrainRounds(dict: DataFrame,
+                             rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seqs = dict
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var exhausted = false
