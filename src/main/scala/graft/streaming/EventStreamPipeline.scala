@@ -812,6 +812,42 @@ object EventStreamPipeline {
     * Decontamination joins the same way the gate blacklists do
     * (stream-static broadcast anti-join) and is left to that composition.
     */
+  case class FrontierState(admittedDoc: Long)
+  case class FrontierAdmit(canonUrl: String, docId: Long)
+
+  /** Streaming URL frontier — the crawl-side admission gate and the
+    * streaming face of batch `dedup_url`: each arriving document's
+    * canonical URL hits first-seen keyed state (the HSETNX-gate shape
+    * every id leg uses), the first arrival per canonical is admitted with
+    * its doc id and every later alias — same batch or any later batch —
+    * drops silently. Canonicalization is the SAME `Dedup.canonicalUrl` /
+    * `syntheticUrl` expressions as batch, so the two sides cannot drift.
+    *
+    * State is one long per admitted canonical URL. A production frontier
+    * bounds it with a state timeout / TTL matching its recrawl policy;
+    * NoTimeout here keeps the spec's batch-equality exact.
+    */
+  def urlFrontierStream(docs: DataFrame): Dataset[FrontierAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.operators.Dedup.canonicalUrl(graft.operators.Dedup.syntheticUrl)
+          .as("canon_url"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[FrontierState, FrontierAdmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (canon, rows, state: GroupState[FrontierState]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.map(_._1).min
+            state.update(FrontierState(first))
+            Iterator(FrontierAdmit(canon, first))
+          }
+      }
+  }
+
   def curationStream(docs: DataFrame): DataFrame = {
     import graft.operators.{TextAnalysis, TrainData}
     docs

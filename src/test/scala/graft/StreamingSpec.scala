@@ -416,6 +416,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming url frontier admits exactly the batch canonical winners") {
+    import graft.operators.Dedup
+    // two doc files so the first-seen gate genuinely crosses micro-batches;
+    // alias pairs (i, i+200) keep their min in the earlier file, so the
+    // frontier's first-seen winner IS the batch min-doc_id winner
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_urls").toString
+    val halves = Seq(
+      t.documents.filter(col("doc_id") < 250),
+      t.documents.filter(col("doc_id") >= 250))
+    halves.zipWithIndex.foreach { case (slice, i) =>
+      slice.coalesce(1).write.parquet(s"$dir/h$i")
+      val f = new java.io.File(s"$dir/h$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/h$i.parquet"))
+    }
+    val docs = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = EventStreamPipeline.urlFrontierStream(docs)
+    runToMemory("urlfrontier", out.toDF(), "update")
+    val got = spark.sql("SELECT canonUrl, docId FROM urlfrontier").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Dedup.urlDedup(t).filter(col("keep")).collect()
+      .map(r => r.getAs[String]("canon_url") -> r.getAs[Long]("doc_id")).toMap
+    assert(got == batch, "frontier admissions differ from batch canonical winners")
+    // each canonical admitted exactly once across both batches
+    val n = spark.sql("SELECT count(*) FROM urlfrontier").collect()(0).getLong(0)
+    assert(n == got.size)
+  }
+
   test("streaming archive router equals the batch 5-way archive output") {
     import graft.operators.Identity
     // day-sliced event files so first-seen gating and the latest-wins
