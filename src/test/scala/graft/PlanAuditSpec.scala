@@ -368,6 +368,16 @@ class PlanAuditSpec extends SparkSpec {
       s"projection grew a hash shuffle:\n$pp")
   }
 
+  test("chunk windows and epoch mixing stay zero-shuffle scan passes") {
+    val pc = plan(TrainData.chunkWindows(t))
+    assert(!pc.contains("hashpartitioning"),
+      s"chunk windows grew a hash shuffle:\n$pc")
+    val pm = plan(TrainData.mixEpochs(t))
+    assert(!pm.contains("hashpartitioning") || pm.contains("BroadcastHashJoin"),
+      s"epoch mix shuffled instead of broadcasting the factor dim:\n$pm")
+    assert(pm.contains("BroadcastHashJoin"), s"factor dim lost its broadcast:\n$pm")
+  }
+
   test("shard assign and url dedup shuffle once, on their key axis only") {
     val ps = plan(TrainData.shardAssign(t))
     assert("hashpartitioning".r.findAllIn(ps).length <= 1,
