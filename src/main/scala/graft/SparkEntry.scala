@@ -173,11 +173,25 @@ object SparkEntry {
     "mix_epochs_stats"        -> ((s, d) => TrainData.mixEpochsStats(tables(s, d))),
     "shard_assign_stats"      -> ((s, d) => TrainData.shardAssignStats(tables(s, d))),
     "emb_random_projection"   -> ((s, d) => Sim.randomProjection(tables(s, d))),
+    "sim_ann_project_rerank"  -> ((s, d) => Sim.projectRerank(tables(s, d))),
     "dedup_url"               -> ((s, d) => Dedup.urlDedup(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Projected-coordinate fold SQL, generated from the SAME projSign
+    * matrix as the Spark plan — ascending d, left-assoc, so accumulation
+    * is bitwise identical.
+    */
+  private def projFoldSql(j: Int): String =
+    "(0.0" + (0 until 64).flatMap { d =>
+      graft.operators.Sim.projSign(d, j) match {
+        case 1  => Some(s" + v[${d + 1}]")
+        case -1 => Some(s" - v[${d + 1}]")
+        case _  => None
+      }
+    }.mkString + ")"
 
   /** The BPE training oracle: K chained merge rounds as generated CTE
     * stages — each round recounts pairs over the previous sequences, takes
@@ -2805,6 +2819,34 @@ object SparkEntry {
          UNION ALL
          SELECT appkey, did, zg_did, true AS is_new FROM asg
          ORDER BY appkey, did""",
+    "sim_ann_project_rerank" -> {
+      val k = Sim.projDims
+      val fs = (0 until k).map(j => s"${projFoldSql(j)} AS f$j").mkString(",\n             ")
+      val qfs = (0 until k).map(j => s"f$j AS qf$j").mkString(", ")
+      val dot16 = (0 until k).map(j => s"f.f$j * q.qf$j").mkString(" + ")
+      val n16 = (0 until k).map(j => s"f.f$j * f.f$j").mkString(" + ")
+      val qn16 = (0 until k).map(j => s"q.qf$j * q.qf$j").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         f AS MATERIALIZED (SELECT vec_id, v,
+             $fs
+           FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, $qfs FROM f
+               WHERE vec_id < ${Sim.nQueries}),
+         p AS (SELECT f.vec_id, f.v, q.query_id, q.qv,
+                 ($dot16) / (sqrt($n16) * sqrt($qn16)) AS pcos
+               FROM f JOIN q ON f.vec_id <> q.query_id),
+         c AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY pcos DESC, vec_id) AS crank FROM p),
+         r AS (SELECT query_id, vec_id,
+                 list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+               FROM c WHERE crank <= ${Sim.rerankCandidates}),
+         k AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rank FROM r)
+         SELECT query_id, vec_id AS neighbor_id, rank,
+           floor(cos * 10000) / 10000 AS cos_sim
+         FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
+    },
     "text_chunk_windows" -> {
       val (cs, st) = (TrainData.chunkSize, TrainData.chunkStride)
       s"""WITH d AS (SELECT doc_id,
@@ -2913,17 +2955,8 @@ object SparkEntry {
            count(*) = max(pos) AS contiguous
          FROM a GROUP BY shard ORDER BY shard""",
     "emb_random_projection" -> {
-      // fold strings generated from the SAME projSign matrix as the Spark
-      // plan, ascending d, left-assoc — bitwise-identical accumulation
-      def fold(j: Int): String =
-        "(0.0" + (0 until 64).flatMap { d =>
-          Sim.projSign(d, j) match {
-            case 1  => Some(s" + v[${d + 1}]")
-            case -1 => Some(s" - v[${d + 1}]")
-            case _  => None
-          }
-        }.mkString + ")"
-      val fs = (0 until Sim.projDims).map(j => s"${fold(j)} AS f$j").mkString(",\n             ")
+      val fs = (0 until Sim.projDims)
+        .map(j => s"${projFoldSql(j)} AS f$j").mkString(",\n             ")
       val ps = (0 until Sim.projDims)
         .map(j => s"floor(f$j * (sqrt(3) / 4) * 10000) / 10000 AS p$j").mkString(",\n           ")
       val nsum = (0 until Sim.projDims).map(j => s"f$j * f$j * 3").mkString(" + ")

@@ -359,30 +359,76 @@ object Sim {
     if (m == 0) 1 else if (m == 1) -1 else 0
   }
 
+  /** The unscaled integer-weighted fold for projected coordinate j over a
+    * vector column (ascending-d, left-assoc — the order the oracle
+    * replays). Scale factors (√3, 1/√k) are applied by callers where they
+    * matter; cosine consumers skip them (they cancel).
+    */
+  def projFold(v: Column, j: Int): Column = {
+    val terms = (0 until 64).map(d => (d, projSign(d, j))).filter(_._2 != 0)
+    terms.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
+      if (s > 0) acc + element_at(v, d + 1)
+      else acc - element_at(v, d + 1)
+    }
+  }
+
   def randomProjection(t: Tables): DataFrame = {
     val proj = (0 until projDims).map { j =>
-      val terms = (0 until 64).map(d => (d, projSign(d, j))).filter(_._2 != 0)
-      val folded = terms.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
-        if (s > 0) acc + element_at(col("v"), d + 1)
-        else acc - element_at(col("v"), d + 1)
-      }
-      (floor(folded * (math.sqrt(3.0) / 4.0) * 10000) / 10000).as(s"p$j")
+      (floor(projFold(col("v"), j) * (math.sqrt(3.0) / 4.0) * 10000) / 10000).as(s"p$j")
     }
     val nIn = norm(col("v"))
     // /4 = the exact-halving 1/√k for k = 16 projected dims
     val nOut = sqrt(
       (0 until projDims).map { j =>
-        val terms = (0 until 64).map(d => (d, projSign(d, j))).filter(_._2 != 0)
-        val folded = terms.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
-          if (s > 0) acc + element_at(col("v"), d + 1)
-          else acc - element_at(col("v"), d + 1)
-        }
+        val folded = projFold(col("v"), j)
         folded * folded * 3.0
       }.reduce(_ + _)) / 4.0
     vecs(t)
       .select(col("vec_id") +: proj :+
         (floor(nOut / nIn * 10000) / 10000).as("norm_ratio"): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** Candidate pool per query for the projected first stage. */
+  val rerankCandidates = 15
+
+  /** sim_ann_project_rerank — the TWO-STAGE retrieval every production
+    * vector store runs: a cheap pass over the 16-dim projected vectors
+    * picks `rerankCandidates` per query, then exact 64-dim cosine re-ranks
+    * only those to top-k. The projection's √3/√k scale cancels inside
+    * cosine, so stage 1 uses the raw integer-weighted folds — 4× fewer
+    * multiplies per pair than the exact pass, and at scale the projected
+    * table is the one that fits in memory / serves from the ANN index
+    * (compose with sim_ann_lsh / sim_ann_ivf for sublinear candidate
+    * generation; this operator isolates the projection-quality question).
+    * Recall vs the exact operator is pinned in spec; hash-checked oracle
+    * (the folds and both cosines replay bit-for-bit).
+    */
+  def projectRerank(t: Tables): DataFrame = {
+    val e = vecs(t).select(
+      col("vec_id") +: col("v") +:
+        (0 until projDims).map(j => projFold(col("v"), j).as(s"f$j")): _*)
+    val q = e.select(
+      col("vec_id").as("query_id") +: col("v").as("qv") +:
+        (0 until projDims).map(j => col(s"f$j").as(s"qf$j")): _*)
+      .filter(col("query_id") < nQueries)
+    val dot16 = (0 until projDims).map(j => col(s"f$j") * col(s"qf$j")).reduce(_ + _)
+    val n16 = sqrt((0 until projDims).map(j => col(s"f$j") * col(s"f$j")).reduce(_ + _))
+    val qn16 = sqrt((0 until projDims).map(j => col(s"qf$j") * col(s"qf$j")).reduce(_ + _))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pcos").desc, col("vec_id").asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos", dot16 / (n16 * qn16))
+      .withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= rerankCandidates)
+      .withColumn("cos", dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Per-(table, band_key) populations for the registered LSH instance —

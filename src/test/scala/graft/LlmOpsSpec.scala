@@ -751,6 +751,61 @@ class LlmOpsSpec extends SparkSpec {
     fromShuffled.zip(inPlan).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("project-rerank: candidates from the 16-dim pass recall the exact top-k") {
+    val exact = Sim.cosineTopK(t).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val rr = Sim.projectRerank(t).collect()
+    val rrByQ = rr.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(rrByQ.keySet == exact.keySet)
+    // dense ranks, k results per query, no self-neighbors
+    rr.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to Sim.topK))
+      g.foreach(r =>
+        assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+    // this corpus is near-orthogonal noise (max off-diag cos 0.48): its
+    // "top-k" is ranking noise, which a 16-dim projection scrambles — the
+    // honest claim is recall well above the random-candidate baseline
+    val recall = exact.map { case (q, ex) =>
+      rrByQ(q).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    val baseline = Sim.rerankCandidates.toDouble / (t.embeddings.count() - 1)
+    assert(recall >= 4 * baseline,
+      s"recall $recall not above 4x the random baseline $baseline")
+  }
+
+  test("project-rerank recovers PLANTED near neighbors through the projection") {
+    import spark.implicits._
+    // 10 noisy queries (ids 0-9), their clean twins (ids 10-19, cos≈0.95),
+    // 80 deterministic near-orthogonal distractors — real neighbor
+    // structure, which is what the projection must preserve
+    // per-vector FREQUENCY, not phase: same-frequency sinusoids differ only
+    // by phase and cosine-correlate as cos(Δphase) — the 2-D collapse the
+    // LSH plane family documents (Sim.scala lshBandKey)
+    def unit(seed: Int): Array[Double] = {
+      val v = Array.tabulate(64)(d => math.sin((seed * 1009 + 31) * (d + 1.0)))
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = (0 until 10).map(unit)
+    val noisy = bases.zipWithIndex.map { case (b, i) =>
+      val noise = unit(1000 + i)
+      b.zip(noise).map { case (x, e) => x + 0.3 * e }
+    }
+    val rows =
+      noisy.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+        bases.zipWithIndex.map { case (v, i) => (10L + i, v.toSeq) } ++
+        (20 until 100).map(i => (i.toLong, unit(i).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = emb }
+    val top1 = Sim.projectRerank(t2).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = (0 until 10).count(q => top1(q.toLong) == 10L + q)
+    assert(hits >= 9, s"planted twin found for only $hits/10 queries")
+  }
+
   test("chunk windows tile each doc with stride overlap, last window clipped") {
     import spark.implicits._
     val words100 = (1 to 100).map(i => s"w$i").mkString(" ")
