@@ -174,6 +174,7 @@ object SparkEntry {
     "shard_assign_stats"      -> ((s, d) => TrainData.shardAssignStats(tables(s, d))),
     "emb_random_projection"   -> ((s, d) => Sim.randomProjection(tables(s, d))),
     "sim_ann_project_rerank"  -> ((s, d) => Sim.projectRerank(tables(s, d))),
+    "emb_quality_audit"       -> ((s, d) => Sim.qualityAudit(tables(s, d))),
     "dedup_url"               -> ((s, d) => Dedup.urlDedup(tables(s, d)))
   )
 
@@ -2819,6 +2820,28 @@ object SparkEntry {
          UNION ALL
          SELECT appkey, did, zg_did, true AS is_new FROM asg
          ORDER BY appkey, did""",
+    "emb_quality_audit" -> {
+      val d = Sim.expectedDims
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT count(*) AS n_vectors,
+             CAST(sum(CASE WHEN len(v) <> $d THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+             CAST(sum(CASE WHEN len(list_filter(v,
+                 x -> isnan(x) OR abs(x) > 1e308)) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+             CAST(sum(CASE WHEN list_dot_product(v, v) = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+             floor(min(sqrt(list_dot_product(v, v))) * 10000) / 10000 AS norm_min,
+             floor(max(sqrt(list_dot_product(v, v))) * 10000) / 10000 AS norm_max
+           FROM e),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         mi AS (SELECT count(*) AS n_missing_vec FROM documents d2
+                WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.vec_id = d2.doc_id)),
+         orp AS (SELECT count(*) AS n_orphan_vec FROM e
+                 WHERE NOT EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = e.vec_id))
+         SELECT n_vectors, n_docs, n_missing_vec, n_orphan_vec, n_bad_dim,
+           n_nonfinite, n_zero_norm, norm_min, norm_max
+         FROM b, nd, mi, orp"""
+    },
     "sim_ann_project_rerank" -> {
       val k = Sim.projDims
       val fs = (0 until k).map(j => s"${projFoldSql(j)} AS f$j").mkString(",\n             ")

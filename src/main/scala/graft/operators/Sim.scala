@@ -389,6 +389,42 @@ object Sim {
       .orderBy(col("vec_id"))
   }
 
+  /** Expected embedding dimensionality (the audit's contract). */
+  val expectedDims = 64
+
+  /** emb_quality_audit — the vector-store admission audit a pipeline runs
+    * before trusting an embedding drop: corpus counts, doc↔vector
+    * alignment (docs without vectors, orphan vectors), wrong-dimension
+    * rows, non-finite components, zero-norm vectors, and the norm range.
+    * Min/max norms only — a corpus MEAN of doubles is shuffle-order-
+    * dependent and could never hash-match an oracle. One scan per side +
+    * two anti-join counts; all aggregates map-side combined.
+    */
+  def qualityAudit(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bad = e.select(
+      count(lit(1)).as("n_vectors"),
+      sum(when(size(col("v")) =!= expectedDims, 1L).otherwise(0L)).as("n_bad_dim"),
+      sum(when(expr("exists(v, x -> isnan(x) OR abs(x) > 1e308)"), 1L).otherwise(0L))
+        .as("n_nonfinite"),
+      sum(when(expr("aggregate(v, 0.0d, (a, x) -> a + x * x)") === 0.0, 1L).otherwise(0L))
+        .as("n_zero_norm"),
+      (floor(min(norm(col("v"))) * 10000) / 10000).as("norm_min"),
+      (floor(max(norm(col("v"))) * 10000) / 10000).as("norm_max"))
+    val docs = t.documents.select(col("doc_id"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val missing = docs.join(e, docs("doc_id") === e("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing_vec"))
+    val orphan = e.join(docs, e("vec_id") === docs("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_vec"))
+    bad.crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(missing))
+      .crossJoin(broadcast(orphan))
+      .select(col("n_vectors"), col("n_docs"), col("n_missing_vec"),
+        col("n_orphan_vec"), col("n_bad_dim"), col("n_nonfinite"),
+        col("n_zero_norm"), col("norm_min"), col("norm_max"))
+  }
+
   /** Candidate pool per query for the projected first stage. */
   val rerankCandidates = 15
 

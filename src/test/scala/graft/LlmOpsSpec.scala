@@ -751,6 +751,36 @@ class LlmOpsSpec extends SparkSpec {
     fromShuffled.zip(inPlan).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("embedding quality audit counts every defect class exactly") {
+    import spark.implicits._
+    val good = (0 until 5).map(i => (i.toLong, Seq.fill(64)(0.5)))
+    val shortDim = Seq((5L, Seq.fill(16)(1.0)))
+    val withNan = Seq((6L, Seq.fill(63)(1.0) :+ Double.NaN))
+    val zero = Seq((7L, Seq.fill(64)(0.0)))
+    val orphan = Seq((99L, Seq.fill(64)(1.0))) // no doc 99
+    val emb = (good ++ shortDim ++ withNan ++ zero ++ orphan).toDF("vec_id", "embedding")
+    val docs = (0 until 9).map(i => (i.toLong, s"doc $i text")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) {
+      override def embeddings = emb
+      override def documents = docs
+    }
+    val r = Sim.qualityAudit(t2).collect().head
+    assert(r.getAs[Long]("n_vectors") == 9L)
+    assert(r.getAs[Long]("n_docs") == 9L)
+    assert(r.getAs[Long]("n_missing_vec") == 1L) // doc 8 has no vector
+    assert(r.getAs[Long]("n_orphan_vec") == 1L)  // vec 99 has no doc
+    assert(r.getAs[Long]("n_bad_dim") == 1L)
+    assert(r.getAs[Long]("n_nonfinite") == 1L)
+    assert(r.getAs[Long]("n_zero_norm") == 1L)
+    // the real corpus is clean
+    val real = Sim.qualityAudit(t).collect().head
+    assert(real.getAs[Long]("n_bad_dim") == 0L &&
+      real.getAs[Long]("n_nonfinite") == 0L &&
+      real.getAs[Long]("n_zero_norm") == 0L &&
+      real.getAs[Long]("n_missing_vec") == 0L &&
+      real.getAs[Long]("n_orphan_vec") == 0L)
+  }
+
   test("project-rerank: candidates from the 16-dim pass recall the exact top-k") {
     val exact = Sim.cosineTopK(t).collect()
       .groupBy(_.getAs[Long]("query_id"))
