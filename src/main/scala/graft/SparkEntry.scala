@@ -169,6 +169,7 @@ object SparkEntry {
     "text_bpe_encode"         -> ((s, d) => TextAnalysis.bpeEncode(tables(s, d))),
     "shard_assign"            -> ((s, d) => TrainData.shardAssign(tables(s, d))),
     "text_chunk_windows"      -> ((s, d) => TrainData.chunkWindows(tables(s, d))),
+    "pack_sequences_split"    -> ((s, d) => TrainData.packSequencesSplit(tables(s, d))),
     "mix_epochs"              -> ((s, d) => TrainData.mixEpochs(tables(s, d))),
     "mix_epochs_stats"        -> ((s, d) => TrainData.mixEpochsStats(tables(s, d))),
     "shard_assign_stats"      -> ((s, d) => TrainData.shardAssignStats(tables(s, d))),
@@ -2302,6 +2303,25 @@ object SparkEntry {
          FROM d LEFT JOIN h ON d.doc_id = h.doc_id
          WHERE d.doc_id % ${TrainData.contamEvalMod} <> 0
          ORDER BY d.doc_id"""
+    },
+    "pack_sequences_split" -> {
+      val b = TrainData.packBudget
+      s"""WITH d AS (SELECT doc_id,
+             (doc_id % 100003) * 2654435761 % 1000000 % ${TrainData.packShards} AS shard,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+           FROM documents),
+         c AS (SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM d WHERE tok > 0),
+         s AS (SELECT doc_id, shard, tok, CAST(cum AS BIGINT) AS cum,
+                 CAST(cum - tok AS BIGINT) AS strt FROM c),
+         x AS (SELECT doc_id, shard, strt, cum,
+                 unnest(generate_series(strt // $b, (cum - 1) // $b)) AS bin
+               FROM s)
+         SELECT doc_id, shard, bin,
+           least(cum, (bin + 1) * $b) - greatest(strt, bin * $b) AS tok_in_bin,
+           bin = strt // $b AS is_head
+         FROM x ORDER BY doc_id, bin"""
     },
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id,

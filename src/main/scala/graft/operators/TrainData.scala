@@ -223,6 +223,38 @@ object TrainData {
       .orderBy(col("doc_id"))
   }
 
+  /** pack_sequences_split — the EXACT packer semantics (what #51 models
+    * minus the split bookkeeping, now with it): a document whose span
+    * crosses a bin boundary contributes its tokens to EVERY bin it
+    * touches, so every bin except each shard's last holds exactly
+    * `packBudget` tokens — zero padding waste, the fill invariant a real
+    * context-window packer guarantees. Doc spans come from the same
+    * per-shard running sum; the bin range explodes inside the row
+    * (`sequence` over ⌊start/B⌋..⌊(end−1)/B⌋), so the only shuffle is
+    * still the per-shard window.
+    */
+  def packSequencesSplit(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = packBudget
+    Dedup.withWords(t.documents)
+      .select(col("doc_id"), (mix(col("doc_id")) % packShards).as("shard"),
+        size(col("w")).cast("long").as("tok"))
+      .filter(col("tok") > 0)
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("start", col("cum") - col("tok"))
+      // integral `div`, never a double cast: DuckDB casts double→int by
+      // ROUNDING, Spark by truncation — only integer division agrees
+      .withColumn("bin", explode(expr(
+        s"sequence(start div $b, (cum - 1) div $b)")))
+      .select(col("doc_id"), col("shard"), col("bin"),
+        (least(col("cum"), (col("bin") + 1) * b)
+          - greatest(col("start"), col("bin") * b)).as("tok_in_bin"),
+        (col("bin") === expr(s"start div $b")).as("is_head"))
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
   /** pack_sequences_stats — packing efficiency audit: docs, tokens and fill
     * ratio per (shard, bin). The fill ratio distribution is the packing
     * quality metric (waste = 1 − mean fill of non-final bins).

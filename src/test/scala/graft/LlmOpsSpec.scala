@@ -751,6 +751,29 @@ class LlmOpsSpec extends SparkSpec {
     fromShuffled.zip(inPlan).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("split packing fills every non-final bin to exactly the budget") {
+    val rows = TrainData.packSequencesSplit(t).collect()
+    val byShardBin = rows.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+      .view.mapValues(_.map(_.getAs[Long]("tok_in_bin")).sum).toMap
+    val lastBin = byShardBin.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    byShardBin.foreach { case ((shard, bin), toks) =>
+      if (bin < lastBin(shard))
+        assert(toks == TrainData.packBudget, s"bin ($shard,$bin) holds $toks")
+      else assert(toks <= TrainData.packBudget)
+    }
+    // token conservation: split pieces sum back to each doc's token count
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("tok_in_bin")).sum).toMap
+    val expected = graft.operators.Dedup.withWords(t.documents)
+      .select(col("doc_id"), size(col("w")).cast("long").as("tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == expected.filter(_._2 > 0))
+    // each doc has exactly one head piece
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      assert(g.count(_.getAs[Boolean]("is_head")) == 1)
+    }
+  }
+
   test("embedding quality audit counts every defect class exactly") {
     import spark.implicits._
     val good = (0 until 5).map(i => (i.toLong, Seq.fill(64)(0.5)))
