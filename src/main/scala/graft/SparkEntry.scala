@@ -176,7 +176,12 @@ object SparkEntry {
     "emb_random_projection"   -> ((s, d) => Sim.randomProjection(tables(s, d))),
     "sim_ann_project_rerank"  -> ((s, d) => Sim.projectRerank(tables(s, d))),
     "emb_quality_audit"       -> ((s, d) => Sim.qualityAudit(tables(s, d))),
-    "dedup_url"               -> ((s, d) => Dedup.urlDedup(tables(s, d)))
+    "dedup_url"               -> ((s, d) => Dedup.urlDedup(tables(s, d))),
+    "text_gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(tables(s, d))),
+    "corpus_stats"            -> ((s, d) => TrainData.corpusStats(tables(s, d))),
+    "dsir_importance"         -> ((s, d) => TrainData.dsirImportance(tables(s, d))),
+    "sim_knn_graph"           -> ((s, d) => Sim.knnGraph(tables(s, d))),
+    "mm_phash_dedup"          -> ((s, d) => Multimodal.phashDedup(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -401,6 +406,25 @@ object SparkEntry {
                  ORDER BY ccos DESC, cluster) AS rk
              FROM p),
        a AS (SELECT vec_id, v, nrm, cluster, ccos FROM r WHERE rk = 1)"""
+
+  /** dHash bit-sum SQL, generated from the SAME grid geometry as
+    * `Multimodal.dhash56`: sample point (r, c) reads the padded text's
+    * character code (the raster byte — the corpus is ASCII) at pixel
+    * (r·(h−1) div (rows−1), c·(w−1) div (cols−1)); bit r·8+c is set iff
+    * the left sample exceeds its right neighbor. Integral `//` throughout
+    * so both engines agree on every sample index.
+    */
+  private def dhashSql: String = {
+    val rows = Multimodal.dhashRows
+    val cols = Multimodal.dhashCols
+    def cell(r: Int, c: Int) =
+      s"ord(substring(padded, (($r * (h - 1)) // ${rows - 1}) * w" +
+        s" + (($c * (w - 1)) // ${cols - 1}) + 1, 1))"
+    (for { r <- 0 until rows; c <- 0 until cols - 1 } yield
+      s"(CASE WHEN ${cell(r, c)} > ${cell(r, c + 1)}" +
+        s" THEN ${1L << (r * (cols - 1) + c)} ELSE 0 END)")
+      .mkString("\n             + ")
+  }
 
   /** zgid-resolution CTE chain (shared by id_zgid_resolution and the
     * end-to-end pipeline oracles; `src` = the event source CTE — `raw` for
@@ -3059,6 +3083,108 @@ object SparkEntry {
          SELECT doc_id, canon_url,
            doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep,
            count(*) OVER (PARTITION BY canon_url) AS n_aliases
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+    "text_gopher_quality" -> {
+      import TextAnalysis._
+      val reqList = gopherRequiredWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         s AS (SELECT doc_id, len(w) AS n_words,
+                 floor(CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS mean_word_len,
+                 floor(CAST(len(list_filter(w, x -> x = '#' OR x LIKE '%...%'))
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS symbol_ratio,
+                 floor(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS alpha_frac,
+                 len(list_filter(w, x -> x IN ($reqList))) AS stop_hits
+               FROM d),
+         v AS (SELECT *,
+                 (n_words >= $gopherMinWords AND n_words <= $gopherMaxWords) AS ok_words,
+                 (mean_word_len >= $gopherMeanLenLo
+                  AND mean_word_len <= $gopherMeanLenHi) AS ok_mean_len,
+                 symbol_ratio <= $gopherSymbolRatioMax AS ok_symbols,
+                 alpha_frac >= $gopherAlphaFracMin AS ok_alpha,
+                 stop_hits >= $gopherMinStopHits AS ok_stopwords
+               FROM s)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+           ok_words, ok_mean_len, ok_symbols, ok_alpha, ok_stopwords,
+           (ok_words AND ok_mean_len AND ok_symbols AND ok_alpha AND ok_stopwords)
+             AS keep
+         FROM v ORDER BY doc_id"""
+    },
+    "corpus_stats" ->
+      s"""WITH d AS (SELECT source, lang,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+             length(text) AS chars
+           FROM documents)
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens, CAST(sum(chars) AS BIGINT) AS n_chars,
+           floor(sum(tok) * 10000.0 / count(*)) / 10000 AS mean_tokens,
+           floor(sum(CASE WHEN tok < ${TextAnalysis.c4MinWords} THEN 1 ELSE 0 END)
+             * 10000.0 / count(*)) / 10000 AS short_frac
+         FROM d GROUP BY source, lang ORDER BY source, lang""",
+    "dsir_importance" -> {
+      val (bk, tm) = (TrainData.dsirBuckets, TrainData.dsirTargetMod)
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         g AS (SELECT doc_id, w,
+                 CASE WHEN len(w) >= 2
+                   THEN list_transform(generate_series(1, len(w)-1),
+                          i -> concat(w[i], ' ', w[i+1]))
+                   ELSE [] END AS g
+               FROM d),
+         f AS MATERIALIZED (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % $bk AS b,
+                 doc_id % $tm = 0 AS is_target
+               FROM (SELECT doc_id, unnest(list_concat(w, g)) AS x FROM g)),
+         cnt AS MATERIALIZED (SELECT b,
+                 sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b,
+                 sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS s_b
+               FROM f GROUP BY b),
+         tot AS (SELECT sum(t_b) AS tt, sum(s_b) AS ts FROM cnt),
+         dim AS (SELECT b,
+                 log2(CAST(t_b + 1 AS DOUBLE) / (tt + $bk))
+                   - log2(CAST(s_b + 1 AS DOUBLE) / (ts + $bk)) AS lr
+               FROM cnt, tot)
+         SELECT f.doc_id, count(*) AS n_feats,
+           floor(sum(lr) * 100) / 100 AS log_weight,
+           floor(sum(lr) * 100) / 100 >= 0.0 AS selected
+         FROM f JOIN dim USING (b) WHERE NOT is_target
+         GROUP BY f.doc_id ORDER BY f.doc_id"""
+    },
+    "sim_knn_graph" ->
+      s"""WITH $centroidAssignCtes,
+         pr AS (SELECT a.vec_id, a.cluster, b.vec_id AS neighbor_id,
+                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+                FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         k AS (SELECT vec_id, cluster, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM pr)
+         SELECT vec_id, cluster, neighbor_id, rank,
+           floor(cos * 10000) / 10000 AS cos_sim
+         FROM k WHERE rank <= ${Sim.knnK} ORDER BY vec_id, rank""",
+    "mm_phash_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w, CAST(8 + doc_id % 5 AS BIGINT) AS h,
+             rpad(text, 192, ' ') AS padded
+           FROM documents),
+         hs AS MATERIALIZED (SELECT doc_id,
+             ($dhashSql) AS dhash
+           FROM d),
+         bd AS MATERIALIZED (SELECT doc_id, dhash, band,
+             (dhash >> (band * 14)) & 16383 AS band_val
+           FROM hs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         near AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                    a.dhash AS sa, b.dhash AS sb
+                  FROM bd a JOIN bd b ON a.band = b.band
+                    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         hm AS (SELECT da, db FROM near
+                WHERE bit_count(xor(sa, sb)) <= ${Multimodal.dhashMaxHamming}),
+         nn AS (SELECT doc_id, count(*) AS n_near FROM
+                  (SELECT da AS doc_id FROM hm UNION ALL SELECT db FROM hm)
+                GROUP BY doc_id)
+         SELECT hs.doc_id, hs.dhash, coalesce(nn.n_near, 0) AS n_near
+         FROM hs LEFT JOIN nn USING (doc_id) ORDER BY doc_id"""
   )
 }

@@ -33,12 +33,12 @@ object Multimodal {
     header ++ raster
   }
 
-  /** REAL P5 decoder: magic check, ASCII header parse, maxval check,
-    * raster-length validation, then single-pass pixel statistics. Returns
-    * None on any malformed payload (wrong magic, bad dims, truncation) —
-    * the per-row error handling a production decode needs.
+  /** P5 container parse: magic check, ASCII header parse, maxval check,
+    * raster-length validation. Returns (width, height, raster offset into
+    * `bytes`) — the raster itself is not copied, so every consumer
+    * (statistics fold, perceptual hash) reads the payload in place.
     */
-  def decodePgm(bytes: Array[Byte]): Option[PgmImage] = {
+  def decodePgmRaster(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5') return None
     // header = three whitespace-delimited tokens after the magic
     var i = 2
@@ -59,18 +59,25 @@ object Multimodal {
       // (w*h < 0) and would skip the truncation check entirely
       if (w.toLong * h > Int.MaxValue ||
           (bytes.length - rasterStart).toLong < w.toLong * h) None
-      else {
-        var (sum, mn, mx, j) = (0L, 255, 0, rasterStart)
-        val end = rasterStart + w * h
-        while (j < end) {
-          val p = bytes(j) & 0xFF
-          sum += p; if (p < mn) mn = p; if (p > mx) mx = p
-          j += 1
-        }
-        Some(PgmImage(w, h, sum.toDouble / (w * h), mn, mx))
-      }
+      else Some((w, h, rasterStart))
     }
   }
+
+  /** REAL P5 decoder: container parse + single-pass pixel statistics.
+    * Returns None on any malformed payload (wrong magic, bad dims,
+    * truncation) — the per-row error handling a production decode needs.
+    */
+  def decodePgm(bytes: Array[Byte]): Option[PgmImage] =
+    decodePgmRaster(bytes).map { case (w, h, rasterStart) =>
+      var (sum, mn, mx, j) = (0L, 255, 0, rasterStart)
+      val end = rasterStart + w * h
+      while (j < end) {
+        val p = bytes(j) & 0xFF
+        sum += p; if (p < mn) mn = p; if (p > mx) mx = p
+        j += 1
+      }
+      PgmImage(w, h, sum.toDouble / (w * h), mn, mx)
+    }
 
   /** #46 mm_binary_columns — build the binary column + typed metadata from
     * `documents` (text bytes become the raster, wrapped in a real PGM
@@ -275,5 +282,107 @@ object Multimodal {
       .toDF("doc_id", "duration_ms", "start_ms", "end_ms", "n_samples",
         "rms", "peak", "zcr")
       .orderBy(col("doc_id"), col("start_ms"))
+  }
+
+  /** dHash grid: `dhashRows` sample rows × `dhashCols` sample columns,
+    * each row contributing `dhashCols - 1` horizontal-gradient bits —
+    * 7×8 = 56 bits, which keeps every band-shift and the SQL oracle's
+    * power-of-two sum inside a signed 64-bit integer (the same reason
+    * simhash is 60-bit).
+    */
+  val dhashRows = 7
+  val dhashCols = 9
+  val dhashBits: Int = dhashRows * (dhashCols - 1)
+
+  /** Hamming threshold for "near-duplicate image" pairs. */
+  val dhashMaxHamming = 8
+
+  /** Difference hash over a decoded raster (the classic perceptual image
+    * fingerprint): nearest-neighbor downsample to the `dhashRows` ×
+    * `dhashCols` grid — sample point (r, c) reads pixel
+    * (r·(h−1) div (rows−1), c·(w−1) div (cols−1)), valid for any w, h ≥ 1
+    * — then bit r·8+c is set iff grid(r, c) > grid(r, c+1). Gradient
+    * signs survive brightness/contrast shifts, which is what makes dHash
+    * a near-dup detector rather than an exact checksum.
+    */
+  def dhash56(w: Int, h: Int, raster: Array[Byte], off: Int): Long = {
+    var hash = 0L
+    var r = 0
+    while (r < dhashRows) {
+      val py = r * (h - 1) / (dhashRows - 1)
+      var prev = raster(off + py * w) & 0xFF
+      var c = 0
+      while (c < dhashCols - 1) {
+        val px = (c + 1) * (w - 1) / (dhashCols - 1)
+        val cur = raster(off + py * w + px) & 0xFF
+        if (prev > cur) hash |= 1L << (r * (dhashCols - 1) + c)
+        prev = cur
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hashes over the SAME payload synthesis and the
+    * SAME real container-parse path as `binaryColumns` (no truncated
+    * wires here — the hash table is built from admitted, decodable
+    * images).
+    */
+  def dhashDocs(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(
+        col("doc_id"),
+        encode(rpad(col("text"), 192, " "), "UTF-8").as("raster"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("width"),
+        (lit(8) + col("doc_id") % 5).cast("int").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, raster, w, h) =>
+          val payload = encodePgm(w, h, raster.take(w * h))
+          val (pw, ph, off) = decodePgmRaster(payload)
+            .getOrElse(sys.error(s"pgm decode failed for doc $id"))
+          (id, dhash56(pw, ph, payload, off))
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
+  /** mm_phash_dedup — perceptual-hash image dedup, the image face of the
+    * dedup family: decode every image (real P5 parse), fingerprint with
+    * dHash, band the 56-bit hash into 4×14-bit chunks, bucket-join, exact
+    * hamming (bit_count of xor) within buckets — the same candidate
+    * discipline as `dedup_simhash`, so pair work is bounded by bucket
+    * occupancy, never N². Per-doc output (hash + near-pair count).
+    *
+    * HASH-CHECKED, not rows-only: the raster bytes are the padded ASCII
+    * text, so the DuckDB oracle replays the decode+downsample+gradient
+    * pipeline through character codes — the first mm operator whose full
+    * output the oracle verifies bit-for-bit.
+    */
+  def phashDedup(t: Tables): DataFrame = {
+    val docs = dhashDocs(t)
+    val bandBits = 14
+    val bandMask = (1L << bandBits) - 1
+    val bands = docs.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("dhash"), k * bandBits).bitwiseAND(bandMask)): _*))
+        .as(Seq("band", "band_val")))
+    val near = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.dhash").as("sa"), col("b.dhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= dhashMaxHamming)
+    val nNear = near.select(col("da").as("doc_id"))
+      .union(near.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    docs.join(nNear, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
   }
 }

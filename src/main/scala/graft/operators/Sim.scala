@@ -477,4 +477,38 @@ object Sim {
         lshBandKey(col("v"), tb, planesPerTable)): _*)).as(Seq("table", "band_key")))
     e.groupBy(col("table"), col("band_key")).agg(count(lit(1)).as("n"))
   }
+
+  /** Neighbors kept per vector in the kNN graph. */
+  val knnK = 4
+
+  /** sim_knn_graph — the within-cluster k-nearest-neighbor graph: every
+    * vector's top-k cosine neighbors among vectors sharing its nearest
+    * centroid. This is the primitive under SemDeDup-style pruning,
+    * cluster-balanced sampling and graph-based ANN index construction
+    * (the edges an HNSW/NN-descent builder would refine). Same
+    * deterministic centroid rule as `clusterAssign`/`semanticDedup`, so
+    * the whole graph is hash-checked.
+    *
+    * Scale shape: one broadcast-argmax scan to assign, ONE shuffle on the
+    * cluster id, per-cluster hash-join + per-vector rank — pair work is
+    * bounded by the largest cluster (prod: k ≈ N/target-cluster-size,
+    * AQE skew-join for hot clusters), never the corpus. Cross-cluster
+    * edges are missed by design; `cosineTopK` remains the exact
+    * small-query-set face.
+    */
+  def knnGraph(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("cos").desc, col("b.vec_id"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", expr("graft_cosine(a.v, b.v)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= knnK)
+      .select(col("a.vec_id").as("vec_id"), col("a.cluster").as("cluster"),
+        col("b.vec_id").as("neighbor_id"), col("rank"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
 }

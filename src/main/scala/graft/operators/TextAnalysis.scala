@@ -452,4 +452,60 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"), coalesce(col("fp_min"), lit(-1L)).as("fp_min"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gopher rule thresholds (Rae et al. 2021, Appendix A — the published
+    * values, not tuned to this corpus): document word count in
+    * [50, 100000], mean word length in [3, 10], symbol-to-word ratio
+    * ("#" or "...") at most 0.1, at least 80% of words carrying an
+    * alphabetic character, and at least 2 hits from the required-word
+    * list. `text_c4_filters` is the corpus-tuned gate; this one is the
+    * faithful published battery, verdicts emitted per rule so a config
+    * review can see WHICH rule fired.
+    */
+  val gopherMinWords = 50
+  val gopherMaxWords = 100000
+  val gopherMeanLenLo = 3.0
+  val gopherMeanLenHi = 10.0
+  val gopherSymbolRatioMax = 0.1
+  val gopherAlphaFracMin = 0.8
+  val gopherMinStopHits = 2
+  val gopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** text_gopher_quality — the complete published Gopher document-quality
+    * rule battery: each signal is a per-row array fold over the words
+    * column (zero shuffle, fully codegen'd — one scan pass at any scale),
+    * each rule's verdict is its own column, and `keep` is their
+    * conjunction. Ratios are floored BEFORE thresholding so batch and
+    * oracle agree on boundary values.
+    */
+  def gopherQuality(t: Tables): DataFrame = {
+    val reqList = gopherRequiredWords.map(w => s"'$w'").mkString(", ")
+    val n = size(col("w"))
+    val meanLen = floor(expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double")
+      / n * 10000) / 10000
+    val symbolRatio = floor(
+      size(expr("filter(w, x -> x = '#' OR x LIKE '%...%')")).cast("double")
+        / n * 10000) / 10000
+    val alphaFrac = floor(
+      size(expr("filter(w, x -> x rlike '[a-z]')")).cast("double") / n * 10000) / 10000
+    val stopHits = expr(s"size(filter(w, x -> x IN ($reqList)))")
+    docsW(t)
+      .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+        stopHits.as("stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("stop_hits"),
+        (col("n_words") >= gopherMinWords && col("n_words") <= gopherMaxWords)
+          .as("ok_words"),
+        (col("mean_word_len") >= gopherMeanLenLo &&
+          col("mean_word_len") <= gopherMeanLenHi).as("ok_mean_len"),
+        (col("symbol_ratio") <= gopherSymbolRatioMax).as("ok_symbols"),
+        (col("alpha_frac") >= gopherAlphaFracMin).as("ok_alpha"),
+        (col("stop_hits") >= gopherMinStopHits).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stopwords"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -458,4 +458,77 @@ object TrainData {
         (floor(col("n_kept") * lit(10000.0) / col("n_total")) / 10000).as("realized"))
       .orderBy(col("event_type"))
   }
+
+  /** corpus_stats — the dataset-card summary a training-mix review reads:
+    * per (source, lang) document counts, token/char totals, mean tokens
+    * per doc and the short-doc fraction. ONE map-side-combined groupBy
+    * over per-row folds — at 100 TB this is a single scan emitting a
+    * handful of rows, the cheapest full-corpus pass there is.
+    */
+  def corpusStats(t: Tables): DataFrame =
+    Dedup.withWords(t.documents)
+      .select(col("source"), col("lang"),
+        size(col("w")).cast("long").as("tok"), length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        sum(when(col("tok") < TextAnalysis.c4MinWords, 1L).otherwise(0L)).as("n_short"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (floor(col("n_tokens") * lit(10000.0) / col("n_docs")) / 10000).as("mean_tokens"),
+        (floor(col("n_short") * lit(10000.0) / col("n_docs")) / 10000).as("short_frac"))
+      .orderBy(col("source"), col("lang"))
+
+  /** DSIR hashed-feature dimensionality (prod: 10k buckets; 64 keeps the
+    * oracle dim readable) and the target-domain membership rule (every
+    * 17th doc — the stand-in for "a sample of the domain you want more
+    * of", the way `contamEvalMod` stands in for the eval set).
+    */
+  val dsirBuckets = 64
+  val dsirTargetMod = 17L
+
+  /** dsir_importance — Data Selection via Importance Resampling (Xie et
+    * al., NeurIPS 2023): estimate hashed-n-gram bucket distributions for
+    * a target domain sample and for the raw corpus, then score each raw
+    * document by its importance log-weight
+    * `sum over features of log2(p_target(bucket) / p_raw(bucket))`
+    * (Laplace-smoothed). Documents scoring >= 0 look more like the target
+    * than the raw pool — the deterministic selection face of the paper's
+    * Gumbel resampling (auditable and rerun-stable, which RNG draws are
+    * not).
+    *
+    * Scale shape: features (unigrams + word bigrams, the classifier's
+    * gram definition) are built in-row and exploded — one scan; the
+    * bucket histogram is a `dsirBuckets`-row map-side-combined groupBy;
+    * the per-bucket log-ratio dim broadcasts; scoring is broadcast-join +
+    * one doc-axis groupBy. Nothing is quadratic and no state exceeds the
+    * bucket count. The log-weight sum crosses a shuffle, so it floors at
+    * 2dp like the unigram LM (accumulation order is plan-dependent).
+    */
+  def dsirImportance(t: Tables): DataFrame = {
+    val grams = expr(
+      "IF(size(w) >= 2, transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])), " +
+        "array())")
+    val feats = Dedup.withWords(t.documents)
+      .withColumn("g", grams)
+      .select(col("doc_id"), explode(concat(col("w"), col("g"))).as("f"))
+      .select(col("doc_id"),
+        pmod(Dedup.portableHash(col("f")), lit(dsirBuckets.toLong)).as("b"),
+        (col("doc_id") % dsirTargetMod === 0).as("is_target"))
+    val counts = feats.groupBy("b")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("s_b"))
+    val totals = counts.agg(sum(col("t_b")).as("tt"), sum(col("s_b")).as("ts"))
+    val dim = broadcast(counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log(2.0, (col("t_b") + 1).cast("double") / (col("tt") + dsirBuckets)) -
+          log(2.0, (col("s_b") + 1).cast("double") / (col("ts") + dsirBuckets))).as("lr")))
+    feats.filter(!col("is_target"))
+      .join(dim, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("logw"))
+      .select(col("doc_id"), col("n_feats"),
+        (floor(col("logw") * 100) / 100).as("log_weight"))
+      .withColumn("selected", col("log_weight") >= 0.0)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1016,4 +1016,115 @@ class LlmOpsSpec extends SparkSpec {
         assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("doc_id") == minId)))
     }
   }
+
+  test("gopher quality rules fire individually and keep is their conjunction") {
+    import spark.implicits._
+    val good = "the cat sat and the dog ran to be of that have with " +
+      ("plain words here again " * 12) // 60+ words, all alpha, stopword-rich
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "short doc only five words"),           // fails ok_words
+      (3L, ("the and " + "# " * 20) * 5),          // symbol-heavy
+      (4L, ("the of " + "123 456 789 " * 30))      // numeric words sink alpha_frac
+    ).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val byId = TextAnalysis.gopherQuality(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(!byId(2L).getAs[Boolean]("ok_words") && !byId(2L).getAs[Boolean]("keep"))
+    assert(!byId(3L).getAs[Boolean]("ok_symbols"))
+    assert(!byId(4L).getAs[Boolean]("ok_alpha"))
+    // every keep is exactly the conjunction of its rule verdicts
+    TextAnalysis.gopherQuality(t).collect().foreach { r =>
+      val expect = r.getAs[Boolean]("ok_words") && r.getAs[Boolean]("ok_mean_len") &&
+        r.getAs[Boolean]("ok_symbols") && r.getAs[Boolean]("ok_alpha") &&
+        r.getAs[Boolean]("ok_stopwords")
+      assert(r.getAs[Boolean]("keep") == expect)
+    }
+  }
+
+  test("corpus stats partition the corpus and agree with their own totals") {
+    val rows = TrainData.corpusStats(t).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
+    rows.foreach { r =>
+      val (nd, nt) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("mean_tokens") ==
+        math.floor(nt * 10000.0 / nd) / 10000)
+      val sf2 = r.getAs[Double]("short_frac")
+      assert(sf2 >= 0.0 && sf2 <= 1.0)
+    }
+  }
+
+  test("dsir importance prefers target-like documents and excludes the target") {
+    import spark.implicits._
+    // targets (ids % 17 == 0) all speak "zebra quagga okapi"; raw doc 1
+    // speaks the same vocabulary, raw doc 2 a disjoint one — the importance
+    // weight must rank 1 above 2, and the targets themselves never score
+    val tgt = "zebra quagga okapi zebra quagga okapi zebra quagga"
+    val docs = Seq(
+      (0L, tgt), (17L, tgt), (34L, tgt),
+      (1L, "zebra quagga okapi quagga zebra okapi"),
+      (2L, "girder flange rivet gusset truss purlin")
+    ).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = TrainData.dsirImportance(t2).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("log_weight") > byId(2L).getAs[Double]("log_weight"))
+    assert(byId(1L).getAs[Boolean]("selected"))
+    assert(!byId(2L).getAs[Boolean]("selected"))
+  }
+
+  test("knn graph edges stay in-cluster with contiguous ranks and monotone cosine") {
+    val edges = Sim.knnGraph(t).collect()
+    val cluster = Sim.clusterAssign(t).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    edges.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, es) =>
+      val sorted = es.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= Sim.knnK)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      // non-increasing similarity down the rank order
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("cos_sim") >= b.getAs[Double]("cos_sim"))
+        case _ =>
+      }
+      es.foreach { e =>
+        assert(e.getAs[Long]("cluster") == cluster(v))
+        assert(cluster(e.getAs[Long]("neighbor_id")) == cluster(v))
+        assert(e.getAs[Long]("neighbor_id") != v)
+      }
+    }
+  }
+
+  test("dhash gradients and phash dedup pair identical images") {
+    import spark.implicits._
+    // constant raster: no strict left>right gradient anywhere -> hash 0
+    val flat = Array.fill(64)(100.toByte)
+    assert(Multimodal.dhash56(8, 8, flat, 0) == 0L)
+    // strictly decreasing rows: every comparison fires EXCEPT grid column
+    // 0 — downsampling 8 pixels onto 9 sample columns maps c=0 and c=1
+    // onto the same pixel (px = c*7/8), so the first gradient of each row
+    // is a tie by construction
+    val falling = Array.tabulate(64)(i => (255 - (i % 8) * 30).toByte)
+    val col0Bits = (0 until 7).map(r => 1L << (r * 8)).sum
+    assert(Multimodal.dhash56(8, 8, falling, 0) == ((1L << 56) - 1) - col0Bits)
+    // ids 45 and 90 share dims (both % 9 == 0, % 5 == 0) and text -> the
+    // SAME perceptual hash, so banding must surface the pair on both rows
+    val docs = Seq(
+      (45L, "repeated payload body words here"),
+      (90L, "repeated payload body words here"),
+      (2L, "a completely different document text payload")
+    ).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val byId = Multimodal.phashDedup(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(45L).getAs[Long]("dhash") == byId(90L).getAs[Long]("dhash"))
+    assert(byId(45L).getAs[Long]("n_near") >= 1L)
+    assert(byId(90L).getAs[Long]("n_near") >= 1L)
+    byId.values.foreach { r =>
+      val h = r.getAs[Long]("dhash")
+      assert(h >= 0L && h < (1L << 56))
+    }
+  }
 }
