@@ -181,7 +181,9 @@ object SparkEntry {
     "corpus_stats"            -> ((s, d) => TrainData.corpusStats(tables(s, d))),
     "dsir_importance"         -> ((s, d) => TrainData.dsirImportance(tables(s, d))),
     "sim_knn_graph"           -> ((s, d) => Sim.knnGraph(tables(s, d))),
-    "mm_phash_dedup"          -> ((s, d) => Multimodal.phashDedup(tables(s, d)))
+    "mm_phash_dedup"          -> ((s, d) => Multimodal.phashDedup(tables(s, d))),
+    "dedup_keep_best"         -> ((s, d) => Dedup.keepBest(tables(s, d))),
+    "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -425,6 +427,34 @@ object SparkEntry {
         s" THEN ${1L << (r * (cols - 1) + c)} ELSE 0 END)")
       .mkString("\n             + ")
   }
+
+  /** Transitive dup-group CTE chain — the oracle mirror of
+    * Dedup.dupGroups' fixpoint as a recursive transitive closure, shared
+    * by dedup_groups and dedup_keep_best so the two oracles can't drift.
+    * Yields `d` = (doc_id, w), `lbl` = (doc_id, group_id), `sz` =
+    * (group_id, group_size).
+    */
+  private val dupGroupsCtes: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                   FROM documents),
+       d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+       s0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d3),
+       sh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s FROM s0),
+       cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       j AS (SELECT da, db, CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) AS jac
+             FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id),
+       pairs AS (SELECT da, db FROM j WHERE jac >= ${operators.Dedup.jaccardTau}),
+       e AS (SELECT da AS a, db AS b FROM pairs
+             UNION SELECT db AS a, da AS b FROM pairs),
+       reach AS (
+         SELECT a, b FROM e
+         UNION
+         SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+       lbl AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+               FROM reach GROUP BY a),
+       sz AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY 1)"""
 
   /** zgid-resolution CTE chain (shared by id_zgid_resolution and the
     * end-to-end pipeline oracles; `src` = the event source CTE — `raw` for
@@ -2137,28 +2167,24 @@ object SparkEntry {
     // the min-label fixpoint IS oracle SQL: transitive closure by recursive
     // CTE over the (tiny) near-dup pair graph, then min-reachable per node
     "dedup_groups" ->
-      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-                     FROM documents),
-         d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
-         s0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d3),
-         sh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s FROM s0),
-         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
-         p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         j AS (SELECT da, db, CAST(shared AS DOUBLE) / (ca.c + cb.c - shared) AS jac
-               FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id),
-         pairs AS (SELECT da, db FROM j WHERE jac >= ${Dedup.jaccardTau}),
-         e AS (SELECT da AS a, db AS b FROM pairs
-               UNION SELECT db AS a, da AS b FROM pairs),
-         reach AS (
-           SELECT a, b FROM e
-           UNION
-           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-         lbl AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
-                 FROM reach GROUP BY a),
-         sz AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY 1)
+      s"""$dupGroupsCtes
          SELECT l.doc_id, l.group_id, s.group_size
          FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",
+    "dedup_keep_best" ->
+      s"""$dupGroupsCtes,
+         q AS (SELECT doc_id,
+                 floor((CAST(least(len(w), 50) AS DOUBLE) / 50 * 0.5
+                   + CAST(len(list_filter(w, x ->
+                       x IN (${inList(TextAnalysis.stopwords.head._2)}))) AS DOUBLE)
+                     / len(w) * 0.5) * 10000) / 10000 AS quality
+               FROM d),
+         gq AS (SELECT l.doc_id, l.group_id, s.group_size, q.quality
+                FROM lbl l JOIN sz s ON l.group_id = s.group_id
+                  JOIN q ON l.doc_id = q.doc_id),
+         k AS (SELECT *, row_number() OVER (PARTITION BY group_id
+                 ORDER BY quality DESC, doc_id) AS rk FROM gq)
+         SELECT doc_id, group_id, group_size, quality, rk = 1 AS keep
+         FROM k ORDER BY doc_id""",
     "sim_ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -3185,6 +3211,30 @@ object SparkEntry {
                   (SELECT da AS doc_id FROM hm UNION ALL SELECT db FROM hm)
                 GROUP BY doc_id)
          SELECT hs.doc_id, hs.dhash, coalesce(nn.n_near, 0) AS n_near
-         FROM hs LEFT JOIN nn USING (doc_id) ORDER BY doc_id"""
+         FROM hs LEFT JOIN nn USING (doc_id) ORDER BY doc_id""",
+    "emb_pq_encode" -> {
+      val (m, sd, k) = (Sim.pqM, Sim.pqSubDim, Sim.pqK)
+      val codeCols = (0 until m)
+        .map(j => s"CAST(sum(CASE WHEN m = $j THEN code END) AS BIGINT) AS code$j")
+        .mkString(",\n           ")
+      val errSum = (0 until m)
+        .map(j => s"sum(CASE WHEN m = $j THEN dist END)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < $k),
+         p AS (SELECT e.vec_id, c.code, m.m,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                   i -> (e.v[m.m*$sd+i] - c.cv[m.m*$sd+i])
+                        * (e.v[m.m*$sd+i] - c.cv[m.m*$sd+i]))),
+                   (a, b) -> a + b) AS dist
+               FROM e CROSS JOIN c
+                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
+         r AS (SELECT vec_id, m, code, dist, row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM p),
+         b AS (SELECT vec_id, m, code, dist FROM r WHERE rk = 1)
+         SELECT vec_id,
+           $codeCols,
+           floor(($errSum) * 10000) / 10000 AS recon_err
+         FROM b GROUP BY vec_id ORDER BY vec_id"""
+    }
   )
 }

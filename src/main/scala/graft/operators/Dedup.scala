@@ -484,6 +484,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_keep_best — representative selection over the transitive dup
+    * groups: production pipelines do not keep the MIN-ID member of a
+    * duplicate cluster, they keep its BEST member (highest quality score;
+    * doc_id breaks ties). Joins `dupGroups` with the shared quality
+    * formula (`TextAnalysis.qualityCol` — the same floored expression the
+    * standalone operator and the curation gate compile, so the selection
+    * can never drift from the gate) and marks exactly one keeper per
+    * group.
+    *
+    * Scale shape: the group table is |dup docs| (tiny vs the corpus), the
+    * quality join rides the doc_id axis, and the per-group argmax is one
+    * window over group_id — group sizes bound the window, nothing new is
+    * quadratic beyond the component search itself.
+    */
+  def keepBest(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = withWords(t.documents)
+      .select(col("doc_id"), TextAnalysis.qualityCol.as("quality"))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    dupGroups(t)
+      .join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("group_id"), col("group_size"), col("quality"),
+        (col("rk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Paragraph granularity for span-level dedup: fixed 8-word chunks (the
     * corpus has no sentence punctuation; real pipelines split on newlines /
     * sentence boundaries — same plan, different splitter).

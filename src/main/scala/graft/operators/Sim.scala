@@ -496,6 +496,59 @@ object Sim {
     * edges are missed by design; `cosineTopK` remains the exact
     * small-query-set face.
     */
+  /** Product-quantization geometry: 64 dims → `pqM` subspaces of
+    * `pqSubDim` dims, each encoded as its nearest of `pqK` sub-centroids
+    * (4 bits/subspace ⇒ a 64-dim float vector compresses to 4 bytes —
+    * THE memory shape that lets a 100 TB corpus keep its whole vector
+    * index resident for ADC scanning). Sub-centroids follow the
+    * deterministic low-id rule (`nCentroids`' trick): subspace m's
+    * codebook = the first `pqK` vectors' m-th subvectors — so the whole
+    * encoding is hash-checked; the k-means-trained variant swaps the
+    * codebook literal, not the plan.
+    */
+  val pqM = 8
+  val pqSubDim = 8
+  val pqK = 16
+
+  /** emb_pq_encode — product-quantization encoding (Jégou et al. 2011):
+    * per vector, per subspace, the argmin-L2 sub-centroid code (ties →
+    * lower code) + the total squared reconstruction error. Scale shape:
+    * the codebook is pqK rows → broadcast; encoding is a per-row argmin
+    * over pqK × pqM distance folds — one scan, one doc-axis groupBy to
+    * fold the subspace axis back into columns. The error sum is built
+    * column-wise (d0+…+d7, fixed order) so the 4dp floor is exact on
+    * both engines.
+    */
+  def pqEncode(t: Tables): DataFrame = {
+    val e = vecs(t)
+    val cents = broadcast(
+      e.filter(col("vec_id") < pqK).select(col("vec_id").as("code"), col("v").as("cv")))
+    // per-subspace L2 fold, generated with the subspace offset inlined —
+    // ascending i, left-assoc, matching the oracle's list_reduce
+    val dists = (0 until pqM).map { m =>
+      val off = m * pqSubDim
+      expr(s"aggregate(sequence(0, ${pqSubDim - 1}), cast(0.0 as double), " +
+        s"(a, i) -> a + (v[$off+i]-cv[$off+i])*(v[$off+i]-cv[$off+i]))")
+    }
+    val exploded = e.crossJoin(cents)
+      .select(col("vec_id"), col("code"),
+        posexplode(array(dists: _*)).as(Seq("m", "dist")))
+    // lexicographic struct-min = (dist asc, code asc) — the tie rule
+    val best = exploded.groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("code"))).as("b"))
+      .select(col("vec_id"), col("m"),
+        col("b.dist").as("dist"), col("b.code").as("code"))
+    val aggs = (0 until pqM).flatMap { m =>
+      Seq(sum(when(col("m") === m, col("code"))).cast("long").as(s"code$m"),
+        sum(when(col("m") === m, col("dist"))).as(s"d$m"))
+    }
+    val errSum = (0 until pqM).map(m => col(s"d$m")).reduce(_ + _)
+    best.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +: (0 until pqM).map(m => col(s"code$m")) :+
+        (floor(errSum * 10000) / 10000).as("recon_err"): _*)
+      .orderBy(col("vec_id"))
+  }
+
   def knnGraph(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))

@@ -848,6 +848,50 @@ object EventStreamPipeline {
       }
   }
 
+  case class PhashAdmit(dhash: Long, docId: Long)
+
+  /** The image-ingest admission gate LIVE (the streaming face of
+    * mm_phash_dedup's hash side): each incoming image decodes through the
+    * SAME real P5 parse + dHash as batch (`Multimodal.dhash56` — zero
+    * drift), and first-seen keyed state on the exact perceptual hash
+    * admits one document per fingerprint; every later arrival with the
+    * same hash — same batch or any later batch — drops. Near-dup pairs
+    * (hamming > 0) remain batch work: keyed state can gate on equality,
+    * not on distance, which is exactly how production ingest splits the
+    * two (exact-hash gate inline, banded hamming sweep offline).
+    *
+    * State is one long per admitted fingerprint; a production gate bounds
+    * it with a TTL matching its reingest policy.
+    */
+  def phashFrontierStream(docs: DataFrame): Dataset[PhashAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Multimodal
+    docs
+      .select(col("doc_id"),
+        encode(rpad(col("text"), 192, " "), "UTF-8").as("raster"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("width"),
+        (lit(8) + col("doc_id") % 5).cast("int").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .map { case (id, raster, w, h) =>
+        val payload = Multimodal.encodePgm(w, h, raster.take(w * h))
+        val (pw, ph, off) = Multimodal.decodePgmRaster(payload)
+          .getOrElse(sys.error(s"pgm decode failed for doc $id"))
+        (id, Multimodal.dhash56(pw, ph, payload, off))
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[FrontierState, PhashAdmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (hash, rows, state: GroupState[FrontierState]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.map(_._1).min
+            state.update(FrontierState(first))
+            Iterator(PhashAdmit(hash, first))
+          }
+      }
+  }
+
   def curationStream(docs: DataFrame): DataFrame = {
     import graft.operators.{TextAnalysis, TrainData}
     docs

@@ -1097,6 +1097,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("keep-best dedup keeps exactly the highest-quality member per group") {
+    val rows = Dedup.keepBest(t).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("group_id")).values.foreach { g =>
+      assert(g.count(_.getAs[Boolean]("keep")) == 1)
+      val keeper = g.find(_.getAs[Boolean]("keep")).get
+      val best = g.map(r =>
+        (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id"))).min
+      assert((-keeper.getAs[Double]("quality"), keeper.getAs[Long]("doc_id")) == best)
+      g.foreach(r => assert(r.getAs[Long]("group_size") == g.length))
+    }
+  }
+
+  test("pq encoding reconstructs codebook vectors exactly and bounds codes") {
+    val rows = Sim.pqEncode(t).collect()
+    assert(rows.length == t.spark.read
+      .parquet(s"$sf/embeddings.parquet").count())
+    rows.foreach { r =>
+      (0 until Sim.pqM).foreach { m =>
+        val c = r.getAs[Long](s"code$m")
+        assert(c >= 0 && c < Sim.pqK)
+      }
+      assert(r.getAs[Double]("recon_err") >= 0.0)
+    }
+    // a vector that IS a sub-centroid encodes to itself with zero error
+    rows.filter(_.getAs[Long]("vec_id") < Sim.pqK).foreach { r =>
+      assert(r.getAs[Double]("recon_err") == 0.0)
+      (0 until Sim.pqM).foreach(m =>
+        assert(r.getAs[Long](s"code$m") == r.getAs[Long]("vec_id")))
+    }
+  }
+
   test("dhash gradients and phash dedup pair identical images") {
     import spark.implicits._
     // constant raster: no strict left>right gradient anywhere -> hash 0

@@ -446,6 +446,35 @@ class StreamingSpec extends SparkSpec {
     assert(n == got.size)
   }
 
+  test("streaming phash gate admits exactly the batch first-seen fingerprints") {
+    import graft.operators.Multimodal
+    // two doc files so the first-seen gate genuinely crosses micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_phash").toString
+    val halves = Seq(
+      t.documents.filter(col("doc_id") < 250),
+      t.documents.filter(col("doc_id") >= 250))
+    halves.zipWithIndex.foreach { case (slice, i) =>
+      slice.coalesce(1).write.parquet(s"$dir/h$i")
+      val f = new java.io.File(s"$dir/h$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/h$i.parquet"))
+    }
+    val docs = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = EventStreamPipeline.phashFrontierStream(docs)
+    runToMemory("phashfrontier", out.toDF(), "update")
+    val got = spark.sql("SELECT dhash, docId FROM phashfrontier").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch winners: min doc_id per exact perceptual hash
+    val batch = Multimodal.phashDedup(t).collect()
+      .groupBy(_.getAs[Long]("dhash"))
+      .map { case (h, rs) => h -> rs.map(_.getAs[Long]("doc_id")).min }
+    assert(got == batch, "phash admissions differ from batch first-seen winners")
+    val n = spark.sql("SELECT count(*) FROM phashfrontier").collect()(0).getLong(0)
+    assert(n == got.size)
+  }
+
   test("streaming archive router equals the batch 5-way archive output") {
     import graft.operators.Identity
     // day-sliced event files so first-seen gating and the latest-wins
