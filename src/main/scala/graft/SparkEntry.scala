@@ -183,7 +183,8 @@ object SparkEntry {
     "sim_knn_graph"           -> ((s, d) => Sim.knnGraph(tables(s, d))),
     "mm_phash_dedup"          -> ((s, d) => Multimodal.phashDedup(tables(s, d))),
     "dedup_keep_best"         -> ((s, d) => Dedup.keepBest(tables(s, d))),
-    "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d)))
+    "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
+    "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -426,6 +427,27 @@ object SparkEntry {
       s"(CASE WHEN ${cell(r, c)} > ${cell(r, c + 1)}" +
         s" THEN ${1L << (r * (cols - 1) + c)} ELSE 0 END)")
       .mkString("\n             + ")
+  }
+
+  /** PQ-encoding CTE chain — the oracle mirror of Sim.pqEncode's
+    * argmin-L2 sub-centroid assignment, shared by emb_pq_encode and
+    * sim_ann_pq_adc so the two oracles can't drift. Yields
+    * `e` = (vec_id, v), `c` = (code, cv), `b` = (vec_id, m, code, dist).
+    */
+  private val pqEncodeCtes: String = {
+    val (m, sd, k) = (Sim.pqM, Sim.pqSubDim, Sim.pqK)
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < $k),
+       p AS (SELECT e.vec_id, c.code, m.m,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                 i -> (e.v[m.m*$sd+i] - c.cv[m.m*$sd+i])
+                      * (e.v[m.m*$sd+i] - c.cv[m.m*$sd+i]))),
+                 (a, b) -> a + b) AS dist
+             FROM e CROSS JOIN c
+               CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
+       r AS (SELECT vec_id, m, code, dist, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM p),
+       b AS MATERIALIZED (SELECT vec_id, m, code, dist FROM r WHERE rk = 1)"""
   }
 
   /** Transitive dup-group CTE chain — the oracle mirror of
@@ -3213,28 +3235,42 @@ object SparkEntry {
          SELECT hs.doc_id, hs.dhash, coalesce(nn.n_near, 0) AS n_near
          FROM hs LEFT JOIN nn USING (doc_id) ORDER BY doc_id""",
     "emb_pq_encode" -> {
-      val (m, sd, k) = (Sim.pqM, Sim.pqSubDim, Sim.pqK)
+      val m = Sim.pqM
       val codeCols = (0 until m)
         .map(j => s"CAST(sum(CASE WHEN m = $j THEN code END) AS BIGINT) AS code$j")
         .mkString(",\n           ")
       val errSum = (0 until m)
         .map(j => s"sum(CASE WHEN m = $j THEN dist END)").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < $k),
-         p AS (SELECT e.vec_id, c.code, m.m,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
-                   i -> (e.v[m.m*$sd+i] - c.cv[m.m*$sd+i])
-                        * (e.v[m.m*$sd+i] - c.cv[m.m*$sd+i]))),
-                   (a, b) -> a + b) AS dist
-               FROM e CROSS JOIN c
-                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
-         r AS (SELECT vec_id, m, code, dist, row_number() OVER (
-                 PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM p),
-         b AS (SELECT vec_id, m, code, dist FROM r WHERE rk = 1)
+      s"""WITH $pqEncodeCtes
          SELECT vec_id,
            $codeCols,
            floor(($errSum) * 10000) / 10000 AS recon_err
          FROM b GROUP BY vec_id ORDER BY vec_id"""
+    },
+    "sim_ann_pq_adc" -> {
+      val (m, sd) = (Sim.pqM, Sim.pqSubDim)
+      val dCols = (0 until m)
+        .map(j => s"sum(CASE WHEN b.m = $j THEN d END) AS d$j").mkString(",\n           ")
+      val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
+      s"""WITH $pqEncodeCtes,
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < ${Sim.nQueries}),
+         tbl AS (SELECT q.query_id, c.code, m.m,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                   i -> (q.qv[m.m*$sd+i] - c.cv[m.m*$sd+i])
+                        * (q.qv[m.m*$sd+i] - c.cv[m.m*$sd+i]))),
+                   (a, b) -> a + b) AS d
+               FROM q CROSS JOIN c
+                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
+         s AS (SELECT tbl.query_id, b.vec_id,
+           $dCols
+           FROM b JOIN tbl ON b.m = tbl.m AND b.code = tbl.code
+           WHERE b.vec_id <> tbl.query_id GROUP BY 1, 2),
+         k AS (SELECT query_id, vec_id, ($adcSum) AS adc, row_number() OVER (
+                 PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
+         SELECT query_id, vec_id AS neighbor_id, rank,
+           floor(adc * 10000) / 10000 AS adc_dist
+         FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
     }
   )
 }

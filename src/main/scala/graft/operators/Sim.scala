@@ -549,6 +549,55 @@ object Sim {
       .orderBy(col("vec_id"))
   }
 
+  /** sim_ann_pq_adc — asymmetric distance computation over the PQ codes
+    * (the search side of Jégou et al. 2011): each query precomputes an
+    * L2² table to every sub-centroid (pqM × pqK entries), and scanning a
+    * candidate costs pqM table LOOKUPS on its 4-byte code — the original
+    * vector is never touched. This is how a 100 TB vector corpus is
+    * actually scanned: the code table is ~25,000× smaller than the
+    * floats, the distance tables broadcast (Q × pqM × pqK doubles), and
+    * the scan is one linear pass; IVF routing (`ivfTopK`) composes in
+    * front to shrink the candidate set.
+    *
+    * The ADC sum is assembled column-wise per subspace (fixed order), so
+    * the 4dp floor — and the rank order both engines compute — is exact.
+    * Self-matches are excluded like `cosineTopK`.
+    */
+  def pqAdcTopK(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(t)
+    val cents = broadcast(
+      e.filter(col("vec_id") < pqK).select(col("vec_id").as("code"), col("v").as("cv")))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val dists = (0 until pqM).map { m =>
+      val off = m * pqSubDim
+      expr(s"aggregate(sequence(0, ${pqSubDim - 1}), cast(0.0 as double), " +
+        s"(a, i) -> a + (qv[$off+i]-cv[$off+i])*(qv[$off+i]-cv[$off+i]))")
+    }
+    val table = broadcast(queries.crossJoin(cents)
+      .select(col("query_id"), col("code"),
+        posexplode(array(dists: _*)).as(Seq("m", "d"))))
+    val dataCodes = pqEncode(t)
+      .select(col("vec_id"),
+        posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
+          .as(Seq("m", "code")))
+    val parts = dataCodes.join(table, Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(
+        sum(when(col("m") === 0, col("d"))).as("d0"),
+        (1 until pqM).map(j => sum(when(col("m") === j, col("d"))).as(s"d$j")): _*)
+    val adc = (0 until pqM).map(j => col(s"d$j")).reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
+    parts.withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        (floor(col("adc") * 10000) / 10000).as("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def knnGraph(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))

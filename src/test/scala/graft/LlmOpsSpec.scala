@@ -1129,6 +1129,37 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("pq adc search ranks a planted exact twin first at zero distance") {
+    import spark.implicits._
+    // vec 20 IS vec 3 (a query): it encodes to query 3's own codes, so its
+    // ADC distance to query 3 is exactly the query's table self-distance — 0
+    val base = t.spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twin = base.filter(col("vec_id") === 3)
+      .select(lit(20L).as("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") =!= 20).union(twin)
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = planted }
+    val rows = Sim.pqAdcTopK(t2).collect()
+    val q3 = rows.filter(_.getAs[Long]("query_id") == 3L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(q3.head.getAs[Long]("neighbor_id") == 20L)
+    assert(q3.head.getAs[Double]("adc_dist") == 0.0)
+    // structural invariants on every query: k rows, contiguous ranks,
+    // non-decreasing distance, no self-matches
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length == Sim.topK)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to Sim.topK))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("adc_dist") <= b.getAs[Double]("adc_dist"))
+        case _ =>
+      }
+      g.foreach(r =>
+        assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+  }
+
   test("dhash gradients and phash dedup pair identical images") {
     import spark.implicits._
     // constant raster: no strict left>right gradient anywhere -> hash 0
