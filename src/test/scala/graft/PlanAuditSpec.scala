@@ -387,4 +387,46 @@ class PlanAuditSpec extends SparkSpec {
       s"url dedup shuffles more than the canonical window:\n$pu")
     assert(!pu.contains("CartesianProduct"))
   }
+
+  test("gopher gate and corpus stats are one scan pass each") {
+    val pg = plan(TextAnalysis.gopherQuality(t))
+    assert(!pg.contains("hashpartitioning"),
+      s"gopher gate grew a hash shuffle:\n$pg")
+    val pc = plan(TrainData.corpusStats(t))
+    assert("HashAggregate".r.findAllIn(pc).length >= 2,
+      s"corpus stats lost partial aggregation:\n$pc")
+    assert(!pc.contains("CartesianProduct"))
+  }
+
+  test("dsir broadcasts the log-ratio dim and never goes quadratic") {
+    val p = plan(TrainData.dsirImportance(t))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket dim join shuffled instead of broadcasting:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"dsir grew a cartesian:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"bucket histogram lost partial aggregation:\n$p")
+  }
+
+  test("knn graph and phash dedup pair through equi-joins, never a cartesian") {
+    val pk = plan(graft.operators.Sim.knnGraph(t))
+    assert(!pk.contains("CartesianProduct"), s"knn graph went cartesian:\n$pk")
+    val pp = plan(graft.operators.Multimodal.phashDedup(t))
+    assert(!pp.contains("CartesianProduct"), s"phash pairs went cartesian:\n$pp")
+    assert(pp.contains("SortMergeJoin") || pp.contains("ShuffledHashJoin") ||
+      pp.contains("BroadcastHashJoin"), s"no candidate equi-join found:\n$pp")
+  }
+
+  test("pq encode and adc search broadcast the codebook and the tables") {
+    // the only non-equi joins allowed are broadcast-of-tiny (16-row
+    // codebook, Q x M x K distance table)
+    val pe = plan(graft.operators.Sim.pqEncode(t))
+    assert(!pe.contains("CartesianProduct"), s"pq encode went cartesian:\n$pe")
+    assert(pe.contains("BroadcastNestedLoopJoin") || pe.contains("BroadcastHashJoin"),
+      s"codebook lost its broadcast:\n$pe")
+    val pa = plan(graft.operators.Sim.pqAdcTopK(t))
+    assert(!pa.contains("CartesianProduct"), s"adc search went cartesian:\n$pa")
+    assert(pa.contains("BroadcastHashJoin"),
+      s"distance-table probe lost its broadcast:\n$pa")
+  }
 }
