@@ -183,8 +183,10 @@ object SparkEntry {
     "sim_knn_graph"           -> ((s, d) => Sim.knnGraph(tables(s, d))),
     "mm_phash_dedup"          -> ((s, d) => Multimodal.phashDedup(tables(s, d))),
     "dedup_keep_best"         -> ((s, d) => Dedup.keepBest(tables(s, d))),
+    "mix_temperature"         -> ((s, d) => TrainData.mixTemperature(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
-    "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d)))
+    "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
+    "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -434,21 +436,28 @@ object SparkEntry {
     * sim_ann_pq_adc so the two oracles can't drift. Yields
     * `e` = (vec_id, v), `c` = (code, cv), `b` = (vec_id, m, code, dist).
     */
-  private val pqEncodeCtes: String = {
+  /** The encode chain body with a CTE-name prefix, so it can compose with
+    * other chains (the centroid CTEs also use c/p/r) in one WITH. The
+    * caller must already have defined `e` = (vec_id, v).
+    */
+  private def pqEncodeChain(px: String): String = {
     val (m, sd, k) = (Sim.pqM, Sim.pqSubDim, Sim.pqK)
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       c AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < $k),
-       p AS (SELECT e.vec_id, c.code, m.m,
+    s"""${px}c AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < $k),
+       ${px}p AS (SELECT e.vec_id, ${px}c.code, m.m,
                list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
-                 i -> (e.v[m.m*$sd+i] - c.cv[m.m*$sd+i])
-                      * (e.v[m.m*$sd+i] - c.cv[m.m*$sd+i]))),
+                 i -> (e.v[m.m*$sd+i] - ${px}c.cv[m.m*$sd+i])
+                      * (e.v[m.m*$sd+i] - ${px}c.cv[m.m*$sd+i]))),
                  (a, b) -> a + b) AS dist
-             FROM e CROSS JOIN c
+             FROM e CROSS JOIN ${px}c
                CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
-       r AS (SELECT vec_id, m, code, dist, row_number() OVER (
-               PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM p),
-       b AS MATERIALIZED (SELECT vec_id, m, code, dist FROM r WHERE rk = 1)"""
+       ${px}r AS (SELECT vec_id, m, code, dist, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM ${px}p),
+       ${px}b AS MATERIALIZED (SELECT vec_id, m, code, dist FROM ${px}r WHERE rk = 1)"""
   }
+
+  private val pqEncodeCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${pqEncodeChain("")}"""
 
   /** Transitive dup-group CTE chain — the oracle mirror of
     * Dedup.dupGroups' fixpoint as a recursive transitive closure, shared
@@ -3247,6 +3256,26 @@ object SparkEntry {
            floor(($errSum) * 10000) / 10000 AS recon_err
          FROM b GROUP BY vec_id ORDER BY vec_id"""
     },
+    "mix_temperature" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(list(n ORDER BY source),
+                     x -> sqrt(CAST(x AS DOUBLE)))),
+                   (a, b) -> a + b) AS s_total
+               FROM cnt),
+         j AS (SELECT source, n AS n_docs,
+                 CAST(n AS DOUBLE) / n_total AS rs,
+                 sqrt(CAST(n AS DOUBLE)) / s_total AS ts
+               FROM cnt, tot),
+         b AS (SELECT *, ts / rs AS raw_boost FROM j),
+         mx AS (SELECT max(raw_boost) AS mb FROM b)
+         SELECT source, n_docs,
+           floor(rs * 10000) / 10000 AS raw_share,
+           floor(ts * 10000) / 10000 AS temp_share,
+           floor(raw_boost * 10000) / 10000 AS boost,
+           floor(raw_boost / mb * 10000) / 10000 AS keep_rate
+         FROM b, mx ORDER BY source""",
     "sim_ann_pq_adc" -> {
       val (m, sd) = (Sim.pqM, Sim.pqSubDim)
       val dCols = (0 until m)
@@ -3266,6 +3295,41 @@ object SparkEntry {
            $dCols
            FROM b JOIN tbl ON b.m = tbl.m AND b.code = tbl.code
            WHERE b.vec_id <> tbl.query_id GROUP BY 1, 2),
+         k AS (SELECT query_id, vec_id, ($adcSum) AS adc, row_number() OVER (
+                 PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
+         SELECT query_id, vec_id AS neighbor_id, rank,
+           floor(adc * 10000) / 10000 AS adc_dist
+         FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
+    },
+    "sim_ann_ivfpq" -> {
+      val (m, sd) = (Sim.pqM, Sim.pqSubDim)
+      val dCols = (0 until m)
+        .map(j => s"sum(CASE WHEN qb.m = $j THEN d END) AS d$j").mkString(",\n           ")
+      val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
+      s"""WITH $centroidAssignCtes,
+         ${pqEncodeChain("q")},
+         pr AS (SELECT vec_id AS query_id, cluster FROM (
+                  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cluster) AS prk
+                  FROM p WHERE vec_id < ${Sim.nQueries})
+                WHERE prk <= ${Sim.ivfPqProbes}),
+         qq AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id < ${Sim.nQueries}),
+         tbl AS (SELECT qq.query_id, qc.code, m.m,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                   i -> (qq.qv[m.m*$sd+i] - qc.cv[m.m*$sd+i])
+                        * (qq.qv[m.m*$sd+i] - qc.cv[m.m*$sd+i]))),
+                   (a, b) -> a + b) AS d
+               FROM qq CROSS JOIN qc
+                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
+         cand AS (SELECT pr.query_id, a.vec_id
+                  FROM a JOIN pr USING (cluster) WHERE a.vec_id <> pr.query_id),
+         s AS (SELECT cand.query_id, cand.vec_id,
+           $dCols
+           FROM cand JOIN qb ON qb.vec_id = cand.vec_id
+             JOIN tbl ON tbl.m = qb.m AND tbl.code = qb.code
+               AND tbl.query_id = cand.query_id
+           GROUP BY 1, 2),
          k AS (SELECT query_id, vec_id, ($adcSum) AS adc, row_number() OVER (
                  PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
          SELECT query_id, vec_id AS neighbor_id, rank,

@@ -563,8 +563,11 @@ object Sim {
     * the 4dp floor — and the rank order both engines compute — is exact.
     * Self-matches are excluded like `cosineTopK`.
     */
-  def pqAdcTopK(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The per-query ADC distance table: L2² of every query subvector to
+    * every sub-centroid — (query_id, code, m, d), Q × pqK × pqM rows,
+    * broadcast-sized by construction.
+    */
+  private def adcDistTable(t: Tables): DataFrame = {
     val e = vecs(t)
     val cents = broadcast(
       e.filter(col("vec_id") < pqK).select(col("vec_id").as("code"), col("v").as("cv")))
@@ -575,15 +578,25 @@ object Sim {
       expr(s"aggregate(sequence(0, ${pqSubDim - 1}), cast(0.0 as double), " +
         s"(a, i) -> a + (qv[$off+i]-cv[$off+i])*(qv[$off+i]-cv[$off+i]))")
     }
-    val table = broadcast(queries.crossJoin(cents)
+    queries.crossJoin(cents)
       .select(col("query_id"), col("code"),
-        posexplode(array(dists: _*)).as(Seq("m", "d"))))
-    val dataCodes = pqEncode(t)
+        posexplode(array(dists: _*)).as(Seq("m", "d")))
+  }
+
+  /** The corpus code table on its subspace axis: (vec_id, m, code). */
+  private def pqDataCodes(t: Tables): DataFrame =
+    pqEncode(t)
       .select(col("vec_id"),
         posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
           .as(Seq("m", "code")))
-    val parts = dataCodes.join(table, Seq("m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
+
+  /** Fold the (query_id, vec_id, m, d) lookup rows into ranked top-k.
+    * The ADC sum assembles column-wise per subspace (fixed order) so the
+    * 4dp floor — and the rank order — is exact on both engines.
+    */
+  private def adcRank(lookups: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = lookups
       .groupBy("query_id", "vec_id")
       .agg(
         sum(when(col("m") === 0, col("d"))).as("d0"),
@@ -596,6 +609,50 @@ object Sim {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         (floor(col("adc") * 10000) / 10000).as("adc_dist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def pqAdcTopK(t: Tables): DataFrame =
+    adcRank(
+      pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("query_id")))
+
+  /** Coarse lists probed per query in the IVF-PQ composition. */
+  val ivfPqProbes = 3
+
+  /** sim_ann_ivfpq — the production vector-search composition: IVF coarse
+    * routing in front of the ADC scan. Data vectors live in the inverted
+    * list of their nearest coarse centroid (the SAME deterministic
+    * assignment as `clusterAssign` — shared code, shared oracle CTEs);
+    * each query probes its `ivfPqProbes` nearest lists and ADC-scores
+    * ONLY their members on the 4-byte codes. Scan work drops from N×Q to
+    * N×Q×(probes/lists), which is the knob that makes a 100 TB index
+    * answer in milliseconds: lists ≈ √N in prod, probes stays O(10).
+    * Global (non-residual) codes are the documented simplification —
+    * residual encoding changes the codebook build, not this plan.
+    * Deterministic end-to-end ⇒ hash-checked, unlike the MLlib-trained
+    * `sim_ann_ivf` (rows-only); cross-list misses vs `pqAdcTopK` are the
+    * recall price the spec audits.
+    */
+  def ivfPqTopK(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(t.spark)
+    val e = vecs(t)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster"))))
+      .filter(col("prk") <= ivfPqProbes)
+      .select(col("vec_id").as("query_id"), col("cluster"))
+    val cand = assigned.join(broadcast(probes), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    adcRank(
+      cand.join(pqDataCodes(t), "vec_id")
+        .join(broadcast(adcDistTable(t)), Seq("m", "code", "query_id")))
   }
 
   def knnGraph(t: Tables): DataFrame = {

@@ -478,6 +478,48 @@ object TrainData {
         (floor(col("n_short") * lit(10000.0) / col("n_docs")) / 10000).as("short_frac"))
       .orderBy(col("source"), col("lang"))
 
+  /** mix_temperature — temperature-based source re-balancing (the
+    * multilingual sampling recipe of Conneau & Lample 2019 / mT5): at
+    * temperature τ the sampling share of source i moves from its raw
+    * share p_i to p_i^(1/τ) / Σ p_j^(1/τ), boosting the tail and
+    * damping the head. τ = 2 here, so the exponent is `sqrt` — IEEE
+    * correctly-rounded, which is what lets the oracle replay every
+    * share bit-for-bit (arbitrary τ would need `pow`). Emits per source
+    * the raw/temperature shares, the boost factor, and the keep rate
+    * normalized to the most-boosted source — the table a mixture config
+    * review consumes; gating rides the same deterministic key-mix as
+    * `mixDomains`.
+    *
+    * The share denominator Σ√n_j is an ordered fold over the per-source
+    * counts (sorted collect, left-assoc accumulate) because a plain SUM
+    * of doubles is shuffle-order-dependent and could never hash-match;
+    * the source table is mixture-config-sized, so the fold is a one-row
+    * broadcast. Scale shape: one map-side-combined groupBy + two 1-row
+    * broadcasts.
+    */
+  def mixTemperature(t: Tables): DataFrame = {
+    val counts = t.documents.groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      sum(col("n")).as("n_total"),
+      aggregate(
+        sort_array(collect_list(struct(col("source").as("s"), col("n").as("c")))),
+        lit(0.0),
+        (a, x) => a + sqrt(x.getField("c").cast("double"))).as("s_total"))
+    val j = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        (col("n").cast("double") / col("n_total")).as("rs"),
+        (sqrt(col("n").cast("double")) / col("s_total")).as("ts"))
+      .withColumn("raw_boost", col("ts") / col("rs"))
+    val mx = j.agg(max(col("raw_boost")).as("mb"))
+    j.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"),
+        (floor(col("rs") * 10000) / 10000).as("raw_share"),
+        (floor(col("ts") * 10000) / 10000).as("temp_share"),
+        (floor(col("raw_boost") * 10000) / 10000).as("boost"),
+        (floor(col("raw_boost") / col("mb") * 10000) / 10000).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
   /** DSIR hashed-feature dimensionality (prod: 10k buckets; 64 keeps the
     * oracle dim readable) and the target-domain membership rule (every
     * 17th doc — the stand-in for "a sample of the domain you want more

@@ -1160,6 +1160,42 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixing boosts the tail and damps the head") {
+    val rows = TrainData.mixTemperature(t).collect()
+    assert(rows.length > 1)
+    val byBoost = rows.sortBy(_.getAs[Long]("n_docs"))
+    // the smallest source gains share, the largest loses it (tau > 1)
+    assert(byBoost.head.getAs[Double]("boost") >= 1.0,
+      s"tail source not boosted: ${byBoost.head}")
+    assert(byBoost.last.getAs[Double]("boost") <= 1.0,
+      s"head source not damped: ${byBoost.last}")
+    // keep rates normalize to the most-boosted source
+    assert(rows.map(_.getAs[Double]("keep_rate")).max == 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("raw_share") > 0 && r.getAs[Double]("raw_share") <= 1)
+      assert(r.getAs[Double]("temp_share") > 0 && r.getAs[Double]("temp_share") <= 1)
+    }
+  }
+
+  test("ivf-pq probes its clusters only and keeps useful full-scan recall") {
+    val full = Sim.pqAdcTopK(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val routed = Sim.ivfPqTopK(t).collect()
+    val cluster = Sim.clusterAssign(t).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    routed.groupBy(_.getAs[Long]("query_id")).foreach { case (q, g) =>
+      assert(g.length <= Sim.topK)
+      // every neighbor sits in one of at most ivfPqProbes distinct clusters
+      val probed = g.map(r => cluster(r.getAs[Long]("neighbor_id"))).toSet
+      assert(probed.size <= Sim.ivfPqProbes, s"query $q probed $probed")
+    }
+    // recall vs the full ADC scan stays well above the 3/8-lists floor
+    val hit = routed.count(r =>
+      full((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hit.toDouble / full.size
+    assert(recall >= 0.3, s"ivf-pq recall collapsed: $recall")
+  }
+
   test("dhash gradients and phash dedup pair identical images") {
     import spark.implicits._
     // constant raster: no strict left>right gradient anywhere -> hash 0
