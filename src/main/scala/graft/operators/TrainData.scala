@@ -546,6 +546,41 @@ object TrainData {
     * bucket count. The log-weight sum crosses a shuffle, so it floors at
     * 2dp like the unigram LM (accumulation order is plan-dependent).
     */
+  /** The doc's DSIR feature array (unigrams + word bigrams — the
+    * classifier's gram definition) built in-row over `w`. Shared by the
+    * batch operator and the streaming gate so the feature space cannot
+    * drift.
+    */
+  def dsirFeatures: org.apache.spark.sql.Column =
+    concat(col("w"), expr(
+      "IF(size(w) >= 2, transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])), " +
+        "array())"))
+
+  /** The per-bucket log2 importance ratios as a plain array (index =
+    * bucket), collected ONCE from the batch histograms — the "nightly
+    * table" a streaming admission gate ships as a literal (the same move
+    * the Bloom decontaminator makes with its one-blob sketch).
+    */
+  def dsirBucketLogRatios(t: Tables): Array[Double] = {
+    val feats = Dedup.withWords(t.documents)
+      .select(col("doc_id"), explode(dsirFeatures).as("f"))
+      .select(
+        pmod(Dedup.portableHash(col("f")), lit(dsirBuckets.toLong)).as("b"),
+        (col("doc_id") % dsirTargetMod === 0).as("is_target"))
+    val counts = feats.groupBy("b")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("s_b"))
+      .collect().map(r => r.getAs[Long]("b") ->
+        (r.getAs[Long]("t_b"), r.getAs[Long]("s_b"))).toMap
+    val tt = counts.values.map(_._1).sum
+    val ts = counts.values.map(_._2).sum
+    Array.tabulate(dsirBuckets) { b =>
+      val (tb, sb) = counts.getOrElse(b.toLong, (0L, 0L))
+      (math.log((tb + 1).toDouble / (tt + dsirBuckets)) -
+        math.log((sb + 1).toDouble / (ts + dsirBuckets))) / math.log(2.0)
+    }
+  }
+
   def dsirImportance(t: Tables): DataFrame = {
     val grams = expr(
       "IF(size(w) >= 2, transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])), " +

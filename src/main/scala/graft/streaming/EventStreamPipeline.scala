@@ -848,6 +848,58 @@ object EventStreamPipeline {
       }
   }
 
+  /** The dataset card LIVE (the streaming face of corpus_stats): running
+    * per-(source, lang) document/token/char totals maintained as a
+    * complete-mode aggregation — the card a data-ops dashboard reads
+    * while a crawl is still landing. All stored state is the tiny group
+    * table (integer sums only ⇒ exact equality with batch at any point);
+    * the derived mean/short-frac columns compute from those integers, so
+    * they too replay exactly.
+    */
+  def corpusStatsStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", graft.operators.Dedup.wordsCol)
+      .select(col("source"), col("lang"),
+        size(col("w")).cast("long").as("tok"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        sum(when(col("tok") < graft.operators.TextAnalysis.c4MinWords, 1L)
+          .otherwise(0L)).as("n_short"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        (floor(col("n_tokens") * lit(10000.0) / col("n_docs")) / 10000)
+          .as("mean_tokens"),
+        (floor(col("n_short") * lit(10000.0) / col("n_docs")) / 10000)
+          .as("short_frac"))
+
+  /** The DSIR admission gate LIVE: last night's batch histograms collapse
+    * into one 64-double log-ratio array (`dsirBucketLogRatios` — the same
+    * one-literal move the Bloom decontaminator makes), and each arriving
+    * document scores with a per-row fold over its own features — zero
+    * shuffle, zero state, pure codegen'd map work, which is exactly what
+    * an ingest-path quality gate must be. Feature space is the shared
+    * `dsirFeatures` expression — zero drift from batch.
+    */
+  def dsirGateStream(docs: DataFrame, lr: Array[Double]): DataFrame = {
+    import graft.operators.{Dedup, TrainData}
+    val lrArr = array(lr.map(lit(_)): _*)
+    docs
+      .withColumn("w", Dedup.wordsCol)
+      .filter(col("doc_id") % TrainData.dsirTargetMod =!= 0)
+      .withColumn("f", TrainData.dsirFeatures)
+      .withColumn("lrs", lrArr)
+      .select(col("doc_id"), size(col("f")).cast("long").as("n_feats"),
+        expr(s"""aggregate(f, cast(0.0 as double),
+          (a, x) -> a + lrs[CAST(pmod(
+            CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT),
+            ${TrainData.dsirBuckets}) AS INT)])""").as("raw"))
+      .select(col("doc_id"), col("n_feats"),
+        (floor(col("raw") * 100) / 100).as("log_weight"))
+      .withColumn("selected", col("log_weight") >= 0.0)
+  }
+
   case class PhashAdmit(dhash: Long, docId: Long)
 
   /** The image-ingest admission gate LIVE (the streaming face of

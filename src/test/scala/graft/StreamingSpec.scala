@@ -475,6 +475,51 @@ class StreamingSpec extends SparkSpec {
     assert(n == got.size)
   }
 
+  test("streaming dataset card converges to the batch corpus stats exactly") {
+    val docs = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
+    val out = EventStreamPipeline.corpusStatsStream(docs)
+    runToMemory("corpuscard", out, "complete")
+    val got = spark.sql(
+      "SELECT * FROM corpuscard ORDER BY source, lang").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Double]("mean_tokens"), r.getAs[Double]("short_frac"))).toSeq
+    val batch = graft.operators.TrainData.corpusStats(t).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Double]("mean_tokens"), r.getAs[Double]("short_frac"))).toSeq
+    assert(got == batch, "live card diverged from the batch card")
+  }
+
+  test("streaming dsir gate scores the stream like the batch operator") {
+    import graft.operators.TrainData
+    val lr = TrainData.dsirBucketLogRatios(t)
+    val docs = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
+    val out = EventStreamPipeline.dsirGateStream(docs, lr)
+    runToMemory("dsirgate", out, "append")
+    val got = spark.sql("SELECT doc_id, n_feats, log_weight, selected FROM dsirgate")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("log_weight"),
+          r.getAs[Boolean]("selected"))).toMap
+    val batch = TrainData.dsirImportance(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("log_weight"),
+          r.getAs[Boolean]("selected"))).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (id, (nf, lw, sel)) =>
+      val (bnf, blw, bsel) = batch(id)
+      assert(nf == bnf, s"doc $id feature count drifted")
+      // the stream folds features in-row, the batch sums an exploded
+      // shuffle — identical up to accumulation order, so the 2dp floors
+      // may straddle a boundary by at most one step
+      assert(math.abs(lw - blw) <= 0.011, s"doc $id weight drifted: $lw vs $blw")
+      if (math.abs(blw) > 0.011)
+        assert(sel == bsel, s"doc $id selection flipped away from a boundary")
+    }
+  }
+
   test("streaming archive router equals the batch 5-way archive output") {
     import graft.operators.Identity
     // day-sliced event files so first-seen gating and the latest-wins
