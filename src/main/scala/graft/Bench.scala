@@ -22,7 +22,8 @@ object Bench {
     "text_contamination", "pack_sequences", "q_asof_join",
     "dw_user_detail", "dw_user_all", "adv_deep_convert",
     "pipeline_all_job", "dw_user_detail_inc", "id_archive_route",
-    "mm_audio_chunks", "sink_dynamic_route")
+    "mm_audio_chunks", "sink_dynamic_route",
+    "dedup_keep_best", "dsir_importance", "emb_pq_encode", "sim_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -184,6 +184,7 @@ object SparkEntry {
     "mm_phash_dedup"          -> ((s, d) => Multimodal.phashDedup(tables(s, d))),
     "dedup_keep_best"         -> ((s, d) => Dedup.keepBest(tables(s, d))),
     "mix_temperature"         -> ((s, d) => TrainData.mixTemperature(tables(s, d))),
+    "dedup_audit"             -> ((s, d) => Dedup.dedupAudit(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
     "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d)))
@@ -3255,6 +3256,47 @@ object SparkEntry {
            $codeCols,
            floor(($errSum) * 10000) / 10000 AS recon_err
          FROM b GROUP BY vec_id ORDER BY vec_id"""
+    },
+    "dedup_audit" -> {
+      val p = operators.Dedup.MersennePrime
+      val mins = (0 until operators.Dedup.minhashK).map(j =>
+        s"min((h0 * ${2 * j + 3} + ${j.toLong * 2654435761L} + 1) % $p) AS mh$j")
+        .mkString(", ")
+      val agreeSql = (0 until operators.Dedup.minhashK)
+        .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+      val bandSelects = (0 until operators.Dedup.minhashK / operators.Dedup.bandSize)
+        .map { b =>
+          val cols = (b * operators.Dedup.bandSize until (b + 1) * operators.Dedup.bandSize)
+            .map(j => s"mh$j").mkString(", ")
+          s"SELECT doc_id, $b AS band, md5(concat_ws(':', $cols)) AS band_key FROM sig"
+        }.mkString(" UNION ALL ")
+      s"""$dupGroupsCtes,
+         h2 AS (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % $p AS h0
+               FROM sh),
+         sig AS (SELECT doc_id, $mins FROM h2 GROUP BY doc_id),
+         bands AS ($bandSelects),
+         mcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b ON a.band = b.band
+                     AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         mpred AS (SELECT mc.da, mc.db FROM mcand mc
+                   JOIN sig sa ON mc.da = sa.doc_id
+                   JOIN sig sb ON mc.db = sb.doc_id
+                   WHERE ($agreeSql) / ${operators.Dedup.minhashK}.0
+                     >= ${operators.Dedup.jaccardTau}),
+         n1 AS (SELECT count(*) AS n_exact FROM pairs),
+         n2 AS (SELECT count(*) AS n_candidates FROM mcand),
+         n3 AS (SELECT count(*) AS n_predicted FROM mpred),
+         n4 AS (SELECT count(*) AS n_cand_hits FROM mcand JOIN pairs USING (da, db)),
+         n5 AS (SELECT count(*) AS n_pred_hits FROM mpred JOIN pairs USING (da, db))
+         SELECT n_exact, n_candidates, n_predicted, n_cand_hits, n_pred_hits,
+           CASE WHEN n_predicted > 0
+             THEN floor(n_pred_hits * 10000.0 / n_predicted) / 10000 END
+             AS precision_pred,
+           CASE WHEN n_exact > 0
+             THEN floor(n_pred_hits * 10000.0 / n_exact) / 10000 END
+             AS recall_pred
+         FROM n1, n2, n3, n4, n5"""
     },
     "mix_temperature" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),

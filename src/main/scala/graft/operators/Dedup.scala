@@ -512,6 +512,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_audit — the approximate-vs-exact dedup audit every production
+    * pipeline should run on a sample before trusting its ANN dedup: the
+    * MinHash-LSH candidate pairs and the est-Jaccard-verified subset are
+    * scored against the EXACT PPJoin pairs (`ngramJaccard`) as
+    * precision/recall. One summary row, all counts integers — hash-exact.
+    *
+    * Scale shape: both pair sets are already structurally bounded (prefix
+    * filtering / band occupancy); the audit adds one full-outer join on
+    * the pair key and one global fold. At 100 TB this runs on a sampled
+    * shard — the plan is identical, only the input filter changes.
+    */
+  def dedupAudit(t: Tables): DataFrame = {
+    val exact = ngramJaccard(t).select(col("da"), col("db"), lit(1).as("is_exact"))
+    val est = minhashCandidatePairs(t)
+      .select(col("da"), col("db"), lit(1).as("is_cand"),
+        (col("est_jaccard") >= jaccardTau).cast("int").as("is_pred"))
+    exact.join(est, Seq("da", "db"), "full_outer")
+      .agg(
+        sum(coalesce(col("is_exact"), lit(0))).as("n_exact"),
+        sum(coalesce(col("is_cand"), lit(0))).as("n_candidates"),
+        sum(coalesce(col("is_pred"), lit(0))).as("n_predicted"),
+        sum(when(col("is_exact") === 1 && col("is_cand") === 1, 1).otherwise(0))
+          .as("n_cand_hits"),
+        sum(when(col("is_exact") === 1 && col("is_pred") === 1, 1).otherwise(0))
+          .as("n_pred_hits"))
+      .select(col("n_exact"), col("n_candidates"), col("n_predicted"),
+        col("n_cand_hits"), col("n_pred_hits"),
+        // a dup-free corpus has nothing to score — NULL, not a crash
+        when(col("n_predicted") > 0,
+          floor(col("n_pred_hits") * 10000.0 / col("n_predicted")) / 10000)
+          .as("precision_pred"),
+        when(col("n_exact") > 0,
+          floor(col("n_pred_hits") * 10000.0 / col("n_exact")) / 10000)
+          .as("recall_pred"))
+  }
+
   /** Paragraph granularity for span-level dedup: fixed 8-word chunks (the
     * corpus has no sentence punctuation; real pipelines split on newlines /
     * sentence boundaries — same plan, different splitter).

@@ -1160,6 +1160,34 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup audit counts are mutually consistent and catch a planted dup") {
+    val r = Dedup.dedupAudit(t).collect().head
+    val (ne, nc, np) = (r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_candidates"), r.getAs[Long]("n_predicted"))
+    val (nch, nph) = (r.getAs[Long]("n_cand_hits"), r.getAs[Long]("n_pred_hits"))
+    assert(np <= nc, "verified subset exceeds the candidate set")
+    assert(nph <= np && nph <= ne)
+    assert(nch <= nc && nch <= ne)
+    assert(r.getAs[Double]("precision_pred") ==
+      math.floor(nph * 10000.0 / np) / 10000)
+    assert(r.getAs[Double]("recall_pred") ==
+      math.floor(nph * 10000.0 / ne) / 10000)
+    // planted corpus: one true dup pair among unrelated docs -> the audit
+    // reads exactly one pair on every axis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"),
+      (4L, "sun moon star cloud rain wind")
+    ).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val p = Dedup.dedupAudit(t2).collect().head
+    assert(p.getAs[Long]("n_exact") == 1)
+    assert(p.getAs[Long]("n_pred_hits") == 1)
+    assert(p.getAs[Double]("recall_pred") == 1.0)
+  }
+
   test("temperature mixing boosts the tail and damps the head") {
     val rows = TrainData.mixTemperature(t).collect()
     assert(rows.length > 1)
