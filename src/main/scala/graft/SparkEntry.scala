@@ -185,6 +185,8 @@ object SparkEntry {
     "dedup_keep_best"         -> ((s, d) => Dedup.keepBest(tables(s, d))),
     "mix_temperature"         -> ((s, d) => TrainData.mixTemperature(tables(s, d))),
     "dedup_audit"             -> ((s, d) => Dedup.dedupAudit(tables(s, d))),
+    "pipeline_curation_llm"   -> ((s, d) => TrainData.curationLlm(tables(s, d))),
+    "mix_budget"              -> ((s, d) => TrainData.mixBudget(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
     "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d)))
@@ -3298,6 +3300,102 @@ object SparkEntry {
              AS recall_pred
          FROM n1, n2, n3, n4, n5"""
     },
+    "pipeline_curation_llm" -> {
+      import TextAnalysis._
+      val g = TrainData.contamGram
+      val (bk, tm) = (TrainData.dsirBuckets, TrainData.dsirTargetMod)
+      val reqList = inList(gopherRequiredWords)
+      s"""WITH d AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+           FROM documents),
+         sig AS (SELECT doc_id, w, h, len(w) AS tok,
+                 floor(CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS mean_word_len,
+                 floor(CAST(len(list_filter(w, x -> x = '#' OR x LIKE '%...%'))
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS symbol_ratio,
+                 floor(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS alpha_frac,
+                 len(list_filter(w, x -> x IN ($reqList))) AS stop_hits
+               FROM d),
+         dd AS (SELECT sig.* FROM sig
+                JOIN (SELECT h, min(doc_id) AS keep_id FROM sig GROUP BY h) k
+                  ON sig.h = k.h AND sig.doc_id = k.keep_id),
+         gs AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(w) - ${g - 1}),
+                    i -> array_to_string(w[i : i + ${g - 1}], ' '))) AS grams
+                FROM dd WHERE len(w) >= $g),
+         e AS (SELECT DISTINCT unnest(grams) AS gram FROM gs
+               WHERE doc_id % ${TrainData.contamEvalMod} = 0),
+         bad AS (SELECT DISTINCT tr.doc_id
+                 FROM (SELECT doc_id, unnest(grams) AS gram FROM gs
+                       WHERE doc_id % ${TrainData.contamEvalMod} <> 0) tr
+                 JOIN e ON tr.gram = e.gram),
+         dg AS (SELECT doc_id, w,
+                 CASE WHEN len(w) >= 2
+                   THEN list_transform(generate_series(1, len(w)-1),
+                          i -> concat(w[i], ' ', w[i+1]))
+                   ELSE [] END AS bg
+               FROM d),
+         fx AS MATERIALIZED (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % $bk AS b,
+                 doc_id % $tm = 0 AS is_target
+               FROM (SELECT doc_id, unnest(list_concat(w, bg)) AS x FROM dg)),
+         dcnt AS MATERIALIZED (SELECT b,
+                 sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b,
+                 sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS s_b
+               FROM fx GROUP BY b),
+         dtot AS (SELECT sum(t_b) AS tt, sum(s_b) AS ts FROM dcnt),
+         ddim AS (SELECT b,
+                 log2(CAST(t_b + 1 AS DOUBLE) / (tt + $bk))
+                   - log2(CAST(s_b + 1 AS DOUBLE) / (ts + $bk)) AS lr
+               FROM dcnt, dtot),
+         dscore AS (SELECT fx.doc_id, floor(sum(lr) * 100) / 100 AS log_weight
+                    FROM fx JOIN ddim USING (b) WHERE NOT is_target
+                    GROUP BY fx.doc_id),
+         clean AS (SELECT dd.doc_id,
+                     (dd.doc_id % 100003) * 2654435761 % 1000000
+                       % ${TrainData.packShards} AS shard,
+                     CAST(dd.tok AS BIGINT) AS tok, dscore.log_weight
+                   FROM dd JOIN dscore ON dd.doc_id = dscore.doc_id
+                   WHERE dd.doc_id % ${TrainData.contamEvalMod} <> 0
+                     AND dd.doc_id NOT IN (SELECT doc_id FROM bad)
+                     AND dd.tok >= $gopherMinWords AND dd.tok <= $gopherMaxWords
+                     AND dd.mean_word_len >= $gopherMeanLenLo
+                     AND dd.mean_word_len <= $gopherMeanLenHi
+                     AND dd.symbol_ratio <= $gopherSymbolRatioMax
+                     AND dd.alpha_frac >= $gopherAlphaFracMin
+                     AND dd.stop_hits >= $gopherMinStopHits
+                     AND dscore.log_weight >= 0.0),
+         c AS (SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM clean)
+         SELECT doc_id, shard, tok, log_weight,
+           CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin
+         FROM c ORDER BY doc_id"""
+    },
+    "mix_budget" ->
+      s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         tot AS (SELECT list_reduce(list_prepend(0.0,
+                   list_transform(list(n ORDER BY source),
+                     x -> sqrt(CAST(x AS DOUBLE)))),
+                   (a, b) -> a + b) AS s_total
+               FROM cnt),
+         q AS (SELECT source,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) / s_total
+                   * ${TrainData.mixBudgetTokens}) AS BIGINT) AS quota
+               FROM cnt, tot),
+         d AS (SELECT doc_id, source,
+                 len(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+                 CAST(concat('0x', substring(md5(concat('budget:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord_key
+               FROM documents),
+         c AS (SELECT *, sum(tok) OVER (PARTITION BY source
+                 ORDER BY ord_key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+               FROM d)
+         SELECT doc_id, source, CAST(tok AS BIGINT) AS tok,
+           CAST(cum AS BIGINT) AS cum, quota, cum <= quota AS keep
+         FROM c JOIN q USING (source) ORDER BY doc_id""",
     "mix_temperature" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,

@@ -479,7 +479,14 @@ object TextAnalysis {
     * conjunction. Ratios are floored BEFORE thresholding so batch and
     * oracle agree on boundary values.
     */
-  def gopherQuality(t: Tables): DataFrame = {
+  /** The five floored Gopher signal columns over `w` — ONE definition for
+    * the standalone operator and the curation chain, so the gate cannot
+    * drift. Order: n_words, mean_word_len, symbol_ratio, alpha_frac,
+    * stop_hits.
+    */
+  def gopherSignalCols: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) = {
     val reqList = gopherRequiredWords.map(w => s"'$w'").mkString(", ")
     val n = size(col("w"))
     val meanLen = floor(expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double")
@@ -490,6 +497,21 @@ object TextAnalysis {
     val alphaFrac = floor(
       size(expr("filter(w, x -> x rlike '[a-z]')")).cast("double") / n * 10000) / 10000
     val stopHits = expr(s"size(filter(w, x -> x IN ($reqList)))")
+    (n, meanLen, symbolRatio, alphaFrac, stopHits)
+  }
+
+  /** The whole published rule battery as one keep verdict. */
+  def gopherKeepCol: org.apache.spark.sql.Column = {
+    val (n, meanLen, symbolRatio, alphaFrac, stopHits) = gopherSignalCols
+    n >= gopherMinWords && n <= gopherMaxWords &&
+      meanLen >= gopherMeanLenLo && meanLen <= gopherMeanLenHi &&
+      symbolRatio <= gopherSymbolRatioMax &&
+      alphaFrac >= gopherAlphaFracMin &&
+      stopHits >= gopherMinStopHits
+  }
+
+  def gopherQuality(t: Tables): DataFrame = {
+    val (n, meanLen, symbolRatio, alphaFrac, stopHits) = gopherSignalCols
     docsW(t)
       .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
         symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),

@@ -324,6 +324,60 @@ object TrainData {
       .orderBy(col("doc_id"))
   }
 
+  /** pipeline_curation_llm — the MODERN curation chain as ONE declarative
+    * plan, composing this round's published-method gates the way a
+    * current pretraining pipeline actually stacks them:
+    *
+    *   exact dedup (min doc_id per normalized-text hash)
+    *   → decontaminate (any shared eval 8-gram drops the doc)
+    *   → the full Gopher rule battery (`gopherKeepCol` — shared with #72)
+    *   → DSIR importance selection (log-weight ≥ 0 against the corpus
+    *     histograms — shared operator, shared oracle arithmetic)
+    *   → pack survivors into token-budget bins (sharded contiguous fill).
+    *
+    * Output: the trainer manifest — one row per surviving doc with its
+    * pack assignment and the importance weight that admitted it.
+    * `pipeline_curation` remains the heuristic-gate cousin; this is the
+    * classifier-gated one.
+    *
+    * Cost shape at 100 TB: one documents scan feeds dedup, grams, gates
+    * and the DSIR features; the wide steps are the 16-byte-hash dedup
+    * groupBy, the broadcast eval-gram probe, the 64-row histogram
+    * broadcast and the per-shard packing window. Nothing quadratic;
+    * every stage's filter shrinks the next shuffle.
+    */
+  def curationLlm(t: Tables): DataFrame = {
+    val docs = Dedup.withWords(t.documents)
+      .select(col("doc_id"), col("w"), Dedup.normalizedMd5.as("h"),
+        size(col("w")).cast("long").as("tok"),
+        TextAnalysis.gopherKeepCol.as("gkeep"))
+    val deduped = docs.join(
+      docs.groupBy("h").agg(min(col("doc_id")).as("keep_id")),
+      "h").filter(col("doc_id") === col("keep_id"))
+    val isEval = col("doc_id") % contamEvalMod === 0
+    val grams = gramHashes(deduped)
+    val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+    val contaminated = grams.filter(!isEval).join(evalGrams, "gh")
+      .select(col("doc_id")).distinct()
+    val selected = dsirImportance(t).filter(col("selected"))
+      .select(col("doc_id"), col("log_weight"))
+    val clean = deduped
+      .filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("gkeep"))
+      .join(selected, "doc_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean
+      .select(col("doc_id"), (mix(col("doc_id")) % packShards).as("shard"),
+        col("tok"), col("log_weight"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("tok"), col("log_weight"),
+        floor((col("cum") - col("tok")).cast("double") / packBudget).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Chunk window size / stride in whitespace tokens. Stride < size ⇒
     * overlapping windows (the RAG-indexing default; packing uses
     * stride = size).
@@ -497,7 +551,13 @@ object TrainData {
     * broadcast. Scale shape: one map-side-combined groupBy + two 1-row
     * broadcasts.
     */
-  def mixTemperature(t: Tables): DataFrame = {
+  /** Per-source raw and temperature shares (unfloored — callers floor at
+    * their own precision): (source, n_docs, rs, ts). The Σ√n denominator
+    * is an ordered fold (sorted collect, left-assoc accumulate) because a
+    * plain double SUM is shuffle-order-dependent and could never
+    * hash-match.
+    */
+  private def temperatureShares(t: Tables): DataFrame = {
     val counts = t.documents.groupBy("source").agg(count(lit(1)).as("n"))
     val tot = counts.agg(
       sum(col("n")).as("n_total"),
@@ -505,11 +565,14 @@ object TrainData {
         sort_array(collect_list(struct(col("source").as("s"), col("n").as("c")))),
         lit(0.0),
         (a, x) => a + sqrt(x.getField("c").cast("double"))).as("s_total"))
-    val j = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .select(col("source"), col("n").as("n_docs"),
         (col("n").cast("double") / col("n_total")).as("rs"),
         (sqrt(col("n").cast("double")) / col("s_total")).as("ts"))
-      .withColumn("raw_boost", col("ts") / col("rs"))
+  }
+
+  def mixTemperature(t: Tables): DataFrame = {
+    val j = temperatureShares(t).withColumn("raw_boost", col("ts") / col("rs"))
     val mx = j.agg(max(col("raw_boost")).as("mb"))
     j.crossJoin(broadcast(mx))
       .select(col("source"), col("n_docs"),
@@ -518,6 +581,43 @@ object TrainData {
         (floor(col("raw_boost") * 10000) / 10000).as("boost"),
         (floor(col("raw_boost") / col("mb") * 10000) / 10000).as("keep_rate"))
       .orderBy(col("source"))
+  }
+
+  /** Total token budget for the budgeted mix (prod: the training-run
+    * token count, e.g. 1e12; 10k bites at every test sf).
+    */
+  val mixBudgetTokens = 10000L
+
+  /** mix_budget — "make me exactly a B-token mix": each source gets the
+    * token quota its temperature share earns (`⌊ts_i · B⌋`), documents
+    * fill the quota in the deterministic hash order (the same
+    * reproducible-shuffle discipline as `shardAssign` — an RNG order
+    * could never be audited or replayed), and a document is kept while
+    * its running in-source token sum fits. The composition of
+    * `mixTemperature` (the shares) with `packSequences`' running-window
+    * shape — how a real mixture spec turns into a concrete corpus cut.
+    *
+    * Scale shape: shares are a config-sized broadcast; the fill is ONE
+    * per-source window; the gate fuses into the scan for downstream
+    * consumers. Quota boundaries are integers (`⌊ts·B⌋`), so the keep
+    * verdict is exact on both engines.
+    */
+  def mixBudget(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = temperatureShares(t)
+      .select(col("source"),
+        floor(col("ts") * mixBudgetTokens).cast("long").as("quota"))
+    val key = Dedup.portableHash(concat(lit("budget:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(col("ord_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Dedup.withWords(t.documents)
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("tok"), key.as("ord_key"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .join(broadcast(quotas), "source")
+      .select(col("doc_id"), col("source"), col("tok"), col("cum"), col("quota"),
+        (col("cum") <= col("quota")).as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** DSIR hashed-feature dimensionality (prod: 10k buckets; 64 keeps the

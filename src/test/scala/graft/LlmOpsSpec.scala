@@ -1188,6 +1188,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("recall_pred") == 1.0)
   }
 
+  test("llm curation chain survivors pass every standalone gate") {
+    val out = TrainData.curationLlm(t).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    // exact-dedup winners only
+    val winners = Dedup.exact(t).collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(ids.subsetOf(winners))
+    // never an eval doc
+    assert(ids.forall(_ % TrainData.contamEvalMod != 0))
+    // every survivor clears the full Gopher battery
+    val gopher = TextAnalysis.gopherQuality(t).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.subsetOf(gopher))
+    // and the DSIR selection, carrying its weight into the manifest
+    val dsir = TrainData.dsirImportance(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("selected"), r.getAs[Double]("log_weight"))).toMap
+    out.foreach { r =>
+      val (sel, lw) = dsir(r.getAs[Long]("doc_id"))
+      assert(sel)
+      assert(r.getAs[Double]("log_weight") == lw)
+      assert(r.getAs[Long]("bin") >= 0)
+    }
+  }
+
+  test("budgeted mix fills each source quota prefix-wise and stays in budget") {
+    val rows = TrainData.mixBudget(t).collect()
+    assert(rows.length == t.documents.count())
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, g) =>
+      val quota = g.head.getAs[Long]("quota")
+      g.foreach(r => assert(r.getAs[Long]("quota") == quota))
+      val kept = g.filter(_.getAs[Boolean]("keep"))
+      assert(kept.map(_.getAs[Long]("tok")).sum <= quota)
+      // keep is exactly the fill-order prefix: every kept cum <= every
+      // dropped cum within the source
+      val dropped = g.filterNot(_.getAs[Boolean]("keep"))
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_.getAs[Long]("cum")).max <
+          dropped.map(_.getAs[Long]("cum")).min)
+    }
+    // quotas sum to the budget, up to one floor per source
+    val quotas = rows.groupBy(_.getAs[String]("source"))
+      .map(_._2.head.getAs[Long]("quota")).sum
+    assert(quotas <= TrainData.mixBudgetTokens)
+    assert(quotas > TrainData.mixBudgetTokens - rows.map(_.getAs[String]("source")).distinct.length)
+  }
+
   test("temperature mixing boosts the tail and damps the head") {
     val rows = TrainData.mixTemperature(t).collect()
     assert(rows.length > 1)
