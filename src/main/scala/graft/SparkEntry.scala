@@ -186,6 +186,8 @@ object SparkEntry {
     "mix_temperature"         -> ((s, d) => TrainData.mixTemperature(tables(s, d))),
     "dedup_audit"             -> ((s, d) => Dedup.dedupAudit(tables(s, d))),
     "pipeline_curation_llm"   -> ((s, d) => TrainData.curationLlm(tables(s, d))),
+    "emb_dedup_pq"            -> ((s, d) => Sim.pqDedup(tables(s, d))),
+    "text_perplexity_bucket"  -> ((s, d) => TextAnalysis.perplexityBucket(tables(s, d))),
     "mix_budget"              -> ((s, d) => TrainData.mixBudget(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
@@ -3374,6 +3376,40 @@ object SparkEntry {
            CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin
          FROM c ORDER BY doc_id"""
     },
+    "emb_dedup_pq" -> {
+      val m = Sim.pqM
+      val codeCols = (0 until m)
+        .map(j => s"CAST(sum(CASE WHEN m = $j THEN code END) AS BIGINT) AS code$j")
+        .mkString(",\n           ")
+      val keyCols = (0 until m).map(j => s"code$j").mkString(", ")
+      s"""WITH $pqEncodeCtes,
+         cd AS (SELECT vec_id,
+           $codeCols
+           FROM b GROUP BY vec_id),
+         k AS (SELECT vec_id, concat_ws(':', $keyCols) AS code_key FROM cd)
+         SELECT vec_id, code_key,
+           count(*) OVER (PARTITION BY code_key) AS n_same_code,
+           vec_id = min(vec_id) OVER (PARTITION BY code_key) AS keep
+         FROM k ORDER BY vec_id"""
+    },
+    "text_perplexity_bucket" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents),
+         tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+         v AS (SELECT tok, count(*) AS tf FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM v),
+         s AS (SELECT tk.doc_id, -log2(CAST(v.tf AS DOUBLE) / tot.n_total) AS nll
+               FROM tk JOIN v ON tk.tok = v.tok CROSS JOIN tot),
+         lm AS (SELECT doc_id, floor(sum(nll) / count(*) * 100) / 100 AS mean_nll
+                FROM s GROUP BY doc_id),
+         bk AS (SELECT lm.doc_id, doc.lang, lm.mean_nll,
+                 ntile(3) OVER (PARTITION BY doc.lang
+                   ORDER BY lm.mean_nll, lm.doc_id) AS bucket
+               FROM lm JOIN documents doc ON lm.doc_id = doc.doc_id)
+         SELECT doc_id, lang, mean_nll, bucket,
+           CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+             ELSE 'tail' END AS band
+         FROM bk ORDER BY doc_id""",
     "mix_budget" ->
       s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          tot AS (SELECT list_reduce(list_prepend(0.0,

@@ -616,6 +616,26 @@ object Sim {
       pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
         .filter(col("vec_id") =!= col("query_id")))
 
+  /** emb_dedup_pq — near-dup candidates at 4 bytes a vector: two vectors
+    * whose PQ codes agree on EVERY subspace sit in the same Voronoi cell
+    * of the product space, the cheapest possible semantic-dup screen
+    * (SemDeDup's cluster-pair work, collapsed to a hash groupBy on the
+    * code tuple — no pairwise step at all). Production runs this as the
+    * first pass over the code table it already keeps for search, then
+    * exact-verifies survivors (`dedup_embedding_cosine`). Keep rule:
+    * min vec_id per cell.
+    */
+  def pqDedup(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = concat_ws(":", (0 until pqM).map(m => col(s"code$m")): _*)
+    val w = Window.partitionBy("code_key")
+    pqEncode(t)
+      .select(col("vec_id"), key.as("code_key"))
+      .withColumn("n_same_code", count(lit(1)).over(w))
+      .withColumn("keep", col("vec_id") === min(col("vec_id")).over(w))
+      .orderBy(col("vec_id"))
+  }
+
   /** Coarse lists probed per query in the IVF-PQ composition. */
   val ivfPqProbes = 3
 

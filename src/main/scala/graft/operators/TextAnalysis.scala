@@ -453,6 +453,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** text_perplexity_bucket — the CCNet split (Wenzek et al. 2020): rank
+    * each language's documents by LM score and cut into head / middle /
+    * tail tertiles — the quality tiers the CCNet recipe keeps, samples
+    * and drops respectively. The score is the unigram-LM mean NLL (#56's
+    * operator — shared plan); the split is an `ntile(3)` per language,
+    * totally ordered by (mean_nll, doc_id) so both engines cut
+    * identically. Scale shape: ONE per-language window; a single
+    * overwhelming language uses sampled thresholds in production (two
+    * broadcast literals — the plan, not the semantics, changes).
+    */
+  def perplexityBucket(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("mean_nll"), col("doc_id"))
+    unigramLm(t)
+      .join(t.documents.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("mean_nll"), col("bucket"),
+        when(col("bucket") === 1, "head").when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher rule thresholds (Rae et al. 2021, Appendix A — the published
     * values, not tuned to this corpus): document word count in
     * [50, 100000], mean word length in [3, 10], symbol-to-word ratio

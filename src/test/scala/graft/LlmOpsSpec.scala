@@ -1188,6 +1188,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("recall_pred") == 1.0)
   }
 
+  test("pq cell dedup groups planted twins and keeps the lowest id") {
+    import spark.implicits._
+    val base = t.spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twin = base.filter(col("vec_id") === 3)
+      .select(lit(600L).as("vec_id"), col("embedding"))
+    val planted = base.union(twin)
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = planted }
+    val byId = Sim.pqDedup(t2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(3L).getAs[String]("code_key") == byId(600L).getAs[String]("code_key"))
+    assert(byId(3L).getAs[Long]("n_same_code") >= 2)
+    assert(byId(3L).getAs[Boolean]("keep"))
+    assert(!byId(600L).getAs[Boolean]("keep"))
+    // exactly one keeper per cell
+    byId.values.groupBy(_.getAs[String]("code_key")).values.foreach { g =>
+      assert(g.count(_.getAs[Boolean]("keep")) == 1)
+      assert(g.forall(_.getAs[Long]("n_same_code") == g.size))
+    }
+  }
+
+  test("perplexity buckets split each language into balanced ordered tertiles") {
+    val rows = TextAnalysis.perplexityBucket(t).collect()
+    assert(rows.length == t.documents.count())
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { g =>
+      val sizes = g.groupBy(_.getAs[Int]("bucket")).view.mapValues(_.size).toMap
+      if (g.size >= 3) {
+        assert(sizes.keySet == Set(1, 2, 3))
+        assert(sizes.values.max - sizes.values.min <= 1)
+        val head = g.filter(_.getAs[String]("band") == "head")
+          .map(_.getAs[Double]("mean_nll"))
+        val tail = g.filter(_.getAs[String]("band") == "tail")
+          .map(_.getAs[Double]("mean_nll"))
+        assert(head.max <= tail.min ||
+          g.map(_.getAs[Double]("mean_nll")).distinct.length < 3)
+      }
+    }
+  }
+
   test("llm curation chain survivors pass every standalone gate") {
     val out = TrainData.curationLlm(t).collect()
     assert(out.nonEmpty)
