@@ -187,6 +187,7 @@ object SparkEntry {
     "dedup_audit"             -> ((s, d) => Dedup.dedupAudit(tables(s, d))),
     "pipeline_curation_llm"   -> ((s, d) => TrainData.curationLlm(tables(s, d))),
     "emb_dedup_pq"            -> ((s, d) => Sim.pqDedup(tables(s, d))),
+    "emb_pq_residual"         -> ((s, d) => Sim.pqResidual(tables(s, d))),
     "text_perplexity_bucket"  -> ((s, d) => TextAnalysis.perplexityBucket(tables(s, d))),
     "mix_budget"              -> ((s, d) => TrainData.mixBudget(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
@@ -3375,6 +3376,39 @@ object SparkEntry {
          SELECT doc_id, shard, tok, log_weight,
            CAST(floor((cum - tok) / ${TrainData.packBudget}.0) AS BIGINT) AS bin
          FROM c ORDER BY doc_id"""
+    },
+    "emb_pq_residual" -> {
+      val (m, sd, k) = (Sim.pqM, Sim.pqSubDim, Sim.pqK)
+      val nc = Sim.nCentroids
+      val codeCols = (0 until m)
+        .map(j => s"CAST(sum(CASE WHEN m = $j THEN code END) AS BIGINT) AS code$j")
+        .mkString(",\n           ")
+      val errSum = (0 until m)
+        .map(j => s"sum(CASE WHEN m = $j THEN dist END)").mkString(" + ")
+      val outCodes = (0 until m).map(j => s"code$j").mkString(", ")
+      s"""WITH $centroidAssignCtes,
+         res AS MATERIALIZED (SELECT a.vec_id, a.cluster,
+                 list_transform(generate_series(1, ${Sim.expectedDims}),
+                   i -> a.v[i] - c.cv[i]) AS rv
+               FROM a JOIN c ON a.cluster = c.cluster),
+         rb AS (SELECT vec_id AS code, rv AS bv FROM res
+                WHERE vec_id >= $nc AND vec_id < ${nc + k}),
+         rp AS (SELECT res.vec_id, rb.code, m.m,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                   i -> (res.rv[m.m*$sd+i] - rb.bv[m.m*$sd+i])
+                        * (res.rv[m.m*$sd+i] - rb.bv[m.m*$sd+i]))),
+                   (x, y) -> x + y) AS dist
+               FROM res CROSS JOIN rb
+                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
+         rr AS (SELECT vec_id, m, code, dist, row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM rp),
+         rbb AS (SELECT vec_id, m, code, dist FROM rr WHERE rk = 1),
+         enc AS (SELECT vec_id,
+           $codeCols,
+           floor(($errSum) * 10000) / 10000 AS recon_err
+           FROM rbb GROUP BY vec_id)
+         SELECT enc.vec_id, res.cluster, $outCodes, recon_err
+         FROM enc JOIN res ON enc.vec_id = res.vec_id ORDER BY enc.vec_id"""
     },
     "emb_dedup_pq" -> {
       val m = Sim.pqM

@@ -519,18 +519,19 @@ object Sim {
     * column-wise (d0+…+d7, fixed order) so the 4dp floor is exact on
     * both engines.
     */
-  def pqEncode(t: Tables): DataFrame = {
-    val e = vecs(t)
-    val cents = broadcast(
-      e.filter(col("vec_id") < pqK).select(col("vec_id").as("code"), col("v").as("cv")))
-    // per-subspace L2 fold, generated with the subspace offset inlined —
-    // ascending i, left-assoc, matching the oracle's list_reduce
+  /** The PQ assignment core: encode `data` (vec_id, xv) against `book`
+    * (code, bv) — per-subspace argmin-L2 codes (ties → lower code) + the
+    * column-wise error sum (fixed order ⇒ 4dp floor exact). The
+    * per-subspace L2 folds generate with the offset inlined — ascending
+    * i, left-assoc, matching the oracle's list_reduce.
+    */
+  private def pqAssignCodes(data: DataFrame, book: DataFrame): DataFrame = {
     val dists = (0 until pqM).map { m =>
       val off = m * pqSubDim
       expr(s"aggregate(sequence(0, ${pqSubDim - 1}), cast(0.0 as double), " +
-        s"(a, i) -> a + (v[$off+i]-cv[$off+i])*(v[$off+i]-cv[$off+i]))")
+        s"(a, i) -> a + (xv[$off+i]-bv[$off+i])*(xv[$off+i]-bv[$off+i]))")
     }
-    val exploded = e.crossJoin(cents)
+    val exploded = data.crossJoin(broadcast(book))
       .select(col("vec_id"), col("code"),
         posexplode(array(dists: _*)).as(Seq("m", "dist")))
     // lexicographic struct-min = (dist asc, code asc) — the tie rule
@@ -546,6 +547,41 @@ object Sim {
     best.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id") +: (0 until pqM).map(m => col(s"code$m")) :+
         (floor(errSum * 10000) / 10000).as("recon_err"): _*)
+  }
+
+  def pqEncode(t: Tables): DataFrame = {
+    val e = vecs(t)
+    val cents =
+      e.filter(col("vec_id") < pqK).select(col("vec_id").as("code"), col("v").as("bv"))
+    pqAssignCodes(e.select(col("vec_id"), col("v").as("xv")), cents)
+      .orderBy(col("vec_id"))
+  }
+
+  /** emb_pq_residual — RESIDUAL product quantization, the faithful IVF-PQ
+    * encode (Jégou et al. 2011 §III): each vector first routes to its
+    * coarse centroid (the shared `assignToCentroids` rule), and PQ
+    * quantizes the RESIDUAL v − c(v) — residual norms are far smaller
+    * than vector norms, so the same 4 bytes buy much lower
+    * reconstruction error. The residual codebook follows the
+    * deterministic low-id rule on the first `pqK` NON-centroid vectors'
+    * residuals (centroid vectors' residuals are identically zero and
+    * would waste codewords). Closes the global-code simplification
+    * documented on `sim_ann_ivfpq`. Hash-checked end-to-end.
+    */
+  def pqResidual(t: Tables): DataFrame = {
+    val cents = broadcast(vecs(t).filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cluster"), col("v").as("cv")))
+    val res = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))
+      .join(cents, "cluster")
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
+    val book = res
+      .filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + pqK)
+      .select(col("vec_id").as("code"), col("rv").as("bv"))
+    pqAssignCodes(res.select(col("vec_id"), col("rv").as("xv")), book)
+      .join(res.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until pqM).map(m => col(s"code$m")) :+ col("recon_err"): _*)
       .orderBy(col("vec_id"))
   }
 

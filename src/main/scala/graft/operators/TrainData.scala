@@ -27,6 +27,11 @@ object TrainData {
   private def mix(c: org.apache.spark.sql.Column) =
     (c % 100003L) * 2654435761L % 1000000L
 
+  /** The deterministic key mix, exposed for streaming legs that must
+    * shard exactly like the batch operators.
+    */
+  def keyMix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = mix(c)
+
   /** sample_stratified — deterministic stratified sampling: each stratum
     * keeps `rate` of its rows, chosen by the key mix, NOT by RNG — so the
     * sample is reproducible across runs, clusters and repartitioning

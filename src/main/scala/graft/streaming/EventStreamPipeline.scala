@@ -900,6 +900,49 @@ object EventStreamPipeline {
       .withColumn("selected", col("log_weight") >= 0.0)
   }
 
+  case class PackState(cum: Long)
+  case class PackAssign(docId: Long, shard: Long, tok: Long, bin: Long)
+
+  /** Sequence packing LIVE (the streaming face of #51 pack_sequences):
+    * each shard's keyed state carries ONE long — the running token sum —
+    * and every arriving document lands in the bin its first token falls
+    * into, exactly the batch rule (`⌊cum_before / budget⌋`, integer
+    * division — identical to the batch double-floor on non-negative
+    * longs). This is how a trainer's data service fills context windows
+    * from a live feed: per-shard sequential fill, shard count = the
+    * parallelism knob, O(shards) state total.
+    *
+    * Within a micro-batch a shard's arrivals sort by doc_id, so a
+    * doc_id-ordered feed reproduces the batch packing bit for bit (the
+    * spec proves it across day-sliced files); an unordered feed still
+    * packs correctly, just in arrival order — the same contract as the
+    * batch operator under a different document order.
+    */
+  def packStream(docs: DataFrame): Dataset[PackAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.{Dedup, TrainData}
+    docs
+      .withColumn("w", Dedup.wordsCol)
+      .select(col("doc_id"),
+        (TrainData.keyMix(col("doc_id")) % TrainData.packShards).as("shard"),
+        size(col("w")).cast("long").as("tok"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, tok) =>
+            val bin = cum / TrainData.packBudget
+            cum += tok
+            PackAssign(id, shard, tok, bin)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   case class PhashAdmit(dhash: Long, docId: Long)
 
   /** The image-ingest admission gate LIVE (the streaming face of

@@ -1209,6 +1209,48 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("residual pq self-encodes its codebook and wins on clustered data") {
+    import spark.implicits._
+    // the real corpus embeddings are near-orthogonal noise (no cluster
+    // structure), where residual coding CANNOT win — the claim needs a
+    // planted clustered corpus: 8 well-separated centroids, data =
+    // centroid + small deterministic perturbation
+    def cent(k: Int): Array[Double] =
+      Array.tabulate(64)(i => if (i == k * 8) 10.0 else 0.0)
+    def noise(id: Long): Array[Double] =
+      Array.tabulate(64)(i => 0.3 * math.sin(id * 64 + i))
+    val rows = (0L until 124L).map { id =>
+      val v =
+        if (id < 8) cent(id.toInt)
+        else {
+          val k = (id % 8).toInt
+          cent(k).zip(noise(id)).map { case (a, b) => a + b }
+        }
+      (id, v.toSeq)
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = planted }
+    val res = Sim.pqResidual(t2).collect()
+    val glob = Sim.pqEncode(t2).collect()
+    // codebook-source vectors (the pqK lowest non-centroid ids)
+    // self-encode at zero error
+    res.filter { r =>
+      val id = r.getAs[Long]("vec_id")
+      id >= Sim.nCentroids && id < Sim.nCentroids + Sim.pqK
+    }.foreach { r =>
+      assert(r.getAs[Double]("recon_err") == 0.0)
+      (0 until Sim.pqM).foreach(m =>
+        assert(r.getAs[Long](s"code$m") == r.getAs[Long]("vec_id")))
+    }
+    // every vector routes to its true cluster
+    res.foreach(r =>
+      assert(r.getAs[Long]("cluster") == r.getAs[Long]("vec_id") % 8))
+    // and on clustered data the residual coding reconstructs better
+    val mr = res.map(_.getAs[Double]("recon_err")).sum / res.length
+    val mg = glob.map(_.getAs[Double]("recon_err")).sum / glob.length
+    assert(mr < mg, s"residual coding lost on clustered data: $mr vs $mg")
+  }
+
   test("perplexity buckets split each language into balanced ordered tertiles") {
     val rows = TextAnalysis.perplexityBucket(t).collect()
     assert(rows.length == t.documents.count())

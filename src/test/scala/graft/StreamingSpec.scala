@@ -475,6 +475,19 @@ class StreamingSpec extends SparkSpec {
     assert(n == got.size)
   }
 
+  test("streaming packer reproduces the batch bins across micro-batches") {
+    val docs = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
+    val out = EventStreamPipeline.packStream(docs)
+    runToMemory("packstream", out.toDF(), "append")
+    val got = spark.sql("SELECT docId, shard, tok, bin FROM packstream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val batch = graft.operators.TrainData.packSequences(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("tok"), r.getAs[Long]("bin"))).toMap
+    assert(got == batch, "streaming pack assignment diverged from batch")
+  }
+
   test("streaming dataset card converges to the batch corpus stats exactly") {
     val docs = spark.readStream.schema(t.documents.schema)
       .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
