@@ -188,6 +188,7 @@ object SparkEntry {
     "pipeline_curation_llm"   -> ((s, d) => TrainData.curationLlm(tables(s, d))),
     "emb_dedup_pq"            -> ((s, d) => Sim.pqDedup(tables(s, d))),
     "emb_pq_residual"         -> ((s, d) => Sim.pqResidual(tables(s, d))),
+    "sim_ann_ivfpq_residual"  -> ((s, d) => Sim.ivfPqResidualTopK(tables(s, d))),
     "text_perplexity_bucket"  -> ((s, d) => TextAnalysis.perplexityBucket(tables(s, d))),
     "mix_budget"              -> ((s, d) => TrainData.mixBudget(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
@@ -464,6 +465,33 @@ object SparkEntry {
   private val pqEncodeCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        ${pqEncodeChain("")}"""
+
+  /** Residual-PQ CTE chain (composes after `centroidAssignCtes` — uses
+    * its `a`, `c`, `e`): `res` = (vec_id, cluster, rv), `rb` = the
+    * residual codebook (code, bv), `rbb` = (vec_id, m, code, dist) —
+    * shared by emb_pq_residual and sim_ann_ivfpq_residual so the encode
+    * the search scans is the encode the encoder emits.
+    */
+  private val pqResidualCtes: String = {
+    val (m, sd, k) = (Sim.pqM, Sim.pqSubDim, Sim.pqK)
+    val nc = Sim.nCentroids
+    s"""res AS MATERIALIZED (SELECT a.vec_id, a.cluster,
+             list_transform(generate_series(1, ${Sim.expectedDims}),
+               i -> a.v[i] - c.cv[i]) AS rv
+           FROM a JOIN c ON a.cluster = c.cluster),
+       rb AS (SELECT vec_id AS code, rv AS bv FROM res
+              WHERE vec_id >= $nc AND vec_id < ${nc + k}),
+       rp AS (SELECT res.vec_id, rb.code, m.m,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                 i -> (res.rv[m.m*$sd+i] - rb.bv[m.m*$sd+i])
+                      * (res.rv[m.m*$sd+i] - rb.bv[m.m*$sd+i]))),
+                 (x, y) -> x + y) AS dist
+             FROM res CROSS JOIN rb
+               CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
+       rr AS (SELECT vec_id, m, code, dist, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM rp),
+       rbb AS MATERIALIZED (SELECT vec_id, m, code, dist FROM rr WHERE rk = 1)"""
+  }
 
   /** Transitive dup-group CTE chain — the oracle mirror of
     * Dedup.dupGroups' fixpoint as a recursive transitive closure, shared
@@ -3378,8 +3406,7 @@ object SparkEntry {
          FROM c ORDER BY doc_id"""
     },
     "emb_pq_residual" -> {
-      val (m, sd, k) = (Sim.pqM, Sim.pqSubDim, Sim.pqK)
-      val nc = Sim.nCentroids
+      val m = Sim.pqM
       val codeCols = (0 until m)
         .map(j => s"CAST(sum(CASE WHEN m = $j THEN code END) AS BIGINT) AS code$j")
         .mkString(",\n           ")
@@ -3387,28 +3414,52 @@ object SparkEntry {
         .map(j => s"sum(CASE WHEN m = $j THEN dist END)").mkString(" + ")
       val outCodes = (0 until m).map(j => s"code$j").mkString(", ")
       s"""WITH $centroidAssignCtes,
-         res AS MATERIALIZED (SELECT a.vec_id, a.cluster,
-                 list_transform(generate_series(1, ${Sim.expectedDims}),
-                   i -> a.v[i] - c.cv[i]) AS rv
-               FROM a JOIN c ON a.cluster = c.cluster),
-         rb AS (SELECT vec_id AS code, rv AS bv FROM res
-                WHERE vec_id >= $nc AND vec_id < ${nc + k}),
-         rp AS (SELECT res.vec_id, rb.code, m.m,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
-                   i -> (res.rv[m.m*$sd+i] - rb.bv[m.m*$sd+i])
-                        * (res.rv[m.m*$sd+i] - rb.bv[m.m*$sd+i]))),
-                   (x, y) -> x + y) AS dist
-               FROM res CROSS JOIN rb
-                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
-         rr AS (SELECT vec_id, m, code, dist, row_number() OVER (
-                 PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM rp),
-         rbb AS (SELECT vec_id, m, code, dist FROM rr WHERE rk = 1),
+         $pqResidualCtes,
          enc AS (SELECT vec_id,
            $codeCols,
            floor(($errSum) * 10000) / 10000 AS recon_err
            FROM rbb GROUP BY vec_id)
          SELECT enc.vec_id, res.cluster, $outCodes, recon_err
          FROM enc JOIN res ON enc.vec_id = res.vec_id ORDER BY enc.vec_id"""
+    },
+    "sim_ann_ivfpq_residual" -> {
+      val (m, sd) = (Sim.pqM, Sim.pqSubDim)
+      val dCols = (0 until m)
+        .map(j => s"sum(CASE WHEN rbb.m = $j THEN d END) AS d$j")
+        .mkString(",\n           ")
+      val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
+      s"""WITH $centroidAssignCtes,
+         $pqResidualCtes,
+         pr AS (SELECT vec_id AS query_id, cluster FROM (
+                  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cluster) AS prk
+                  FROM p WHERE vec_id < ${Sim.nQueries})
+                WHERE prk <= ${Sim.ivfPqProbes}),
+         qr AS (SELECT pr.query_id, pr.cluster,
+                 list_transform(generate_series(1, ${Sim.expectedDims}),
+                   i -> q.qv[i] - c.cv[i]) AS xv
+               FROM (SELECT vec_id AS query_id, v AS qv FROM e
+                     WHERE vec_id < ${Sim.nQueries}) q
+               JOIN pr ON q.query_id = pr.query_id
+               JOIN c ON pr.cluster = c.cluster),
+         qtbl AS (SELECT qr.query_id, qr.cluster, rb.code, m.m,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                   i -> (qr.xv[m.m*$sd+i] - rb.bv[m.m*$sd+i])
+                        * (qr.xv[m.m*$sd+i] - rb.bv[m.m*$sd+i]))),
+                   (x, y) -> x + y) AS d
+               FROM qr CROSS JOIN rb
+                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
+         s AS (SELECT qtbl.query_id, rbb.vec_id,
+           $dCols
+           FROM rbb JOIN res ON rbb.vec_id = res.vec_id
+             JOIN qtbl ON qtbl.cluster = res.cluster
+               AND qtbl.m = rbb.m AND qtbl.code = rbb.code
+           WHERE rbb.vec_id <> qtbl.query_id GROUP BY 1, 2),
+         k AS (SELECT query_id, vec_id, ($adcSum) AS adc, row_number() OVER (
+                 PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
+         SELECT query_id, vec_id AS neighbor_id, rank,
+           floor(adc * 10000) / 10000 AS adc_dist
+         FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
     },
     "emb_dedup_pq" -> {
       val m = Sim.pqM

@@ -525,12 +525,18 @@ object Sim {
     * per-subspace L2 folds generate with the offset inlined — ascending
     * i, left-assoc, matching the oracle's list_reduce.
     */
-  private def pqAssignCodes(data: DataFrame, book: DataFrame): DataFrame = {
-    val dists = (0 until pqM).map { m =>
+  /** Per-subspace L2² folds over columns `xv` (data) and `bv` (codeword)
+    * — ascending i, left-assoc, matching the oracle's list_reduce.
+    */
+  private def subspaceL2Dists: Seq[org.apache.spark.sql.Column] =
+    (0 until pqM).map { m =>
       val off = m * pqSubDim
       expr(s"aggregate(sequence(0, ${pqSubDim - 1}), cast(0.0 as double), " +
         s"(a, i) -> a + (xv[$off+i]-bv[$off+i])*(xv[$off+i]-bv[$off+i]))")
     }
+
+  private def pqAssignCodes(data: DataFrame, book: DataFrame): DataFrame = {
+    val dists = subspaceL2Dists
     val exploded = data.crossJoin(broadcast(book))
       .select(col("vec_id"), col("code"),
         posexplode(array(dists: _*)).as(Seq("m", "dist")))
@@ -568,17 +574,26 @@ object Sim {
     * would waste codewords). Closes the global-code simplification
     * documented on `sim_ann_ivfpq`. Hash-checked end-to-end.
     */
-  def pqResidual(t: Tables): DataFrame = {
-    val cents = broadcast(vecs(t).filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cluster"), col("v").as("cv")))
-    val res = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))
-      .join(cents, "cluster")
+  /** The coarse centroid table (cluster, cv) — the low-id rule. */
+  private def coarseCents(t: Tables): DataFrame =
+    vecs(t).filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+
+  /** Every vector's coarse residual: (vec_id, cluster, rv). */
+  private def residuals(t: Tables): DataFrame =
+    assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))
+      .join(broadcast(coarseCents(t)), "cluster")
       .select(col("vec_id"), col("cluster"),
         zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
-    val book = res
-      .filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + pqK)
+
+  /** The residual codebook: the pqK lowest-id NON-centroid residuals. */
+  private def residualBook(res: DataFrame): DataFrame =
+    res.filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + pqK)
       .select(col("vec_id").as("code"), col("rv").as("bv"))
-    pqAssignCodes(res.select(col("vec_id"), col("rv").as("xv")), book)
+
+  def pqResidual(t: Tables): DataFrame = {
+    val res = residuals(t)
+    pqAssignCodes(res.select(col("vec_id"), col("rv").as("xv")), residualBook(res))
       .join(res.select(col("vec_id"), col("cluster")), "vec_id")
       .select(col("vec_id") +: col("cluster") +:
         (0 until pqM).map(m => col(s"code$m")) :+ col("recon_err"): _*)
@@ -689,26 +704,58 @@ object Sim {
     * `sim_ann_ivf` (rows-only); cross-list misses vs `pqAdcTopK` are the
     * recall price the spec audits.
     */
-  def ivfPqTopK(t: Tables): DataFrame = {
+  /** Each query's `ivfPqProbes` nearest coarse lists: (query_id, cluster). */
+  private def queryProbes(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(t.spark)
-    val e = vecs(t)
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cluster"), col("v").as("cv"))
-    val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"))
-    val probes = e.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(cents))
+    vecs(t).filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(coarseCents(t)))
       .withColumn("ccos", expr("graft_cosine(v, cv)"))
       .withColumn("prk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster"))))
       .filter(col("prk") <= ivfPqProbes)
       .select(col("vec_id").as("query_id"), col("cluster"))
-    val cand = assigned.join(broadcast(probes), "cluster")
+  }
+
+  def ivfPqTopK(t: Tables): DataFrame = {
+    val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"))
+    val cand = assigned.join(broadcast(queryProbes(t)), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     adcRank(
       cand.join(pqDataCodes(t), "vec_id")
         .join(broadcast(adcDistTable(t)), Seq("m", "code", "query_id")))
+  }
+
+  /** sim_ann_ivfpq_residual — the COMPLETE faithful IVF-PQ search
+    * (Jégou et al. 2011 §III): candidates carry residual codes
+    * (`pqResidual`), and each query builds one ADC table PER PROBED LIST
+    * — the residual q − c(L) changes with the list, so the table key is
+    * (query, cluster, subspace, code), Q × probes × pqK × pqM entries,
+    * still broadcast-sized. Scan work stays N·Q·(probes/lists) lookups;
+    * the residual tables are the accuracy price a real engine pays per
+    * probe, and this plan shows it costs one more broadcast column, not
+    * a different shape. Hash-checked end-to-end.
+    */
+  def ivfPqResidualTopK(t: Tables): DataFrame = {
+    val res = residuals(t)
+    val book = residualBook(res)
+    val qres = vecs(t).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(queryProbes(t)), "query_id")
+      .join(broadcast(coarseCents(t)), "cluster")
+      .select(col("query_id"), col("cluster"),
+        zip_with(col("qv"), col("cv"), (x, y) => x - y).as("xv"))
+    val table = qres.crossJoin(broadcast(book))
+      .select(col("query_id"), col("cluster"), col("code"),
+        posexplode(array(subspaceL2Dists: _*)).as(Seq("m", "d")))
+    val dataCodes = pqResidual(t)
+      .select(col("vec_id"), col("cluster"),
+        posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
+          .as(Seq("m", "code")))
+    adcRank(
+      dataCodes.join(broadcast(table), Seq("cluster", "m", "code"))
+        .filter(col("vec_id") =!= col("query_id")))
   }
 
   def knnGraph(t: Tables): DataFrame = {

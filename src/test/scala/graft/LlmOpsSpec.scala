@@ -1251,6 +1251,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(mr < mg, s"residual coding lost on clustered data: $mr vs $mg")
   }
 
+  test("residual ivf-pq search retrieves in-cluster neighbors on clustered data") {
+    import spark.implicits._
+    def cent(k: Int): Array[Double] =
+      Array.tabulate(64)(i => if (i == k * 8) 10.0 else 0.0)
+    def noise(id: Long): Array[Double] =
+      Array.tabulate(64)(i => 0.3 * math.sin(id * 64 + i))
+    val rows = (0L until 124L).map { id =>
+      val v =
+        if (id < 8) cent(id.toInt)
+        else cent((id % 8).toInt).zip(noise(id)).map { case (a, b) => a + b }
+      (id, v.toSeq)
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = planted }
+    val out = Sim.ivfPqResidualTopK(t2).collect()
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("adc_dist") <= b.getAs[Double]("adc_dist"))
+        case _ =>
+      }
+      g.foreach(r => assert(r.getAs[Long]("neighbor_id") != q))
+      // separated clusters: the best residual-coded neighbor shares the
+      // query's true cluster
+      assert(sorted.head.getAs[Long]("neighbor_id") % 8 == q % 8,
+        s"query $q rank-1 left its cluster")
+    }
+  }
+
   test("perplexity buckets split each language into balanced ordered tertiles") {
     val rows = TextAnalysis.perplexityBucket(t).collect()
     assert(rows.length == t.documents.count())
