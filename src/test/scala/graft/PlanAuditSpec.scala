@@ -417,6 +417,31 @@ class PlanAuditSpec extends SparkSpec {
       pp.contains("BroadcastHashJoin"), s"no candidate equi-join found:\n$pp")
   }
 
+  test("budget mix and perplexity buckets shuffle once per key axis") {
+    val pb = plan(TrainData.mixBudget(t))
+    assert(!pb.contains("CartesianProduct"), s"budget mix went cartesian:\n$pb")
+    assert(pb.contains("BroadcastHashJoin") || pb.contains("BroadcastNestedLoopJoin"),
+      s"quota dim lost its broadcast:\n$pb")
+    val pp = plan(graft.operators.TextAnalysis.perplexityBucket(t))
+    assert(!pp.contains("CartesianProduct"), s"perplexity split went cartesian:\n$pp")
+  }
+
+  test("llm curation chain has no quadratic operator anywhere in its plan") {
+    val p = plan(TrainData.curationLlm(t))
+    assert(!p.contains("CartesianProduct"), s"curation chain went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"chain lost its broadcast joins (grams/dsir dims):\n$p")
+  }
+
+  test("residual pq keeps its broadcasts and avoids cartesians end-to-end") {
+    val pr = plan(graft.operators.Sim.pqResidual(t))
+    assert(!pr.contains("CartesianProduct"), s"residual encode went cartesian:\n$pr")
+    val ps = plan(graft.operators.Sim.ivfPqResidualTopK(t))
+    assert(!ps.contains("CartesianProduct"), s"residual search went cartesian:\n$ps")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"per-list table probe lost its broadcast:\n$ps")
+  }
+
   test("pq encode and adc search broadcast the codebook and the tables") {
     // the only non-equi joins allowed are broadcast-of-tiny (16-row
     // codebook, Q x M x K distance table)
