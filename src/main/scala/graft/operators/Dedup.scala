@@ -524,19 +524,26 @@ object Dedup {
     * shard — the plan is identical, only the input filter changes.
     */
   def dedupAudit(t: Tables): DataFrame = {
-    val exact = ngramJaccard(t).select(col("da"), col("db"), lit(1).as("is_exact"))
+    // the unsorted pair list: this frame folds to one row immediately, so
+    // the presentation orderBy would materialize a range exchange nothing
+    // reads (the dupGroups discipline)
+    val exact = ngramJaccardUnsorted(t)
+      .select(col("da"), col("db"), lit(1).as("is_exact"))
     val est = minhashCandidatePairs(t)
       .select(col("da"), col("db"), lit(1).as("is_cand"),
         (col("est_jaccard") >= jaccardTau).cast("int").as("is_pred"))
     exact.join(est, Seq("da", "db"), "full_outer")
       .agg(
-        sum(coalesce(col("is_exact"), lit(0))).as("n_exact"),
-        sum(coalesce(col("is_cand"), lit(0))).as("n_candidates"),
-        sum(coalesce(col("is_pred"), lit(0))).as("n_predicted"),
-        sum(when(col("is_exact") === 1 && col("is_cand") === 1, 1).otherwise(0))
-          .as("n_cand_hits"),
-        sum(when(col("is_exact") === 1 && col("is_pred") === 1, 1).otherwise(0))
-          .as("n_pred_hits"))
+        // coalesce OUTSIDE the sums too: over zero joined rows (a corpus
+        // with no pairs at all) sum() is NULL, but the oracle's count(*)
+        // CTEs read 0 — the counts must be 0, only the ratios go NULL
+        coalesce(sum(coalesce(col("is_exact"), lit(0))), lit(0L)).as("n_exact"),
+        coalesce(sum(coalesce(col("is_cand"), lit(0))), lit(0L)).as("n_candidates"),
+        coalesce(sum(coalesce(col("is_pred"), lit(0))), lit(0L)).as("n_predicted"),
+        coalesce(sum(when(col("is_exact") === 1 && col("is_cand") === 1, 1)
+          .otherwise(0)), lit(0L)).as("n_cand_hits"),
+        coalesce(sum(when(col("is_exact") === 1 && col("is_pred") === 1, 1)
+          .otherwise(0)), lit(0L)).as("n_pred_hits"))
       .select(col("n_exact"), col("n_candidates"), col("n_predicted"),
         col("n_cand_hits"), col("n_pred_hits"),
         // a dup-free corpus has nothing to score — NULL, not a crash

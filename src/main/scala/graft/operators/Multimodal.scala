@@ -327,12 +327,14 @@ object Multimodal {
   /** Per-image perceptual hashes over the SAME payload synthesis and the
     * SAME real container-parse path as `binaryColumns` (no truncated
     * wires here — the hash table is built from admitted, decodable
-    * images).
+    * images). Takes ANY documents frame — batch (`dhashDocs`) and the
+    * streaming admission gate share this ONE definition, so the
+    * fingerprint can never drift between them.
     */
-  def dhashDocs(t: Tables): DataFrame = {
-    val spark = t.spark
+  def dhashFrame(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    t.documents.select(
+    docs.select(
         col("doc_id"),
         encode(rpad(col("text"), 192, " "), "UTF-8").as("raster"),
         (lit(8) + col("doc_id") % 9).cast("int").as("width"),
@@ -348,6 +350,8 @@ object Multimodal {
       }
       .toDF("doc_id", "dhash")
   }
+
+  def dhashDocs(t: Tables): DataFrame = dhashFrame(t.documents)
 
   /** mm_phash_dedup — perceptual-hash image dedup, the image face of the
     * dedup family: decode every image (real P5 parse), fingerprint with

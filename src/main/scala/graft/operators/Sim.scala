@@ -621,17 +621,14 @@ object Sim {
   private def adcDistTable(t: Tables): DataFrame = {
     val e = vecs(t)
     val cents = broadcast(
-      e.filter(col("vec_id") < pqK).select(col("vec_id").as("code"), col("v").as("cv")))
+      e.filter(col("vec_id") < pqK).select(col("vec_id").as("code"), col("v").as("bv")))
     val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val dists = (0 until pqM).map { m =>
-      val off = m * pqSubDim
-      expr(s"aggregate(sequence(0, ${pqSubDim - 1}), cast(0.0 as double), " +
-        s"(a, i) -> a + (qv[$off+i]-cv[$off+i])*(qv[$off+i]-cv[$off+i]))")
-    }
+      .select(col("vec_id").as("query_id"), col("v").as("xv"))
+    // the ONE shared fold definition — the table distances and the
+    // encode-side distances can never drift
     queries.crossJoin(cents)
       .select(col("query_id"), col("code"),
-        posexplode(array(dists: _*)).as(Seq("m", "d")))
+        posexplode(array(subspaceL2Dists: _*)).as(Seq("m", "d")))
   }
 
   /** The corpus code table on its subspace axis: (vec_id, m, code). */

@@ -687,12 +687,8 @@ object TrainData {
   }
 
   def dsirImportance(t: Tables): DataFrame = {
-    val grams = expr(
-      "IF(size(w) >= 2, transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])), " +
-        "array())")
     val feats = Dedup.withWords(t.documents)
-      .withColumn("g", grams)
-      .select(col("doc_id"), explode(concat(col("w"), col("g"))).as("f"))
+      .select(col("doc_id"), explode(dsirFeatures).as("f"))
       .select(col("doc_id"),
         pmod(Dedup.portableHash(col("f")), lit(dsirBuckets.toLong)).as("b"),
         (col("doc_id") % dsirTargetMod === 0).as("is_target"))

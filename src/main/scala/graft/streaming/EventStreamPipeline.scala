@@ -961,19 +961,8 @@ object EventStreamPipeline {
   def phashFrontierStream(docs: DataFrame): Dataset[PhashAdmit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import graft.operators.Multimodal
-    docs
-      .select(col("doc_id"),
-        encode(rpad(col("text"), 192, " "), "UTF-8").as("raster"),
-        (lit(8) + col("doc_id") % 9).cast("int").as("width"),
-        (lit(8) + col("doc_id") % 5).cast("int").as("height"))
-      .as[(Long, Array[Byte], Int, Int)]
-      .map { case (id, raster, w, h) =>
-        val payload = Multimodal.encodePgm(w, h, raster.take(w * h))
-        val (pw, ph, off) = Multimodal.decodePgmRaster(payload)
-          .getOrElse(sys.error(s"pgm decode failed for doc $id"))
-        (id, Multimodal.dhash56(pw, ph, payload, off))
-      }
+    graft.operators.Multimodal.dhashFrame(docs)
+      .as[(Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[FrontierState, PhashAdmit](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {

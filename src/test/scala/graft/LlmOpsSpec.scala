@@ -1186,6 +1186,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(p.getAs[Long]("n_exact") == 1)
     assert(p.getAs[Long]("n_pred_hits") == 1)
     assert(p.getAs[Double]("recall_pred") == 1.0)
+    // dup-free corpus: every count is 0 (not NULL — the oracle's count(*)
+    // reads 0), only the undefined ratios go NULL
+    val noDups = Seq(
+      (1L, "one two three four five six"),
+      (2L, "sun moon star cloud rain wind")
+    ).toDF("doc_id", "text")
+    val t3 = new graft.sources.Tables(spark, sf) { override def documents = noDups }
+    val z = Dedup.dedupAudit(t3).collect().head
+    Seq("n_exact", "n_candidates", "n_predicted", "n_cand_hits", "n_pred_hits")
+      .foreach(c => assert(!z.isNullAt(z.fieldIndex(c)) && z.getAs[Long](c) == 0L,
+        s"$c should be 0 on a dup-free corpus"))
+    assert(z.isNullAt(z.fieldIndex("precision_pred")))
+    assert(z.isNullAt(z.fieldIndex("recall_pred")))
   }
 
   test("pq cell dedup groups planted twins and keeps the lowest id") {

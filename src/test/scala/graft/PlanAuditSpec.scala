@@ -402,8 +402,7 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(TrainData.dsirImportance(t))
     assert(p.contains("BroadcastHashJoin"),
       s"bucket dim join shuffled instead of broadcasting:\n$p")
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
-      s"dsir grew a cartesian:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dsir grew a cartesian:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"bucket histogram lost partial aggregation:\n$p")
   }
