@@ -364,7 +364,7 @@ object TrainData {
     val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
     val contaminated = grams.filter(!isEval).join(evalGrams, "gh")
       .select(col("doc_id")).distinct()
-    val selected = dsirImportance(t).filter(col("selected"))
+    val selected = dsirScores(t).filter(col("selected"))
       .select(col("doc_id"), col("log_weight"))
     val clean = deduped
       .filter(!isEval)
@@ -686,7 +686,14 @@ object TrainData {
     }
   }
 
-  def dsirImportance(t: Tables): DataFrame = {
+  def dsirImportance(t: Tables): DataFrame =
+    dsirScores(t).orderBy(col("doc_id"))
+
+  /** The unsorted score frame — chain consumers (`curationLlm`) join
+    * this by doc_id, where the presentation sort would only add an
+    * exchange nothing reads.
+    */
+  private[operators] def dsirScores(t: Tables): DataFrame = {
     val feats = Dedup.withWords(t.documents)
       .select(col("doc_id"), explode(dsirFeatures).as("f"))
       .select(col("doc_id"),
@@ -707,6 +714,5 @@ object TrainData {
       .select(col("doc_id"), col("n_feats"),
         (floor(col("logw") * 100) / 100).as("log_weight"))
       .withColumn("selected", col("log_weight") >= 0.0)
-      .orderBy(col("doc_id"))
   }
 }
