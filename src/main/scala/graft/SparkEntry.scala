@@ -190,6 +190,7 @@ object SparkEntry {
     "emb_pq_residual"         -> ((s, d) => Sim.pqResidual(tables(s, d))),
     "sim_ann_ivfpq_residual"  -> ((s, d) => Sim.ivfPqResidualTopK(tables(s, d))),
     "text_perplexity_bucket"  -> ((s, d) => TextAnalysis.perplexityBucket(tables(s, d))),
+    "text_token_histogram"    -> ((s, d) => TextAnalysis.tokenHistogram(tables(s, d))),
     "mix_budget"              -> ((s, d) => TrainData.mixBudget(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
@@ -3495,6 +3496,17 @@ object SparkEntry {
            CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
              ELSE 'tail' END AS band
          FROM bk ORDER BY doc_id""",
+    "text_token_histogram" -> {
+      val b = TextAnalysis.tokenHistBucket
+      s"""WITH d AS (SELECT len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+                     FROM documents),
+         g AS (SELECT n // $b AS bucket, count(*) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS n_tokens
+               FROM d GROUP BY 1)
+         SELECT bucket, bucket * $b AS bucket_lo, (bucket + 1) * $b - 1 AS bucket_hi,
+           n_docs, n_tokens
+         FROM g ORDER BY bucket"""
+    },
     "mix_budget" ->
       s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          tot AS (SELECT list_reduce(list_prepend(0.0,

@@ -475,6 +475,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Histogram bucket width (whitespace tokens) for the length report. */
+  val tokenHistBucket = 16L
+
+  /** text_token_histogram — the sequence-length distribution every
+    * training-data report opens with (it drives context-window and
+    * packing-budget choices): fixed-width token-count buckets with doc
+    * and token totals. ONE map-side-combined groupBy over a per-row
+    * fold — the cheapest corpus profile there is; integral `div` keeps
+    * bucket edges exact on both engines.
+    */
+  def tokenHistogram(t: Tables): DataFrame =
+    docsW(t)
+      .select(size(col("w")).cast("long").as("n"))
+      .withColumn("bucket", expr(s"n div $tokenHistBucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .select(col("bucket"), (col("bucket") * tokenHistBucket).as("bucket_lo"),
+        ((col("bucket") + 1) * tokenHistBucket - 1).as("bucket_hi"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("bucket"))
+
   /** Gopher rule thresholds (Rae et al. 2021, Appendix A — the published
     * values, not tuned to this corpus): document word count in
     * [50, 100000], mean word length in [3, 10], symbol-to-word ratio

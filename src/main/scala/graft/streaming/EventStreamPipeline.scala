@@ -874,6 +874,25 @@ object EventStreamPipeline {
         (floor(col("n_short") * lit(10000.0) / col("n_docs")) / 10000)
           .as("short_frac"))
 
+  /** The domain-weighted mix gate LIVE: the weight dim is a static
+    * broadcast (stream-static join) and the keep decision is the SAME
+    * deterministic key mix as batch `mixDomains` — stateless, zero
+    * shuffle, so the live mix admits exactly the documents the batch mix
+    * would (the spec proves set equality). The way a live ingest applies
+    * the training-mix config without an RNG (and therefore replayably).
+    */
+  def mixDomainsStream(docs: DataFrame): DataFrame = {
+    import graft.operators.TrainData
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wts = broadcast(TrainData.domainWeights.toDF("source", "weight"))
+    docs
+      .join(wts, Seq("source"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(TrainData.domainDefaultWeight)))
+      .filter(TrainData.keyMix(col("doc_id")) < col("weight") * 1000000L)
+      .select(col("doc_id"), col("source"), col("lang"), col("weight"))
+  }
+
   /** The DSIR admission gate LIVE: last night's batch histograms collapse
     * into one 64-double log-ratio array (`dsirBucketLogRatios` — the same
     * one-literal move the Bloom decontaminator makes), and each arriving

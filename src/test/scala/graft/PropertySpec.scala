@@ -103,4 +103,28 @@ class PropertySpec extends SparkSpec {
       .filter(col("c1") =!= col("c2"))
     assert(corpus.count() == 0)
   }
+
+  test("dhash56: bounds, determinism, and brightness invariance on random rasters") {
+    import graft.operators.Multimodal
+    val rnd = new Random(11)
+    (1 to 50).foreach { _ =>
+      val w = 8 + rnd.nextInt(9)
+      val h = 8 + rnd.nextInt(5)
+      val raster = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val hash = Multimodal.dhash56(w, h, raster, 0)
+      // 56-bit range (the simhash-style headroom that keeps SQL safe)
+      assert(hash >= 0L && hash < (1L << 56))
+      // deterministic
+      assert(Multimodal.dhash56(w, h, raster.clone(), 0) == hash)
+      // gradient signs survive a uniform brightness shift that doesn't
+      // clip — the property that makes dHash perceptual, not a checksum
+      val headroom = raster.map(_ & 0xFF)
+      val shift = 1 + rnd.nextInt(8)
+      if (headroom.forall(p => p + shift <= 255)) {
+        val brighter = raster.map(p => ((p & 0xFF) + shift).toByte)
+        assert(Multimodal.dhash56(w, h, brighter, 0) == hash,
+          s"brightness shift changed the hash (w=$w h=$h shift=$shift)")
+      }
+    }
+  }
 }

@@ -488,6 +488,19 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "streaming pack assignment diverged from batch")
   }
 
+  test("streaming mix gate admits exactly the batch domain mix") {
+    val docs = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
+    val out = EventStreamPipeline.mixDomainsStream(docs)
+    runToMemory("mixgate", out, "append")
+    val got = spark.sql("SELECT doc_id, source, weight FROM mixgate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batch = graft.operators.TrainData.mixDomains(t).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("weight"))).toSet
+    assert(got == batch, "live mix admissions diverged from the batch mix")
+  }
+
   test("streaming dataset card converges to the batch corpus stats exactly") {
     val docs = spark.readStream.schema(t.documents.schema)
       .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
