@@ -191,6 +191,7 @@ object SparkEntry {
     "sim_ann_ivfpq_residual"  -> ((s, d) => Sim.ivfPqResidualTopK(tables(s, d))),
     "text_perplexity_bucket"  -> ((s, d) => TextAnalysis.perplexityBucket(tables(s, d))),
     "text_token_histogram"    -> ((s, d) => TextAnalysis.tokenHistogram(tables(s, d))),
+    "text_langid_agreement"   -> ((s, d) => TextAnalysis.langIdAgreement(tables(s, d))),
     "mix_budget"              -> ((s, d) => TrainData.mixBudget(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
@@ -3496,6 +3497,36 @@ object SparkEntry {
            CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
              ELSE 'tail' END AS band
          FROM bk ORDER BY doc_id""",
+    "text_langid_agreement" -> {
+      val wHits = TextAnalysis.stopwords.map { case (lang, ws) =>
+        s"len(list_filter(w, x -> x IN (${inList(ws)}))) AS ${lang}_n"
+      }.mkString(", ")
+      val bHits = TextAnalysis.bigramProfiles.map { case (lang, ps) =>
+        val list = ps.map(p => s"'$p'").mkString(", ")
+        s"len(list_filter(list_transform(generate_series(1, length(text) - 1), " +
+          s"i -> substr(text, i, 2)), x -> x IN ($list))) AS ${lang}_bg"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, lang, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+         s AS (SELECT doc_id, lang, $wHits, $bHits FROM d),
+         p AS (SELECT doc_id, lang,
+                 CASE WHEN en_n + es_n + de_n = 0 THEN 'unknown'
+                      WHEN en_n >= es_n AND en_n >= de_n THEN 'en'
+                      WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang,
+                 CASE WHEN en_bg + es_bg + de_bg = 0 THEN 'unknown'
+                      WHEN en_bg >= es_bg AND en_bg >= de_bg THEN 'en'
+                      WHEN es_bg >= de_bg THEN 'es' ELSE 'de' END AS pred_lang_ngram
+               FROM s)
+         SELECT pred_lang, pred_lang_ngram, count(*) AS n_docs,
+           CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_word_correct,
+           CAST(sum(CASE WHEN pred_lang_ngram = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ngram_correct,
+           pred_lang = pred_lang_ngram AS agree
+         FROM p GROUP BY pred_lang, pred_lang_ngram
+         ORDER BY pred_lang, pred_lang_ngram"""
+    },
     "text_token_histogram" -> {
       val b = TextAnalysis.tokenHistBucket
       s"""WITH d AS (SELECT len(string_split_regex(lower(trim(text)), '\\s+')) AS n

@@ -475,6 +475,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** text_langid_agreement — the classifier-agreement matrix between the
+    * stopword and character-bigram language identifiers (#42 and its
+    * ngram variant): per (word-model, ngram-model) label pair, document
+    * counts, the labeled-lang majority, and whether the two models
+    * agree. The model-diff report a curation review reads before
+    * trusting either signal — pure integers, ONE map-side-combined
+    * groupBy over the two per-row scorers.
+    */
+  def langIdAgreement(t: Tables): DataFrame = {
+    val a = langId(t).select(col("doc_id"), col("pred_lang"))
+    val b = langIdNgram(t).select(col("doc_id"), col("pred_lang_ngram"))
+    a.join(b, "doc_id")
+      .join(t.documents.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("pred_lang"), col("pred_lang_ngram"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+          .as("n_word_correct"),
+        sum(when(col("pred_lang_ngram") === col("lang"), 1L).otherwise(0L))
+          .as("n_ngram_correct"))
+      .withColumn("agree", col("pred_lang") === col("pred_lang_ngram"))
+      .orderBy(col("pred_lang"), col("pred_lang_ngram"))
+  }
+
   /** Histogram bucket width (whitespace tokens) for the length report. */
   val tokenHistBucket = 16L
 

@@ -1360,6 +1360,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(quotas > TrainData.mixBudgetTokens - rows.map(_.getAs[String]("source")).distinct.length)
   }
 
+  test("langid agreement matrix partitions the corpus with consistent flags") {
+    val rows = TextAnalysis.langIdAgreement(t).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("agree") ==
+        (r.getAs[String]("pred_lang") == r.getAs[String]("pred_lang_ngram")))
+      assert(r.getAs[Long]("n_word_correct") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_ngram_correct") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("temperature mixing boosts the tail and damps the head") {
     val rows = TrainData.mixTemperature(t).collect()
     assert(rows.length > 1)
