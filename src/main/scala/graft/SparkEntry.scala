@@ -189,11 +189,13 @@ object SparkEntry {
     "emb_dedup_pq"            -> ((s, d) => Sim.pqDedup(tables(s, d))),
     "emb_pq_residual"         -> ((s, d) => Sim.pqResidual(tables(s, d))),
     "sim_ann_ivfpq_residual"  -> ((s, d) => Sim.ivfPqResidualTopK(tables(s, d))),
+    "sim_ann_ivfpq_residual_trained" -> ((s, d) => Sim.ivfPqResidualTrainedTopK(tables(s, d))),
     "text_perplexity_bucket"  -> ((s, d) => TextAnalysis.perplexityBucket(tables(s, d))),
     "text_token_histogram"    -> ((s, d) => TextAnalysis.tokenHistogram(tables(s, d))),
     "text_langid_agreement"   -> ((s, d) => TextAnalysis.langIdAgreement(tables(s, d))),
     "mix_budget"              -> ((s, d) => TrainData.mixBudget(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
+    "emb_pq_encode_trained"   -> ((s, d) => Sim.pqEncodeTrained(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
     "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d)))
   )
@@ -3279,6 +3281,114 @@ object SparkEntry {
                 GROUP BY doc_id)
          SELECT hs.doc_id, hs.dhash, coalesce(nn.n_near, 0) AS n_near
          FROM hs LEFT JOIN nn USING (doc_id) ORDER BY doc_id""",
+    "mm_binary_columns" ->
+      // replays the FULL wire path through char codes: PGM header length
+      // (9 + digits of w + digits of h), the `% 13` half-truncation (which
+      // always cuts into the raster, so decode fails), and the per-pixel
+      // stats over the first w*h chars of the padded text. Division before
+      // the 4dp floor matches the Scala `sum/(w*h)` then `*10000` order.
+      s"""WITH d AS (SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w, CAST(8 + doc_id % 5 AS BIGINT) AS h,
+             rpad(text, 192, ' ') AS padded
+           FROM documents),
+         p AS (SELECT doc_id, w, h, doc_id % 13 = 0 AS trunc,
+             9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h AS full_len,
+             list_transform(generate_series(1, CAST(w*h AS INT)),
+               i -> ord(substring(padded, i, 1))) AS px
+           FROM d)
+         SELECT doc_id, 'pgm' AS fmt,
+           CAST(CASE WHEN trunc THEN full_len // 2 ELSE full_len END AS INT) AS n_bytes,
+           NOT trunc AS decode_ok,
+           CAST(CASE WHEN trunc THEN -1 ELSE w END AS INT) AS width,
+           CAST(CASE WHEN trunc THEN -1 ELSE h END AS INT) AS height,
+           CASE WHEN trunc THEN -1.0
+             ELSE floor(CAST(list_sum(px) AS DOUBLE) / (w*h) * 10000) / 10000 END AS mean_gray,
+           CAST(CASE WHEN trunc THEN -1 ELSE list_min(px) END AS INT) AS min_gray,
+           CAST(CASE WHEN trunc THEN -1 ELSE list_max(px) END AS INT) AS max_gray
+         FROM p ORDER BY doc_id""",
+    "mm_frame_sample" -> {
+      // frameRaster's cyclic window: pixel j of frame idx reads text char
+      // ((idx*31) % len + j) % len; the 16x9 raster then folds to the same
+      // mean/min/max the Scala decode emits. `range` (exclusive stop) under
+      // stride equals Spark's `sequence(0, n_frames-1, stride)`.
+      val n = Multimodal.frameW * Multimodal.frameH
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len,
+             CAST(1000 + doc_id % 29 * 1000 AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 30 END AS INT) AS fps
+           FROM documents),
+         f AS (SELECT doc_id, text, len, duration_ms, fps,
+             duration_ms // 1000 * fps AS n_frames,
+             greatest(1, CAST(ceil(CAST(duration_ms // 1000 * fps AS DOUBLE)
+               / ${Multimodal.maxFramesPerVideo}) AS BIGINT)) AS stride
+           FROM d),
+         fr AS (SELECT doc_id, text, len, duration_ms, fps, n_frames,
+             unnest(range(0, n_frames, stride)) AS frame_idx
+           FROM f),
+         px AS (SELECT doc_id, duration_ms, fps, n_frames, frame_idx,
+             list_transform(generate_series(0, ${n - 1}),
+               j -> ord(substring(text,
+                 CAST(((frame_idx*31) % len + j) % len + 1 AS INT), 1))) AS px
+           FROM fr)
+         SELECT doc_id, duration_ms, fps, n_frames, frame_idx,
+           frame_idx * 1000 // fps AS frame_ts_ms,
+           floor(CAST(list_sum(px) AS DOUBLE) / $n * 10000) / 10000 AS mean_gray,
+           CAST(list_min(px) AS INT) AS min_gray,
+           CAST(list_max(px) AS INT) AS max_gray
+         FROM px ORDER BY doc_id, frame_idx"""
+    },
+    "mm_audio_chunks" -> {
+      // exact LCG replay via the closed form state_j = A^j*seed + C*S_j
+      // (mod 2^32): a recursive CTE builds the (A^j, S_j) table once, then
+      // every sample is two table lookups — no sequential fold. mulmod on
+      // 32-bit values splits the top 16 bits so ALL intermediates stay in
+      // BIGINT (the 64-bit-LCG hugeint version measured >600 s; this runs
+      // ~26 s at sf0.01). Sample j's sign is state<2^31; its byte is the
+      // state's top 8 bits; crossings compare sample j with j-1 via a
+      // second closed-form lookup, not a 64M-row window.
+      val (a, c) = (Multimodal.pcmLcgA, Multimodal.pcmLcgC)
+      val maxN = (Multimodal.audioChunkMs * Multimodal.audioSampleRate / 1000).toInt
+      def mm32(x: String, y: String) =
+        s"((($x) % 65536) * ($y) % 4294967296 + ((($x) // 65536) * ($y) % 65536) * 65536) % 4294967296"
+      s"""WITH RECURSIVE powt(j, aj, sj) AS (
+             SELECT 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+             UNION ALL
+             SELECT j+1, aj * $a % 4294967296, (sj * $a + 1) % 4294967296
+             FROM powt WHERE j < $maxN
+         ),
+         powt2 AS MATERIALIZED (SELECT p.j, p.aj, p.sj, q.aj AS aj1, q.sj AS sj1
+             FROM powt p JOIN powt q ON q.j = p.j + 1),
+         d AS (SELECT doc_id,
+             CAST(2500 + doc_id % 17 * 1700 AS BIGINT) AS duration_ms FROM documents),
+         ch AS (SELECT doc_id, duration_ms,
+             unnest(range(0, duration_ms, ${Multimodal.audioChunkMs})) AS start_ms FROM d),
+         ch2 AS MATERIALIZED (SELECT doc_id, duration_ms, start_ms,
+             least(start_ms + ${Multimodal.audioChunkMs}, duration_ms) AS end_ms,
+             CAST((end_ms - start_ms) * ${Multimodal.audioSampleRate} // 1000 AS INT) AS n,
+             (doc_id * ${Multimodal.pcmSeedDocMix}
+               + start_ms * ${Multimodal.pcmSeedMsMix} + 1) % 4294967296 AS seed
+           FROM ch),
+         sm AS (SELECT doc_id, start_ms, n, seed,
+             unnest(generate_series(0, n - 1)) AS j FROM ch2),
+         st AS (SELECT doc_id, start_ms, n, sm.j AS j,
+             (${mm32("p.aj1", "seed")} + $c * p.sj1 % 4294967296) % 4294967296 AS cur,
+             (${mm32("p.aj", "seed")} + $c * p.sj % 4294967296) % 4294967296 AS prv
+           FROM sm JOIN powt2 p ON sm.j = p.j),
+         sb AS (SELECT doc_id, start_ms, n, j,
+             CASE WHEN cur // 16777216 > 127
+               THEN cur // 16777216 - 256 ELSE cur // 16777216 END AS s,
+             cur < 2147483648 AS cur_pos, prv < 2147483648 AS prv_pos
+           FROM st),
+         agg AS (SELECT doc_id, start_ms, n,
+             sum(s*s) AS sum_sq, max(abs(s)) AS peak,
+             sum(CASE WHEN j > 0 AND cur_pos <> prv_pos THEN 1 ELSE 0 END) AS crossings
+           FROM sb GROUP BY doc_id, start_ms, n)
+         SELECT a.doc_id, c.duration_ms, a.start_ms, c.end_ms, a.n AS n_samples,
+           floor(sqrt(CAST(sum_sq AS DOUBLE) / a.n) * 10000) / 10000 AS rms,
+           CAST(peak AS INT) AS peak,
+           floor(CAST(crossings AS DOUBLE) / a.n * 10000) / 10000 AS zcr
+         FROM agg a JOIN ch2 c ON a.doc_id = c.doc_id AND a.start_ms = c.start_ms
+         ORDER BY a.doc_id, a.start_ms"""
+    },
     "emb_pq_encode" -> {
       val m = Sim.pqM
       val codeCols = (0 until m)

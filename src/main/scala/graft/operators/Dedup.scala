@@ -259,10 +259,43 @@ object Dedup {
     shingles(t).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  private def bandKeys = (0 until minhashK / bandSize).map { b =>
+  private[graft] def bandKeys = (0 until minhashK / bandSize).map { b =>
     md5(concat_ws(":",
       (b * bandSize until (b + 1) * bandSize).map(j => col(s"mh$j")): _*))
   }
+
+  /** Per-shingle base hashes as an IN-ROW array (requires a `w` words
+    * column; callers filter `size(w) >= 3` like `shingles`): the same
+    * distinct word-3-grams and the same md5-derived 60-bit hash as the
+    * grouped path, but md5 runs ONCE per shingle and everything stays in
+    * the row — the shape an ingest-path admission gate needs (zero
+    * shuffle, zero state for the signature itself).
+    */
+  def minhashShingleHashes: org.apache.spark.sql.Column = expr(
+    s"""transform(array_distinct(transform(sequence(0, size(w)-3),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))),
+        x -> pmod(CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT),
+          ${MersennePrime}L))""")
+
+  /** The k-slot MinHash signature from an `h0s` base-hash column, as one
+    * array<long> — the per-row face of `minhashSignaturesWide`: identical
+    * affine permutations, `array_min` instead of the grouped `min`, so a
+    * streaming delta computes the EXACT signature the stored index holds
+    * (spec-pinned equal row-for-row).
+    */
+  def minhashSigArray: org.apache.spark.sql.Column = expr(
+    s"""transform(sequence(0, ${minhashK - 1}), j ->
+          array_min(transform(h0s, h ->
+            pmod(h * (2*j + 3) + j * ${2654435761L}L + 1, ${MersennePrime}L))))""")
+
+  /** LSH band keys of a `sig` array column (array<string>, one md5 per
+    * band) — numerically identical to `bandKeys` over the wide columns:
+    * same `concat_ws(":")` of the band's longs, same md5.
+    */
+  def bandKeysOfSig: org.apache.spark.sql.Column = expr(
+    s"""transform(sequence(0, ${minhashK / bandSize - 1}), b ->
+          md5(concat_ws(':', transform(slice(sig, b*$bandSize + 1, $bandSize),
+            v -> CAST(v AS STRING)))))""")
 
   /** Candidate pairs: docs agreeing on at least one full band. */
   private def candidates(sig: DataFrame): DataFrame = {
@@ -302,11 +335,18 @@ object Dedup {
     val agree = (0 until minhashK)
       .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    candidates(sig).as("c")
-      .join(sig.as("a"), col("c.da") === col("a.doc_id"))
-      .join(sig.as("b"), col("c.db") === col("b.doc_id"))
-      .select(col("c.da").as("da"), col("c.db").as("db"),
-        (agree.cast("double") / minhashK).as("est_jaccard"))
+    // materialize the (band-bounded) pair list so the signature cache is
+    // released HERE instead of leaking for the session's lifetime — the
+    // minhashIncremental discipline, applied for dedupAudit and every
+    // other consumer of the pair list
+    val pairs = graft.engine.Reliability.planCheckpoint(
+      candidates(sig).as("c")
+        .join(sig.as("a"), col("c.da") === col("a.doc_id"))
+        .join(sig.as("b"), col("c.db") === col("b.doc_id"))
+        .select(col("c.da").as("da"), col("c.db").as("db"),
+          (agree.cast("double") / minhashK).as("est_jaccard")))
+    sig.unpersist()
+    pairs
   }
 
   // ---- #64 incremental minhash dedup (delta vs stored index) ----
@@ -431,7 +471,13 @@ object Dedup {
     * Output: every paired doc with its group id (min doc_id reachable) and
     * group size; rows-only (iterative fixpoints aren't oracle SQL).
     */
-  def dupGroups(t: Tables): DataFrame = {
+  def dupGroups(t: Tables): DataFrame =
+    dupGroupsUnsorted(t).orderBy(col("doc_id"))
+
+  /** The unsorted group table — chain consumers (`keepBest`) join this by
+    * doc_id; the presentation sort stays on the registered face only.
+    */
+  private[operators] def dupGroupsUnsorted(t: Tables): DataFrame = {
     // Checkpoint the (tiny) edge list and each round's labels: iterative
     // self-joins otherwise nest the full candidate-generation plan 2^rounds
     // times, and self-join re-aliasing defeats cache substitution — the
@@ -481,7 +527,6 @@ object Dedup {
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
-      .orderBy(col("doc_id"))
   }
 
   /** dedup_keep_best — representative selection over the transitive dup
@@ -497,6 +542,12 @@ object Dedup {
     * quality join rides the doc_id axis, and the per-group argmax is one
     * window over group_id — group sizes bound the window, nothing new is
     * quadratic beyond the component search itself.
+    *
+    * As a REGISTERED query this re-runs the `dupGroups` component search
+    * from scratch (each queries entry must stand alone from the raw
+    * tables) — a real pipeline feeds the already-materialized group table,
+    * so a bench reading of this key prices groups + selection, not
+    * selection.
     */
   def keepBest(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -504,7 +555,7 @@ object Dedup {
       .select(col("doc_id"), TextAnalysis.qualityCol.as("quality"))
     val w = Window.partitionBy("group_id")
       .orderBy(col("quality").desc, col("doc_id"))
-    dupGroups(t)
+    dupGroupsUnsorted(t)
       .join(q, "doc_id")
       .withColumn("rk", row_number().over(w))
       .select(col("doc_id"), col("group_id"), col("group_size"), col("quality"),

@@ -226,18 +226,31 @@ object Multimodal {
       crossings.toDouble / samples.length)
   }
 
+  /** LCG multiplier/increment: the published Numerical Recipes `ranqd1`
+    * 32-bit generator (Press et al., 2nd ed. §7.1). 32-bit on purpose —
+    * the closed-form state A^j·seed + C·S_j mod 2^32 stays inside signed
+    * 64-bit intermediates, which is what lets the DuckDB oracle replay
+    * every sample exactly (a 64-bit LCG forces 128-bit modmuls, measured
+    * >600 s at sf0.01; this one replays in ~26 s).
+    */
+  val pcmLcgA = 1664525L
+  val pcmLcgC = 1013904223L
+  val pcmSeedDocMix = 2654435761L // Knuth multiplicative hash
+  val pcmSeedMsMix = 40503L
+
   /** The chunk's PCM raster — a fast deterministic LCG seeded by
     * (doc_id, start_ms): the stand-in for what the audio codec's seek +
     * decode returns for that time window (same boundary argument as
-    * `frameRaster`).
+    * `frameRaster`). Each sample is the state's top byte, the LCG's
+    * strongest bits.
     */
   def chunkPcm(docId: Long, startMs: Long, nSamples: Int): Array[Byte] = {
     val out = new Array[Byte](nSamples)
-    var state = docId * 6364136223846793005L + startMs * 1442695040888963407L + 1L
+    var state = (docId * pcmSeedDocMix + startMs * pcmSeedMsMix + 1L) & 0xFFFFFFFFL
     var j = 0
     while (j < nSamples) {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      out(j) = (state >>> 56).toByte
+      state = (state * pcmLcgA + pcmLcgC) & 0xFFFFFFFFL
+      out(j) = (state >>> 24).toByte
       j += 1
     }
     out

@@ -555,11 +555,64 @@ object Sim {
         (floor(errSum * 10000) / 10000).as("recon_err"): _*)
   }
 
-  def pqEncode(t: Tables): DataFrame = {
+  /** The unsorted encode frame — chain consumers (`pqDataCodes`) join or
+    * explode this by vec_id, where the presentation sort would only risk
+    * an exchange nothing reads (the dsirScores discipline).
+    */
+  private def pqEncodeUnsorted(t: Tables): DataFrame = {
     val e = vecs(t)
     val cents =
       e.filter(col("vec_id") < pqK).select(col("vec_id").as("code"), col("v").as("bv"))
     pqAssignCodes(e.select(col("vec_id"), col("v").as("xv")), cents)
+  }
+
+  def pqEncode(t: Tables): DataFrame =
+    pqEncodeUnsorted(t).orderBy(col("vec_id"))
+
+  /** emb_pq_encode_trained — the PRODUCTION codebook build: per-subspace
+    * k-means (Jégou et al. 2011 §II trains exactly this — k centroids per
+    * subspace, independently), swapped into the SAME assignment plan
+    * (`pqAssignCodes`) as the deterministic encode. Each of the pqM
+    * subspaces fits an MLlib k-means on its 8-dim subvectors; codeword j
+    * is the concatenation of each subspace's centroid j (subspaces are
+    * independent in PQ, so the pairing is free). Rows-only like
+    * `sim_ann_ivf` (k-means init/convergence is seed- and
+    * parallelism-shaped, not SQL-replayable); the spec pins total
+    * reconstruction error ≤ the deterministic codebook's and ADC recall
+    * at parity or better.
+    *
+    * Scale shape: training runs on a sample in prod (the model is pqM ×
+    * pqK × 8 doubles — always broadcastable); encoding is the same
+    * broadcast-book scan as `emb_pq_encode`.
+    */
+  /** The per-subspace k-means centers (pqM × pqK × pqSubDim), materialized
+    * on the driver — the model a production build broadcasts. Public so
+    * the spec can reconstruct vectors and audit ADC recall against the
+    * deterministic codebook.
+    */
+  def pqTrainedCenters(t: Tables): Seq[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = vecs(t).persist()
+    val books = (0 until pqM).map { m =>
+      val off = m * pqSubDim
+      val sub = e.select(
+        array_to_vector(expr(s"slice(v, ${off + 1}, $pqSubDim)")).as("fv"))
+      new KMeans().setK(pqK).setSeed(42 + m).setMaxIter(5).setFeaturesCol("fv")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    e.unpersist()
+    books
+  }
+
+  def pqEncodeTrained(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val books = pqTrainedCenters(t)
+    val book = (0 until pqK).map { j =>
+      (j.toLong, (0 until pqM).flatMap(m => books(m)(j).toSeq))
+    }.toDF("code", "bv")
+    pqAssignCodes(vecs(t).select(col("vec_id"), col("v").as("xv")), book)
       .orderBy(col("vec_id"))
   }
 
@@ -591,14 +644,20 @@ object Sim {
     res.filter(col("vec_id") >= nCentroids && col("vec_id") < nCentroids + pqK)
       .select(col("vec_id").as("code"), col("rv").as("bv"))
 
-  def pqResidual(t: Tables): DataFrame = {
+  /** The unsorted residual-encode frame — the search side
+    * (`ivfPqResidualTopK`) explodes this by vec_id; the presentation sort
+    * stays on the registered face only.
+    */
+  private def pqResidualUnsorted(t: Tables): DataFrame = {
     val res = residuals(t)
     pqAssignCodes(res.select(col("vec_id"), col("rv").as("xv")), residualBook(res))
       .join(res.select(col("vec_id"), col("cluster")), "vec_id")
       .select(col("vec_id") +: col("cluster") +:
         (0 until pqM).map(m => col(s"code$m")) :+ col("recon_err"): _*)
-      .orderBy(col("vec_id"))
   }
+
+  def pqResidual(t: Tables): DataFrame =
+    pqResidualUnsorted(t).orderBy(col("vec_id"))
 
   /** sim_ann_pq_adc — asymmetric distance computation over the PQ codes
     * (the search side of Jégou et al. 2011): each query precomputes an
@@ -633,7 +692,7 @@ object Sim {
 
   /** The corpus code table on its subspace axis: (vec_id, m, code). */
   private def pqDataCodes(t: Tables): DataFrame =
-    pqEncode(t)
+    pqEncodeUnsorted(t)
       .select(col("vec_id"),
         posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
           .as(Seq("m", "code")))
@@ -677,7 +736,7 @@ object Sim {
     import org.apache.spark.sql.expressions.Window
     val key = concat_ws(":", (0 until pqM).map(m => col(s"code$m")): _*)
     val w = Window.partitionBy("code_key")
-    pqEncode(t)
+    pqEncodeUnsorted(t)
       .select(col("vec_id"), key.as("code_key"))
       .withColumn("n_same_code", count(lit(1)).over(w))
       .withColumn("keep", col("vec_id") === min(col("vec_id")).over(w))
@@ -746,13 +805,87 @@ object Sim {
     val table = qres.crossJoin(broadcast(book))
       .select(col("query_id"), col("cluster"), col("code"),
         posexplode(array(subspaceL2Dists: _*)).as(Seq("m", "d")))
-    val dataCodes = pqResidual(t)
+    val dataCodes = pqResidualUnsorted(t)
       .select(col("vec_id"), col("cluster"),
         posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
           .as(Seq("m", "code")))
     adcRank(
       dataCodes.join(broadcast(table), Seq("cluster", "m", "code"))
         .filter(col("vec_id") =!= col("query_id")))
+  }
+
+  /** sim_ann_ivfpq_residual_trained — the FULL production index build
+    * path, closing the last fidelity delta in the vector-index family:
+    * k-means coarse centroids (the `sim_ann_ivf` training move) composed
+    * with per-subspace k-means RESIDUAL sub-codebooks (the
+    * `emb_pq_encode_trained` move), searched with the per-probed-list ADC
+    * tables of `sim_ann_ivfpq_residual` — i.e. Jégou et al.'s IVFADC with
+    * both codebooks trained, which is exactly what FAISS's IndexIVFPQ
+    * builds. Rows-only like every k-means-trained variant (init is
+    * seed/parallelism-shaped); the spec pins recall at
+    * parity-or-better vs the deterministic residual search on the planted
+    * clustered corpus plus the structural scan invariants.
+    *
+    * Scale shape unchanged from the deterministic composition: models are
+    * driver-side tables (8×64 + 8×16×8 doubles — always broadcast), the
+    * corpus shuffles once onto its list axis, each query scans
+    * probes/lists of the codes with 8 lookups per code.
+    */
+  def ivfPqResidualTrainedTopK(t: Tables): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(t.spark)
+    val spark = t.spark
+    import spark.implicits._
+    val e = vecs(t).withColumn("fv", array_to_vector(col("v"))).persist()
+    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").fit(e)
+    val cents = broadcast(model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cluster", "cv"))
+    val res = model.transform(e)
+      .select(col("vec_id"), col("v"), col("prediction").as("cluster"))
+      .join(cents, "cluster")
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
+      .persist()
+    val books = (0 until pqM).map { m =>
+      val off = m * pqSubDim
+      val sub = res.select(
+        array_to_vector(expr(s"slice(rv, ${off + 1}, $pqSubDim)")).as("fv"))
+      new KMeans().setK(pqK).setSeed(137 + m).setMaxIter(5).setFeaturesCol("fv")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    val book = (0 until pqK).map { j =>
+      (j.toLong, (0 until pqM).flatMap(m => books(m)(j).toSeq))
+    }.toDF("code", "bv")
+    val dataCodes = pqAssignCodes(res.select(col("vec_id"), col("rv").as("xv")), book)
+      .join(res.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id"), col("cluster"),
+        posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
+          .as(Seq("m", "code")))
+    val probes = vecs(t).filter(col("vec_id") < nQueries)
+      .crossJoin(cents)
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster"))))
+      .filter(col("prk") <= ivfPqProbes)
+      .select(col("vec_id").as("query_id"), col("cluster"))
+    val qres = vecs(t).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(probes), "query_id")
+      .join(cents, "cluster")
+      .select(col("query_id"), col("cluster"),
+        zip_with(col("qv"), col("cv"), (x, y) => x - y).as("xv"))
+    val table = qres.crossJoin(broadcast(book))
+      .select(col("query_id"), col("cluster"), col("code"),
+        posexplode(array(subspaceL2Dists: _*)).as(Seq("m", "d")))
+    val out = graft.engine.Reliability.planCheckpoint(adcRank(
+      dataCodes.join(broadcast(table), Seq("cluster", "m", "code"))
+        .filter(col("vec_id") =!= col("query_id"))))
+    res.unpersist()
+    e.unpersist()
+    out
   }
 
   def knnGraph(t: Tables): DataFrame = {

@@ -27,7 +27,11 @@ object TextAnalysis {
   /** #42 text_langid — per-language stopword hit counts; argmax with a
     * deterministic preference order; no hits at all ⇒ unknown.
     */
-  def langId(t: Tables): DataFrame = {
+  /** The unsorted scorer — chain consumers (`langIdAgreement`) join this
+    * by doc_id; the presentation sort stays on the registered face only
+    * (the dsirScores discipline).
+    */
+  private[operators] def langIdUnsorted(t: Tables): DataFrame = {
     val scored = docsW(t).select(
       col("doc_id") +: stopwords.map { case (lang, ws) => expr(hitExpr(ws)).as(s"${lang}_n") }: _*)
     scored.withColumn("pred_lang",
@@ -35,8 +39,9 @@ object TextAnalysis {
           .when(col("en_n") >= col("es_n") && col("en_n") >= col("de_n"), "en")
           .when(col("es_n") >= col("de_n"), "es")
           .otherwise("de"))
-      .orderBy(col("doc_id"))
   }
+
+  def langId(t: Tables): DataFrame = langIdUnsorted(t).orderBy(col("doc_id"))
 
   /** Character-bigram profiles per language (the n-gram half of the
     * language-ID heuristic; stopwords are the word half).
@@ -51,7 +56,7 @@ object TextAnalysis {
     * is a `transform(sequence(...))` expression — still zero-shuffle
     * codegen'd column work.
     */
-  def langIdNgram(t: Tables): DataFrame = {
+  private[operators] def langIdNgramUnsorted(t: Tables): DataFrame = {
     def hits(profile: Seq[String]): String = {
       val list = profile.map(p => s"'$p'").mkString(", ")
       "size(filter(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)), " +
@@ -66,8 +71,10 @@ object TextAnalysis {
           .when(col("en_bg") >= col("es_bg") && col("en_bg") >= col("de_bg"), "en")
           .when(col("es_bg") >= col("de_bg"), "es")
           .otherwise("de"))
-      .orderBy(col("doc_id"))
   }
+
+  def langIdNgram(t: Tables): DataFrame =
+    langIdNgramUnsorted(t).orderBy(col("doc_id"))
 
   /** The quality formula over a `w` words column — the ONE definition both
     * `qualityScore` and the curation gate (`TrainData.curation`) compile
@@ -156,7 +163,10 @@ object TextAnalysis {
     * shuffles total, both on natural keys. At 100 TB the vocab frame is
     * megabytes → Spark broadcasts the probability join.
     */
-  def unigramLm(t: Tables): DataFrame = {
+  /** The unsorted LM frame — chain consumers (`perplexityBucket`) join
+    * this by doc_id; the presentation sort stays on the registered face.
+    */
+  private[operators] def unigramLmUnsorted(t: Tables): DataFrame = {
     val toks = docsW(t).select(col("doc_id"), explode(col("w")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
     val totalTok = vocab.agg(sum(col("tf")).as("n_total"))
@@ -172,8 +182,10 @@ object TextAnalysis {
       // drift (~1e-8 scaled) would flip a 4dp floor on boundary values
       .select(col("doc_id"), col("n_tok"),
         (floor(col("sum_nll") / col("n_tok") * 100) / 100).as("mean_nll"))
-      .orderBy(col("doc_id"))
   }
+
+  def unigramLm(t: Tables): DataFrame =
+    unigramLmUnsorted(t).orderBy(col("doc_id"))
 
   /** text_repetition — within-document repetition signals (the Gopher/C4
     * style quality rules that catch degenerate generated/scraped text):
@@ -466,7 +478,7 @@ object TextAnalysis {
   def perplexityBucket(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("mean_nll"), col("doc_id"))
-    unigramLm(t)
+    unigramLmUnsorted(t)
       .join(t.documents.select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("bucket", ntile(3).over(w))
       .select(col("doc_id"), col("lang"), col("mean_nll"), col("bucket"),
@@ -484,8 +496,8 @@ object TextAnalysis {
     * groupBy over the two per-row scorers.
     */
   def langIdAgreement(t: Tables): DataFrame = {
-    val a = langId(t).select(col("doc_id"), col("pred_lang"))
-    val b = langIdNgram(t).select(col("doc_id"), col("pred_lang_ngram"))
+    val a = langIdUnsorted(t).select(col("doc_id"), col("pred_lang"))
+    val b = langIdNgramUnsorted(t).select(col("doc_id"), col("pred_lang_ngram"))
     a.join(b, "doc_id")
       .join(t.documents.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("pred_lang"), col("pred_lang_ngram"))

@@ -681,8 +681,11 @@ object TrainData {
     val ts = counts.values.map(_._2).sum
     Array.tabulate(dsirBuckets) { b =>
       val (tb, sb) = counts.getOrElse(b.toLong, (0L, 0L))
-      (math.log((tb + 1).toDouble / (tt + dsirBuckets)) -
-        math.log((sb + 1).toDouble / (ts + dsirBuckets))) / math.log(2.0)
+      // per-TERM ln/ln(2), not (lnT - lnS)/ln(2): the batch dim's
+      // log(2.0, x) evaluates ln(x)/ln(2) per term, and matching that
+      // rounding exactly leaves fold order as the gate's ONLY drift
+      math.log((tb + 1).toDouble / (tt + dsirBuckets)) / math.log(2.0) -
+        math.log((sb + 1).toDouble / (ts + dsirBuckets)) / math.log(2.0)
     }
   }
 

@@ -848,6 +848,121 @@ object EventStreamPipeline {
       }
   }
 
+  case class MinhashCandRow(docId: Long, sig: Seq[Long], pid: Long,
+      pSig: Seq[Long], fromIndex: Boolean)
+  case class MinhashBandState(seen: List[(Long, Seq[Long])])
+  case class MinhashSeen(seen: Boolean)
+  case class MinhashAdmit(docId: Long, sigId: String, nIndexCandidates: Long,
+      nPriorCandidates: Long, maxEst: Double, isDup: Boolean)
+
+  /** The near-dup admission gate LIVE — the streaming face of
+    * `dedup_minhash_inc`, the one production face the §2.9 set was still
+    * missing: each arriving document computes its k-minhash signature
+    * IN-ROW (`Dedup.minhashShingleHashes` + `minhashSigArray` — the same
+    * permutations as the stored index, spec-pinned equal), probes the
+    * STORED band index as a stream-static join, probes EARLIER delta
+    * arrivals through per-band-key keyed state (the admitted-so-far side
+    * of the index, exactly what the batch operator calls prior
+    * candidates), and verifies every band collision with the full
+    * est-Jaccard before a drop verdict — a band hash collision alone can
+    * never delete a non-duplicate.
+    *
+    * Shape: signature + banding are zero-shuffle row work; the index probe
+    * is a stream-static equi-join on (band, band_key); stage-1 state is
+    * one signature list per COLLIDING band key (band occupancy, not the
+    * corpus); stage-2 folds each doc's candidates to one verdict row.
+    * Like `packStream`, a doc_id-ordered feed reproduces the batch
+    * incremental verdicts bit for bit (the spec proves it across
+    * micro-batches); an unordered feed still gates correctly in arrival
+    * order — the same contract as the batch operator under a different
+    * delta order.
+    */
+  def minhashFrontierStream(docs: DataFrame, index: DataFrame): Dataset[MinhashAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+    val k = Dedup.minhashK
+    val sigd = docs
+      .withColumn("w", Dedup.wordsCol)
+      .filter(size(col("w")) >= 3)
+      .withColumn("h0s", Dedup.minhashShingleHashes)
+      .select(col("doc_id"), Dedup.minhashSigArray.as("sig"))
+    val withBands = sigd
+      .select(col("doc_id"), col("sig"),
+        posexplode(Dedup.bandKeysOfSig).as(Seq("band", "band_key")))
+
+    // the stored index's band axis (static side of the probe join)
+    val idxBands = index.select(
+      col("doc_id").as("pid"),
+      array((0 until k).map(j => col(s"mh$j")): _*).as("p_sig"),
+      posexplode(array(Dedup.bandKeys: _*)).as(Seq("band", "band_key")))
+
+    val idxCand = withBands
+      .join(idxBands, Seq("band", "band_key"))
+      .select(col("doc_id").as("docId"), col("sig"), col("pid"),
+        col("p_sig").as("pSig"), lit(true).as("fromIndex"))
+      .as[MinhashCandRow]
+
+    // earlier-delta candidates: per-band-key keyed state carrying the
+    // signatures seen with that band key (in-batch rows process in doc_id
+    // order, so "earlier" matches the batch pid < doc_id rule)
+    val priorCand = withBands
+      .select(col("doc_id"), col("sig"), col("band"), col("band_key"))
+      .as[(Long, Seq[Long], Int, String)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[MinhashBandState, MinhashCandRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[MinhashBandState]) =>
+          val ordered = rows.toSeq.sortBy(_._1)
+          var seen = state.getOption.map(_.seen).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[MinhashCandRow]()
+          ordered.foreach { r =>
+            seen.foreach { case (pid, psig) =>
+              if (pid < r._1) out += MinhashCandRow(r._1, r._2, pid, psig, fromIndex = false)
+            }
+            seen = (r._1, r._2) :: seen
+          }
+          state.update(MinhashBandState(seen))
+          out.iterator
+      }
+
+    // self rows carry every delta doc (and its signature) into the verdict
+    // stage, so zero-candidate docs still emit their admission row
+    val self = sigd
+      .select(col("doc_id").as("docId"), col("sig"), lit(-1L).as("pid"),
+        expr("CAST(array() AS ARRAY<BIGINT>)").as("pSig"),
+        lit(false).as("fromIndex"))
+      .as[MinhashCandRow]
+
+    idxCand.union(priorCand).union(self)
+      .groupByKey(_.docId)
+      .flatMapGroupsWithState[MinhashSeen, MinhashAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (docId, rows, state: GroupState[MinhashSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(MinhashSeen(true))
+            val rs = rows.toSeq
+            val sig = rs.find(_.pid == -1L).map(_.sig).getOrElse(rs.head.sig)
+            // a pair can collide in several bands — distinct partners only
+            val partners = rs.filter(_.pid >= 0L).groupBy(_.pid).map(_._2.head)
+            def est(p: MinhashCandRow): Double =
+              (0 until k).count(j => sig(j) == p.pSig(j)).toDouble / k
+            val maxEst = if (partners.isEmpty) 0.0 else partners.map(est).max
+            val sigId = {
+              val d = java.security.MessageDigest.getInstance("MD5")
+                .digest(sig.mkString(":").getBytes("UTF-8"))
+              d.map("%02x".format(_)).mkString
+            }
+            Iterator(MinhashAdmit(docId, sigId,
+              partners.count(_.fromIndex).toLong,
+              partners.count(!_.fromIndex).toLong,
+              math.floor(maxEst * 10000) / 10000,
+              maxEst >= Dedup.minhashVerifyTau))
+          }
+      }
+  }
+
   /** The dataset card LIVE (the streaming face of corpus_stats): running
     * per-(source, lang) document/token/char totals maintained as a
     * complete-mode aggregation — the card a data-ops dashboard reads

@@ -1129,6 +1129,61 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("trained pq codebook cuts reconstruction error at adc-recall parity") {
+    val base = t.spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val det = Sim.pqEncode(t).collect()
+    val tr = Sim.pqEncodeTrained(t).collect()
+    assert(tr.length == det.length)
+    tr.foreach { r =>
+      (0 until Sim.pqM).foreach { m =>
+        val c = r.getAs[Long](s"code$m")
+        assert(c >= 0 && c < Sim.pqK)
+      }
+      assert(r.getAs[Double]("recon_err") >= 0.0)
+    }
+    // the trained codebook must not lose to "the first pqK vectors"
+    val detErr = det.map(_.getAs[Double]("recon_err")).sum
+    val trErr = tr.map(_.getAs[Double]("recon_err")).sum
+    assert(trErr <= detErr,
+      f"trained total recon error $trErr%.2f worse than deterministic $detErr%.2f")
+    // ADC recall audit, driver-side: reconstruct every vector from its
+    // codes under each codebook, rank by exact squared L2 to each query's raw
+    // vector (= the ADC distance), compare top-k overlap with the exact
+    // neighbor sets. Trained must be at parity or better.
+    val trBooks = Sim.pqTrainedCenters(t)
+    def trWord(m: Int, c: Long): Array[Double] = trBooks(m)(c.toInt)
+    def detWord(m: Int, c: Long): Array[Double] = {
+      val off = m * Sim.pqSubDim
+      base(c).slice(off, off + Sim.pqSubDim)
+    }
+    def recon(row: org.apache.spark.sql.Row,
+              word: (Int, Long) => Array[Double]): Array[Double] =
+      (0 until Sim.pqM).flatMap(m =>
+        word(m, row.getAs[Long](s"code$m"))).toArray
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def topk(q: Long, dist: Long => Double): Set[Long] =
+      base.keys.filter(_ != q).toSeq
+        .sortBy(id => (dist(id), id)).take(Sim.topK).toSet
+    val queries = base.keys.filter(_ < Sim.nQueries).toSeq
+    def recallOf(rows: Array[org.apache.spark.sql.Row],
+                 word: (Int, Long) => Array[Double]): Int = {
+      val rec = rows.map(r => r.getAs[Long]("vec_id") -> recon(r, word)).toMap
+      queries.map { q =>
+        val exact = topk(q, id => l2(base(q), base(id)))
+        val adc = topk(q, id => l2(base(q), rec(id)))
+        (exact intersect adc).size
+      }.sum
+    }
+    val detRecall = recallOf(det, detWord)
+    val trRecall = recallOf(tr, trWord)
+    assert(trRecall >= detRecall,
+      s"trained ADC recall $trRecall below deterministic $detRecall")
+  }
+
   test("pq adc search ranks a planted exact twin first at zero distance") {
     import spark.implicits._
     // vec 20 IS vec 3 (a query): it encodes to query 3's own codes, so its
@@ -1293,6 +1348,62 @@ class LlmOpsSpec extends SparkSpec {
       assert(sorted.head.getAs[Long]("neighbor_id") % 8 == q % 8,
         s"query $q rank-1 left its cluster")
     }
+  }
+
+  test("trained residual ivf-pq matches the deterministic search's recall") {
+    import spark.implicits._
+    // same planted clustered corpus as the deterministic residual tests
+    def cent(k: Int): Array[Double] =
+      Array.tabulate(64)(i => if (i == k * 8) 10.0 else 0.0)
+    def noise(id: Long): Array[Double] =
+      Array.tabulate(64)(i => 0.3 * math.sin(id * 64 + i))
+    val raw = (0L until 124L).map { id =>
+      val v =
+        if (id < 8) cent(id.toInt)
+        else cent((id % 8).toInt).zip(noise(id)).map { case (a, b) => a + b }
+      (id, v)
+    }
+    val planted = raw.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = planted }
+    val trained = Sim.ivfPqResidualTrainedTopK(t2).collect()
+    val det = Sim.ivfPqResidualTopK(t2).collect()
+    // structural scan invariants
+    trained.groupBy(_.getAs[Long]("query_id")).foreach { case (q, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("adc_dist") <= b.getAs[Double]("adc_dist"))
+        case _ =>
+      }
+      g.foreach(r => assert(r.getAs[Long]("neighbor_id") != q))
+      // trained centroids must still keep rank-1 inside the true cluster
+      assert(sorted.head.getAs[Long]("neighbor_id") % 8 == q % 8,
+        s"query $q rank-1 left its true cluster under the trained index")
+    }
+    // recall vs exact L2 neighbors — compared on the REAL corpus, where
+    // neither codebook holds exact corpus members (on the planted corpus
+    // the deterministic book IS 16 true residuals and ids 0-7 ARE the
+    // true centroids, an advantage no trained build can match by design)
+    val realVecs = t.spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.groupBy(_.getAs[Long]("query_id")).map { case (q, g) =>
+        val got = g.map(_.getAs[Long]("neighbor_id")).toSet
+        val exact = realVecs.keys.filter(_ != q).toSeq
+          .sortBy(id => (l2(realVecs(q), realVecs(id)), id))
+          .take(g.length).toSet
+        (got intersect exact).size
+      }.sum
+    val trR = recallOf(Sim.ivfPqResidualTrainedTopK(t).collect())
+    val detR = recallOf(Sim.ivfPqResidualTopK(t).collect())
+    info(s"real-corpus recall: trained=$trR deterministic=$detR")
+    assert(trR >= detR,
+      s"trained residual IVF-PQ recall $trR below deterministic $detR on the real corpus")
   }
 
   test("perplexity buckets split each language into balanced ordered tertiles") {

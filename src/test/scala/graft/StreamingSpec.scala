@@ -475,6 +475,66 @@ class StreamingSpec extends SparkSpec {
     assert(n == got.size)
   }
 
+  test("per-row minhash signature equals the grouped wide signature") {
+    import graft.operators.Dedup
+    val k = Dedup.minhashK
+    val wide = Dedup.minhashSignaturesWide(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until k).map(j => r.getAs[Long](s"mh$j")).toSeq).toMap
+    val perRow = Dedup.withWords(t.documents).filter(size(col("w")) >= 3)
+      .withColumn("h0s", Dedup.minhashShingleHashes)
+      .select(col("doc_id"), Dedup.minhashSigArray.as("sig"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(perRow.keySet == wide.keySet)
+    perRow.foreach { case (id, sig) =>
+      assert(sig == wide(id), s"doc $id per-row signature drifted from wide")
+    }
+  }
+
+  test("streaming minhash gate matches the batch incremental verdicts") {
+    import graft.operators.Dedup
+    val sig = Dedup.minhashSignaturesWide(t)
+    val mx = sig.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val index = sig.filter(!Dedup.incIsDelta(col("doc_id"), lit(mx)))
+    val deltaDocs = t.documents.filter(Dedup.incIsDelta(col("doc_id"), lit(mx)))
+    // two doc_id-ordered files so prior-candidate state genuinely crosses
+    // micro-batches (the batch "pid < doc_id" rule = arrival order here)
+    val ids = deltaDocs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mh").toString
+    Seq(deltaDocs.filter(col("doc_id") < cut),
+        deltaDocs.filter(col("doc_id") >= cut)).zipWithIndex.foreach {
+      case (slice, i) =>
+        slice.coalesce(1).write.parquet(s"$dir/h$i")
+        val f = new java.io.File(s"$dir/h$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/h$i.parquet"))
+    }
+    val docs = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = EventStreamPipeline.minhashFrontierStream(docs, index)
+    runToMemory("mhgate", out.toDF(), "append")
+    val got = spark.sql(
+      "SELECT docId, sigId, nIndexCandidates, nPriorCandidates, maxEst, isDup FROM mhgate")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    val batch = Dedup.minhashIncremental(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("sig_id"), r.getAs[Long]("n_index_candidates"),
+          r.getAs[Long]("n_prior_candidates"), r.getAs[Double]("max_est"),
+          r.getAs[Boolean]("is_dup"))).toMap
+    assert(got.keySet == batch.keySet, "gate admitted a different delta doc set")
+    got.foreach { case (id, v) =>
+      assert(v == batch(id), s"doc $id verdict diverged: stream=$v batch=${batch(id)}")
+    }
+    // the delta genuinely spans both micro-batches
+    assert(got.keys.exists(_ < cut) && got.keys.exists(_ >= cut))
+  }
+
   test("streaming packer reproduces the batch bins across micro-batches") {
     val docs = spark.readStream.schema(t.documents.schema)
       .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
