@@ -37,7 +37,8 @@ object Bench {
     "dedup_ngram_jaccard", "dw_user_all", "dw_user_detail",
     "dw_user_detail_inc", "route_event_attr", "pipeline_curation_llm",
     "gate_resolve_stats", "pipeline_event_attr", "text_langid_agreement",
-    "dedup_minhash_lsh", "dedup_audit")
+    "dedup_minhash_lsh", "dedup_audit",
+    "sim_ann_ivfpq_residual_trained", "emb_pq_encode_trained")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -177,6 +177,7 @@ object SparkEntry {
     "sim_ann_project_rerank"  -> ((s, d) => Sim.projectRerank(tables(s, d))),
     "emb_quality_audit"       -> ((s, d) => Sim.qualityAudit(tables(s, d))),
     "dedup_url"               -> ((s, d) => Dedup.urlDedup(tables(s, d))),
+    "url_host_stats"          -> ((s, d) => Dedup.urlHostStats(tables(s, d))),
     "text_gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(tables(s, d))),
     "corpus_stats"            -> ((s, d) => TrainData.corpusStats(tables(s, d))),
     "dsir_importance"         -> ((s, d) => TrainData.dsirImportance(tables(s, d))),
@@ -193,6 +194,7 @@ object SparkEntry {
     "text_perplexity_bucket"  -> ((s, d) => TextAnalysis.perplexityBucket(tables(s, d))),
     "text_token_histogram"    -> ((s, d) => TextAnalysis.tokenHistogram(tables(s, d))),
     "text_langid_agreement"   -> ((s, d) => TextAnalysis.langIdAgreement(tables(s, d))),
+    "text_char_entropy"       -> ((s, d) => TextAnalysis.charEntropy(tables(s, d))),
     "mix_budget"              -> ((s, d) => TrainData.mixBudget(tables(s, d))),
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
     "emb_pq_encode_trained"   -> ((s, d) => Sim.pqEncodeTrained(tables(s, d))),
@@ -403,6 +405,56 @@ object SparkEntry {
                 ELSE 'OK' END AS verdict
          FROM q)"""
   }
+
+  /** URL synthesis + canonicalization CTE chain — the oracle mirror of
+    * `Dedup.syntheticUrl`/`canonicalUrl`, shared by dedup_url and
+    * url_host_stats so the two oracles can't drift. Yields
+    * `c` = (doc_id, canon_url). Plain (non-interpolated) string: the
+    * regex backslashes must reach DuckDB literally.
+    */
+  private val urlCanonCtes: String =
+    """u AS (SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+               CASE WHEN doc_id % 2 = 0
+                 THEN concat('WWW.Example', CAST(doc_id % 40 AS VARCHAR), '.COM')
+                 ELSE concat('www.example', CAST(doc_id % 40 AS VARCHAR), '.com') END,
+               CASE WHEN doc_id % 5 = 0
+                 THEN CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END
+                 WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
+               concat('/articles/item', CAST(doc_id % 25 AS VARCHAR),
+                 CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
+               '?',
+               concat_ws('&',
+                 CASE WHEN doc_id % 2 = 0
+                   THEN concat('utm_source=feed', CAST(doc_id % 3 AS VARCHAR)) END,
+                 concat('id=', CAST(doc_id % 25 AS VARCHAR)),
+                 CASE WHEN doc_id % 7 < 3 THEN 'ref=rss' END),
+               CASE WHEN doc_id % 6 < 2
+                 THEN concat('#sec', CAST(doc_id % 3 AS VARCHAR)) ELSE '' END
+             ) AS url
+           FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+         hd AS (SELECT doc_id,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(nf, '^[A-Za-z]+://[^/?#]*')),
+               '^(https://[^/:]*):443$', '\1'),
+               '^(http://[^/:]*):80$', '\1') AS head,
+             substring(nf, length(regexp_extract(nf, '^[A-Za-z]+://[^/?#]*')) + 1) AS rest
+           FROM nf),
+         pq AS (SELECT doc_id, head,
+             regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '') AS path,
+             regexp_extract(rest, '\?(.*)$', 1) AS q
+           FROM hd),
+         pr AS (SELECT doc_id, head, path,
+             array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&')
+               AS params
+           FROM pq),
+         c AS (SELECT doc_id,
+             concat(head, path,
+               CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS canon_url
+           FROM pr)"""
 
   /** Nearest-centroid assignment CTE chain — the oracle mirror of
     * Sim.assignToCentroids, shared by emb_cluster_assign and
@@ -3133,52 +3185,22 @@ object SparkEntry {
          FROM f ORDER BY vec_id"""
     },
     "dedup_url" ->
-      """WITH u AS (SELECT doc_id,
-             concat(
-               CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
-               CASE WHEN doc_id % 2 = 0
-                 THEN concat('WWW.Example', CAST(doc_id % 40 AS VARCHAR), '.COM')
-                 ELSE concat('www.example', CAST(doc_id % 40 AS VARCHAR), '.com') END,
-               CASE WHEN doc_id % 5 = 0
-                 THEN CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END
-                 WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
-               concat('/articles/item', CAST(doc_id % 25 AS VARCHAR),
-                 CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
-               '?',
-               concat_ws('&',
-                 CASE WHEN doc_id % 2 = 0
-                   THEN concat('utm_source=feed', CAST(doc_id % 3 AS VARCHAR)) END,
-                 concat('id=', CAST(doc_id % 25 AS VARCHAR)),
-                 CASE WHEN doc_id % 7 < 3 THEN 'ref=rss' END),
-               CASE WHEN doc_id % 6 < 2
-                 THEN concat('#sec', CAST(doc_id % 3 AS VARCHAR)) ELSE '' END
-             ) AS url
-           FROM documents),
-         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
-         hd AS (SELECT doc_id,
-             regexp_replace(regexp_replace(
-               lower(regexp_extract(nf, '^[A-Za-z]+://[^/?#]*')),
-               '^(https://[^/:]*):443$', '\1'),
-               '^(http://[^/:]*):80$', '\1') AS head,
-             substring(nf, length(regexp_extract(nf, '^[A-Za-z]+://[^/?#]*')) + 1) AS rest
-           FROM nf),
-         pq AS (SELECT doc_id, head,
-             regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '') AS path,
-             regexp_extract(rest, '\?(.*)$', 1) AS q
-           FROM hd),
-         pr AS (SELECT doc_id, head, path,
-             array_to_string(list_sort(list_filter(string_split(q, '&'),
-               x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&')
-               AS params
-           FROM pq),
-         c AS (SELECT doc_id,
-             concat(head, path,
-               CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS canon_url
-           FROM pr)
+      s"""WITH $urlCanonCtes
          SELECT doc_id, canon_url,
            doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep,
            count(*) OVER (PARTITION BY canon_url) AS n_aliases
          FROM c ORDER BY doc_id""",
+    "url_host_stats" ->
+      s"""WITH $urlCanonCtes,
+         h AS (SELECT doc_id, canon_url,
+             regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host
+           FROM c)
+         SELECT host, count(*) AS n_urls,
+           count(DISTINCT canon_url) AS n_canonical,
+           count(*) - count(DISTINCT canon_url) AS n_dup,
+           floor((count(*) - count(DISTINCT canon_url)) * 10000.0 / count(*)) / 10000
+             AS dup_frac
+         FROM h GROUP BY host ORDER BY host""",
     "text_gopher_quality" -> {
       import TextAnalysis._
       val reqList = gopherRequiredWords.map(w => s"'$w'").mkString(", ")
@@ -3281,6 +3303,17 @@ object SparkEntry {
                 GROUP BY doc_id)
          SELECT hs.doc_id, hs.dhash, coalesce(nn.n_near, 0) AS n_near
          FROM hs LEFT JOIN nn USING (doc_id) ORDER BY doc_id""",
+    "text_char_entropy" ->
+      s"""WITH c AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+             i -> substring(text, i, 1))) AS ch
+           FROM documents WHERE length(text) > 0),
+         g AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c FROM c GROUP BY doc_id, ch),
+         e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                 count(*) AS n_distinct_chars, sum(c * log2(c)) AS s
+               FROM g GROUP BY doc_id)
+         SELECT doc_id, n_chars, CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+           floor((log2(n_chars) - s / n_chars) * 100) / 100 AS entropy
+         FROM e ORDER BY doc_id""",
     "mm_binary_columns" ->
       // replays the FULL wire path through char codes: PGM header length
       // (9 + digits of w + digits of h), the `% 13` half-truncation (which

@@ -229,6 +229,30 @@ object Dedup {
         (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
   }
 
+  /** url_host_stats — the per-host crawl report a frontier/crawl-ops
+    * dashboard reads before setting recrawl and politeness policy: per
+    * canonical host, the url count, distinct canonical urls, alias-dup
+    * count and dup fraction. Shares `canonicalUrl`/`syntheticUrl` with
+    * dedup_url (and the streaming frontier), so the host axis can never
+    * drift from the dedup axis. One map-side-combined two-level groupBy
+    * (host × canon partials, then host); integers except the exact-
+    * arithmetic dup fraction ⇒ hash-checked.
+    */
+  def urlHostStats(t: Tables): DataFrame = {
+    t.documents
+      .select(col("doc_id"), canonicalUrl(syntheticUrl).as("canon_url"))
+      .withColumn("host",
+        regexp_extract(col("canon_url"), "^[a-z]+://([^/:?#]+)", 1))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon_url")).as("n_canonical"))
+      .select(col("host"), col("n_urls"), col("n_canonical"),
+        (col("n_urls") - col("n_canonical")).as("n_dup"),
+        (floor((col("n_urls") - col("n_canonical")) * 10000.0 / col("n_urls"))
+          / 10000).as("dup_frac"))
+      .orderBy(col("host"))
+  }
+
   // ---- #38 minhash ----
 
   val minhashK = 16    // hashes per signature

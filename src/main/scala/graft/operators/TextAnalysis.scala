@@ -229,6 +229,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** text_char_entropy — character-level Shannon entropy per document,
+    * the classic garbage/binary-blob gate (too-low entropy = repeated
+    * filler, too-high = random/encoded bytes; corpus filters drop both
+    * before any word-level rule fires — e.g. CCNet/C4 pre-filters).
+    * Computed IN-ROW: chars sorted, a run-length fold accumulates
+    * Σ c·log2(c) (the `repetition` topRun shape), entropy =
+    * log2(n) − Σ/n. Zero shuffle, one scan at any corpus scale.
+    *
+    * 2dp floor like unigram_lm: the fold runs in sorted-char order but
+    * the oracle's per-char groupBy accumulates in hash order, so the
+    * double sum gets the coarser floor.
+    */
+  def charEntropy(t: Tables): DataFrame = {
+    val chars = expr(
+      "array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1)))")
+    val fold = expr(
+      """aggregate(cs,
+           named_struct('prev', '', 'run', cast(0.0 as double), 'acc', cast(0.0 as double)),
+           (a, x) -> named_struct(
+             'prev', x,
+             'run', IF(x = a.prev, a.run + 1, cast(1.0 as double)),
+             'acc', a.acc + IF(x = a.prev OR a.run = 0, cast(0.0 as double),
+                               a.run * log2(a.run))),
+           a -> a.acc + IF(a.run = 0, cast(0.0 as double), a.run * log2(a.run)))""")
+    t.documents
+      .filter(length(col("text")) > 0)
+      .withColumn("cs", chars)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(array_distinct(col("cs"))).cast("long").as("n_distinct_chars"),
+        fold.as("sumclogc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (floor((log2(col("n_chars")) - col("sumclogc") / col("n_chars")) * 100) / 100)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4/Gopher-style document-gate thresholds. The classic rule set also
     * checks punctuation/caps/digit signals — degenerate on this all-lowercase
     * word corpus — so the gate here keeps the rules that discriminate:

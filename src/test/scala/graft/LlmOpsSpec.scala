@@ -1406,6 +1406,33 @@ class LlmOpsSpec extends SparkSpec {
       s"trained residual IVF-PQ recall $trR below deterministic $detR on the real corpus")
   }
 
+  test("char entropy is exact on known distributions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),            // one symbol: entropy 0
+      (2L, "aabb"),            // two equiprobable symbols: exactly 1 bit
+      (3L, "abcdefgh"),        // 8 uniform symbols: exactly 3 bits
+      (4L, "aab"))             // H = log2(3) - (2*log2 2)/3 = 0.9182... -> 0.91
+      .toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = TextAnalysis.charEntropy(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("entropy"))).toMap
+    assert(rows(1L) == ((4L, 1L, 0.0)))
+    assert(rows(2L) == ((4L, 2L, 1.0)))
+    assert(rows(3L) == ((8L, 8L, 3.0)))
+    assert(rows(4L) == ((3L, 2L, 0.91)))
+    // corpus-wide sanity on real data: entropy within [0, log2(n)]
+    val real = TextAnalysis.charEntropy(t).collect()
+    assert(real.length == t.documents.count())
+    real.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_chars")
+      assert(h >= 0.0 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
   test("perplexity buckets split each language into balanced ordered tertiles") {
     val rows = TextAnalysis.perplexityBucket(t).collect()
     assert(rows.length == t.documents.count())
