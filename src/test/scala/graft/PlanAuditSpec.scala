@@ -453,4 +453,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(pa.contains("BroadcastHashJoin"),
       s"distance-table probe lost its broadcast:\n$pa")
   }
+
+  test("char entropy is a pure per-row fold: no exchange before the sort") {
+    val p = plan(TextAnalysis.charEntropy(t))
+    // the ONLY exchange allowed is the presentation orderBy's range
+    // partitioning; a hash exchange means the fold fell out of the row
+    val exchanges = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).length
+    assert(exchanges == 0, s"entropy fold left the row (hash exchange):\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("url host stats keep partial aggregation on the host axis") {
+    val p = plan(Dedup.urlHostStats(t))
+    assert(!p.contains("CartesianProduct"), s"host stats went cartesian:\n$p")
+    val nHashAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nHashAgg >= 2, s"no partial aggregation on host/canon axes:\n$p")
+  }
+
+  test("trained pq encode broadcasts the trained codebook") {
+    val p = plan(graft.operators.Sim.pqEncodeTrained(t))
+    assert(!p.contains("CartesianProduct"), s"trained encode went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"trained codebook lost its broadcast:\n$p")
+  }
 }
