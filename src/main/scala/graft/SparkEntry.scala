@@ -180,6 +180,7 @@ object SparkEntry {
     "url_host_stats"          -> ((s, d) => Dedup.urlHostStats(tables(s, d))),
     "text_gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(tables(s, d))),
     "corpus_stats"            -> ((s, d) => TrainData.corpusStats(tables(s, d))),
+    "corpus_stats_inc"        -> ((s, d) => TrainData.corpusStatsInc(tables(s, d))),
     "dsir_importance"         -> ((s, d) => TrainData.dsirImportance(tables(s, d))),
     "sim_knn_graph"           -> ((s, d) => Sim.knnGraph(tables(s, d))),
     "mm_phash_dedup"          -> ((s, d) => Multimodal.phashDedup(tables(s, d))),
@@ -455,6 +456,21 @@ object SparkEntry {
              concat(head, path,
                CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS canon_url
            FROM pr)"""
+
+  /** The dataset-card oracle, shared verbatim by corpus_stats and its
+    * incremental fold (hash match there proves fold == full rescan).
+    */
+  private def corpusStatsSql: String =
+    s"""WITH d AS (SELECT source, lang,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+           length(text) AS chars
+         FROM documents)
+       SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS n_tokens, CAST(sum(chars) AS BIGINT) AS n_chars,
+         floor(sum(tok) * 10000.0 / count(*)) / 10000 AS mean_tokens,
+         floor(sum(CASE WHEN tok < ${TextAnalysis.c4MinWords} THEN 1 ELSE 0 END)
+           * 10000.0 / count(*)) / 10000 AS short_frac
+       FROM d GROUP BY source, lang ORDER BY source, lang"""
 
   /** Nearest-centroid assignment CTE chain — the oracle mirror of
     * Sim.assignToCentroids, shared by emb_cluster_assign and
@@ -3229,17 +3245,10 @@ object SparkEntry {
              AS keep
          FROM v ORDER BY doc_id"""
     },
-    "corpus_stats" ->
-      s"""WITH d AS (SELECT source, lang,
-             len(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
-             length(text) AS chars
-           FROM documents)
-         SELECT source, lang, count(*) AS n_docs,
-           CAST(sum(tok) AS BIGINT) AS n_tokens, CAST(sum(chars) AS BIGINT) AS n_chars,
-           floor(sum(tok) * 10000.0 / count(*)) / 10000 AS mean_tokens,
-           floor(sum(CASE WHEN tok < ${TextAnalysis.c4MinWords} THEN 1 ELSE 0 END)
-             * 10000.0 / count(*)) / 10000 AS short_frac
-         FROM d GROUP BY source, lang ORDER BY source, lang""",
+    "corpus_stats" -> corpusStatsSql,
+    // the incremental fold's oracle IS the full-rescan oracle: a hash
+    // match proves the per-load partial merge lossless
+    "corpus_stats_inc" -> corpusStatsSql,
     "dsir_importance" -> {
       val (bk, tm) = (TrainData.dsirBuckets, TrainData.dsirTargetMod)
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

@@ -537,6 +537,40 @@ object TrainData {
         (floor(col("n_short") * lit(10000.0) / col("n_docs")) / 10000).as("short_frac"))
       .orderBy(col("source"), col("lang"))
 
+  /** corpus_stats_inc — the incremental maintenance path of the dataset
+    * card (#73), the way a 100 TB card actually updates nightly: each
+    * load (modeled as doc_id mod 3 — three "daily drops") aggregates its
+    * own per-(source, lang) INTEGER partials, the fold re-sums them on
+    * the card key, and the derived mean/short-frac columns compute from
+    * the post-merge integers exactly like the full rescan. Oracle = the
+    * SAME SQL as corpus_stats, so the hash match PROVES fold == full
+    * rescan. Integer partials also make the merge order-free — no float
+    * drift across loads, unlike a mean-of-means.
+    */
+  def corpusStatsInc(t: Tables): DataFrame = {
+    val parts = Dedup.withWords(t.documents)
+      .select(col("source"), col("lang"),
+        size(col("w")).cast("long").as("tok"),
+        length(col("text")).cast("long").as("chars"),
+        (col("doc_id") % 3).as("inc_slice"))
+      .groupBy(col("source"), col("lang"), col("inc_slice"))
+      .agg(count(lit(1)).as("n_docs_p"), sum(col("tok")).as("n_tokens_p"),
+        sum(col("chars")).as("n_chars_p"),
+        sum(when(col("tok") < TextAnalysis.c4MinWords, 1L).otherwise(0L))
+          .as("n_short_p"))
+    parts
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs_p")).as("n_docs"), sum(col("n_tokens_p")).as("n_tokens"),
+        sum(col("n_chars_p")).as("n_chars"), sum(col("n_short_p")).as("n_short"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        (floor(col("n_tokens") * lit(10000.0) / col("n_docs")) / 10000)
+          .as("mean_tokens"),
+        (floor(col("n_short") * lit(10000.0) / col("n_docs")) / 10000)
+          .as("short_frac"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** mix_temperature — temperature-based source re-balancing (the
     * multilingual sampling recipe of Conneau & Lample 2019 / mT5): at
     * temperature τ the sampling share of source i moves from its raw

@@ -1406,6 +1406,20 @@ class LlmOpsSpec extends SparkSpec {
       s"trained residual IVF-PQ recall $trR below deterministic $detR on the real corpus")
   }
 
+  test("incremental corpus stats fold equals the full rescan") {
+    // the card keys genuinely span increments (doc_id mod 3 slices)
+    val spanning = t.documents
+      .select(col("source"), col("lang"), (col("doc_id") % 3).as("s"))
+      .distinct().groupBy("source", "lang").count().collect()
+    // single-doc card keys can't span; the bulk of the keys must, or the
+    // fold test would be vacuous
+    assert(spanning.count(_.getAs[Long]("count") >= 2) * 2 > spanning.length,
+      "most (source, lang) keys should span at least two increments")
+    val full = TrainData.corpusStats(t).collect().map(_.toSeq).toSet
+    val inc = TrainData.corpusStatsInc(t).collect().map(_.toSeq).toSet
+    assert(inc == full, "incremental card diverged from the full rescan")
+  }
+
   test("char entropy is exact on known distributions") {
     import spark.implicits._
     val docs = Seq(
