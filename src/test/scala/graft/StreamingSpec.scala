@@ -535,6 +535,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.keys.exists(_ < cut) && got.keys.exists(_ >= cut))
   }
 
+  test("minhash gate state survives a checkpointed stop/restart") {
+    import graft.operators.Dedup
+    // same split as the in-session test, but the second file lands while
+    // the query is DOWN: the restart must recover the band-key state from
+    // the checkpoint, or batch-1 admissions would stop being priors
+    val sig = Dedup.minhashSignaturesWide(t)
+    val mx = sig.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val index = sig.filter(!Dedup.incIsDelta(col("doc_id"), lit(mx)))
+    val deltaDocs = t.documents.filter(Dedup.incIsDelta(col("doc_id"), lit(mx)))
+    val ids = deltaDocs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mh_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mh_ckpt_out").toString
+    def land(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      slice.coalesce(1).write.parquet(s"$dir/$name")
+      val f = new java.io.File(s"$dir/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema(t.documents.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = EventStreamPipeline.minhashFrontierStream(docs, index)
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    land(deltaDocs.filter(col("doc_id") < cut), "h0")
+    runOnce()
+    land(deltaDocs.filter(col("doc_id") >= cut), "h1")
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .collect()
+      .map(r => r.getAs[Long]("docId") ->
+        (r.getAs[String]("sigId"), r.getAs[Long]("nIndexCandidates"),
+          r.getAs[Long]("nPriorCandidates"), r.getAs[Double]("maxEst"),
+          r.getAs[Boolean]("isDup"))).toMap
+    val batch = Dedup.minhashIncremental(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("sig_id"), r.getAs[Long]("n_index_candidates"),
+          r.getAs[Long]("n_prior_candidates"), r.getAs[Double]("max_est"),
+          r.getAs[Boolean]("is_dup"))).toMap
+    assert(got.keySet == batch.keySet, "restart lost or duplicated admissions")
+    got.foreach { case (id, v) =>
+      assert(v == batch(id), s"doc $id verdict diverged after restart: $v vs ${batch(id)}")
+    }
+    assert(got.keys.exists(_ >= cut), "post-restart batch produced nothing")
+  }
+
   test("streaming packer reproduces the batch bins across micro-batches") {
     val docs = spark.readStream.schema(t.documents.schema)
       .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
