@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.RuleCompiler
-import graft.operators.{Dedup, Identity}
+import graft.operators.{Dedup, Identity, TextAnalysis}
 import scala.util.Random
 
 /** Property-style invariants over generated inputs (seeded, deterministic) —
@@ -46,6 +46,48 @@ class PropertySpec extends SparkSpec {
         case _          => false
       }
       assert(sess.length == expected, s"secs=$sorted")
+    }
+  }
+
+  test("per-row minhash signature equals the wide signature on random texts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(23)
+    val vocab = Vector("ga", "bu", "zo", "meu", "lorem", "ipsum", "dolor")
+    val docs = (1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(30)
+      (id, List.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val k = Dedup.minhashK
+    val wide = Dedup.minhashSignaturesWide(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until k).map(j => r.getAs[Long](s"mh$j"))).toMap
+    val perRow = Dedup.withWords(docs).filter(size(col("w")) >= 3)
+      .withColumn("h0s", Dedup.minhashShingleHashes)
+      .select(col("doc_id"), Dedup.minhashSigArray.as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(perRow.keySet == wide.keySet)
+    perRow.foreach { case (id, s) => assert(s == wide(id), s"doc $id drifted") }
+  }
+
+  test("char entropy bounds hold on random strings") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val docs = (1L to 30L).map { id =>
+      val n = 1 + rnd.nextInt(200)
+      (id, List.fill(n)(('a' + rnd.nextInt(6)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    TextAnalysis.charEntropy(t2).collect().foreach { r =>
+      val (n, nd, h) = (r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_distinct_chars"), r.getAs[Double]("entropy"))
+      assert(h >= 0.0, s"negative entropy $h")
+      // entropy can never exceed log2 of the distinct-symbol count
+      assert(h <= math.log(nd.toDouble) / math.log(2.0) + 1e-9,
+        s"entropy $h above log2($nd)")
+      if (nd == 1) assert(h == 0.0)
+      assert(n >= nd)
     }
   }
 
