@@ -165,6 +165,7 @@ object SparkEntry {
     "dedup_semantic"          -> ((s, d) => Sim.semanticDedup(tables(s, d))),
     "id_incremental_assign"   -> ((s, d) => Identity.incrementalAssign(tables(s, d))),
     "text_quality_classifier" -> ((s, d) => TextAnalysis.qualityClassifier(tables(s, d))),
+    "quality_gate_agreement"  -> ((s, d) => TextAnalysis.qualityGateAgreement(tables(s, d))),
     "text_bpe_merges"         -> ((s, d) => TextAnalysis.bpeMerges(tables(s, d))),
     "text_bpe_encode"         -> ((s, d) => TextAnalysis.bpeEncode(tables(s, d))),
     "shard_assign"            -> ((s, d) => TrainData.shardAssign(tables(s, d))),
@@ -3244,6 +3245,54 @@ object SparkEntry {
            (ok_words AND ok_mean_len AND ok_symbols AND ok_alpha AND ok_stopwords)
              AS keep
          FROM v ORDER BY doc_id"""
+    },
+    "quality_gate_agreement" -> {
+      import TextAnalysis._
+      val reqList = gopherRequiredWords.map(w => s"'$w'").mkString(", ")
+      val d = qcBuckets
+      def wSum(listCol: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform($listCol, x ->
+             CAST((CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % $d)
+                  * 2654435761 % 1000 AS DOUBLE) / 1000 - 0.5)),
+             (a, b) -> a + b)"""
+      s"""WITH dd AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                      FROM documents),
+         g AS (SELECT doc_id, w,
+                 CASE WHEN len(w) >= 2
+                   THEN list_transform(generate_series(1, len(w)-1),
+                          i -> concat(w[i], ' ', w[i+1]))
+                   ELSE [] END AS g
+               FROM dd),
+         q AS (SELECT doc_id,
+                 (${wSum("w")} + ${wSum("g")}) / (len(w) + len(g)) AS m
+               FROM g),
+         qk AS (SELECT doc_id,
+                 floor((0.5 + 0.5 * m / (1 + abs(m))) * 10000) / 10000
+                   >= $qcKeepTau AS qc_keep
+               FROM q),
+         s AS (SELECT doc_id, len(w) AS tok, len(w) AS n_words,
+                 floor(CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS mean_word_len,
+                 floor(CAST(len(list_filter(w, x -> x = '#' OR x LIKE '%...%'))
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS symbol_ratio,
+                 floor(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE) / len(w) * 10000) / 10000 AS alpha_frac,
+                 len(list_filter(w, x -> x IN ($reqList))) AS stop_hits
+               FROM dd),
+         gk AS (SELECT doc_id, tok,
+                 (n_words >= $gopherMinWords AND n_words <= $gopherMaxWords
+                  AND mean_word_len >= $gopherMeanLenLo
+                  AND mean_word_len <= $gopherMeanLenHi
+                  AND symbol_ratio <= $gopherSymbolRatioMax
+                  AND alpha_frac >= $gopherAlphaFracMin
+                  AND stop_hits >= $gopherMinStopHits) AS gopher_keep
+               FROM s)
+         SELECT qc_keep, gopher_keep, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           qc_keep = gopher_keep AS agree
+         FROM qk JOIN gk USING (doc_id)
+         GROUP BY qc_keep, gopher_keep
+         ORDER BY qc_keep, gopher_keep"""
     },
     "corpus_stats" -> corpusStatsSql,
     // the incremental fold's oracle IS the full-rescan oracle: a hash

@@ -433,31 +433,62 @@ object TextAnalysis {
     * replays it bit-for-bit: hash-checked, not rows-only. Scale shape:
     * pure per-row folds, zero shuffle, one codegen'd scan pass.
     */
-  def qualityClassifier(t: Tables): DataFrame = {
+  /** The classifier's word-bigram feature array (requires `w`) — shared
+    * by the standalone operator and the gate-agreement report.
+    */
+  private[operators] def qcGrams: org.apache.spark.sql.Column = expr(
+    "IF(size(w) >= 2, transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])), " +
+      "array())")
+
+  /** The floored classifier score over `w` + `g` columns — THE one score
+    * definition, so the gate-agreement report can never drift from the
+    * standalone classifier. Same op order as ever (raw fold ÷ n_feats,
+    * rational squash, 4dp floor).
+    */
+  private[operators] def qcScoreCol: org.apache.spark.sql.Column = {
     def weight(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       pmod(pmod(Dedup.portableHash(tok), lit(qcBuckets)) * 2654435761L, lit(1000L))
         .cast("double") / 1000.0 - 0.5
-    val grams = expr(
-      "IF(size(w) >= 2, transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])), " +
-        "array())")
     val fold = (arr: org.apache.spark.sql.Column) =>
       aggregate(arr, lit(0.0), (acc, x) => acc + weight(x))
+    val m = (fold(col("w")) + fold(col("g"))) /
+      (size(col("w")) + size(col("g")))
+    // rational logistic stand-in: 0.5 + 0.5 * m / (1 + |m|) — monotone,
+    // bounded, and exactly replayable (no transcendental)
+    floor((lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))) * 10000) / 10000
+  }
+
+  def qualityClassifier(t: Tables): DataFrame = {
     docsW(t)
-      .withColumn("g", grams)
+      .withColumn("g", qcGrams)
       .select(
         col("doc_id"),
         (size(col("w")) + size(col("g"))).as("n_feats"),
-        (fold(col("w")) + fold(col("g"))).as("raw"))
-      .select(col("doc_id"), col("n_feats"),
-        (col("raw") / col("n_feats")).as("m"))
-      // rational logistic stand-in: 0.5 + 0.5 * m / (1 + |m|) — monotone,
-      // bounded, and exactly replayable (no transcendental)
-      .select(col("doc_id"), col("n_feats"),
-        (floor((lit(0.5) + lit(0.5) * col("m") / (lit(1.0) + abs(col("m")))) * 10000) / 10000)
-          .as("qc_score"))
+        qcScoreCol.as("qc_score"))
       .withColumn("keep", col("qc_score") >= qcKeepTau)
       .orderBy(col("doc_id"))
   }
+
+  /** quality_gate_agreement — the gate-swap report: the confusion table
+    * between the heuristic Gopher battery and the learned classifier
+    * gate (doc and token counts per verdict pair). THE table a curation
+    * review reads before replacing one gate with the other — the
+    * disagreement cells are exactly the documents whose fate would
+    * change. Both verdicts compute in ONE scan from the SHARED column
+    * expressions (`gopherKeepCol`, `qcScoreCol`) — no join, no second
+    * pass, and no way for the report to drift from either gate.
+    */
+  def qualityGateAgreement(t: Tables): DataFrame =
+    docsW(t)
+      .withColumn("g", qcGrams)
+      .select(col("doc_id"),
+        (qcScoreCol >= qcKeepTau).as("qc_keep"),
+        gopherKeepCol.as("gopher_keep"),
+        size(col("w")).cast("long").as("tok"))
+      .groupBy("qc_keep", "gopher_keep")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("agree", col("qc_keep") === col("gopher_keep"))
+      .orderBy(col("qc_keep"), col("gopher_keep"))
 
   /** Corpus-level n-gram report size. */
   val topNgramK = 20

@@ -1406,6 +1406,21 @@ class LlmOpsSpec extends SparkSpec {
       s"trained residual IVF-PQ recall $trR below deterministic $detR on the real corpus")
   }
 
+  test("gate agreement table is consistent with both standalone gates") {
+    val agg = TextAnalysis.qualityGateAgreement(t).collect()
+    assert(agg.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
+    val qcKeep = TextAnalysis.qualityClassifier(t).collect()
+      .count(_.getAs[Boolean]("keep")).toLong
+    val gKeep = TextAnalysis.gopherQuality(t).collect()
+      .count(_.getAs[Boolean]("keep")).toLong
+    assert(agg.filter(_.getAs[Boolean]("qc_keep"))
+      .map(_.getAs[Long]("n_docs")).sum == qcKeep)
+    assert(agg.filter(_.getAs[Boolean]("gopher_keep"))
+      .map(_.getAs[Long]("n_docs")).sum == gKeep)
+    agg.foreach(r => assert(r.getAs[Boolean]("agree") ==
+      (r.getAs[Boolean]("qc_keep") == r.getAs[Boolean]("gopher_keep"))))
+  }
+
   test("incremental corpus stats fold equals the full rescan") {
     // the card keys genuinely span increments (doc_id mod 3 slices)
     val spanning = t.documents
