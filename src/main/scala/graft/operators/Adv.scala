@@ -494,7 +494,7 @@ object Adv {
         .otherwise(urlParam(param)).as(param)
     env(t)
       .filter(col("dt").isin("evt", "abp") && col("appkey") =!= "")
-      .join(Derive.eventRegistry(t).select(col("appkey"),
+      .join(Derive.eventRegistryUnsorted(t).select(col("appkey"),
         col("event_name").as("event_type"), col("eid")),
         Seq("appkey", "event_type"))
       .join(cfg, Seq("eid"), "left")

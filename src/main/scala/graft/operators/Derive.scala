@@ -316,14 +316,19 @@ object Derive {
     * |distinct names| per app — at 100 TB the groupBy pre-aggregation does
     * all the heavy lifting map-side.
     */
-  def eventRegistry(t: Tables): DataFrame =
+  /** The unsorted registry — chain consumers (Route, Adv) join this by
+    * key; the presentation sort stays on the registered face only.
+    */
+  private[operators] def eventRegistryUnsorted(t: Tables): DataFrame =
     env(t).filter(col("appkey") =!= "")
       .groupBy(col("appkey"), col("event_type"))
       .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n"))
       .withColumn("eid",
         dense_rank().over(Window.partitionBy("appkey").orderBy("first_ts", "event_type")))
       .select(col("appkey"), col("event_type").as("event_name"), col("eid"), col("n"))
-      .orderBy(col("appkey"), col("eid"))
+
+  def eventRegistry(t: Tables): DataFrame =
+    eventRegistryUnsorted(t).orderBy(col("appkey"), col("eid"))
 
   /** Blacklisted user-property names (UserPropAsyncOperator's
     * blackUserPropSet: blacklisted properties never register).
@@ -338,7 +343,7 @@ object Derive {
     * the groupBy IS the coordination. Names are UPPERCASED for the
     * registry key exactly like the reference's field format.
     */
-  def userPropRegistry(t: Tables): DataFrame =
+  private[operators] def userPropRegistryUnsorted(t: Tables): DataFrame =
     env(t)
       .filter(col("dt") === "usr" && col("cuid").isNotNull && col("appkey") =!= "")
       .select(col("appkey"), col("ts"),
@@ -349,7 +354,9 @@ object Derive {
       .withColumn("prop_id",
         dense_rank().over(Window.partitionBy("appkey").orderBy("first_ts", "prop_key")))
       .select(col("appkey"), col("prop_key"), col("prop_id"), col("n"))
-      .orderBy(col("appkey"), col("prop_id"))
+
+  def userPropRegistry(t: Tables): DataFrame =
+    userPropRegistryUnsorted(t).orderBy(col("appkey"), col("prop_id"))
 
   /** Custom-property column budget (EventAttrRow.CUSTOM_COLUMNS — 100 in
     * the reference, configurable via EventAttrRow.configure; 10 here so

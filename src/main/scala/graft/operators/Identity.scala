@@ -70,6 +70,12 @@ object Identity {
   def deviceMap(t: Tables): DataFrame =
     deviceMapFrom(ev(t)).orderBy(col("appkey"), col("did"))
 
+  /** The unsorted map — chain consumers (Route's transfer rows) join
+    * this by key; the presentation sort stays on the registered face.
+    */
+  private[operators] def deviceMapUnsorted(t: Tables): DataFrame =
+    deviceMapFrom(ev(t))
+
   /** deviceMap over an already-derived identity envelope — the row builds
     * pass zgidAxes' PERSISTED frame here so the surrogate map rides the
     * cached pass instead of re-scanning and re-deriving the envelope.

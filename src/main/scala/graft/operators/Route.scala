@@ -124,7 +124,7 @@ object Route {
     val (idEnv, uz, dz) = Identity.zgidAxes(t)
     val dev = Identity.deviceMapFrom(idEnv)
     val usr = Identity.userMapFrom(idEnv)
-    val reg = Derive.eventRegistry(t)
+    val reg = Derive.eventRegistryUnsorted(t)
       .select(col("appkey"), col("event_name").as("event_type"), col("eid").as("reg_eid"))
     val cidx = Derive.eventAttrColumnIndex(t)
 
@@ -325,7 +325,7 @@ object Route {
     val tzNum = expr("try_cast(tzms AS bigint)")
     val runs = expr("filter(split(rs, '[^0-9]'), x -> x <> '')")
     val base = env(t).filter(col("dt") === "pl" && col("did") =!= "" && col("appkey") =!= "")
-      .join(Identity.deviceMap(t).select(col("appkey"), col("did"), col("zg_did")),
+      .join(Identity.deviceMapUnsorted(t).select(col("appkey"), col("did"), col("zg_did")),
         Seq("appkey", "did"))
       .join(platformId(t), Seq("pl"), "left")
       .withColumn("pid", coalesce(col("platform_id"), lit(0)))
@@ -388,7 +388,7 @@ object Route {
     // resolves the zgid — no event-axis join
     val (idEnv, uz, _) = Identity.zgidAxes(t)
     val usr = Identity.userMapFrom(idEnv)
-    val reg = Derive.userPropRegistry(t).select(col("appkey"), col("prop_key"), col("prop_id"))
+    val reg = Derive.userPropRegistryUnsorted(t).select(col("appkey"), col("prop_key"), col("prop_id"))
     val base = env(t)
       .filter(col("dt") === "usr" && col("cuid").isNotNull && col("appkey") =!= "")
       .filter(tzOk.isNotNull && abs(tzOk) <= tzRangeMs)

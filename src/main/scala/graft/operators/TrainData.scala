@@ -215,7 +215,10 @@ object TrainData {
     * stream — sharding is what makes it parallel, and the shard count is
     * the knob that matches it to the cluster.
     */
-  def packSequences(t: Tables): DataFrame = {
+  /** The unsorted packing frame — the stats twin aggregates this; the
+    * presentation sort stays on the registered face only.
+    */
+  private[operators] def packSequencesUnsorted(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -225,8 +228,10 @@ object TrainData {
       .withColumn("cum", sum(col("tok")).over(w))
       .select(col("doc_id"), col("shard"), col("tok"),
         floor((col("cum") - col("tok")).cast("double") / packBudget).cast("long").as("bin"))
-      .orderBy(col("doc_id"))
   }
+
+  def packSequences(t: Tables): DataFrame =
+    packSequencesUnsorted(t).orderBy(col("doc_id"))
 
   /** pack_sequences_split — the EXACT packer semantics (what #51 models
     * minus the split bookkeeping, now with it): a document whose span
@@ -265,7 +270,7 @@ object TrainData {
     * quality metric (waste = 1 − mean fill of non-final bins).
     */
   def packSequencesStats(t: Tables): DataFrame =
-    packSequences(t)
+    packSequencesUnsorted(t)
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
       .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
@@ -427,7 +432,7 @@ object TrainData {
     * `sequence` + explode fused into the scan; each copy carries its epoch
     * index so downstream shuffles (shard_assign) can spread the copies.
     */
-  def mixEpochs(t: Tables): DataFrame = {
+  private[operators] def mixEpochsUnsorted(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val factors = broadcast(epochFactors.toDF("source", "factor"))
@@ -443,14 +448,16 @@ object TrainData {
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("source"), col("factor"), col("n_copies"),
         explode(expr("sequence(0L, n_copies - 1)")).as("epoch"))
-      .orderBy(col("doc_id"), col("epoch"))
   }
+
+  def mixEpochs(t: Tables): DataFrame =
+    mixEpochsUnsorted(t).orderBy(col("doc_id"), col("epoch"))
 
   /** mix_epochs_stats — realized epoch factor per source (copies / docs),
     * the audit a mixture config review reads.
     */
   def mixEpochsStats(t: Tables): DataFrame =
-    mixEpochs(t)
+    mixEpochsUnsorted(t)
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_copies"))
       .select(col("source"), col("n_docs"), col("n_copies"),
@@ -475,7 +482,7 @@ object TrainData {
     * file-size knob. The hash key is uniform, so shards are balanced by
     * construction (the stats twin audits it).
     */
-  def shardAssign(t: Tables): DataFrame = {
+  private[operators] def shardAssignUnsorted(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val key = Dedup.portableHash(concat(lit("order:"), col("doc_id").cast("string")))
     val w = Window.partitionBy("shard").orderBy(col("ord_key"), col("doc_id"))
@@ -484,14 +491,16 @@ object TrainData {
       .withColumn("shard", pmod(col("ord_key"), lit(orderShards)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"), col("ord_key"))
-      .orderBy(col("doc_id"))
   }
+
+  def shardAssign(t: Tables): DataFrame =
+    shardAssignUnsorted(t).orderBy(col("doc_id"))
 
   /** shard_assign_stats — balance audit of the training-order shuffle:
     * per-shard doc counts and the contiguity invariant (max pos == count).
     */
   def shardAssignStats(t: Tables): DataFrame =
-    shardAssign(t)
+    shardAssignUnsorted(t)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), max(col("pos")).as("max_pos"))
       .select(col("shard"), col("n_docs"), col("max_pos"),
