@@ -3255,8 +3255,9 @@ object SparkEntry {
              CAST((CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % $d)
                   * 2654435761 % 1000 AS DOUBLE) / 1000 - 0.5)),
              (a, b) -> a + b)"""
-      s"""WITH dd AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-                      FROM documents),
+      s"""WITH dd AS MATERIALIZED (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS w
+             FROM documents),
          g AS (SELECT doc_id, w,
                  CASE WHEN len(w) >= 2
                    THEN list_transform(generate_series(1, len(w)-1),
@@ -3417,8 +3418,8 @@ object SparkEntry {
            FROM f),
          px AS (SELECT doc_id, duration_ms, fps, n_frames, frame_idx,
              list_transform(generate_series(0, ${n - 1}),
-               j -> ord(substring(text,
-                 CAST(((frame_idx*31) % len + j) % len + 1 AS INT), 1))) AS px
+               j -> CASE WHEN len = 0 THEN 0 ELSE ord(substring(text,
+                 CAST(((frame_idx*31) % len + j) % len + 1 AS INT), 1)) END) AS px
            FROM fr)
          SELECT doc_id, duration_ms, fps, n_frames, frame_idx,
            frame_idx * 1000 // fps AS frame_ts_ms,

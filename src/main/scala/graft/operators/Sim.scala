@@ -598,8 +598,12 @@ object Sim {
       val off = m * pqSubDim
       val sub = e.select(
         array_to_vector(expr(s"slice(v, ${off + 1}, $pqSubDim)")).as("fv"))
-      new KMeans().setK(pqK).setSeed(42 + m).setMaxIter(5).setFeaturesCol("fv")
-        .fit(sub).clusterCenters.map(_.toArray)
+      val cs = new KMeans().setK(pqK).setSeed(42 + m).setMaxIter(5)
+        .setFeaturesCol("fv").fit(sub).clusterCenters
+      // k-means returns < k centers when a subspace has < k distinct
+      // points (a duplicate-rich corpus); cycle rather than crash the
+      // books(m)(j) indexing — duplicate codewords just never win argmin
+      Array.tabulate(pqK)(j => cs(j % cs.length).toArray)
     }
     e.unpersist()
     books
@@ -853,8 +857,11 @@ object Sim {
       val off = m * pqSubDim
       val sub = res.select(
         array_to_vector(expr(s"slice(rv, ${off + 1}, $pqSubDim)")).as("fv"))
-      new KMeans().setK(pqK).setSeed(137 + m).setMaxIter(5).setFeaturesCol("fv")
-        .fit(sub).clusterCenters.map(_.toArray)
+      val cs = new KMeans().setK(pqK).setSeed(137 + m).setMaxIter(5)
+        .setFeaturesCol("fv").fit(sub).clusterCenters
+      // same under-k guard as pqTrainedCenters: residuals of planted
+      // twins collapse to identical points and k-means may return < k
+      Array.tabulate(pqK)(j => cs(j % cs.length).toArray)
     }
     val book = (0 until pqK).map { j =>
       (j.toLong, (0 until pqM).flatMap(m => books(m)(j).toSeq))
@@ -864,14 +871,18 @@ object Sim {
       .select(col("vec_id"), col("cluster"),
         posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
           .as(Seq("m", "code")))
-    val probes = vecs(t).filter(col("vec_id") < nQueries)
+    // ride the persisted `e` — a bare vecs(t) subplan can't substitute
+    // into the cached (vecs + fv) plan and would re-scan the parquet
+    val queryVecs = e.select(col("vec_id"), col("v"))
+      .filter(col("vec_id") < nQueries)
+    val probes = queryVecs
       .crossJoin(cents)
       .withColumn("ccos", expr("graft_cosine(v, cv)"))
       .withColumn("prk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster"))))
       .filter(col("prk") <= ivfPqProbes)
       .select(col("vec_id").as("query_id"), col("cluster"))
-    val qres = vecs(t).filter(col("vec_id") < nQueries)
+    val qres = queryVecs
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .join(broadcast(probes), "query_id")
       .join(cents, "cluster")

@@ -891,11 +891,15 @@ object EventStreamPipeline {
       .select(col("doc_id"), col("sig"),
         posexplode(Dedup.bandKeysOfSig).as(Seq("band", "band_key")))
 
-    // the stored index's band axis (static side of the probe join)
+    // the stored index's band axis (static side of the probe join) —
+    // persisted: a stream-static join re-evaluates the static plan every
+    // micro-batch, and without the cache each trigger would re-scan the
+    // index and recompute 4 md5 band keys per signature
     val idxBands = index.select(
       col("doc_id").as("pid"),
       array((0 until k).map(j => col(s"mh$j")): _*).as("p_sig"),
       posexplode(array(Dedup.bandKeys: _*)).as(Seq("band", "band_key")))
+      .persist()
 
     val idxCand = withBands
       .join(idxBands, Seq("band", "band_key"))
@@ -917,8 +921,12 @@ object EventStreamPipeline {
           var seen = state.getOption.map(_.seen).getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer[MinhashCandRow]()
           ordered.foreach { r =>
+            // EVERY stored signature is a prior — priority is ARRIVAL
+            // order (the HSETNX discipline), not doc_id order, so a
+            // late-arriving smaller id still sees the earlier arrival
+            // as its prior and the pair can never slip through unflagged
             seen.foreach { case (pid, psig) =>
-              if (pid < r._1) out += MinhashCandRow(r._1, r._2, pid, psig, fromIndex = false)
+              out += MinhashCandRow(r._1, r._2, pid, psig, fromIndex = false)
             }
             seen = (r._1, r._2) :: seen
           }

@@ -535,6 +535,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.keys.exists(_ < cut) && got.keys.exists(_ >= cut))
   }
 
+  test("minhash gate flags a near-dup pair fed in reverse id order") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two true near-dups; the LARGER id arrives first, so the smaller id
+    // is the later arrival and must read the earlier one as its prior —
+    // priority is ARRIVAL order (the HSETNX discipline), not doc_id order
+    val a = (100L, "c1 c2 c3 a b c d e f g h i j k l m n o p q")
+    val b = (101L, "c1 c2 c3 a b c d e f g h i j k l m n o p r")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_rev").toString
+    Seq(Seq(b), Seq(a)).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/h$i")
+      val f = new java.io.File(s"$dir/h$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/h$i.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val emptyIndex = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType) +:
+        (0 until Dedup.minhashK).map(j =>
+          org.apache.spark.sql.types.StructField(s"mh$j",
+            org.apache.spark.sql.types.LongType))))
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = EventStreamPipeline.minhashFrontierStream(docs, emptyIndex)
+    runToMemory("mhrev", out.toDF(), "append")
+    val rows = spark.sql("SELECT docId, nPriorCandidates, isDup FROM mhrev")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.keySet == Set(100L, 101L))
+    // 101 arrived first into an empty index: clean
+    assert(rows(101L) == ((0L, false)))
+    // 100 arrived second: 101 is its prior and the pair is flagged
+    assert(rows(100L)._1 == 1L, s"late smaller id lost its prior: $rows")
+    assert(rows(100L)._2, s"near-dup pair slipped through unflagged: $rows")
+  }
+
   test("minhash gate state survives a checkpointed stop/restart") {
     import graft.operators.Dedup
     // same split as the in-session test, but the second file lands while
