@@ -201,6 +201,7 @@ object SparkEntry {
     "emb_pq_encode"           -> ((s, d) => Sim.pqEncode(tables(s, d))),
     "emb_pq_encode_trained"   -> ((s, d) => Sim.pqEncodeTrained(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
+    "sink_vector_index"       -> ((s, d) => Sim.vectorIndexSink(tables(s, d))),
     "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d)))
   )
 
@@ -3494,6 +3495,18 @@ object SparkEntry {
            floor(($errSum) * 10000) / 10000 AS recon_err
          FROM b GROUP BY vec_id ORDER BY vec_id"""
     },
+    "sink_vector_index" ->
+      // readback-stats oracle from the SHARED assignment + encode chains:
+      // per inverted list, the vector count and distinct code cells the
+      // stored files must re-aggregate to
+      s"""WITH $centroidAssignCtes,
+         ${pqEncodeChain("q")},
+         ck AS (SELECT vec_id, array_to_string(list(code ORDER BY m), ':') AS ck
+                FROM qb GROUP BY vec_id)
+         SELECT a.cluster, count(*) AS n_vecs,
+           count(DISTINCT ck.ck) AS n_code_cells
+         FROM a JOIN ck USING (vec_id)
+         GROUP BY a.cluster ORDER BY a.cluster""",
     "dedup_audit" -> {
       val p = operators.Dedup.MersennePrime
       val mins = (0 until operators.Dedup.minhashK).map(j =>

