@@ -179,6 +179,7 @@ object SparkEntry {
     "emb_quality_audit"       -> ((s, d) => Sim.qualityAudit(tables(s, d))),
     "dedup_url"               -> ((s, d) => Dedup.urlDedup(tables(s, d))),
     "url_host_stats"          -> ((s, d) => Dedup.urlHostStats(tables(s, d))),
+    "dedup_paragraph_strip"   -> ((s, d) => Dedup.paragraphStrip(tables(s, d))),
     "text_gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(tables(s, d))),
     "corpus_stats"            -> ((s, d) => TrainData.corpusStats(tables(s, d))),
     "corpus_stats_inc"        -> ((s, d) => TrainData.corpusStatsInc(tables(s, d))),
@@ -2406,6 +2407,27 @@ object SparkEntry {
                 AS BIGINT) AS n_boiler,
            floor(sum(CASE WHEN f.cdf >= ${Dedup.paraMinDf} THEN 1 ELSE 0 END)
                  * 10000.0 / count(*)) / 10000 AS boiler_frac
+         FROM c JOIN f ON c.ch = f.ch
+         GROUP BY c.doc_id ORDER BY c.doc_id"""
+    },
+    "dedup_paragraph_strip" -> {
+      val p = Dedup.paraWords
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         i AS (SELECT doc_id, w,
+                 unnest(generate_series(0, CAST(floor((len(w)-1)/$p) AS INT))) AS i
+               FROM d),
+         c AS MATERIALIZED (SELECT doc_id, i AS pos,
+                 array_to_string(w[i*$p+1 : i*$p+$p], ' ') AS chunk,
+                 md5(array_to_string(w[i*$p+1 : i*$p+$p], ' ')) AS ch
+               FROM i),
+         f AS (SELECT ch, count(DISTINCT doc_id) AS cdf FROM c GROUP BY 1)
+         SELECT c.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.cdf < ${Dedup.paraMinDf} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           coalesce(array_to_string(
+             list(c.chunk ORDER BY c.pos) FILTER (WHERE f.cdf < ${Dedup.paraMinDf}),
+             ' '), '') AS cleaned_text
          FROM c JOIN f ON c.ch = f.ch
          GROUP BY c.doc_id ORDER BY c.doc_id"""
     },

@@ -671,6 +671,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_paragraph_strip — the production ACTION of paragraph dedup
+    * (paragraphBoiler reports; this one cleans): rebuild each document
+    * with its boilerplate chunks REMOVED, preserving chunk order —
+    * chunks whose distinct-doc frequency ≥ `paraMinDf` drop, the rest
+    * re-join with single spaces. The cleaned TEXT itself is
+    * hash-checked, not just the counts.
+    *
+    * Scale shape: same as the report — chunking in-row, ONE
+    * map-side-combined groupBy for chunk df, one doc-axis groupBy whose
+    * order-preserving rebuild is an in-group array_sort over (pos,
+    * chunk) structs (group size = chunks per doc, bounded by doc
+    * length).
+    */
+  def paragraphStrip(t: Tables): DataFrame = {
+    val chunks = withWords(t.documents)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, int(floor((size(w)-1)/$paraWords))),
+            i -> concat_ws(' ', slice(w, i*$paraWords+1, $paraWords)))"""))
+        .as(Seq("pos", "chunk")))
+      .withColumn("ch", md5(col("chunk")))
+    val df = chunks.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("cdf"))
+    chunks
+      .join(df, "ch")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") < paraMinDf, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          s"""transform(array_sort(collect_list(
+                CASE WHEN cdf < $paraMinDf THEN struct(pos, chunk) END)),
+              s -> s.chunk)""")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-substring window length in tokens. The published rule (Lee et
     * al. 2021, "Deduplicating Training Data Makes Language Models Better")
     * removes spans of ≥50 BPE tokens shared verbatim between documents; 16

@@ -1439,6 +1439,32 @@ class LlmOpsSpec extends SparkSpec {
       s"trained residual IVF-PQ recall $trR below deterministic $detR on the real corpus")
   }
 
+  test("paragraph strip removes planted boilerplate and keeps unique content") {
+    import spark.implicits._
+    // 8-word boilerplate chunk shared by 4 docs (>= paraMinDf), each doc
+    // followed by its own unique 8-word chunk
+    val boiler = "copyright footer all rights reserved contact us now"
+    val docs = (1L to 4L).map { i =>
+      (i, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")
+    }.toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = Dedup.paragraphStrip(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("cleaned_text"))).toMap
+    (1L to 4L).foreach { i =>
+      val (n, kept, cleaned) = rows(i)
+      assert(n == 2 && kept == 1)
+      assert(cleaned == s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h",
+        s"doc $i cleaned='$cleaned'")
+    }
+    // real corpus: kept <= chunks, order preserved (cleaned is a
+    // subsequence of the doc's own chunk stream -> word count matches)
+    Dedup.paragraphStrip(t).collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
   test("gate agreement table is consistent with both standalone gates") {
     val agg = TextAnalysis.qualityGateAgreement(t).collect()
     assert(agg.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
