@@ -203,6 +203,7 @@ object SparkEntry {
     "emb_pq_encode_trained"   -> ((s, d) => Sim.pqEncodeTrained(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
     "sink_vector_index"       -> ((s, d) => Sim.vectorIndexSink(tables(s, d))),
+    "sim_ann_pq_adc_stored"   -> ((s, d) => Sim.pqAdcTopKStored(tables(s, d))),
     "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d)))
   )
 
@@ -474,6 +475,36 @@ object SparkEntry {
          floor(sum(CASE WHEN tok < ${TextAnalysis.c4MinWords} THEN 1 ELSE 0 END)
            * 10000.0 / count(*)) / 10000 AS short_frac
        FROM d GROUP BY source, lang ORDER BY source, lang"""
+
+  /** The ADC-search oracle, shared verbatim by sim_ann_pq_adc and its
+    * stored-index face (hash match there proves the persisted code table
+    * searches identically to the in-plan encode).
+    */
+  private def pqAdcSql: String = {
+    val (m, sd) = (Sim.pqM, Sim.pqSubDim)
+    val dCols = (0 until m)
+      .map(j => s"sum(CASE WHEN b.m = $j THEN d END) AS d$j").mkString(",\n           ")
+    val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
+    s"""WITH $pqEncodeCtes,
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id < ${Sim.nQueries}),
+       tbl AS (SELECT q.query_id, c.code, m.m,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                 i -> (q.qv[m.m*$sd+i] - c.cv[m.m*$sd+i])
+                      * (q.qv[m.m*$sd+i] - c.cv[m.m*$sd+i]))),
+                 (a, b) -> a + b) AS d
+             FROM q CROSS JOIN c
+               CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
+       s AS (SELECT tbl.query_id, b.vec_id,
+         $dCols
+         FROM b JOIN tbl ON b.m = tbl.m AND b.code = tbl.code
+         WHERE b.vec_id <> tbl.query_id GROUP BY 1, 2),
+       k AS (SELECT query_id, vec_id, ($adcSum) AS adc, row_number() OVER (
+               PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
+       SELECT query_id, vec_id AS neighbor_id, rank,
+         floor(adc * 10000) / 10000 AS adc_dist
+       FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
+  }
 
   /** Nearest-centroid assignment CTE chain — the oracle mirror of
     * Sim.assignToCentroids, shared by emb_cluster_assign and
@@ -3817,31 +3848,10 @@ object SparkEntry {
            floor(raw_boost * 10000) / 10000 AS boost,
            floor(raw_boost / mb * 10000) / 10000 AS keep_rate
          FROM b, mx ORDER BY source""",
-    "sim_ann_pq_adc" -> {
-      val (m, sd) = (Sim.pqM, Sim.pqSubDim)
-      val dCols = (0 until m)
-        .map(j => s"sum(CASE WHEN b.m = $j THEN d END) AS d$j").mkString(",\n           ")
-      val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
-      s"""WITH $pqEncodeCtes,
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e
-               WHERE vec_id < ${Sim.nQueries}),
-         tbl AS (SELECT q.query_id, c.code, m.m,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
-                   i -> (q.qv[m.m*$sd+i] - c.cv[m.m*$sd+i])
-                        * (q.qv[m.m*$sd+i] - c.cv[m.m*$sd+i]))),
-                   (a, b) -> a + b) AS d
-               FROM q CROSS JOIN c
-                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
-         s AS (SELECT tbl.query_id, b.vec_id,
-           $dCols
-           FROM b JOIN tbl ON b.m = tbl.m AND b.code = tbl.code
-           WHERE b.vec_id <> tbl.query_id GROUP BY 1, 2),
-         k AS (SELECT query_id, vec_id, ($adcSum) AS adc, row_number() OVER (
-                 PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
-         SELECT query_id, vec_id AS neighbor_id, rank,
-           floor(adc * 10000) / 10000 AS adc_dist
-         FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
-    },
+    "sim_ann_pq_adc" -> pqAdcSql,
+    // the stored-index search's oracle IS the in-plan search's oracle:
+    // a hash match proves the persisted code table searches identically
+    "sim_ann_pq_adc_stored" -> pqAdcSql,
     "sim_ann_ivfpq" -> {
       val (m, sd) = (Sim.pqM, Sim.pqSubDim)
       val dCols = (0 until m)

@@ -727,6 +727,33 @@ object Sim {
       pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
         .filter(col("vec_id") =!= col("query_id")))
 
+  /** sim_ann_pq_adc_stored — the search face of the PERSISTED index: ADC
+    * over a code table read back from `vectorIndexSink`'s directory
+    * instead of re-encoded in-plan. THE production read path — the index
+    * job runs nightly, the search never touches the raw floats or the
+    * encoder, and the original vectors could be cold storage. Oracle is
+    * the SAME SQL as sim_ann_pq_adc, so the hash match PROVES
+    * stored == computed (the corpus_stats_inc discipline applied to the
+    * index lifecycle).
+    */
+  def pqAdcTopKFromStored(t: Tables, codes: DataFrame): DataFrame = {
+    val dataCodes = codes.select(col("vec_id"),
+      posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
+        .as(Seq("m", "code")))
+    adcRank(
+      dataCodes.join(broadcast(adcDistTable(t)), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("query_id")))
+  }
+
+  /** The registered end-to-end form: build + persist the index, then
+    * search ONLY the stored files.
+    */
+  def pqAdcTopKStored(t: Tables): DataFrame = {
+    val out = s"/tmp/graft_vindex/${java.util.UUID.randomUUID().toString.take(8)}"
+    vectorIndexSink(t, Some(out)).count() // build + prove readback
+    pqAdcTopKFromStored(t, t.spark.read.parquet(out))
+  }
+
   /** emb_dedup_pq — near-dup candidates at 4 bytes a vector: two vectors
     * whose PQ codes agree on EVERY subspace sit in the same Voronoi cell
     * of the product space, the cheapest possible semantic-dup screen

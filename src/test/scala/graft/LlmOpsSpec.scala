@@ -1217,6 +1217,13 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("stored-index adc search equals the in-plan search exactly") {
+    val stored = Sim.pqAdcTopKStored(t).collect().map(_.toSeq).toSet
+    val inPlan = Sim.pqAdcTopK(t).collect().map(_.toSeq).toSet
+    assert(stored == inPlan,
+      "searching the persisted code table diverged from the in-plan encode")
+  }
+
   test("pq adc search ranks a planted exact twin first at zero distance") {
     import spark.implicits._
     // vec 20 IS vec 3 (a query): it encodes to query 3's own codes, so its
