@@ -461,6 +461,36 @@ object SparkEntry {
                CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS canon_url
            FROM pr)"""
 
+  /** The classifier's hashed-bucket weight-sum fold over a list column —
+    * THE one SQL weight formula, shared by text_quality_classifier and
+    * quality_gate_agreement so the report can't drift from the gate.
+    * Left-fold so accumulation order (and every bit) matches Spark's.
+    */
+  private def qcWSumSql(listCol: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform($listCol, x ->
+         CAST((CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % ${TextAnalysis.qcBuckets})
+              * 2654435761 % 1000 AS DOUBLE) / 1000 - 0.5)),
+         (a, b) -> a + b)"""
+
+  /** The Gopher signal CTE body over a words CTE `src` — shared by
+    * text_gopher_quality and quality_gate_agreement (same drift rule).
+    * Yields columns (doc_id, n_words, mean_word_len, symbol_ratio,
+    * alpha_frac, stop_hits).
+    */
+  private def gopherSignalSql(src: String): String = {
+    import TextAnalysis._
+    val reqList = gopherRequiredWords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, len(w) AS n_words,
+         floor(CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+           AS DOUBLE) / len(w) * 10000) / 10000 AS mean_word_len,
+         floor(CAST(len(list_filter(w, x -> x = '#' OR x LIKE '%...%'))
+           AS DOUBLE) / len(w) * 10000) / 10000 AS symbol_ratio,
+         floor(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+           AS DOUBLE) / len(w) * 10000) / 10000 AS alpha_frac,
+         len(list_filter(w, x -> x IN ($reqList))) AS stop_hits
+       FROM $src"""
+  }
+
   /** The dataset-card oracle, shared verbatim by corpus_stats and its
     * incremental fold (hash match there proves fold == full rescan).
     */
@@ -3190,15 +3220,7 @@ object SparkEntry {
     "text_bpe_merges" -> bpeOracle(encode = false),
     "text_bpe_encode" -> bpeOracle(encode = true),
     "text_quality_classifier" -> {
-      val d = TextAnalysis.qcBuckets
-      // same rational weight formula as TextAnalysis.qualityClassifier:
-      // hash → bucket → Knuth mix into [-0.5, 0.5); left-fold sums so the
-      // accumulation order (and therefore every bit) matches Spark's
-      def wSum(listCol: String) =
-        s"""list_reduce(list_prepend(0.0, list_transform($listCol, x ->
-             CAST((CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % $d)
-                  * 2654435761 % 1000 AS DOUBLE) / 1000 - 0.5)),
-             (a, b) -> a + b)"""
+      def wSum(listCol: String) = qcWSumSql(listCol)
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
                      FROM documents),
          g AS (SELECT doc_id, w,
@@ -3274,18 +3296,9 @@ object SparkEntry {
          FROM h GROUP BY host ORDER BY host""",
     "text_gopher_quality" -> {
       import TextAnalysis._
-      val reqList = gopherRequiredWords.map(w => s"'$w'").mkString(", ")
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
                      FROM documents),
-         s AS (SELECT doc_id, len(w) AS n_words,
-                 floor(CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum')
-                   AS DOUBLE) / len(w) * 10000) / 10000 AS mean_word_len,
-                 floor(CAST(len(list_filter(w, x -> x = '#' OR x LIKE '%...%'))
-                   AS DOUBLE) / len(w) * 10000) / 10000 AS symbol_ratio,
-                 floor(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-                   AS DOUBLE) / len(w) * 10000) / 10000 AS alpha_frac,
-                 len(list_filter(w, x -> x IN ($reqList))) AS stop_hits
-               FROM d),
+         s AS (${gopherSignalSql("d")}),
          v AS (SELECT *,
                  (n_words >= $gopherMinWords AND n_words <= $gopherMaxWords) AS ok_words,
                  (mean_word_len >= $gopherMeanLenLo
@@ -3302,13 +3315,7 @@ object SparkEntry {
     },
     "quality_gate_agreement" -> {
       import TextAnalysis._
-      val reqList = gopherRequiredWords.map(w => s"'$w'").mkString(", ")
-      val d = qcBuckets
-      def wSum(listCol: String) =
-        s"""list_reduce(list_prepend(0.0, list_transform($listCol, x ->
-             CAST((CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % $d)
-                  * 2654435761 % 1000 AS DOUBLE) / 1000 - 0.5)),
-             (a, b) -> a + b)"""
+      def wSum(listCol: String) = qcWSumSql(listCol)
       s"""WITH dd AS MATERIALIZED (SELECT doc_id,
                string_split_regex(lower(trim(text)), '\\s+') AS w
              FROM documents),
@@ -3325,16 +3332,8 @@ object SparkEntry {
                  floor((0.5 + 0.5 * m / (1 + abs(m))) * 10000) / 10000
                    >= $qcKeepTau AS qc_keep
                FROM q),
-         s AS (SELECT doc_id, len(w) AS tok, len(w) AS n_words,
-                 floor(CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum')
-                   AS DOUBLE) / len(w) * 10000) / 10000 AS mean_word_len,
-                 floor(CAST(len(list_filter(w, x -> x = '#' OR x LIKE '%...%'))
-                   AS DOUBLE) / len(w) * 10000) / 10000 AS symbol_ratio,
-                 floor(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-                   AS DOUBLE) / len(w) * 10000) / 10000 AS alpha_frac,
-                 len(list_filter(w, x -> x IN ($reqList))) AS stop_hits
-               FROM dd),
-         gk AS (SELECT doc_id, tok,
+         s AS (${gopherSignalSql("dd")}),
+         gk AS (SELECT doc_id, n_words AS tok,
                  (n_words >= $gopherMinWords AND n_words <= $gopherMaxWords
                   AND mean_word_len >= $gopherMeanLenLo
                   AND mean_word_len <= $gopherMeanLenHi

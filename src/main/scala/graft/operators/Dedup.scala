@@ -651,13 +651,22 @@ object Dedup {
     * join back to chunks rides the same hash axis. Nothing is quadratic
     * anywhere — there is no pairwise step at all.
     */
-  def paragraphBoiler(t: Tables): DataFrame = {
-    val chunks = withWords(t.documents)
-      .select(col("doc_id"), explode(expr(
+  /** The persisted per-doc chunk frame (doc_id, pos, chunk, ch) — THE one
+    * chunking definition, shared by the boilerplate report and the strip
+    * action (both read it twice: once for chunk df, once for the doc
+    * pass, so the persist stops the scan+split+md5 running twice).
+    */
+  private def paraChunks(t: Tables): DataFrame =
+    withWords(t.documents)
+      .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, int(floor((size(w)-1)/$paraWords))),
-            i -> concat_ws(' ', slice(w, i*$paraWords+1, $paraWords)))""")).as("chunk"))
-      .select(col("doc_id"), md5(col("chunk")).as("ch"))
+            i -> concat_ws(' ', slice(w, i*$paraWords+1, $paraWords)))"""))
+        .as(Seq("pos", "chunk")))
+      .withColumn("ch", md5(col("chunk")))
       .persist()
+
+  def paragraphBoiler(t: Tables): DataFrame = {
+    val chunks = paraChunks(t)
     val df = chunks.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("cdf"))
     chunks
@@ -685,12 +694,7 @@ object Dedup {
     * length).
     */
   def paragraphStrip(t: Tables): DataFrame = {
-    val chunks = withWords(t.documents)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, int(floor((size(w)-1)/$paraWords))),
-            i -> concat_ws(' ', slice(w, i*$paraWords+1, $paraWords)))"""))
-        .as(Seq("pos", "chunk")))
-      .withColumn("ch", md5(col("chunk")))
+    val chunks = paraChunks(t)
     val df = chunks.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("cdf"))
     chunks

@@ -749,8 +749,8 @@ object Sim {
     * search ONLY the stored files.
     */
   def pqAdcTopKStored(t: Tables): DataFrame = {
-    val out = s"/tmp/graft_vindex/${java.util.UUID.randomUUID().toString.take(8)}"
-    vectorIndexSink(t, Some(out)).count() // build + prove readback
+    val out = "/tmp/graft_vindex/adc_stored"
+    writeVectorIndex(t, out) // eager build; overwritten per run
     pqAdcTopKFromStored(t, t.spark.read.parquet(out))
   }
 
@@ -946,9 +946,12 @@ object Sim {
     * partition count (the AQE-coalesce trap), maxRecordsPerFile bounds
     * file sizes, salt bounds per-writer skew on a hot list.
     */
-  def vectorIndexSink(t: Tables, outDir: Option[String] = None): DataFrame = {
-    val out = outDir.getOrElse(
-      s"/tmp/graft_vindex/${java.util.UUID.randomUUID().toString.take(8)}")
+  /** The eager index write alone (the nightly build job's body). The
+    * default directory is DETERMINISTIC and overwritten per run — a UUID
+    * default would deposit a fresh index copy in /tmp on every
+    * Verify/Bench invocation with no cleanup.
+    */
+  def writeVectorIndex(t: Tables, out: String): Unit = {
     val codes = pqEncodeUnsorted(t)
       .join(assignToCentroids(t).select(col("vec_id"), col("cluster")), "vec_id")
       .select(col("vec_id") +: (0 until pqM).map(m => col(s"code$m")) :+
@@ -961,6 +964,11 @@ object Sim {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 1000000)
       .partitionBy("cluster").parquet(out)
+  }
+
+  def vectorIndexSink(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val out = outDir.getOrElse("/tmp/graft_vindex/default")
+    writeVectorIndex(t, out)
     val key = concat_ws(":", (0 until pqM).map(m => col(s"code$m")): _*)
     t.spark.read.parquet(out)
       .groupBy(col("cluster").cast("long").as("cluster"))

@@ -894,7 +894,10 @@ object EventStreamPipeline {
     // the stored index's band axis (static side of the probe join) —
     // persisted: a stream-static join re-evaluates the static plan every
     // micro-batch, and without the cache each trigger would re-scan the
-    // index and recompute 4 md5 band keys per signature
+    // index and recompute 4 md5 band keys per signature. The cache lives
+    // for the stream's (= session's) lifetime by design — construct this
+    // stream ONCE per query; a short-lived caller releases it with
+    // clearCache()/unpersist after stopping the query
     val idxBands = index.select(
       col("doc_id").as("pid"),
       array((0 until k).map(j => col(s"mh$j")): _*).as("p_sig"),
@@ -908,8 +911,9 @@ object EventStreamPipeline {
       .as[MinhashCandRow]
 
     // earlier-delta candidates: per-band-key keyed state carrying the
-    // signatures seen with that band key (in-batch rows process in doc_id
-    // order, so "earlier" matches the batch pid < doc_id rule)
+    // signatures seen with that band key; in-batch rows process in
+    // doc_id order, so an ordered feed reproduces the batch pid < doc_id
+    // rule and an unordered feed still gates in arrival order
     val priorCand = withBands
       .select(col("doc_id"), col("sig"), col("band"), col("band_key"))
       .as[(Long, Seq[Long], Int, String)]
@@ -924,9 +928,13 @@ object EventStreamPipeline {
             // EVERY stored signature is a prior — priority is ARRIVAL
             // order (the HSETNX discipline), not doc_id order, so a
             // late-arriving smaller id still sees the earlier arrival
-            // as its prior and the pair can never slip through unflagged
+            // as its prior and the pair can never slip through unflagged.
+            // pid != docId: an at-least-once re-delivery of the SAME doc
+            // must not pair the doc with itself (est 1.0 would reject a
+            // globally-unique document outright)
             seen.foreach { case (pid, psig) =>
-              out += MinhashCandRow(r._1, r._2, pid, psig, fromIndex = false)
+              if (pid != r._1)
+                out += MinhashCandRow(r._1, r._2, pid, psig, fromIndex = false)
             }
             seen = (r._1, r._2) :: seen
           }

@@ -1211,10 +1211,18 @@ class LlmOpsSpec extends SparkSpec {
     // and the list's own directory re-aggregates to the same count
     assert(t.spark.read.parquet(s"$out/cluster=$someCluster").count() ==
       stats(someCluster)._1)
-    // stored code cells match the in-plan encode's cells per cluster
-    stats.foreach { case (c, (n, cells)) =>
-      assert(cells >= 1 && cells <= n)
-    }
+    // stored code cells match the in-plan encode's cells per cluster —
+    // a column reorder or truncation in the written files would differ
+    val key = concat_ws(":", (0 until Sim.pqM).map(m => col(s"code$m")): _*)
+    val inPlan = Sim.pqEncode(t)
+      .join(Sim.clusterAssign(t).select(col("vec_id"), col("cluster")), "vec_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), countDistinct(key).as("cells"))
+      .collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cells"))).toMap
+    assert(stats == inPlan,
+      s"stored layout diverged from the in-plan encode: $stats vs $inPlan")
   }
 
   test("stored-index adc search equals the in-plan search exactly") {
