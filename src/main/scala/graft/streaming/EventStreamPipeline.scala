@@ -979,6 +979,66 @@ object EventStreamPipeline {
       }
   }
 
+  case class AdcServe(queryId: Long, neighborId: Long, rank: Int, adcDist: Double)
+  case class AdcServeSeen(seen: Boolean)
+
+  /** Online ANN serving — the LIVE face of the persisted vector index
+    * (the last production shape of the index lifecycle: build → persist
+    * → batch search → SERVE): each arriving query vector routes to its
+    * `ivfPqProbes` nearest coarse lists PER-ROW (centroids and the PQ
+    * codebook ship as LITERALS — the nightly-model move dsirGateStream
+    * and the Bloom decontaminator make), probes the STORED code table as
+    * a stream-static join on the list key (partition pruning at the
+    * storage layer bounds the scan to probes/lists), computes the full
+    * ADC distance in ONE row expression per candidate (8 lookups into
+    * the codebook literal, same fold order as the batch scan), and folds
+    * each query's candidates to its top-k in a keyed verdict stage.
+    * The spec pins EXACT equality with batch `sim_ann_ivfpq`.
+    */
+  def adcServeStream(queries: DataFrame, storedCodes: DataFrame,
+      cents: Seq[Seq[Double]], book: Seq[Seq[Double]]): Dataset[AdcServe] = {
+    import graft.operators.Sim
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val (m, sd) = (Sim.pqM, Sim.pqSubDim)
+    val probed = queries
+      .withColumn("cents", typedLit(cents))
+      // per-row probe ranking: (-cosine, list) ascending = cosine desc
+      // with ties to the lower list id — the batch queryProbes rule
+      .withColumn("probes", expr(
+        s"""transform(slice(array_sort(transform(
+              sequence(0, ${Sim.nCentroids - 1}),
+              k -> struct(-graft_cosine(v, cents[k]) AS nc, k AS k))),
+            1, ${Sim.ivfPqProbes}), s -> s.k)"""))
+      .select(col("query_id"), col("v"), explode(col("probes")).as("cluster"))
+    val adc = (0 until m).map { j =>
+      val off = j * sd
+      expr(s"""aggregate(sequence(0, ${sd - 1}), cast(0.0 as double),
+           (a, i) -> a + (v[$off+i] - book[code$j][$off+i])
+                       * (v[$off+i] - book[code$j][$off+i]))""")
+    }.reduce(_ + _)
+    probed
+      .join(storedCodes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("book", typedLit(book))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AdcServeSeen, AdcServe](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (q, rows, state: GroupState[AdcServeSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(AdcServeSeen(true))
+            rows.toSeq.sortBy(r => (r._3, r._2)).take(Sim.topK).zipWithIndex
+              .map { case ((_, vid, d), i) =>
+                AdcServe(q, vid, i + 1, math.floor(d * 10000) / 10000)
+              }.iterator
+          }
+      }
+  }
+
   /** The dataset card LIVE (the streaming face of corpus_stats): running
     * per-(source, lang) document/token/char totals maintained as a
     * complete-mode aggregation — the card a data-ops dashboard reads

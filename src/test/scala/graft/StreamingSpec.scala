@@ -631,6 +631,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.keys.exists(_ >= cut), "post-restart batch produced nothing")
   }
 
+  test("streaming ann serving over the stored index equals batch ivf-pq") {
+    import graft.operators.Sim
+    // build + persist the index once (the nightly job)
+    val idx = java.nio.file.Files.createTempDirectory("graft_serve_idx").toString
+    Sim.writeVectorIndex(t, idx)
+    val stored = spark.read.parquet(idx)
+    // the nightly model as literals: coarse centroids + global codebook
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val byId = base.filter(col("vec_id") < math.max(Sim.nCentroids, Sim.pqK))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = (0 until Sim.nCentroids).map(k => byId(k.toLong))
+    val book = (0 until Sim.pqK).map(k => byId(k.toLong))
+    // the query stream: two files so serving spans micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve_q").toString
+    val qs = base.filter(col("vec_id") < Sim.nQueries)
+      .select(col("vec_id").as("query_id"), col("v"))
+    Seq(qs.filter(col("query_id") < 5), qs.filter(col("query_id") >= 5))
+      .zipWithIndex.foreach { case (slice, i) =>
+        slice.coalesce(1).write.parquet(s"$dir/h$i")
+        val f = new java.io.File(s"$dir/h$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/h$i.parquet"))
+      }
+    val queries = spark.readStream.schema(qs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = EventStreamPipeline.adcServeStream(queries, stored, cents, book)
+    runToMemory("annserve", out.toDF(), "append")
+    val got = spark.sql("SELECT queryId, neighborId, rank, adcDist FROM annserve")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    val batch = Sim.ivfPqTopK(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toMap
+    assert(got.keySet == batch.keySet,
+      s"serving rank set differs: ${got.keySet.size} vs ${batch.keySet.size}")
+    got.foreach { case (k, v) =>
+      assert(v == batch(k), s"query/rank $k diverged: stream=$v batch=${batch(k)}")
+    }
+  }
+
   test("streaming packer reproduces the batch bins across micro-batches") {
     val docs = spark.readStream.schema(t.documents.schema)
       .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
