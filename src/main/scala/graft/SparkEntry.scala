@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_substring"     -> ((s, d) => Dedup.substringDup(tables(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(tables(s, d))),
     "dedup_minhash_inc"   -> ((s, d) => Dedup.minhashIncremental(tables(s, d))),
+    "dedup_exact_inc"     -> ((s, d) => Dedup.exactIncremental(tables(s, d))),
     "dedup_groups"        -> ((s, d) => Dedup.dupGroups(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
     "sim_ann_cosine_topk" -> ((s, d) => Sim.cosineTopK(tables(s, d))),
@@ -2352,6 +2353,21 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
          min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY 1 ORDER BY h""",
+    "dedup_exact_inc" ->
+      """WITH h AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           FROM documents),
+         mx AS (SELECT max(doc_id) AS m FROM h),
+         idx AS (SELECT DISTINCT h.h FROM h, mx WHERE NOT (doc_id * 5 > m * 4)),
+         d AS (SELECT h.doc_id, h.h FROM h, mx WHERE doc_id * 5 > m * 4),
+         r AS (SELECT doc_id, h,
+                 h IN (SELECT h FROM idx) AS in_index,
+                 CAST(row_number() OVER (PARTITION BY h ORDER BY doc_id) - 1
+                   AS BIGINT) AS n_prior
+               FROM d)
+         SELECT doc_id, h, in_index, n_prior,
+           (NOT in_index AND n_prior = 0) AS keep
+         FROM r ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
                      FROM documents),

@@ -229,6 +229,35 @@ object Dedup {
         (floor(col("jaccard") * 10000) / 10000).as("jaccard"))
   }
 
+  /** dedup_exact_inc — incremental EXACT-dedup admission, the
+    * content-hash twin of dedup_minhash_inc and the single most common
+    * production gate (a day's crawl drop vs the stored hash index): the
+    * index keeps ONLY each admitted document's normalized md5 (the text
+    * is never re-read), the delta alone pays hashing, and the probe is
+    * one join on the 16-byte hash axis. Per delta doc: its hash, whether
+    * the index already holds it, how many EARLIER delta docs share it
+    * (in-batch self-dedup, first-writer-wins like #36), and the
+    * admission verdict. Same recency split as the minhash twin.
+    */
+  def exactIncremental(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = t.documents.select(col("doc_id"), normalizedMd5.as("h"))
+    val mx = hashed.agg(max(col("doc_id")).as("max_id"))
+    val withMx = hashed.crossJoin(broadcast(mx))
+    val index = withMx.filter(!incIsDelta(col("doc_id"), col("max_id")))
+      .select(col("h")).distinct()
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    withMx.filter(incIsDelta(col("doc_id"), col("max_id")))
+      .select(col("doc_id"), col("h"))
+      .join(index.select(col("h"), lit(true).as("in_index")), Seq("h"), "left")
+      .withColumn("n_prior", row_number().over(w).cast("long") - 1)
+      .select(col("doc_id"), col("h"),
+        coalesce(col("in_index"), lit(false)).as("in_index"),
+        col("n_prior"),
+        (coalesce(!col("in_index"), lit(true)) && col("n_prior") === 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** url_host_stats — the per-host crawl report a frontier/crawl-ops
     * dashboard reads before setting recrawl and politeness policy: per
     * canonical host, the url count, distinct canonical urls, alias-dup

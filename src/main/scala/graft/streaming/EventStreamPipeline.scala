@@ -994,6 +994,10 @@ object EventStreamPipeline {
     * the codebook literal, same fold order as the batch scan), and folds
     * each query's candidates to its top-k in a keyed verdict stage.
     * The spec pins EXACT equality with batch `sim_ann_ivfpq`.
+    *
+    * `storedCodes` is caller-owned: persist it before constructing the
+    * stream (a stream-static join re-evaluates the static plan every
+    * micro-batch — the idxBands lesson), and unpersist on query stop.
     */
   def adcServeStream(queries: DataFrame, storedCodes: DataFrame,
       cents: Seq[Seq[Double]], book: Seq[Seq[Double]]): Dataset[AdcServe] = {

@@ -1454,6 +1454,26 @@ class LlmOpsSpec extends SparkSpec {
       s"trained residual IVF-PQ recall $trR below deterministic $detR on the real corpus")
   }
 
+  test("exact incremental admission gates index hits and in-batch dups") {
+    import spark.implicits._
+    // ids 1-12 are the stored index (5·id > 4·16 ⇒ delta = ids 13-16):
+    // 13 duplicates an index doc, 14+15 duplicate each other, 16 is unique
+    val docs = ((1L to 12L).map(i => (i, s"x$i")) ++ Seq(
+      (13L, "  X1 "), // normalizes to index doc 1's content
+      (14L, "fresh content here"), (15L, "fresh  CONTENT here"),
+      (16L, "truly unique text"))).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = Dedup.exactIncremental(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("in_index"), r.getAs[Long]("n_prior"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(rows.keySet == Set(13L, 14L, 15L, 16L))
+    assert(rows(13L) == ((true, 0L, false)), s"index dup admitted: ${rows(13L)}")
+    assert(rows(14L) == ((false, 0L, true)))
+    assert(rows(15L) == ((false, 1L, false)), s"in-batch dup admitted: ${rows(15L)}")
+    assert(rows(16L) == ((false, 0L, true)))
+  }
+
   test("paragraph strip removes planted boilerplate and keeps unique content") {
     import spark.implicits._
     // 8-word boilerplate chunk shared by 4 docs (>= paraMinDf), each doc
