@@ -698,7 +698,7 @@ object Dedup {
     val chunks = paraChunks(t)
     val df = chunks.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("cdf"))
-    chunks
+    val out = chunks
       .join(df, "ch")
       .groupBy("doc_id")
       .agg(
@@ -707,6 +707,11 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
         (floor(col("n_boiler") * lit(10000.0) / col("n_chunks")) / 10000).as("boiler_frac"))
       .orderBy(col("doc_id"))
+    // materialize now so the chunk cache can be released instead of leaking
+    // a cached frame per invocation (the estJaccard discipline)
+    val res = graft.engine.Reliability.planCheckpoint(out)
+    chunks.unpersist()
+    res
   }
 
   /** dedup_paragraph_strip — the production ACTION of paragraph dedup
@@ -726,7 +731,7 @@ object Dedup {
     val chunks = paraChunks(t)
     val df = chunks.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("cdf"))
-    chunks
+    val out = chunks
       .join(df, "ch")
       .groupBy("doc_id")
       .agg(
@@ -737,6 +742,11 @@ object Dedup {
                 CASE WHEN cdf < $paraMinDf THEN struct(pos, chunk) END)),
               s -> s.chunk)""")).as("cleaned_text"))
       .orderBy(col("doc_id"))
+    // materialize now so the chunk cache can be released instead of leaking
+    // a cached frame per invocation (the estJaccard discipline)
+    val res = graft.engine.Reliability.planCheckpoint(out)
+    chunks.unpersist()
+    res
   }
 
   /** Exact-substring window length in tokens. The published rule (Lee et

@@ -746,12 +746,18 @@ object Sim {
   }
 
   /** The registered end-to-end form: build + persist the index, then
-    * search ONLY the stored files.
+    * search ONLY the stored files. The search result is MATERIALIZED
+    * before returning (planCheckpoint): the directory is deterministic
+    * and overwritten per run (a UUID default would deposit an index copy
+    * in /tmp per session with no cleanup), so a lazily-returned plan
+    * could otherwise race a later rebuild — the next overwrite deletes
+    * parquet files a still-unexecuted plan points at.
     */
   def pqAdcTopKStored(t: Tables): DataFrame = {
     val out = "/tmp/graft_vindex/adc_stored"
     writeVectorIndex(t, out) // eager build; overwritten per run
-    pqAdcTopKFromStored(t, t.spark.read.parquet(out))
+    graft.engine.Reliability.planCheckpoint(
+      pqAdcTopKFromStored(t, t.spark.read.parquet(out)))
   }
 
   /** emb_dedup_pq — near-dup candidates at 4 bytes a vector: two vectors

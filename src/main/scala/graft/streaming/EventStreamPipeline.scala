@@ -868,20 +868,44 @@ object EventStreamPipeline {
     * never delete a non-duplicate.
     *
     * Shape: signature + banding are zero-shuffle row work; the index probe
-    * is a stream-static equi-join on (band, band_key); stage-1 state is
-    * one signature list per COLLIDING band key (band occupancy, not the
-    * corpus); stage-2 folds each doc's candidates to one verdict row.
+    * is a stream-static equi-join on (band, band_key); stage-2 folds each
+    * doc's candidates to one verdict row.
+    *
+    * State-size contract (stated honestly): stage 1 stores EVERY arriving
+    * doc's full k-long signature under each of its `minhashBands` band
+    * keys — the keyed state is ~bands × the DELTA corpus signatures, not
+    * "band occupancy" — and stage 2 keeps one tombstone per delta doc
+    * (the at-least-once redelivery guard). That is fine for the intended
+    * deployment unit (one daily delta per stream, then the admitted
+    * signatures fold into the stored index and the stream restarts
+    * against the refreshed index — `dedup_minhash_inc`'s batch fold), but
+    * a gate left running across many deltas would grow state without
+    * bound. For that long-lived shape, set
+    * `spark.graft.frontierStateTtlMs`: both stages then take a
+    * processing-time timeout and expire entries idle past the TTL — the
+    * production contract being "anything older than the TTL has already
+    * been folded into the stored index the stream-static probe reads".
     * Like `packStream`, a doc_id-ordered feed reproduces the batch
     * incremental verdicts bit for bit (the spec proves it across
     * micro-batches); an unordered feed still gates correctly in arrival
     * order — the same contract as the batch operator under a different
     * delta order.
     */
+  /** Session conf key: keyed-state TTL (ms) for the frontier gates; unset
+    * = NoTimeout (the one-delta-per-stream deployment unit).
+    */
+  val FrontierTtlKey = "spark.graft.frontierStateTtlMs"
+
   def minhashFrontierStream(docs: DataFrame, index: DataFrame): Dataset[MinhashAdmit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.operators.Dedup
     val k = Dedup.minhashK
+    val ttlMs: Option[Long] =
+      spark.conf.getOption(FrontierTtlKey).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val sigd = docs
       .withColumn("w", Dedup.wordsCol)
       .filter(size(col("w")) >= 3)
@@ -919,8 +943,13 @@ object EventStreamPipeline {
       .as[(Long, Seq[Long], Int, String)]
       .groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState[MinhashBandState, MinhashCandRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state: GroupState[MinhashBandState]) =>
+          if (state.hasTimedOut) {
+            // TTL compaction: these signatures are past the fold horizon —
+            // the stored index the stream-static probe reads now carries them
+            state.remove(); Iterator.empty
+          } else {
           val ordered = rows.toSeq.sortBy(_._1)
           var seen = state.getOption.map(_.seen).getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer[MinhashCandRow]()
@@ -939,7 +968,9 @@ object EventStreamPipeline {
             seen = (r._1, r._2) :: seen
           }
           state.update(MinhashBandState(seen))
+          ttlMs.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
 
     // self rows carry every delta doc (and its signature) into the verdict
@@ -953,11 +984,13 @@ object EventStreamPipeline {
     idxCand.union(priorCand).union(self)
       .groupByKey(_.docId)
       .flatMapGroupsWithState[MinhashSeen, MinhashAdmit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (docId, rows, state: GroupState[MinhashSeen]) =>
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
           else {
             state.update(MinhashSeen(true))
+            ttlMs.foreach(state.setTimeoutDuration)
             val rs = rows.toSeq
             val sig = rs.find(_.pid == -1L).map(_.sig).getOrElse(rs.head.sig)
             // a pair can collide in several bands — distinct partners only

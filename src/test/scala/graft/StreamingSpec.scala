@@ -631,6 +631,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.keys.exists(_ >= cut), "post-restart batch produced nothing")
   }
 
+  test("minhash gate with the state TTL knob set gates identically") {
+    // the long-lived-gate deployment: spark.graft.frontierStateTtlMs arms
+    // ProcessingTimeTimeout on both keyed stages. With a TTL far beyond
+    // the run, nothing may expire mid-delta — verdicts must be bit-equal
+    // to the NoTimeout path (the knob changes retention, not semantics).
+    import graft.operators.Dedup
+    val sig = Dedup.minhashSignaturesWide(t)
+    val mx = sig.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val index = sig.filter(!Dedup.incIsDelta(col("doc_id"), lit(mx)))
+    val deltaDocs = t.documents.filter(Dedup.incIsDelta(col("doc_id"), lit(mx)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_ttl").toString
+    deltaDocs.coalesce(1).write.parquet(s"$dir/h0")
+    val docs = spark.readStream.schema(t.documents.schema)
+      .parquet(s"$dir/h0")
+    spark.conf.set(EventStreamPipeline.FrontierTtlKey, (24L * 3600 * 1000).toString)
+    try {
+      val out = EventStreamPipeline.minhashFrontierStream(docs, index)
+      // AvailableNow, not processAllAvailable: with ProcessingTimeTimeout
+      // armed the default trigger keeps scheduling empty timeout-check
+      // batches and the query never idles; AvailableNow drains the data
+      // and STOPS (exactly the bounded daily-delta run the TTL targets)
+      val q = out.toDF().writeStream.format("memory").queryName("mhttl")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+      val got = spark.sql("SELECT docId, maxEst, isDup FROM mhttl").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      val batch = Dedup.minhashIncremental(t).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("max_est"), r.getAs[Boolean]("is_dup"))).toMap
+      assert(got.keySet == batch.keySet, "TTL path admitted a different doc set")
+      got.foreach { case (id, v) =>
+        assert(v == batch(id), s"doc $id verdict diverged under TTL: $v vs ${batch(id)}")
+      }
+    } finally spark.conf.unset(EventStreamPipeline.FrontierTtlKey)
+  }
+
   test("streaming ann serving over the stored index equals batch ivf-pq") {
     import graft.operators.Sim
     // build + persist the index once (the nightly job)
