@@ -47,6 +47,12 @@ object Bench {
       .tune(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF=k=v;k=v sets session confs (spot timing of the
+    // conf-knobbed faces: spark.graft.ccAlgo, spark.graft.checkpointDir)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     // warm the session (codegen compiler, parquet footers, broadcast infra)
     // so per-query numbers measure the queries, not JVM cold start
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

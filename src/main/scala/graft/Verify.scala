@@ -11,6 +11,12 @@ object Verify {
       .tune(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF=k=v;k=v sets session confs (spot checks of the
+    // conf-knobbed faces: spark.graft.ccAlgo, spark.graft.checkpointDir)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump (local spot checks)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

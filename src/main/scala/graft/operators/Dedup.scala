@@ -527,24 +527,53 @@ object Dedup {
   def dupGroups(t: Tables): DataFrame =
     dupGroupsUnsorted(t).orderBy(col("doc_id"))
 
+  /** Session conf key selecting the connected-components algorithm for
+    * `dupGroups`: unset/"propagation" = min-label propagation with pointer
+    * jumping (simple, fine at suite scale); "star" = the published
+    * large-star/small-star MapReduce alternation (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — THE at-scale path: plain propagation pays a
+    * full-edge shuffle per round and concentrates every hot component's
+    * traffic on its min label, while the star alternation provably shrinks
+    * the edge set toward depth-1 stars in O(log n) rounds with per-node
+    * work bounded by current degree. Both faces return identical labels
+    * (spec-pinned on the sf corpus and on a planted deep chain); the
+    * registered oracle proves whichever runs.
+    */
+  val CcAlgoKey = "spark.graft.ccAlgo"
+
   /** The unsorted group table — chain consumers (`keepBest`) join this by
     * doc_id; the presentation sort stays on the registered face only.
     */
   private[operators] def dupGroupsUnsorted(t: Tables): DataFrame = {
-    // Checkpoint the (tiny) edge list and each round's labels: iterative
-    // self-joins otherwise nest the full candidate-generation plan 2^rounds
-    // times, and self-join re-aliasing defeats cache substitution — the
-    // expensive upstream recomputes per copy. Reliability.planCheckpoint
-    // truncates the logical plan to the materialized partitions (the same
-    // reason GraphX checkpoints Pregel iterations) — executor-local by
-    // default, a RELIABLE checkpoint when spark.graft.checkpointDir is set
-    // (production: a lost executor must not kill the iteration).
-    // checkpoint the pair list BEFORE the symmetrizing union: a union of
-    // two branches over an unmaterialized plan executes the whole
+    // checkpoint the pair list BEFORE anything branches over it: a union /
+    // self-join over an unmaterialized plan executes the whole
     // candidate-generation pipeline once per branch (exchange reuse does
     // not span the differing final projections)
     val pairs = graft.engine.Reliability.planCheckpoint(
       ngramJaccardUnsorted(t).select(col("da"), col("db")))
+    val labels =
+      if (t.spark.conf.getOption(CcAlgoKey).map(_.trim.toLowerCase)
+            .contains("star")) ccStar(pairs)
+      else ccPropagation(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+  }
+
+  /** Min-label propagation + pointer jumping over an undirected pair list
+    * (da, db) — returns (doc_id, label) with label = min doc_id reachable.
+    *
+    * Checkpoint each round's labels: iterative self-joins otherwise nest
+    * the plan 2^rounds times, and self-join re-aliasing defeats cache
+    * substitution — the expensive upstream recomputes per copy.
+    * Reliability.planCheckpoint truncates the logical plan to the
+    * materialized partitions (the same reason GraphX checkpoints Pregel
+    * iterations) — executor-local by default, a RELIABLE checkpoint when
+    * spark.graft.checkpointDir is set (production: a lost executor must
+    * not kill the iteration).
+    */
+  private[graft] def ccPropagation(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
     var labels = graft.engine.Reliability.planCheckpoint(
@@ -577,9 +606,98 @@ object Dedup {
       hop.unpersist()
       labels = jumped
     }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
-    labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+    labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al., SoCC
+    * 2014, Algorithm "Two-Phase") over an undirected pair list (da, db) —
+    * returns (doc_id, label), label = component min, bit-identical to
+    * `ccPropagation` (spec-pinned).
+    *
+    * Per round, on the current edge multiset E:
+    *   large-star: symmetrize; for every center u with neighborhood N(u),
+    *     link each STRICTLY LARGER neighbor v > u to m = min(N(u) ∪ {u})
+    *     — emit (v, m).
+    *   small-star: orient each edge (big, small); for every center u,
+    *     m = min of its (all smaller) neighbors; re-link each non-min
+    *     neighbor AND u itself to m.
+    * The alternation provably converges to depth-1 stars rooted at each
+    * component's minimum in O(log n) rounds, and — unlike min-label
+    * propagation, where every round re-shuffles the FULL edge list and a
+    * hot component funnels all its edges through one min-label reducer —
+    * each star round's shuffle carries the current (shrinking, deduped)
+    * edge set and per-node work is bounded by current degree.
+    *
+    * Physical choices for 100 TB: per-center minima via groupBy (map-side
+    * partial agg absorbs hot centers) + a shuffle join back on the center
+    * key (AQE skew-join can split a hot center; a window over
+    * partitionBy(u) could do it in one exchange but a hot center's
+    * partition cannot be split). Every round's edge set is deduped
+    * (distinct — the paper's termination argument counts distinct edges)
+    * and checkpointed (plan truncation per round, reliable under the
+    * spark.graft.checkpointDir knob). Convergence = the canonical edge
+    * set reaches a fixpoint, checked EXACTLY (count + anti-join on the
+    * two materialized frames); the 50-round bound is a runaway backstop
+    * only (the paper's O(log n) bound crosses any real corpus long
+    * before).
+    */
+  private[graft] def ccStar(pairs: DataFrame): DataFrame = {
+    // canonical orientation (big, small); drop self loops, dedup
+    var edges = graft.engine.Reliability.planCheckpoint(
+      pairs.filter(col("da") =!= col("db"))
+        .select(greatest(col("da"), col("db")).as("u"),
+          least(col("da"), col("db")).as("v"))
+        .distinct())
+    var nEdges = edges.count()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 50) {
+      round += 1
+      val next = graft.engine.Reliability.planCheckpoint(ccStarRound(edges))
+      // exact fixpoint test on the two materialized canonical sets: the
+      // anti-join only runs once the cardinality has stabilized
+      val nNext = next.count()
+      changed =
+        if (nNext != nEdges) 1L
+        else next.join(edges, Seq("u", "v"), "left_anti").count()
+      nEdges = nNext
+      edges = next
+    }
+    // fixpoint = depth-1 stars: every non-root appears exactly once as u,
+    // roots only as v
+    edges.select(col("u").as("doc_id"), col("v").as("label"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("label")).distinct())
+  }
+
+  /** One large-star + small-star round over a canonical (u > v) edge set —
+    * the lazily-planned body `ccStar` checkpoints per round (also the
+    * PlanAuditSpec anchor: per-center minima are map-side-combined
+    * groupBys, the joins ride the center key, nothing is cartesian).
+    */
+  private[graft] def ccStarRound(edges: DataFrame): DataFrame = {
+    // LARGE-STAR: for each center u, m = min(N(u) ∪ {u}); emit (v, m)
+    // for neighbors v > u. Output edges all point DOWN (v > m).
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val lsMin = sym.groupBy("u").agg(min(col("v")).as("m0"))
+      .select(col("u"), least(col("m0"), col("u")).as("m"))
+    // duplicates tolerated here (several centers can emit the same (v, m));
+    // the small-star groupBy absorbs them and the round's final distinct
+    // collapses the rest — a mid-round distinct would buy nothing but an
+    // extra full-edge shuffle
+    val ls = sym.join(lsMin, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+    // SMALL-STAR on the downward edges: per center u (all neighbors
+    // smaller), m = min neighbor; re-link non-min neighbors and u to m.
+    val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+    val withM = ls.join(ssMin, "u")
+    withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
 
   /** dedup_keep_best — representative selection over the transitive dup

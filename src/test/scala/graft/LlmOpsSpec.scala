@@ -240,6 +240,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(!groups.contains(4L)) // no near-dup edges -> not in any group
   }
 
+  test("dupGroups under the star knob equals the propagation face") {
+    // the at-scale large-star/small-star path must be a pure physical
+    // swap: same groups, same sizes, bit-identical rows
+    val base = Dedup.dupGroups(t).collect().map(_.toSeq).toSet
+    spark.conf.set(Dedup.CcAlgoKey, "star")
+    try {
+      val star = Dedup.dupGroups(t).collect().map(_.toSeq).toSet
+      assert(star == base, "star CC diverged from propagation on the sf corpus")
+      assert(star.nonEmpty)
+    } finally spark.conf.unset(Dedup.CcAlgoKey)
+  }
+
+  test("ccStar labels synthetic graphs identically to ccPropagation") {
+    import spark.implicits._
+    // a DEEP chain (diameter 14 — needs the alternation to actually
+    // iterate), a triangle, a duplicated + reversed edge, and a hub star
+    // rooted at the LARGEST id (the hot-min-label shape)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (6L, 5L), (7L, 6L), (8L, 7L),
+      (9L, 8L), (10L, 9L), (11L, 10L), (12L, 11L), (13L, 12L), (14L, 13L),
+      (15L, 14L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (31L, 30L), (30L, 31L),
+      (100L, 41L), (100L, 42L), (100L, 43L), (100L, 44L), (100L, 45L),
+      (100L, 46L), (100L, 47L)).toDF("da", "db")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = toMap(Dedup.ccPropagation(edges))
+    val star = toMap(Dedup.ccStar(edges))
+    assert(star == prop, s"star=$star\nprop=$prop")
+    assert((1L to 15L).forall(star(_) == 1L), "deep chain split")
+    assert(star(100L) == 41L && star(22L) == 20L && star(31L) == 30L)
+  }
+
   test("simhash of duplicated text is identical, near count symmetric") {
     import spark.implicits._
     val dup = Seq((1L, "the quick brown fox jumps over the lazy dog"),

@@ -478,4 +478,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"trained codebook lost its broadcast:\n$p")
   }
+
+  test("a star CC round keeps partial-agg minima and never goes cartesian") {
+    import spark.implicits._
+    val edges = Seq((5L, 1L), (7L, 5L), (9L, 2L), (9L, 7L)).toDF("u", "v")
+    val p = plan(Dedup.ccStarRound(edges))
+    assert(!p.contains("CartesianProduct"), s"star round went cartesian:\n$p")
+    // both per-center minima (large-star and small-star) must partial-agg
+    // map-side before their exchange — a hot center combines locally
+    val nHashAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nHashAgg >= 4, s"per-center minima lost partial aggregation:\n$p")
+  }
 }
