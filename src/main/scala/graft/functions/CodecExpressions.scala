@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
@@ -50,11 +50,118 @@ object CodecExpressions {
       copy(child = newChild)
   }
 
+  /** The AES transport codec of the reference's encrypted gate path
+    * (DecodeService.aesDecode / string2ByteArr contract): ciphertext is a
+    * HEX string (not base64 — the wire examples in MsgResolver are hex
+    * dumps), the key string's UTF-8 bytes are the AES key (16/24/32 ⇒
+    * AES-128/192/256), a non-empty iv selects AES/CBC/PKCS5Padding and an
+    * empty iv AES/ECB/PKCS5Padding, plaintext is UTF-8. Shared by the
+    * decrypt and encrypt faces so the synthesized corpus and the resolver
+    * can never drift on framing.
+    */
+  private def aesCipher(mode: Int, key: String, iv: String): javax.crypto.Cipher = {
+    val sk = new javax.crypto.spec.SecretKeySpec(
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8), "AES")
+    if (iv.nonEmpty) {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(mode, sk, new javax.crypto.spec.IvParameterSpec(
+        iv.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      c
+    } else {
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
+      c.init(mode, sk)
+      c
+    }
+  }
+
+  private def hexToBytes(s: String): Array[Byte] = {
+    if (s.length % 2 != 0) throw new IllegalArgumentException("odd hex length")
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  private val hexDigits = "0123456789ABCDEF".toCharArray
+
+  private def bytesToHex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach { x => sb.append(hexDigits((x >> 4) & 0xf)); sb.append(hexDigits(x & 0xf)) }
+    sb.toString
+  }
+
+  /** graft_aes_decrypt(hexContent, key, iv) — the encrypted-transport half
+    * of the gate resolver (MsgResolver.java:126-135's RSA/AES branch,
+    * post key-unwrap): NULL on any failure (bad hex, wrong key size, bad
+    * block length, bad padding) — the batch analog of the reference's
+    * reject-on-decrypt-failure ResolveException. CodegenFallback: the
+    * cipher call dominates cost, codegen would only inline the call.
+    */
+  case class AesDecrypt(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_aes_decrypt"
+
+    override def nullSafeEval(content: Any, key: Any, iv: Any): Any = {
+      try {
+        val c = aesCipher(javax.crypto.Cipher.DECRYPT_MODE,
+          key.asInstanceOf[UTF8String].toString, iv.asInstanceOf[UTF8String].toString)
+        val plain = c.doFinal(hexToBytes(content.asInstanceOf[UTF8String].toString))
+        UTF8String.fromBytes(plain)
+      } catch {
+        case _: Exception => null
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  /** graft_aes_encrypt(plain, key, iv) — the synthesis face (uppercase hex
+    * out), used by the envelope generator to mint the encrypted transport
+    * rows the resolver then proves it can open. NULL on failure.
+    */
+  case class AesEncrypt(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_aes_encrypt"
+
+    override def nullSafeEval(content: Any, key: Any, iv: Any): Any = {
+      try {
+        val c = aesCipher(javax.crypto.Cipher.ENCRYPT_MODE,
+          key.asInstanceOf[UTF8String].toString, iv.asInstanceOf[UTF8String].toString)
+        UTF8String.fromString(bytesToHex(c.doFinal(
+          content.asInstanceOf[UTF8String].toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      } catch {
+        case _: Exception => null
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_zlib_inflate"),
       new ExpressionInfo(classOf[ZlibInflate].getName, "graft_zlib_inflate"),
       (children: Seq[Expression]) => ZlibInflate(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_aes_decrypt"),
+      new ExpressionInfo(classOf[AesDecrypt].getName, "graft_aes_decrypt"),
+      (children: Seq[Expression]) => AesDecrypt(children(0), children(1), children(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_aes_encrypt"),
+      new ExpressionInfo(classOf[AesEncrypt].getName, "graft_aes_encrypt"),
+      (children: Seq[Expression]) => AesEncrypt(children(0), children(1), children(2)))
   }
 }

@@ -228,21 +228,59 @@ object Envelope {
   private def escJson(x: String): String =
     s"replace(replace($x, chr(92), concat(chr(92), chr(92))), '\"', concat(chr(92), '\"'))"
 
+  /** Public TEST key material for the synthesized encrypted-transport rows
+    * (AES-128 key + CBC iv, both exactly 16 UTF-8 bytes per the
+    * DecodeService contract). Production deployments RSA-unwrap each
+    * message's wrapped key driver-side and set
+    * `spark.graft.gate.aesKey`/`aesIv`; the corpus uses one session-wide
+    * key so the oracle can replay the DECRYPTED content (it knows the
+    * plaintext the generator encrypted — it never needs the cipher).
+    */
+  val gateAesKey = "GraftGateAesK128"
+  val gateAesIv = "GraftGateIv16byt"
+
+  /** The RSA-wrapped-key token carried in encrypted Args (`key` field):
+    * opaque to the resolver — the RSA unwrap is the documented remaining
+    * boundary (platform private key), the unwrapped result is the session
+    * key above.
+    */
+  val gateWrappedKeyToken = "UlNBd3JhcHBlZDprZXkraXY="
+
+  /** Encrypt-row sub-classes inside the %61=5 rows: even event_id ⇒
+    * type '2' (SM2/SM4 — stays ENCRYPT_UNSUPPORTED, platform key material
+    * is not public), odd ⇒ type '1' (RSA/AES — resolves end-to-end);
+    * among type-1 rows, %3=0 carries a TRUNCATED ciphertext so the
+    * decrypt-failure verdict has real rows.
+    */
+  val gateTypeExpr = "CASE WHEN event_id % 2 = 0 THEN '2' ELSE '1' END"
+
   /** Layer-3 columns (may reference msg): the outer gate transport message
     * (MsgResolver.java:33-98): {"Ip":<str>,"Now":<num>,"Header":"<json
     * str>","Args":"<json str>"}. Header/Args are JSON-STRING fields whose
     * content is itself JSON, so embedded payloads are escaped with escJson
     * (the Args event payload ends up double-escaped, exactly like the wire
     * format). violations (%61): 0 Ip number, 1 Now string, 2 Header number,
-    * 3 Args empty object, 4 compress invalid, 5 encrypt=1 (crypto
-    * boundary), 6 header without user-agent; %67 trailing garbage.
+    * 3 Args empty object, 4 compress invalid, 5 encrypt=1 (type 2 = SM2
+    * boundary; type 1 = AES, resolved natively — the Spark side carries
+    * REAL ciphertext, the oracle side the plaintext it was minted from),
+    * 6 header without user-agent; %67 trailing garbage.
+    *
+    * `encEvent` is the engine-specific payload expression for the
+    * encrypt=1 rows — hex ciphertext on the Spark side
+    * (graft_aes_encrypt), the escaped plaintext on the oracle side
+    * (DuckDB cannot decrypt, and never needs to: ciphertext is minted
+    * FROM msg, so the decrypted content IS msg). Hex is JSON-safe, so the
+    * ciphertext needs no escaping.
     */
-  val gateDefs: Seq[(String, String)] = {
+  private def gateDefsWith(encEvent: String): Seq[(String, String)] = {
     val headerJson = "concat('{\"user-agent\":\"', ua, '\"}')"
     val argsJson =
-      "concat('{\"event\":\"', " + escJson("msg") + ", '\",'," +
+      "concat('{\"event\":\"', CASE WHEN event_id % 61 = 5 THEN " + encEvent +
+        " ELSE " + escJson("msg") + " END, '\",'," +
         " '\"compress\":\"', CASE WHEN event_id % 61 = 4 THEN '9' ELSE '0' END, '\",'," +
-        " '\"encrypt\":\"',  CASE WHEN event_id % 61 = 5 THEN '1' ELSE '0' END, '\"}')"
+        " '\"encrypt\":\"',  CASE WHEN event_id % 61 = 5 THEN '1' ELSE '0' END, '\"'," +
+        " CASE WHEN event_id % 61 = 5 THEN concat(',\"type\":\"', " + gateTypeExpr + "," +
+        " '\",\"key\":\"', '" + gateWrappedKeyToken + "', '\"') ELSE '' END, '}')"
     val gateBody =
       "concat(CASE WHEN event_id % 67 = 0 THEN 'x' ELSE '' END, '{'," +
         " '\"Ip\":', CASE WHEN event_id % 61 = 0 THEN '123' ELSE concat('\"', ip, '\"') END, ','," +
@@ -257,15 +295,29 @@ object Envelope {
     Seq("gate_msg" -> gateBody)
   }
 
+  /** Spark side: REAL hex ciphertext for encrypt rows (truncated for the
+    * %3=0 decrypt-failure class).
+    */
+  val gateDefs: Seq[(String, String)] = gateDefsWith(
+    s"CASE WHEN event_id % 2 = 1 AND event_id % 3 = 0" +
+      s" THEN substr(graft_aes_encrypt(msg, '$gateAesKey', '$gateAesIv'), 1, 16)" +
+      s" ELSE graft_aes_encrypt(msg, '$gateAesKey', '$gateAesIv') END")
+
+  /** Oracle side: the plaintext the ciphertext was minted from. */
+  val gateDefsOracle: Seq[(String, String)] = gateDefsWith(escJson("msg"))
+
   /** Spark side: events + envelope columns, all as codegen'd expressions
     * (layers 2/3 in follow-up projections so they can reference earlier
     * names).
     */
-  def attach(events: DataFrame): DataFrame =
+  def attach(events: DataFrame): DataFrame = {
+    // gateDefs mints AES ciphertext via the native codec expression
+    graft.functions.CodecExpressions.register(events.sparkSession)
     events
       .selectExpr("*" +: defs.map { case (n, e) => s"$e AS $n" }: _*)
       .selectExpr("*" +: derivedDefs.map { case (n, e) => s"$e AS $n" }: _*)
       .selectExpr("*" +: gateDefs.map { case (n, e) => s"$e AS $n" }: _*)
+  }
 
   /** Oracle side: the same snippets as a three-layer CTE. Use as
     * s"WITH ${Envelope.oracleRaw}, ... SELECT ... FROM raw".
@@ -283,7 +335,7 @@ object Envelope {
       " FROM events), raw1 AS (SELECT raw0.*, " +
       derivedDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
       " FROM raw0), raw AS MATERIALIZED (SELECT raw1.*, " +
-      gateDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+      gateDefsOracle.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
       " FROM raw1)"
 
   // ---- app registry dim (SetAppIdAndBusinessOperator's MySQL cache) ----

@@ -16,12 +16,26 @@ import org.apache.spark.sql.functions._
   * strings), first-failure-wins verdict, payload decode. Zero shuffle,
   * whole-stage codegen except the zlib inflate (a native expression).
   *
-  * Crypto boundary: MsgResolver's encrypt=1 path decrypts SM2/SM4- or
-  * RSA/AES-wrapped payloads with platform key material that is not public;
-  * those messages get a distinct ENCRYPT_UNSUPPORTED verdict here instead
-  * (the reject-split shape is identical, only the recovery differs).
+  * Crypto: MsgResolver's encrypt=1 path (MsgResolver.java:104-135) carries
+  * a type discriminator — type '2' wraps the payload SM2/SM4 (platform key
+  * material, not public: distinct ENCRYPT_UNSUPPORTED verdict, the
+  * documented boundary), anything else is the RSA/AES branch — an
+  * RSA-wrapped "key,iv" blob plus an AES/CBC/PKCS5Padding HEX ciphertext
+  * (DecodeService.aesDecode). The AES half resolves NATIVELY here:
+  * `graft_aes_decrypt` opens the payload with the session data key
+  * (`spark.graft.gate.aesKey`/`aesIv` — production RSA-unwraps each
+  * message's wrapped key driver-side and sets these; the RSA unwrap itself
+  * stays with the platform private key). Decrypt failure is its own
+  * verdict (EVENT_DECRYPT_BAD), mirroring the reference's decrypt
+  * ResolveException.
   */
 object Gate {
+
+  /** Session conf keys for the post-RSA-unwrap AES data key; defaults =
+    * the synthesized corpus' public test key material.
+    */
+  val AesKeyConf = "spark.graft.gate.aesKey"
+  val AesIvConf = "spark.graft.gate.aesIv"
 
   private def env(t: Tables): DataFrame = Envelope.attach(t.events)
 
@@ -54,6 +68,9 @@ object Gate {
     * is just another codegen'd column on the same scan.
     */
   def resolveCols(df: DataFrame): DataFrame = {
+    graft.functions.CodecExpressions.register(df.sparkSession)
+    val aesKey = df.sparkSession.conf.get(AesKeyConf, Envelope.gateAesKey)
+    val aesIv = df.sparkSession.conf.get(AesIvConf, Envelope.gateAesIv)
     // ONE parse: the outer message lands in a VARIANT; per-field TYPE
     // (string vs number — MsgResolver's ClassCastException sites) comes
     // from schema_of_variant over cheap binary accessors instead of a
@@ -81,9 +98,14 @@ object Gate {
       "coalesce(get_json_object(header_s, \"$['user-agent']\"), 'DEFAULT') AS hdr_ua",
       "get_json_object(args_s, '$.event') AS arg_event",
       "get_json_object(args_s, '$.compress') AS arg_compress",
-      "get_json_object(args_s, '$.encrypt') AS arg_encrypt")
-    val content = when(col("arg_compress") === "1",
-      expr("graft_zlib_inflate(arg_event)")).otherwise(col("arg_event"))
+      "get_json_object(args_s, '$.encrypt') AS arg_encrypt",
+      "get_json_object(args_s, '$.type') AS arg_type")
+    // getContent's branch order (MsgResolver.java:104-148): encrypted
+    // payloads decrypt and IGNORE compress; only unencrypted ones inflate
+    val content = when(col("arg_encrypt") === "1",
+        expr(s"graft_aes_decrypt(arg_event, '$aesKey', '$aesIv')"))
+      .when(col("arg_compress") === "1",
+        expr("graft_zlib_inflate(arg_event)")).otherwise(col("arg_event"))
     val argsEmpty =
       col("arg_event").isNull && col("arg_compress").isNull && col("arg_encrypt").isNull
     // null-SAFE type checks: a MISSING field gives variant_get -> NULL and
@@ -99,7 +121,11 @@ object Gate {
         .when(!(col("args_t") <=> lit("STRING")) || argsEmpty, "ARGS_BAD")
         .when(col("arg_encrypt").isNotNull && !col("arg_encrypt").isin("0", "1"), "ENCRYPT_BAD")
         .when(col("arg_compress").isNotNull && !col("arg_compress").isin("0", "1"), "COMPRESS_BAD")
-        .when(col("arg_encrypt") === "1", "ENCRYPT_UNSUPPORTED")
+        // type '2' = the SM2/SM4 branch (platform keys — documented
+        // boundary); everything else falls into the RSA/AES branch,
+        // exactly MsgResolver's `"2".equals(type)` split
+        .when(col("arg_encrypt") === "1" && (col("arg_type") <=> lit("2")), "ENCRYPT_UNSUPPORTED")
+        .when(col("arg_encrypt") === "1" && col("c").isNull, "EVENT_DECRYPT_BAD")
         .when(expr("try_parse_json(c)").isNull, "EVENT_BAD")
         .otherwise("OK")
     fields
@@ -111,7 +137,8 @@ object Gate {
       .withColumn("ua_out",
         when(col("verdict") === "OK", col("hdr_ua")).otherwise(Enrich.NullValue))
       .drop("v", "ip_t", "ip_s", "now_t", "now_s", "header_t", "header_s",
-        "args_t", "args_s", "hdr_ua", "arg_event", "arg_compress", "arg_encrypt", "c")
+        "args_t", "args_s", "hdr_ua", "arg_event", "arg_compress",
+        "arg_encrypt", "arg_type", "c")
   }
 
   /** The gate DECISION chain over a resolved frame (GateFlatMapFunction's

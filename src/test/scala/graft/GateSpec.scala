@@ -49,9 +49,21 @@ class GateSpec extends SparkSpec {
       7L -> s"""{"Ip":"1.2.3.4","Now":1,"Header":7,"Args":"{\\"event\\":\\"x\\"}"}""",
       8L -> s"""{"Ip":"1.2.3.4","Now":1,"Header":"{}","Args":"{}"}""",
       9L -> gate("1.2.3.4", s"""{"event":"$zl","compress":"7"}"""),
+      // encrypt=1 with no type falls into the RSA/AES branch
+      // (MsgResolver's "2".equals(type) split) — a base64 payload is not
+      // valid hex ciphertext, so the decrypt verdict fires
       10L -> gate("1.2.3.4", s"""{"event":"$zl","compress":"0","encrypt":"1"}"""),
       11L -> gate("1.2.3.4", s"""{"event":"NOTB64***","compress":"1"}"""),
-      12L -> gate("1.2.3.4", s"""{"event":"not json","compress":"0"}"""))
+      12L -> gate("1.2.3.4", s"""{"event":"not json","compress":"0"}"""),
+      // the AES transport path: real ciphertext under the session key
+      13L -> gate("1.2.3.4",
+        s"""{"event":"${aesHex(plain)}","compress":"0","encrypt":"1","type":"1","key":"w"}"""),
+      // type 2 = SM2/SM4 — the documented platform-key boundary
+      14L -> gate("1.2.3.4",
+        s"""{"event":"${aesHex(plain)}","compress":"0","encrypt":"1","type":"2","key":"w"}"""),
+      // truncated ciphertext (not a whole block) must reject, not crash
+      15L -> gate("1.2.3.4",
+        s"""{"event":"${aesHex(plain).take(16)}","compress":"0","encrypt":"1","type":"1","key":"w"}"""))
     val r = resolveLiteral(msgs)
     assert(r(1L)._1 == "OK" && r(1L)._2 == "1.2.3.4" && r(1L)._3.contains(1700000000L))
     assert(r(1L)._4 == "UA-X")
@@ -63,9 +75,60 @@ class GateSpec extends SparkSpec {
     assert(r(7L)._1 == "HEADER_BAD")
     assert(r(8L)._1 == "ARGS_BAD")
     assert(r(9L)._1 == "COMPRESS_BAD")
-    assert(r(10L)._1 == "ENCRYPT_UNSUPPORTED")
+    assert(r(10L)._1 == "EVENT_DECRYPT_BAD")
     assert(r(11L)._1 == "EVENT_BAD") // zlib decode failure = reject, like the reference
     assert(r(12L)._1 == "EVENT_BAD")
+    assert(r(13L)._1 == "OK" && r(13L)._2 == "1.2.3.4", s"AES path: ${r(13L)}")
+    assert(r(14L)._1 == "ENCRYPT_UNSUPPORTED")
+    assert(r(15L)._1 == "EVENT_DECRYPT_BAD")
+  }
+
+  /** Independent AES-CBC/PKCS5 hex encrypt (javax.crypto directly, NOT the
+    * graft expression) — the known-vector discipline: the spec's cipher
+    * and the engine's decipher are separate implementations.
+    */
+  private def aesHex(plain: String,
+      key: String = Envelope.gateAesKey, iv: String = Envelope.gateAesIv): String = {
+    val sk = new javax.crypto.spec.SecretKeySpec(key.getBytes("UTF-8"), "AES")
+    val c = javax.crypto.Cipher.getInstance(
+      if (iv.nonEmpty) "AES/CBC/PKCS5Padding" else "AES/ECB/PKCS5Padding")
+    if (iv.nonEmpty)
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE, sk,
+        new javax.crypto.spec.IvParameterSpec(iv.getBytes("UTF-8")))
+    else c.init(javax.crypto.Cipher.ENCRYPT_MODE, sk)
+    c.doFinal(plain.getBytes("UTF-8")).map("%02X".format(_)).mkString
+  }
+
+  test("aes codec: round trip, modes, unicode, and every failure -> NULL") {
+    import spark.implicits._
+    graft.functions.CodecExpressions.register(spark)
+    val key = Envelope.gateAesKey
+    val iv = Envelope.gateAesIv
+    def dec(content: String, k: String = key, i: String = iv): Option[String] = {
+      val r = Seq(content).toDF("x")
+        .selectExpr(s"graft_aes_decrypt(x, '$k', '$i')").collect()(0)
+      Option(r.getString(0))
+    }
+    val uni = """{"ak":"app1","note":"中文 ünïcode ✓"}"""
+    // CBC round trip against the independent cipher, ascii + unicode
+    assert(dec(aesHex("hello")) == Some("hello"))
+    assert(dec(aesHex(uni)) == Some(uni))
+    // lowercase hex decodes too (Integer.parseInt(_, 16) contract)
+    assert(dec(aesHex("hello").toLowerCase) == Some("hello"))
+    // ECB mode when iv is empty (DecodeService's iv-null branch)
+    assert(dec(aesHex("ecb path", iv = ""), i = "") == Some("ecb path"))
+    // the engine's own encrypt face round-trips through its decrypt face
+    val viaExpr = Seq("self trip").toDF("x")
+      .selectExpr(s"graft_aes_decrypt(graft_aes_encrypt(x, '$key', '$iv'), '$key', '$iv')")
+      .collect()(0).getString(0)
+    assert(viaExpr == "self trip")
+    // failures reject as NULL: wrong key, non-hex, odd length, short
+    // block, bad padding source
+    assert(dec(aesHex("hello"), k = "WrongKey16Bytes!").isEmpty)
+    assert(dec("ZZZZ").isEmpty)
+    assert(dec(aesHex("hello").drop(1)).isEmpty)  // odd hex length
+    assert(dec(aesHex("hello").take(16)).isEmpty) // half a block
+    assert(dec("00112233445566778899AABBCCDDEEFF").isEmpty) // garbage block
   }
 
   test("MISSING fields reject like mistyped ones (null-safe type verdicts)") {
@@ -97,7 +160,8 @@ class GateSpec extends SparkSpec {
     val counts = Gate.gateResolveStats(t).collect()
       .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n")).toMap
     for (v <- Seq("OK", "JSON_BAD", "IP_BAD", "NOW_BAD", "HEADER_BAD",
-        "ARGS_BAD", "COMPRESS_BAD", "ENCRYPT_UNSUPPORTED", "EVENT_BAD"))
+        "ARGS_BAD", "COMPRESS_BAD", "ENCRYPT_UNSUPPORTED",
+        "EVENT_DECRYPT_BAD", "EVENT_BAD"))
       assert(counts.contains(v), s"verdict $v never produced; got $counts")
     assert(counts("OK") > counts.values.sum / 2)
   }
