@@ -46,7 +46,7 @@ object Identity {
     * deterministic even though the sampling inside repartitionByRange isn't.
     * At 100 TB the largest single sort is one range partition, not one app.
     */
-  private def denseIds(keys: DataFrame, app: String, key: String, out: String): DataFrame = {
+  private[graft] def denseIds(keys: DataFrame, app: String, key: String, out: String): DataFrame = {
     val ranged = keys
       .repartitionByRange(col(app), col(key))
       .withColumn("part_id", spark_partition_id())
