@@ -18,7 +18,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Broadcast selection is RUNTIME-ONLY (AQE, from measured shuffle
+      // sizes); the static planner's file-size-anchored estimates do not
+      // survive explode/aggregate chains — at the sf10 scale probe the
+      // static planner "broadcast" a 37M-row shingle-frequency frame it
+      // had estimated at the 30MB parquet footprint and killed the
+      // driver. Explicit broadcast() hints on true dims are unaffected;
+      // everything else earns a broadcast only after its actual size is
+      // known. (Static -1 = off; adaptive threshold = the real budget.)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // iterative jobs (dedup_groups) checkpoint per round; with the
       // reliable-checkpoint knob set, superseded rounds' files must be

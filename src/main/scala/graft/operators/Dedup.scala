@@ -185,8 +185,15 @@ object Dedup {
     // shingle) and never collect_list (the hottest shingle's whole posting
     // list in ONE aggregation buffer — the same funnel as array memory).
     // Costs a second exchange on s; carries only an 8-byte count per key.
+    // CORPUS-AXIS JOIN, pinned to sort-merge: everything below the
+    // documents scan is downstream of an explode, and Catalyst's size
+    // estimate for that chain stays near the (small) parquet file size —
+    // at 100x corpus scale the optimizer happily "broadcasts" a frame
+    // that materializes to tens of millions of rows and kills the driver
+    // (caught by the sf10 scale probe, not by any smaller run). The same
+    // pin guards every corpus-sized join in this operator.
     val dfBy = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val withDf = sh.join(dfBy, "s")
+    val withDf = sh.join(dfBy.hint("merge"), "s")
     val probeBeta = 2 * jaccardTau / (1 + jaccardTau)
     // step 2: the per-doc frame feeds candidate generation AND verification
     val docs = withDf.groupBy("doc_id")
@@ -207,7 +214,7 @@ object Dedup {
     val smallerFirst = col("qc") < col("c") ||
       (col("qc") === col("c") && col("qd") < col("doc_id"))
     val alpha = lit(jaccardTau / (1 + jaccardTau)) * (col("qc") + col("c"))
-    val cand = probe.join(pre, Seq("s")).filter(smallerFirst)
+    val cand = probe.join(pre.hint("merge"), Seq("s")).filter(smallerFirst)
       .groupBy(col("qd"), col("doc_id").as("id"))
       .agg(first(col("qc")).as("qc"), first(col("c")).as("c"),
         min(col("qpos")).as("qi"), min(col("pos")).as("ij"))
@@ -219,8 +226,10 @@ object Dedup {
         greatest(col("qd"), col("id")).as("db"))
     // step 4: verify — shared = |A∩B| straight off the two shingle arrays
     cand
-      .join(docs.select(col("doc_id").as("da"), col("c").as("ca"), col("sarr").as("sa")), "da")
-      .join(docs.select(col("doc_id").as("db"), col("c").as("cb"), col("sarr").as("sb")), "db")
+      .join(docs.select(col("doc_id").as("da"), col("c").as("ca"), col("sarr").as("sa"))
+        .hint("merge"), "da")
+      .join(docs.select(col("doc_id").as("db"), col("c").as("cb"), col("sarr").as("sb"))
+        .hint("merge"), "db")
       .withColumn("shared", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("ca") + col("cb") - col("shared")))

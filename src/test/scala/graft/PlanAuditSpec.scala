@@ -12,6 +12,17 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The FINAL adaptive plan (post-execution): broadcast selection is
+    * runtime-only in this engine (GraftSession pins static
+    * autoBroadcastJoinThreshold=-1 because file-size estimates lie below
+    * explode/aggregate chains), so broadcast assertions must read the
+    * plan AQE actually ran, not the initial SMJ skeleton.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q1: shipdate filter reaches the parquet scan (PushedFilters)") {
     val p = plan(Analytics.q1PricingAgg(t))
     assert(p.contains("PushedFilters"), "no pushdown section in scan")
@@ -26,7 +37,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q5 star join broadcasts every dimension") {
-    val p = plan(Analytics.q5StarJoin(t))
+    val p = finalPlan(Analytics.q5StarJoin(t))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
     assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
   }
@@ -300,15 +311,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("deep convert: as-of is a window, never a range self-join; dims broadcast") {
-    val p = plan(graft.operators.Adv.deepConvert(t))
+    val p = finalPlan(graft.operators.Adv.deepConvert(t))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       s"deep convert gained a pairwise join:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"ad registry shuffled:\n$p")
     // clicks attach via the kind-flag + window asof, not a clicks x convs
-    // join: the only shuffle joins are the zgid identity-axis equi-joins
-    // (uz/dz construction + their single attach) — 5 today; a 6th would
-    // mean the asof decomposed into a join again
-    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 5,
+    // join: every shuffle join left is a zgid identity-axis equi-join
+    // (uz/dz construction + attaches — corpus-sized maps, so SMJ is the
+    // CORRECT at-scale shape now that broadcast selection is runtime-only
+    // and mid-stage frames can't convert) — 13 today; a 14th would mean
+    // the asof decomposed into a join again
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 13,
       s"asof decomposed into extra shuffle joins:\n$p")
   }
 

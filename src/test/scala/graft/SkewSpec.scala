@@ -118,7 +118,8 @@ class SkewSpec extends SparkSpec {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.coalescePartitions.minPartitionSize",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.autoBroadcastJoinThreshold")
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
       .map(k => k -> conf.getOption(k)).toMap
     conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
     conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
@@ -130,8 +131,11 @@ class SkewSpec extends SparkSpec {
     // a naive small-data skew test reads "0 skewed partitions"). Keep the
     // upstream stage multi-task like any real corpus's scan would be.
     conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB")
-    // the self-join must shuffle for skew handling to exist at all
+    // the self-join must shuffle for skew handling to exist at all —
+    // static AND runtime broadcast both off (AQE would otherwise convert
+    // the sub-64MB planted join to broadcast before skew handling runs)
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val df = Sim.semanticDedup(t2)
       // collect() drives THIS frame's QueryExecution — a count() would

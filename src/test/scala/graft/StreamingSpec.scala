@@ -832,6 +832,119 @@ class StreamingSpec extends SparkSpec {
     assert(reEmits == 1L, s"a single-valued mapping emitted $reEmits updates")
   }
 
+  test("surrogate mint state survives a checkpointed stop/restart") {
+    import graft.operators.Identity
+    // the INCR counter discipline: a restart between deltas must neither
+    // renumber already-minted keys nor re-mint them, and the counter must
+    // continue where it stopped — the later file lands while the query is
+    // DOWN, so recovery genuinely reads the checkpointed keyed state
+    val ev = t.events
+    val dir = java.nio.file.Files.createTempDirectory("graft_mint_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mint_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mint_ckpt_out").toString
+    def land(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      slice.coalesce(1).write.parquet(s"$dir/$name")
+      val f = new java.io.File(s"$dir/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val events = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = EventStreamPipeline.surrogateIdStream(events, "did")
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    land(ev.filter(dayofmonth(col("ts")) <= 15), "d0")
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[String]("appkey"), r.getAs[String]("key")) ->
+        r.getAs[Long]("surrogateId")).toMap
+    land(ev.filter(dayofmonth(col("ts")) > 15), "d1")
+    runOnce()
+    val all = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[String]("appkey"), r.getAs[String]("key"), r.getAs[Long]("surrogateId")))
+    // no key minted twice across the restart (the HSETNX/state guarantee)
+    assert(all.map(t3 => (t3._1, t3._2)).distinct.length == all.length,
+      "a key was re-minted after restart")
+    val got = all.map(t3 => (t3._1, t3._2) -> t3._3).toMap
+    // pre-restart assignments unchanged — a restart must not renumber
+    afterFirst.foreach { case (k, id) =>
+      assert(got(k) == id, s"restart renumbered $k: ${got(k)} != $id")
+    }
+    // counter continuity: per app, ids are dense 1..n across both runs,
+    // and every post-restart mint continues above the pre-restart max
+    got.groupBy(_._1._1).foreach { case (app, g) =>
+      val ids = g.values.toSeq.sorted
+      assert(ids == (1L to ids.length), s"$app ids not dense after restart")
+      val pre = afterFirst.collect { case ((a, _), id) if a == app => id }
+      val post = g.collect { case ((a, k), id) if !afterFirst.contains((a, k)) => id }
+      if (pre.nonEmpty && post.nonEmpty)
+        assert(post.min > pre.max, s"$app counter restarted: ${post.min} <= ${pre.max}")
+    }
+    // same key set + bijection shape as the batch map (whole-corpus truth)
+    val batch = Identity.deviceMap(t).collect()
+      .map(r => (r.getAs[String]("appkey"), r.getAs[String]("did"))).toSet
+    assert(got.keySet == batch, "restart lost or invented keys vs batch")
+  }
+
+  test("archive router state survives a checkpointed stop/restart") {
+    import graft.operators.Identity
+    val ev = t.events
+    val dir = java.nio.file.Files.createTempDirectory("graft_arch_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_arch_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_arch_ckpt_out").toString
+    def land(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      slice.coalesce(1).write.parquet(s"$dir/$name")
+      val f = new java.io.File(s"$dir/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    val (_, uz, dz) = Identity.zgidAxes(t)
+    def runOnce(): Unit = {
+      val events = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = EventStreamPipeline.archiveRouteStream(
+          events, Identity.deviceMap(t), Identity.userMap(t), uz, dz)
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    land(ev.filter(dayofmonth(col("ts")) <= 15), "d0")
+    runOnce()
+    land(ev.filter(dayofmonth(col("ts")) > 15), "d1")
+    runOnce()
+    val arch = spark.read.parquet(outDir)
+    // final latest-wins table == the batch 5-way archive (the same compare
+    // as the in-session spec, now across a restart boundary)
+    arch.createOrReplaceTempView("archckpt")
+    val got = spark.sql(
+      """SELECT * FROM (SELECT *, row_number() OVER (
+           PARTITION BY archiveType, appId, mapKey ORDER BY seq DESC) AS rn
+         FROM archckpt) WHERE rn = 1""")
+      .collect().map(r => (r.getAs[Int]("archiveType"), r.getAs[String]("typeName"),
+        r.getAs[Int]("appId"), r.getAs[String]("mapKey")) -> r.getAs[String]("mapValue"))
+      .toMap
+    val batch = Identity.archiveRoute(t).collect()
+      .map(r => (r.getAs[Int]("archive_type"), r.getAs[String]("type_name"),
+        r.getAs[Int]("app_id"), r.getAs[String]("map_key")) ->
+        r.getAs[String]("map_value")).toMap
+    assert(got.keySet == batch.keySet, "restart diverged the routed key set")
+    got.foreach { case (k, v) => assert(v == batch(k), s"$k stream=$v batch=${batch(k)}") }
+    // the HSETNX gate held ACROSS the restart: single-valued mappings
+    // whose keys recur after recovery still emitted exactly once
+    val reEmits = spark.sql(
+      "SELECT max(seq) FROM archckpt WHERE archiveType < 5").collect()(0).getLong(0)
+    assert(reEmits == 1L, s"a single-valued mapping emitted $reEmits updates across restart")
+  }
+
   test("streaming profile maintenance equals the batch detail aggregate") {
     import graft.operators.{Dw, Route}
     // the profile maintainer tails the fact table: stage the batch
