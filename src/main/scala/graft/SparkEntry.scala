@@ -131,6 +131,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(tables(s, d))),
     "dedup_minhash_inc"   -> ((s, d) => Dedup.minhashIncremental(tables(s, d))),
     "dedup_exact_inc"     -> ((s, d) => Dedup.exactIncremental(tables(s, d))),
+    "dedup_index_compact" -> ((s, d) => Dedup.indexCompact(tables(s, d))),
     "dedup_groups"        -> ((s, d) => Dedup.dupGroups(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
     "sim_ann_cosine_topk" -> ((s, d) => Sim.cosineTopK(tables(s, d))),
@@ -204,6 +205,7 @@ object SparkEntry {
     "emb_pq_encode_trained"   -> ((s, d) => Sim.pqEncodeTrained(tables(s, d))),
     "sim_ann_pq_adc"          -> ((s, d) => Sim.pqAdcTopK(tables(s, d))),
     "sink_vector_index"       -> ((s, d) => Sim.vectorIndexSink(tables(s, d))),
+    "sink_vector_index_compact" -> ((s, d) => Sim.vectorIndexCompact(tables(s, d))),
     "sim_ann_pq_adc_stored"   -> ((s, d) => Sim.pqAdcTopKStored(tables(s, d))),
     "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d)))
   )
@@ -609,6 +611,21 @@ object SparkEntry {
   private val pqEncodeCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        ${pqEncodeChain("")}"""
+
+  /** Per-inverted-list readback stats over the shared assignment + encode
+    * chains — the sink_vector_index oracle; the compaction face passes
+    * the live-vectors filter.
+    */
+  private def vectorIndexStatsSql(where: String): String =
+    s"""WITH $centroidAssignCtes,
+       ${pqEncodeChain("q")},
+       ck AS (SELECT vec_id, array_to_string(list(code ORDER BY m), ':') AS ck
+              FROM qb GROUP BY vec_id)
+       SELECT a.cluster, count(*) AS n_vecs,
+         count(DISTINCT ck.ck) AS n_code_cells
+       FROM a JOIN ck USING (vec_id)
+       $where
+       GROUP BY a.cluster ORDER BY a.cluster"""
 
   /** Residual-PQ CTE chain (composes after `centroidAssignCtes` — uses
     * its `a`, `c`, `e`): `res` = (vec_id, cluster, rv), `rb` = the
@@ -2375,6 +2392,31 @@ object SparkEntry {
          SELECT doc_id, h, in_index, n_prior,
            (NOT in_index AND n_prior = 0) AS keep
          FROM r ORDER BY doc_id""",
+    // weekly index maintenance: tombstoned docs drop (doc_id % 13 = 0 —
+    // the declared synthetic retirement set), the delta's admissions
+    // (replayed against the PRE-compaction index, exactly dedup_exact_inc)
+    // fold in, keepers hand over to the next live sibling
+    "dedup_index_compact" ->
+      """WITH h AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           FROM documents),
+         mx AS (SELECT max(doc_id) AS m FROM h),
+         liveidx AS (SELECT h.h, min(doc_id) AS keeper_id FROM h, mx
+                     WHERE NOT (doc_id * 5 > m * 4) AND doc_id % 13 <> 0
+                     GROUP BY h.h),
+         pre AS (SELECT DISTINCT h.h FROM h, mx WHERE NOT (doc_id * 5 > m * 4)),
+         d AS (SELECT h.doc_id, h.h FROM h, mx WHERE doc_id * 5 > m * 4),
+         keep AS (SELECT doc_id, h FROM (
+                    SELECT doc_id, h,
+                      h IN (SELECT h FROM pre) AS in_index,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id) - 1 AS n_prior
+                    FROM d)
+                  WHERE NOT in_index AND n_prior = 0 AND doc_id % 13 <> 0)
+         SELECT h, keeper_id, from_delta FROM (
+           SELECT h, keeper_id, false AS from_delta FROM liveidx
+           UNION ALL
+           SELECT h, doc_id AS keeper_id, true AS from_delta FROM keep)
+         ORDER BY h""",
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
                      FROM documents),
@@ -3570,18 +3612,14 @@ object SparkEntry {
            floor(($errSum) * 10000) / 10000 AS recon_err
          FROM b GROUP BY vec_id ORDER BY vec_id"""
     },
-    "sink_vector_index" ->
-      // readback-stats oracle from the SHARED assignment + encode chains:
-      // per inverted list, the vector count and distinct code cells the
-      // stored files must re-aggregate to
-      s"""WITH $centroidAssignCtes,
-         ${pqEncodeChain("q")},
-         ck AS (SELECT vec_id, array_to_string(list(code ORDER BY m), ':') AS ck
-                FROM qb GROUP BY vec_id)
-         SELECT a.cluster, count(*) AS n_vecs,
-           count(DISTINCT ck.ck) AS n_code_cells
-         FROM a JOIN ck USING (vec_id)
-         GROUP BY a.cluster ORDER BY a.cluster""",
+    // readback-stats oracle from the SHARED assignment + encode chains:
+    // per inverted list, the vector count and distinct code cells the
+    // stored files must re-aggregate to. ONE builder for the build sink
+    // and its weekly compaction (live-vectors filter), so the two cannot
+    // drift.
+    "sink_vector_index" -> vectorIndexStatsSql(""),
+    "sink_vector_index_compact" ->
+      vectorIndexStatsSql("WHERE vec_id % 13 <> 0"),
     "dedup_audit" -> {
       val p = operators.Dedup.MersennePrime
       val mins = (0 until operators.Dedup.minhashK).map(j =>

@@ -421,6 +421,67 @@ object Dedup {
   def incIsDelta(id: org.apache.spark.sql.Column, maxId: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = id * 5 > maxId * 4
 
+  /** Synthetic retirement set for the index-maintenance operators: every
+    * 13th doc/vector is tombstoned (deletion requests, domain bans,
+    * recrawl retirements) — a deterministic modulus so the oracle replays
+    * it exactly like the envelope's violation classes.
+    */
+  def isRetired(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    id % 13 === 0
+
+  /** dedup_index_compact — the WEEKLY maintenance pass every stored dedup
+    * index needs (without it the admission indexes only ever grow): drop
+    * tombstoned documents' entries, fold the delta's admitted documents
+    * in, and emit the COMPACTED content-hash index (hash → keeper doc +
+    * provenance). Semantics pinned to production reality:
+    *
+    *  - the delta was ingested BEFORE the weekly compact ran, so the fold
+    *    carries exactly the docs `dedup_exact_inc` admitted against the
+    *    PRE-compaction index (including entries that are now tombstoned —
+    *    an admission decision is not retroactively re-litigated);
+    *  - a hash held only by tombstoned docs disappears from the index
+    *    (its delta carrier, if any, was rejected and never stored — the
+    *    content re-enters the corpus at its next sighting, the honest
+    *    consequence of deleting the stored copies);
+    *  - a tombstoned keeper with live same-hash siblings hands the entry
+    *    to the next-smallest live doc.
+    *
+    * Scale shape: two map-side-combined groupBys on the 16-byte hash axis
+    * and one hash-axis join — identical posture to dedup_exact_inc; the
+    * delta fold and the tombstone filter are row predicates fused into
+    * the scans. Post-compaction probe equivalence (same delta re-probed:
+    * pre-verdicts reproduced on tombstone-independent rows, re-delivery
+    * fully rejected) is spec-pinned.
+    */
+  def indexCompact(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = t.documents.select(col("doc_id"), normalizedMd5.as("h"))
+    val mx = hashed.agg(max(col("doc_id")).as("max_id"))
+    val withMx = hashed.crossJoin(broadcast(mx))
+    val isDelta = incIsDelta(col("doc_id"), col("max_id"))
+    // live index entries: tombstoned docs' rows drop BEFORE the keeper
+    // group, so a retired keeper hands over to the next live sibling
+    val indexLive = withMx.filter(!isDelta && !isRetired(col("doc_id")))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper_id"))
+    // the delta's admissions, replayed against the PRE-compaction index
+    // (dedup_exact_inc's keep rule verbatim); a doc both admitted and
+    // since tombstoned does not enter the compacted index
+    val preIndex = withMx.filter(!isDelta).select(col("h")).distinct()
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val deltaKeep = withMx.filter(isDelta)
+      .select(col("doc_id"), col("h"))
+      .join(preIndex.select(col("h"), lit(true).as("in_index")), Seq("h"), "left")
+      .withColumn("n_prior", row_number().over(w) - 1)
+      .filter(coalesce(!col("in_index"), lit(true)) && col("n_prior") === 0)
+      .filter(!isRetired(col("doc_id")))
+    // disjoint on h by construction (delta keeps require h outside the
+    // pre index, whose hash set contains every live entry's hash)
+    indexLive.select(col("h"), col("keeper_id"), lit(false).as("from_delta"))
+      .unionByName(deltaKeep.select(col("h"),
+        col("doc_id").as("keeper_id"), lit(true).as("from_delta")))
+      .orderBy(col("h"))
+  }
+
   /** #64 dedup_minhash_inc — INCREMENTAL near-dup admission, the way a
     * 100 TB corpus actually deduplicates a new drop: the stored index keeps
     * only each document's k-minhash signature (k longs — the text is never

@@ -982,6 +982,44 @@ object Sim {
       .orderBy(col("cluster"))
   }
 
+  /** sink_vector_index_compact — the weekly PHYSICAL maintenance of the
+    * persisted index (`sink_vector_index` only ever appends): read the
+    * stored code table back, drop tombstoned vectors (the shared
+    * `Dedup.isRetired` modulus — deletion requests against the vector
+    * store), and REWRITE the directory with fresh (cluster, salt)
+    * bucketing + maxRecordsPerFile — re-leveling any occupancy skew the
+    * deletes left behind while keeping partition pruning (= IVF routing)
+    * intact. Returns per-list readback stats re-aggregated from the
+    * COMPACTED files, hash-checked against the shared assignment/encode
+    * oracle CTEs restricted to live vectors — the on-disk result is
+    * proven, not assumed. The spec additionally pins that no tombstoned
+    * vec_id survives in any stored file and that the compacted layout
+    * still partition-prunes.
+    *
+    * Scale shape: one scan of the stored codes (4 bytes a vector — never
+    * the raw floats), one shuffle onto (cluster, salt), one write; the
+    * stats face is a map-side-combined groupBy on the list axis.
+    */
+  def vectorIndexCompact(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val base = outDir.getOrElse("/tmp/graft_vindex/compact")
+    writeVectorIndex(t, s"$base/full") // the grown index being maintained
+    val live = t.spark.read.parquet(s"$base/full")
+      .filter(!graft.operators.Dedup.isRetired(col("vec_id")))
+    live
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(indexSinkSalt)))
+      .repartition(t.spark.sessionState.conf.numShufflePartitions,
+        col("cluster"), col("salt"))
+      .drop("salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000000)
+      .partitionBy("cluster").parquet(s"$base/compacted")
+    val key = concat_ws(":", (0 until pqM).map(m => col(s"code$m")): _*)
+    t.spark.read.parquet(s"$base/compacted")
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(key).as("n_code_cells"))
+      .orderBy(col("cluster"))
+  }
+
   def knnGraph(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))

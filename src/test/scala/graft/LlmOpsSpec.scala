@@ -240,6 +240,74 @@ class LlmOpsSpec extends SparkSpec {
     assert(!groups.contains(4L)) // no near-dup edges -> not in any group
   }
 
+  test("index compaction: tombstones drop, fold is the admitted delta, probes stay truthful") {
+    val compacted = Dedup.indexCompact(t).collect()
+      .map(r => r.getAs[String]("h") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Boolean]("from_delta")))
+    val byHash = compacted.toMap
+    assert(compacted.length == byHash.size, "compacted index has a duplicate hash entry")
+    // no tombstoned doc survives as a keeper
+    assert(compacted.forall(_._2._1 % 13 != 0), "a retired doc kept an index entry")
+    // the fold is EXACTLY the live subset of dedup_exact_inc's admissions
+    val pre = Dedup.exactIncremental(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("h"), r.getAs[Boolean]("in_index"), r.getAs[Boolean]("keep")))
+    val expectedFold = pre.collect {
+      case (id, (h, _, true)) if id % 13 != 0 => h -> id
+    }.toMap
+    val gotFold = compacted.collect { case (h, (id, true)) => h -> id }.toMap
+    assert(gotFold == expectedFold, "folded entries diverge from the admitted delta")
+    // re-delivery idempotence: every folded doc's hash is now stored, so
+    // replaying the same drop rejects it outright
+    expectedFold.foreach { case (h, _) =>
+      assert(byHash.contains(h), s"folded hash $h missing — redelivery would re-admit")
+    }
+    // probe equivalence on tombstone-independent rows: re-probing the same
+    // delta (self-entry excluded) reproduces the pre-compaction verdict
+    // for every doc whose pre-decision did not hinge on a retired carrier
+    val hashes = t.documents
+      .select(col("doc_id"), Dedup.normalizedMd5.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val deltaIds = pre.map(_._1).toSet
+    val preIndexCarriers = hashes.filterNot { case (id, _) => deltaIds.contains(id) }
+    val allCarriersRetired = preIndexCarriers.groupBy(_._2)
+      .map { case (h, docs) => h -> docs.forall(_._1 % 13 == 0) }
+    pre.foreach { case (id, (h, inIndex, keepPre)) =>
+      val tombstoneDependent = inIndex && allCarriersRetired.getOrElse(h, false)
+      if (!tombstoneDependent && id % 13 != 0) {
+        val keepPost = byHash.get(h).forall(_._1 == id)
+        assert(keepPost == keepPre,
+          s"doc $id verdict flipped after compaction: post=$keepPost pre=$keepPre")
+      }
+    }
+  }
+
+  test("vector index compaction drops tombstones, keeps layout and pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcompact").toString
+    val stats = graft.operators.Sim.vectorIndexCompact(t, Some(dir)).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_code_cells"))).toMap
+    val full = spark.read.parquet(s"$dir/full")
+    val compactedDf = spark.read.parquet(s"$dir/compacted")
+    // no tombstoned vector survives in any stored file
+    assert(compactedDf.filter(col("vec_id") % 13 === 0).count() == 0,
+      "a retired vector survived compaction")
+    // the compacted files re-aggregate to the live subset of the full index
+    val expected = full.filter(col("vec_id") % 13 =!= 0)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+    assert(stats.view.mapValues(_._1).toMap == expected,
+      "per-list counts diverge from the live subset")
+    // partition pruning (= IVF routing at the storage layer) still works
+    // on the rewritten directory; Dataset.inputFiles ignores pruning, so
+    // assert on the executed plan
+    val probe = compactedDf.filter(col("cluster") === 1)
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters: ["),
+      "compacted layout lost partition pruning")
+  }
+
   test("dupGroups under the star knob equals the propagation face") {
     // the at-scale large-star/small-star path must be a pure physical
     // swap: same groups, same sizes, bit-identical rows
