@@ -207,7 +207,11 @@ object SparkEntry {
     "sink_vector_index"       -> ((s, d) => Sim.vectorIndexSink(tables(s, d))),
     "sink_vector_index_compact" -> ((s, d) => Sim.vectorIndexCompact(tables(s, d))),
     "sim_ann_pq_adc_stored"   -> ((s, d) => Sim.pqAdcTopKStored(tables(s, d))),
-    "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d)))
+    "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d))),
+    "sink_vector_index_upsert" -> ((s, d) => Sim.vectorIndexUpsert(tables(s, d))),
+    "sim_ann_filtered"        -> ((s, d) => Sim.cosineTopKFiltered(tables(s, d))),
+    "text_bm25_topk"          -> ((s, d) => TrainData.bm25TopKDocs(tables(s, d))),
+    "dedup_soft_weight"       -> ((s, d) => Dedup.softWeight(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -2451,6 +2455,18 @@ object SparkEntry {
                  ORDER BY quality DESC, doc_id) AS rk FROM gq)
          SELECT doc_id, group_id, group_size, quality, rk = 1 AS keep
          FROM k ORDER BY doc_id""",
+    // soft dedup: every doc kept, weighted 1/|cluster|; singletons (no
+    // near-dup pair) weigh 1.0 — the left join against the corpus axis
+    "dedup_soft_weight" ->
+      s"""$dupGroupsCtes
+         SELECT dd.doc_id,
+           coalesce(l.group_id, dd.doc_id) AS group_id,
+           CAST(coalesce(s.group_size, 1) AS BIGINT) AS group_size,
+           floor((1.0 / coalesce(s.group_size, 1)) * 10000) / 10000 AS weight
+         FROM documents dd
+         LEFT JOIN lbl l ON dd.doc_id = l.doc_id
+         LEFT JOIN sz s ON l.group_id = s.group_id
+         ORDER BY dd.doc_id""",
     "sim_ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -2464,6 +2480,26 @@ object SparkEntry {
                    ORDER BY cos DESC, neighbor_id) AS rank
                FROM p)
          SELECT query_id, neighbor_id, rank, floor(cos * 10000) / 10000 AS cos_sim
+         FROM r WHERE rank <= ${Sim.topK} ORDER BY query_id, rank""",
+    // filtered vector search: the label equi-predicate joins BEFORE the
+    // distance work (pre-filtering — post-filtering a plain top-k is the
+    // documented failure mode), candidates restricted to the query's label
+    "sim_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                     FROM embeddings),
+         n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel, nrm AS qn
+               FROM n WHERE vec_id < ${Sim.nQueries}),
+         p AS (SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS label,
+                 n.vec_id AS neighbor_id,
+                 list_dot_product(qv, v) / (qn * nrm) AS cos
+               FROM q JOIN n ON n.label = q.qlabel AND n.vec_id <> q.query_id),
+         r AS (SELECT query_id, label, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+               FROM p)
+         SELECT query_id, label, neighbor_id, rank,
+           floor(cos * 10000) / 10000 AS cos_sim
          FROM r WHERE rank <= ${Sim.topK} ORDER BY query_id, rank""",
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2620,6 +2656,50 @@ object SparkEntry {
            floor(a.top_run / CAST(a.nw - 1 AS DOUBLE) * 10000) / 10000
              AS top_gram_frac
          FROM agg a JOIN wrd ON a.doc_id = wrd.doc_id ORDER BY a.doc_id""",
+    // BM25 retrieval: rational odds idf (log-free — the one libm call with
+    // no cross-engine guarantee) and per-term micro-unit (×1e6 BIGINT)
+    // contributions so the summed score is exact and order-independent;
+    // shape constants interpolated from the Scala vals so both engines
+    // parse the SAME double literals. df from matched postings only (equal
+    // to corpus-wide df per matched term); no df cap — the rational idf
+    // already collapses for corpus-wide terms (see bm25TopKDocs Scaladoc).
+    "text_bm25_topk" -> {
+      val k1 = TrainData.bm25K1
+      val k1p1 = TrainData.bm25K1 + 1.0
+      val b = TrainData.bm25B
+      val b1 = 1.0 - TrainData.bm25B
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                     FROM documents),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+                  (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
+                GROUP BY 1, 2, 3),
+         sc AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM d),
+         qt AS (SELECT DISTINCT term FROM tf
+                WHERE doc_id < ${TrainData.bm25NQueries}),
+         tfq AS MATERIALIZED (SELECT tf.* FROM tf JOIN qt USING (term)),
+         dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         q AS (SELECT doc_id AS query_id, term FROM tfq
+               WHERE doc_id < ${TrainData.bm25NQueries}),
+         c0 AS (SELECT q.query_id, tfq.doc_id,
+                  CAST(n_docs - df AS DOUBLE) + 0.5 AS idf_n,
+                  CAST(df AS DOUBLE) + 0.5 AS idf_d,
+                  CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs) AS dl_ratio,
+                  CAST(tf AS DOUBLE) AS tfd
+                FROM tfq JOIN q USING (term) JOIN dfq USING (term), sc
+                WHERE tfq.doc_id <> q.query_id),
+         c AS (SELECT query_id, doc_id,
+                 CAST(floor((idf_n / idf_d)
+                   * (tfd * $k1p1 / (tfd + $k1 * ($b1 + $b * dl_ratio)))
+                   * 1000000.0) AS BIGINT) AS c_q6
+               FROM c0),
+         s AS (SELECT query_id, doc_id, CAST(sum(c_q6) AS BIGINT) AS score_q6,
+                 count(*) AS n_terms
+               FROM c GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_q6 DESC, doc_id) AS rank FROM s)
+         SELECT query_id, doc_id, rank, n_terms, score_q6
+         FROM r WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank"""
+    },
     "text_contamination" -> {
       val g = TrainData.contamGram
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -3620,6 +3700,10 @@ object SparkEntry {
     "sink_vector_index" -> vectorIndexStatsSql(""),
     "sink_vector_index_compact" ->
       vectorIndexStatsSql("WHERE vec_id % 13 <> 0"),
+    // the daily append fold: base build + delta append must equal the
+    // from-scratch full build — SAME oracle as sink_vector_index, so the
+    // hash match PROVES the upsert lossless (the corpus_stats_inc rule)
+    "sink_vector_index_upsert" -> vectorIndexStatsSql(""),
     "dedup_audit" -> {
       val p = operators.Dedup.MersennePrime
       val mins = (0 until operators.Dedup.minhashK).map(j =>

@@ -74,12 +74,36 @@ object CodecExpressions {
     }
   }
 
+  /** Per-row `Cipher.getInstance` pays a JCE provider lookup on every
+    * record of a corpus-scale gate scan; the (mode, key, iv) triple is
+    * session-conf-constant in practice, so cache the initialized cipher
+    * per executor thread and re-init only when the triple changes.
+    * (Cipher instances are not thread-safe — hence ThreadLocal, never a
+    * shared map.)
+    */
+  private val cachedCipher =
+    new ThreadLocal[(Int, String, String, javax.crypto.Cipher)]
+
+  private def cipherFor(mode: Int, key: String, iv: String): javax.crypto.Cipher = {
+    val cached = cachedCipher.get()
+    if (cached != null && cached._1 == mode && cached._2 == key && cached._3 == iv)
+      cached._4
+    else {
+      val c = aesCipher(mode, key, iv)
+      cachedCipher.set((mode, key, iv, c))
+      c
+    }
+  }
+
   private def hexToBytes(s: String): Array[Byte] = {
     if (s.length % 2 != 0) throw new IllegalArgumentException("odd hex length")
     val out = new Array[Byte](s.length / 2)
     var i = 0
     while (i < out.length) {
-      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      val hi = Character.digit(s.charAt(2 * i), 16)
+      val lo = Character.digit(s.charAt(2 * i + 1), 16)
+      if (hi < 0 || lo < 0) throw new IllegalArgumentException("bad hex digit")
+      out(i) = ((hi << 4) | lo).toByte
       i += 1
     }
     out
@@ -108,7 +132,7 @@ object CodecExpressions {
 
     override def nullSafeEval(content: Any, key: Any, iv: Any): Any = {
       try {
-        val c = aesCipher(javax.crypto.Cipher.DECRYPT_MODE,
+        val c = cipherFor(javax.crypto.Cipher.DECRYPT_MODE,
           key.asInstanceOf[UTF8String].toString, iv.asInstanceOf[UTF8String].toString)
         val plain = c.doFinal(hexToBytes(content.asInstanceOf[UTF8String].toString))
         UTF8String.fromBytes(plain)
@@ -134,7 +158,7 @@ object CodecExpressions {
 
     override def nullSafeEval(content: Any, key: Any, iv: Any): Any = {
       try {
-        val c = aesCipher(javax.crypto.Cipher.ENCRYPT_MODE,
+        val c = cipherFor(javax.crypto.Cipher.ENCRYPT_MODE,
           key.asInstanceOf[UTF8String].toString, iv.asInstanceOf[UTF8String].toString)
         UTF8String.fromString(bytesToHex(c.doFinal(
           content.asInstanceOf[UTF8String].toString

@@ -804,6 +804,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_soft_weight — SOFT deduplication: keep every document, weight
+    * each by 1/|its near-dup cluster| (singletons weigh 1.0). The
+    * alternative to hard dropping that recent pretraining work prefers
+    * when duplicates carry signal (a doc crawled from n mirrors
+    * contributes the same total mass as one copy — sampling weights, not
+    * deletions). Downstream samplers consume `weight`; the group columns
+    * make the provenance auditable.
+    *
+    * Scale shape: identical to `keepBest` — the group table is |dup docs|
+    * (tiny vs the corpus), the final left join rides the doc_id axis, and
+    * the weight is a row expression; nothing new beyond the component
+    * search.
+    */
+  def softWeight(t: Tables): DataFrame = {
+    val g = dupGroupsUnsorted(t)
+    t.documents.select(col("doc_id"))
+      .join(g.select(col("doc_id"), col("group_id"), col("group_size")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"))
+      .withColumn("weight",
+        floor((lit(1.0) / col("group_size")) * 10000) / 10000)
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_audit — the approximate-vs-exact dedup audit every production
     * pipeline should run on a sample before trusting its ANN dedup: the
     * MinHash-LSH candidate pairs and the est-Jaccard-verified subset are

@@ -47,6 +47,42 @@ object Sim {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** sim_ann_filtered — FILTERED vector search, the vector-DB capability
+    * every retrieval deployment actually runs ("nearest neighbors WHERE
+    * metadata matches"): exact cosine top-k per query among only the
+    * candidates sharing the query's `label` (category-scoped search).
+    * The filter is an EQUI-predicate, so it rides the join key instead of
+    * being a post-filter: candidates join the broadcast query set on
+    * (label), and the dot product only ever runs on same-label pairs —
+    * the selectivity is captured before the expensive work, not after.
+    * At 100 TB the same shape is storage-level: with the index
+    * partitioned (or z-ordered) by the filter column, the equi-predicate
+    * becomes partition pruning and the scan reads only matching lists —
+    * exactly how `sink_vector_index` turns cluster routing into pruning.
+    * Post-filtering a plain top-k is the known failure mode (k survivors
+    * of the filter may not exist in any unfiltered top-k') — this
+    * operator filters FIRST, which is why it must be its own plan and
+    * not a wrapper over `cosineTopK`.
+    */
+  def cosineTopKFiltered(t: Tables): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val e = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val pairs = e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("qlabel").cast("long").as("label"),
+        col("vec_id").as("neighbor_id"), col("rank"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Cosine threshold for embedding near-dup pairs. */
   val nearDupTau = 0.4
 
@@ -957,26 +993,48 @@ object Sim {
     * default would deposit a fresh index copy in /tmp on every
     * Verify/Bench invocation with no cleanup.
     */
-  def writeVectorIndex(t: Tables, out: String): Unit = {
-    val codes = pqEncodeUnsorted(t)
+  def writeVectorIndex(t: Tables, out: String): Unit =
+    writeCodes(indexCodes(t), out, "overwrite")
+
+  /** The (vec_id, code*, cluster) table every index lifecycle op stores. */
+  private def indexCodes(t: Tables): DataFrame =
+    pqEncodeUnsorted(t)
       .join(assignToCentroids(t).select(col("vec_id"), col("cluster")), "vec_id")
       .select(col("vec_id") +: (0 until pqM).map(m => col(s"code$m")) :+
         col("cluster"): _*)
+
+  /** The physical write shared by build / upsert / compact: shuffle onto
+    * (cluster, salt) with an explicit partition count (the AQE-coalesce
+    * trap), maxRecordsPerFile bounds file sizes, salt bounds per-writer
+    * skew on a hot list, directory-per-cluster so partition pruning is
+    * the IVF routing.
+    */
+  private def writeCodes(codes: DataFrame, out: String, mode: String): Unit =
     codes
       .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(indexSinkSalt)))
-      .repartition(t.spark.sessionState.conf.numShufflePartitions,
+      .repartition(codes.sparkSession.sessionState.conf.numShufflePartitions,
         col("cluster"), col("salt"))
       .drop("salt")
-      .write.mode("overwrite")
+      .write.mode(mode)
       .option("maxRecordsPerFile", 1000000)
       .partitionBy("cluster").parquet(out)
-  }
 
   def vectorIndexSink(t: Tables, outDir: Option[String] = None): DataFrame = {
     val out = outDir.getOrElse("/tmp/graft_vindex/default")
     writeVectorIndex(t, out)
+    // materialize before returning (the pqAdcTopKStored discipline): the
+    // deterministic directory is overwritten per run, so a lazily
+    // returned plan could race a later rebuild's delete of these files
+    graft.engine.Reliability.planCheckpoint(readIndexStats(t, out))
+  }
+
+  /** Per-list readback stats over a stored code directory — the shared
+    * face every index lifecycle op (build / upsert / compact) returns, so
+    * their oracles can share one SQL builder.
+    */
+  private def readIndexStats(t: Tables, dir: String): DataFrame = {
     val key = concat_ws(":", (0 until pqM).map(m => col(s"code$m")): _*)
-    t.spark.read.parquet(out)
+    t.spark.read.parquet(dir)
       .groupBy(col("cluster").cast("long").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"), countDistinct(key).as("n_code_cells"))
       .orderBy(col("cluster"))
@@ -1005,19 +1063,43 @@ object Sim {
     writeVectorIndex(t, s"$base/full") // the grown index being maintained
     val live = t.spark.read.parquet(s"$base/full")
       .filter(!graft.operators.Dedup.isRetired(col("vec_id")))
-    live
-      .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(indexSinkSalt)))
-      .repartition(t.spark.sessionState.conf.numShufflePartitions,
-        col("cluster"), col("salt"))
-      .drop("salt")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", 1000000)
-      .partitionBy("cluster").parquet(s"$base/compacted")
-    val key = concat_ws(":", (0 until pqM).map(m => col(s"code$m")): _*)
-    t.spark.read.parquet(s"$base/compacted")
-      .groupBy(col("cluster").cast("long").as("cluster"))
-      .agg(count(lit(1)).as("n_vecs"), countDistinct(key).as("n_code_cells"))
-      .orderBy(col("cluster"))
+    writeCodes(live, s"$base/compacted", "overwrite")
+    // materialize before returning (the pqAdcTopKStored discipline): the
+    // directory is deterministic and overwritten per run, so a lazily
+    // returned plan could race a later rebuild's delete of these files
+    graft.engine.Reliability.planCheckpoint(readIndexStats(t, s"$base/compacted"))
+  }
+
+  /** sink_vector_index_upsert — the DAILY maintenance twin of the weekly
+    * compaction: the nightly build wrote the base index from the
+    * pre-delta corpus; the day's delta vectors are encoded alone and
+    * APPENDED into the same directory layout (new files inside each
+    * touched cluster partition — no rewrite of existing files, the cheap
+    * path a daily drop must take). The model side is safe by
+    * construction: centroids and PQ codebook anchor to the lowest
+    * vec_ids (`nCentroids`/`pqK`), which are never in the delta
+    * (`Dedup.incIsDelta` = the top-20%-by-id tail), so the base build's
+    * model equals the full build's and delta assignments cannot drift.
+    * Returns the same per-list readback stats as `sink_vector_index` and
+    * shares its oracle — a hash match PROVES base ∪ delta append equals
+    * the from-scratch full build, i.e. the upsert is lossless.
+    *
+    * Scale shape: the base never rewrites; delta work is |delta| encode +
+    * one (cluster, salt) shuffle of delta codes; the stats face is a
+    * map-side-combined groupBy on the list axis.
+    */
+  def vectorIndexUpsert(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val base = outDir.getOrElse("/tmp/graft_vindex/upsert")
+    val mx = t.embeddings.agg(max(col("vec_id")).as("max_id"))
+    // one encode feeds both writes (in production the base index already
+    // exists and ONLY the delta is encoded; here both sides re-derive
+    // from the raw table so the registered query stands alone)
+    val withMx = indexCodes(t).crossJoin(broadcast(mx)).persist()
+    val isDelta = graft.operators.Dedup.incIsDelta(col("vec_id"), col("max_id"))
+    writeCodes(withMx.filter(!isDelta).drop("max_id"), base, "overwrite")
+    writeCodes(withMx.filter(isDelta).drop("max_id"), base, "append")
+    withMx.unpersist()
+    graft.engine.Reliability.planCheckpoint(readIndexStats(t, base))
   }
 
   def knnGraph(t: Tables): DataFrame = {

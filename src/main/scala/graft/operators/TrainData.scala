@@ -761,4 +761,98 @@ object TrainData {
         (floor(col("logw") * 100) / 100).as("log_weight"))
       .withColumn("selected", col("log_weight") >= 0.0)
   }
+
+  // ---- BM25 lexical retrieval ----
+
+  /** BM25 shape parameters — the Robertson/Spärck Jones defaults. */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  /** Query-by-example set: the first `bm25NQueries` documents retrieve
+    * their top-`bm25TopK` lexical neighbors from the corpus (the
+    * decontamination-retrieval framing: "which training docs does this
+    * eval doc most resemble lexically?").
+    */
+  val bm25NQueries = 5L
+  val bm25TopK = 5
+
+  /** text_bm25_topk — BM25 lexical retrieval over the corpus: for each
+    * query document, the top-k corpus documents by summed per-term BM25
+    * contributions over the query's distinct terms.
+    *
+    * Two deliberate, documented deviations from the textbook formula,
+    * both FOR determinism and scale:
+    *  - idf is the RATIONAL odds form (N - df + 0.5) / (df + 0.5), not
+    *    its log — the ranking must be bit-identical across engines and
+    *    `log` is the one libm call with no cross-engine guarantee (the
+    *    qualityClassifier rational-only discipline). Monotone in df like
+    *    the log form, so per-term ordering is preserved.
+    *  - each term's contribution is floor-quantized to micro-units
+    *    (×1e6, BIGINT) BEFORE summation: integer sums are exact and
+    *    order-independent, so the ranking cannot depend on aggregation
+    *    order — a double sum across a shuffle could flip near-ties
+    *    between engines.
+    * No df cap is applied: the rational idf already collapses toward
+    * ~0.5/df for corpus-wide terms, so common-term contributions are
+    * structurally tiny (and the synthetic corpus draws from a small
+    * shared vocabulary — EVERY term is df≈0.8N there, so a stopword cap
+    * would zero the operator). At 100 TB one WOULD df-cap the query
+    * terms before the posting join — the PPJoin hot-key guard — because
+    * a df≈N term's posting list is the corpus; that cap is a one-line
+    * filter on `df` documented here rather than planted, since its
+    * correct threshold is corpus-specific.
+    *
+    * Scale shape: ONE postings build (explode + map-side-combined
+    * groupBy on (doc_id, dl, term)); the tiny distinct query-term set
+    * broadcasts into a semi-join that bounds ALL downstream work by the
+    * matched posting lists (df is computed from the matched postings —
+    * same value as corpus-wide df per term, never a full-vocab pass);
+    * the per-(query, doc) fold is a map-side-combined integer sum; the
+    * top-k is one window over the query axis. Nothing touches the full
+    * vocabulary and nothing is quadratic.
+    */
+  def bm25TopKDocs(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Dedup.withWords(t.documents)
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scalars = Dedup.withWords(t.documents)
+      .select(size(col("w")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // distinct query terms — benchmark-sized, broadcast; the semi-join
+    // keeps only matched posting lists in play from here on
+    val qterms = tf.filter(col("doc_id") < bm25NQueries)
+      .select(col("term")).distinct()
+    val tfq = tf.join(broadcast(qterms), "term")
+    val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = tf.filter(col("doc_id") < bm25NQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val contrib = tfq
+      .join(broadcast(q), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5))
+      .withColumn("dl_ratio",
+        col("dl").cast("double") /
+          (col("sum_dl").cast("double") / col("n_docs")))
+      .withColumn("tfn",
+        col("tf").cast("double") * (bm25K1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl_ratio"))))
+      .withColumn("c_q6",
+        floor(col("idf") * col("tfn") * 1000000.0).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q6").desc, col("doc_id").asc)
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_q6")).as("score_q6"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("n_terms"), col("score_q6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -1800,4 +1800,99 @@ class LlmOpsSpec extends SparkSpec {
       assert(h >= 0L && h < (1L << 56))
     }
   }
+
+  test("bm25 ranks a lexical twin first, excludes self, scores descend") {
+    import spark.implicits._
+    // query doc 0 carries rare terms; doc 100 repeats them densely and in
+    // a SHORT doc (max tf-norm), doc 101 shares one term, fillers share
+    // none of the rare terms (only the common 'pad' tokens)
+    val docs = (Seq(
+      (0L, "zebra quark flux pad pad"),
+      (100L, "zebra quark flux zebra quark"),
+      (101L, "zebra pad pad pad pad pad pad"),
+      (1L, "pad pad nothing else here")) ++
+      (2 to 40).map(i => (i.toLong + 200, s"pad pad filler f$i g$i h$i"))).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val rows = TrainData.bm25TopKDocs(t2).collect()
+    val q0 = rows.filter(_.getAs[Long]("query_id") == 0L)
+    assert(q0.nonEmpty && q0.head.getAs[Long]("doc_id") == 100L,
+      s"lexical twin must rank first: ${q0.mkString(",")}")
+    // 101 shares only 'zebra'+'pad'; it must score below 100 but above
+    // the no-rare-term fillers
+    assert(q0.map(_.getAs[Long]("doc_id")).indexOf(101L) == 1)
+    rows.foreach(r => assert(r.getAs[Long]("doc_id") != r.getAs[Long]("query_id")))
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      val scores = sorted.map(_.getAs[Long]("score_q6"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+    }
+  }
+
+  test("filtered ann matches a per-label brute force and never crosses labels") {
+    val labels = t.embeddings.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = Sim.cosineTopKFiltered(t).collect()
+    rows.foreach { r =>
+      // every neighbor shares the query's label (pre-filter, not post-)
+      assert(labels(r.getAs[Long]("neighbor_id")) == r.getAs[Long]("label").toInt)
+      assert(labels(r.getAs[Long]("query_id")) == r.getAs[Long]("label").toInt)
+    }
+    // per query: the result IS the exact top-k of the same-label subset —
+    // proven against an in-spec brute force over the collected vectors
+    val vecs: Map[Long, Array[Double]] = t.embeddings.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, g) =>
+      val want = vecs.keys.filter(v => v != qid && labels(v) == labels(qid))
+        .map(v => (v, cos(vecs(qid), vecs(v))))
+        .toSeq.sortBy { case (v, c) => (-c, v) }
+        .take(Sim.topK).map(_._1)
+      val got = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(got == want, s"query $qid: got $got want $want")
+    }
+  }
+
+  test("vector index upsert equals the from-scratch build list for list") {
+    val full = Sim.vectorIndexSink(t).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_code_cells"))).sorted
+    val upserted = Sim.vectorIndexUpsert(t).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_code_cells"))).sorted
+    assert(upserted.sameElements(full))
+    // the append really happened as an append: the upsert directory holds
+    // base AND delta files, and the delta ids are present post-append
+    val stored = spark.read.parquet("/tmp/graft_vindex/upsert")
+    val maxId = t.embeddings.agg(max(col("vec_id"))).head.getLong(0)
+    val deltaCount = stored.filter(col("vec_id") * 5 > maxId * 4).count()
+    assert(stored.count() == t.embeddings.count())
+    assert(deltaCount > 0)
+  }
+
+  test("soft weight covers every doc once and inverts the group size") {
+    val rows = Dedup.softWeight(t).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(rows.length == t.documents.count())
+    val groups = Dedup.dupGroups(t).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_id"), r.getAs[Long]("group_size"))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val size = r.getAs[Long]("group_size")
+      groups.get(id) match {
+        case Some((gid, gsz)) =>
+          assert(r.getAs[Long]("group_id") == gid && size == gsz)
+        case None =>
+          assert(size == 1L && r.getAs[Long]("group_id") == id)
+      }
+      assert(r.getAs[Double]("weight") ==
+        math.floor((1.0 / size) * 10000) / 10000)
+    }
+  }
 }
