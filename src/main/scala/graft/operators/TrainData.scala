@@ -811,12 +811,46 @@ object TrainData {
     * top-k is one window over the query axis. Nothing touches the full
     * vocabulary and nothing is quadratic.
     */
-  def bm25TopKDocs(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = Dedup.withWords(t.documents)
+  /** The postings index (doc_id, dl, term, tf) — the ONE tokenize +
+    * term-frequency build shared by the batch retrieval and the serving
+    * leg's nightly index job (`bm25ServeStream` consumes it with df
+    * attached), so the two can never drift on tokenization.
+    */
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame =
+    Dedup.withWords(docs)
       .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  /** The serving index: postings with per-term df attached (what the
+    * nightly job persists next to the n_docs/sum_dl scalars).
+    */
+  def bm25PostingsWithDf(docs: DataFrame): DataFrame = {
+    val tf = bm25Postings(docs)
+    tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term")
+  }
+
+  /** The shared BM25 scoring columns — ONE expression tree for the batch
+    * operator and the streaming serve leg (bit-equality across the two
+    * faces requires the identical IEEE op sequence). Each expects the
+    * named inputs (`n_docs`, `df`, `dl`, `sum_dl`, `tf`, `dl_ratio`,
+    * `idf`, `tfn`) to be in scope as columns.
+    */
+  private[graft] def bm25Idf: org.apache.spark.sql.Column =
+    ((col("n_docs") - col("df")).cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+  private[graft] def bm25DlRatio: org.apache.spark.sql.Column =
+    col("dl").cast("double") / (col("sum_dl").cast("double") / col("n_docs"))
+  private[graft] def bm25Tfn: org.apache.spark.sql.Column =
+    col("tf").cast("double") * (bm25K1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl_ratio")))
+  private[graft] def bm25ContribQ6: org.apache.spark.sql.Column =
+    floor(col("idf") * col("tfn") * 1000000.0).cast("long")
+
+  def bm25TopKDocs(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = bm25Postings(t.documents)
     val scalars = Dedup.withWords(t.documents)
       .select(size(col("w")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -824,7 +858,12 @@ object TrainData {
     // keeps only matched posting lists in play from here on
     val qterms = tf.filter(col("doc_id") < bm25NQueries)
       .select(col("term")).distinct()
-    val tfq = tf.join(broadcast(qterms), "term")
+    // materialize the matched postings ONCE: both df and the scoring join
+    // consume this frame, and without the checkpoint the full postings
+    // build runs twice (exchange reuse does not span the differing
+    // aggregates). Bounded by the matched posting lists, not the corpus.
+    val tfq = graft.engine.Reliability.planCheckpoint(
+      tf.join(broadcast(qterms), "term"))
     val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val q = tf.filter(col("doc_id") < bm25NQueries)
       .select(col("doc_id").as("query_id"), col("term"))
@@ -833,18 +872,10 @@ object TrainData {
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), "term")
       .crossJoin(broadcast(scalars))
-      .withColumn("idf",
-        ((col("n_docs") - col("df")).cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5))
-      .withColumn("dl_ratio",
-        col("dl").cast("double") /
-          (col("sum_dl").cast("double") / col("n_docs")))
-      .withColumn("tfn",
-        col("tf").cast("double") * (bm25K1 + 1.0) /
-          (col("tf").cast("double") +
-            lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl_ratio"))))
-      .withColumn("c_q6",
-        floor(col("idf") * col("tfn") * 1000000.0).cast("long"))
+      .withColumn("idf", bm25Idf)
+      .withColumn("dl_ratio", bm25DlRatio)
+      .withColumn("tfn", bm25Tfn)
+      .withColumn("c_q6", bm25ContribQ6)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_q6").desc, col("doc_id").asc)
     contrib.groupBy(col("query_id"), col("doc_id"))

@@ -1076,6 +1076,66 @@ object EventStreamPipeline {
       }
   }
 
+  case class Bm25Serve(queryId: Long, docId: Long, rank: Int,
+      nTerms: Long, scoreQ6: Long)
+  case class Bm25Seen(seen: Boolean)
+
+  /** Online BM25 retrieval — the LIVE face of the lexical index, the
+    * adcServeStream shape applied to text ("which training docs does
+    * this just-arrived eval doc most resemble?" served as the doc
+    * lands): each arriving query document tokenizes IN-ROW (the shared
+    * `Dedup.wordsCol` definition — serving can never drift from the
+    * batch tokenizer), its distinct terms probe the PERSISTED postings
+    * index as a stream-static join on the term key (work bounded by the
+    * matched posting lists, exactly the batch semi-join bound), each
+    * candidate row scores through the SHARED `TrainData.bm25*` columns
+    * (one expression tree ⇒ the integer micro-unit contributions are
+    * bit-equal to batch), and a keyed verdict stage folds each query's
+    * candidates to its top-k — integer sums, so the fold order cannot
+    * matter. Corpus scalars (n_docs, sum_dl) ship as literals — the
+    * nightly-model move. First arrival wins; a re-delivered query id is
+    * ignored (at-least-once safety, the AdcServe discipline).
+    *
+    * `postings` is caller-owned (doc_id, dl, term, tf, df — build with
+    * `TrainData.bm25PostingsWithDf`): persist it before constructing the
+    * stream (a stream-static join re-evaluates the static plan every
+    * micro-batch) and unpersist on query stop.
+    */
+  def bm25ServeStream(queries: DataFrame, postings: DataFrame,
+      nDocs: Long, sumDl: Long): Dataset[Bm25Serve] = {
+    import graft.operators.TrainData
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qt = queries.select(col("doc_id").as("query_id"),
+      explode(array_distinct(graft.operators.Dedup.wordsCol)).as("term"))
+    qt.join(postings, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("sum_dl", lit(sumDl))
+      .withColumn("idf", TrainData.bm25Idf)
+      .withColumn("dl_ratio", TrainData.bm25DlRatio)
+      .withColumn("tfn", TrainData.bm25Tfn)
+      .withColumn("c_q6", TrainData.bm25ContribQ6)
+      .select(col("query_id"), col("doc_id"), col("c_q6"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Bm25Seen, Bm25Serve](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (q, rows, state: GroupState[Bm25Seen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(Bm25Seen(true))
+            val byDoc = rows.toSeq.groupBy(_._2).map { case (d, rs) =>
+              (d, rs.map(_._3).sum, rs.size.toLong)
+            }.toSeq
+            byDoc.sortBy { case (d, s, _) => (-s, d) }
+              .take(TrainData.bm25TopK).zipWithIndex
+              .map { case ((d, s, n), i) => Bm25Serve(q, d, i + 1, n, s) }
+              .iterator
+          }
+      }
+  }
+
   /** The dataset card LIVE (the streaming face of corpus_stats): running
     * per-(source, lang) document/token/char totals maintained as a
     * complete-mode aggregation — the card a data-ops dashboard reads

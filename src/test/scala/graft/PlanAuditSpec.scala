@@ -492,6 +492,25 @@ class PlanAuditSpec extends SparkSpec {
       s"trained codebook lost its broadcast:\n$p")
   }
 
+  test("bm25 broadcasts query terms and df, keeps partial-agg postings") {
+    val p = plan(TrainData.bm25TopKDocs(t))
+    assert(!p.contains("CartesianProduct"), s"bm25 went cartesian:\n$p")
+    // query-term set and the (matched-terms-only) df table both broadcast;
+    // the 1-row scalars frame rides the intended broadcast nested loop
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2, s"query/df sides lost their broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"scalars not broadcast:\n$p")
+    // the postings build partial-aggs map-side before its exchange
+    val nHashAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nHashAgg >= 2, s"postings build lost partial aggregation:\n$p")
+  }
+
+  test("filtered ann rides the label equi-key, never a post-filter cartesian") {
+    val p = plan(graft.operators.Sim.cosineTopKFiltered(t))
+    assert(!p.contains("CartesianProduct"), s"filtered ann went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"label equi-join lost broadcast:\n$p")
+  }
+
   test("a star CC round keeps partial-agg minima and never goes cartesian") {
     import spark.implicits._
     val edges = Seq((5L, 1L), (7L, 5L), (9L, 2L), (9L, 7L)).toDF("u", "v")

@@ -712,6 +712,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming bm25 serving over the persisted postings equals batch") {
+    import graft.operators.TrainData
+    // the nightly lexical index: postings with df attached, plus scalars
+    val postings = TrainData.bm25PostingsWithDf(t.documents).persist()
+    val Array(nDocs, sumDl) = graft.operators.Dedup.withWords(t.documents)
+      .agg(count(lit(1)), sum(size(col("w")))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // the query stream: two files so serving spans micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_q").toString
+    val qdocs = t.documents.filter(col("doc_id") < TrainData.bm25NQueries)
+    Seq(qdocs.filter(col("doc_id") < 2), qdocs.filter(col("doc_id") >= 2))
+      .zipWithIndex.foreach { case (slice, i) =>
+        slice.coalesce(1).write.parquet(s"$dir/h$i")
+        val f = new java.io.File(s"$dir/h$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/h$i.parquet"))
+      }
+    val queries = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = EventStreamPipeline.bm25ServeStream(queries, postings, nDocs, sumDl)
+    runToMemory("bm25serve", out.toDF(), "append")
+    postings.unpersist()
+    val got = spark.sql("SELECT queryId, rank, docId, nTerms, scoreQ6 FROM bm25serve")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = TrainData.bm25TopKDocs(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+          r.getAs[Long]("score_q6"))).toMap
+    assert(got.keySet == batch.keySet,
+      s"serving rank set differs: ${got.keySet.size} vs ${batch.keySet.size}")
+    got.foreach { case (k, v) =>
+      assert(v == batch(k), s"query/rank $k diverged: stream=$v batch=${batch(k)}")
+    }
+  }
+
   test("streaming packer reproduces the batch bins across micro-batches") {
     val docs = spark.readStream.schema(t.documents.schema)
       .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
