@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Identity, Sim}
+import graft.operators.{Dedup, Identity, Sim, TrainData}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,54 @@ class SkewSpec extends SparkSpec {
     // candidate prefix, so no task ever sees the quadratic posting list
     assert(maxTask < 20000,
       s"one task read $maxTask records — the hot shingle's posting list exploded")
+  }
+
+  test("bm25: a corpus-wide hot term spreads across tasks, never one reducer") {
+    import spark.implicits._
+    // every doc (queries included) contains 'the' — df = N, the posting
+    // list IS the corpus. BM25 must still score those Q×N candidate rows
+    // (the idf makes them near-zero, the semantics keeps them), so the
+    // skew question is WHERE they flow: the term axis is BROADCAST-joined
+    // (query terms and df both broadcast into the postings scan), so no
+    // term-keyed exchange exists to concentrate the hot list — the only
+    // shuffles key on (doc_id, term) upstream and (query_id, doc_id)
+    // downstream, both of which spread the hot term by construction.
+    val n = 2000
+    val docs = (0L until n.toLong)
+      .map(i => (i, s"the u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val conf = spark.conf
+    // AQE's coalescer would legitimately merge this KB-scale corpus into
+    // one partition and mask the spread being proven (the two-phase rank
+    // lesson); at production sizes partitions hold advisory-size bytes
+    val saved = Seq("spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    var finalPlan = ""
+    val maxTask =
+      try maxTaskShuffleRead {
+        val df = TrainData.bm25TopKDocs(t2)
+        rows = df.collect()
+        finalPlan = df.queryExecution.executedPlan.toString
+      }
+      finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    // every query fills its top-k through the hot term
+    assert(rows.length == (TrainData.bm25NQueries * TrainData.bm25TopK).toInt,
+      s"expected full top-k per query, got ${rows.length} rows")
+    // structural half: every join is broadcast even with df = N — the hot
+    // posting list STREAMS map-side; there is no join-side exchange on any
+    // axis for it to concentrate through
+    assert(!finalPlan.contains("SortMergeJoin")
+      && !finalPlan.contains("ShuffledHashJoin"),
+      s"hot-term corpus shuffled a join:\n${finalPlan.take(3000)}")
+    // metric half: the remaining exchanges (postings partial-agg, the
+    // per-(query, doc) score fold, the per-query top-k window) carry at
+    // most ONE query's candidate volume per task — the window's designed
+    // unit (a query's matched postings), never the Q×N total
+    assert(maxTask > 0, "listener saw no shuffle activity")
+    assert(maxTask < 2L * n,
+      s"one task read $maxTask records — more than one query's candidate volume")
   }
 
   test("semantic dedup: AQE skew-join engages on a planted hot cluster") {

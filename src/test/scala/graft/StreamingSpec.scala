@@ -749,6 +749,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bm25 serving survives a checkpointed restart and rejects re-delivery") {
+    import graft.operators.TrainData
+    // the second half of the query stream lands while the query is DOWN,
+    // and a COPY of the first half lands after the restart: the recovered
+    // Seen state must keep batch-1's verdicts from re-emitting (exactly
+    // once per query) while the new arrivals serve normally
+    val postings = TrainData.bm25PostingsWithDf(t.documents).persist()
+    val Array(nDocs, sumDl) = graft.operators.Dedup.withWords(t.documents)
+      .agg(count(lit(1)), sum(size(col("w")))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bm25_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bm25_ckpt_out").toString
+    val qdocs = t.documents.filter(col("doc_id") < TrainData.bm25NQueries)
+    def land(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      slice.coalesce(1).write.parquet(s"$dir/$name")
+      val f = new java.io.File(s"$dir/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val queries = spark.readStream.schema(t.documents.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = EventStreamPipeline
+        .bm25ServeStream(queries, postings, nDocs, sumDl)
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    land(qdocs.filter(col("doc_id") < 2), "h0")
+    runOnce()
+    land(qdocs.filter(col("doc_id") >= 2), "h1")
+    land(qdocs.filter(col("doc_id") < 2), "h0again") // re-delivery
+    runOnce()
+    postings.unpersist()
+    val gotRows = spark.read.parquet(outDir).collect()
+    val got = gotRows.map(r => (r.getAs[Long]("queryId"), r.getAs[Int]("rank")) ->
+      (r.getAs[Long]("docId"), r.getAs[Long]("scoreQ6"))).toMap
+    assert(gotRows.length == got.size,
+      "re-delivered queries emitted duplicate verdicts across the restart")
+    val batch = TrainData.bm25TopKDocs(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_q6"))).toMap
+    assert(got.keySet == batch.keySet, "restart lost or duplicated servings")
+    got.foreach { case (k, v) =>
+      assert(v == batch(k), s"query/rank $k diverged after restart: $v vs ${batch(k)}")
+    }
+    assert(got.keys.exists(_._1 >= 2), "post-restart batch produced nothing")
+  }
+
   test("streaming packer reproduces the batch bins across micro-batches") {
     val docs = spark.readStream.schema(t.documents.schema)
       .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
