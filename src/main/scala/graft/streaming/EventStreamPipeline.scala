@@ -1076,6 +1076,49 @@ object EventStreamPipeline {
       }
   }
 
+  /** Live vector-index INGESTION — the streaming face of the index build
+    * (`sink_vector_index`) and its daily upsert: each arriving vector
+    * encodes IN-ROW against the nightly model shipped as literals
+    * (coarse centroids + PQ codebook — the adcServeStream move) and the
+    * caller appends the (vec_id, code*, cluster) rows into the
+    * partitioned layout with a parquet stream sink
+    * (`.partitionBy("cluster")`, append mode) — new files inside each
+    * touched inverted list, never a rewrite, exactly the upsert's cheap
+    * path but continuous. Encoding replays the batch rules bit-for-bit:
+    * cluster = max cosine with ties to the lower centroid id
+    * (`assignToCentroids`), per-subspace code = lexicographic
+    * (distance, code) minimum over the SAME left-to-right L2 fold as
+    * `pqAssignCodes` — the spec pins row-set equality with the batch
+    * stored index. Micro-batch file sizing is the trigger's job;
+    * the weekly `sink_vector_index_compact` re-levels whatever file
+    * fragmentation continuous ingestion leaves behind — closing the
+    * lifecycle loop: INGEST live → compact weekly → serve live.
+    */
+  def indexIngestStream(vectors: DataFrame,
+      cents: Seq[Seq[Double]], book: Seq[Seq[Double]]): DataFrame = {
+    import graft.operators.Sim
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val (m, sd) = (Sim.pqM, Sim.pqSubDim)
+    val withModel = vectors
+      .withColumn("cents", typedLit(cents))
+      .withColumn("book", typedLit(book))
+      .withColumn("cluster", expr(
+        s"""array_sort(transform(sequence(0, ${Sim.nCentroids - 1}),
+              k -> struct(-graft_cosine(v, cents[k]) AS nc, k AS k)))[0].k"""))
+    val coded = (0 until m).foldLeft(withModel) { case (df, j) =>
+      val off = j * sd
+      df.withColumn(s"code$j", expr(
+        s"""array_sort(transform(sequence(0, ${Sim.pqK - 1}),
+              c -> struct(aggregate(sequence(0, ${sd - 1}), cast(0.0 as double),
+                (a, i) -> a + (v[$off+i]-book[c][$off+i])
+                            * (v[$off+i]-book[c][$off+i])) AS d,
+                c AS c)))[0].c"""))
+    }
+    coded.select(col("vec_id") +:
+      (0 until m).map(j => col(s"code$j").cast("long").as(s"code$j")) :+
+      col("cluster").cast("long").as("cluster"): _*)
+  }
+
   case class Bm25Serve(queryId: Long, docId: Long, rank: Int,
       nTerms: Long, scoreQ6: Long)
   case class Bm25Seen(seen: Boolean)

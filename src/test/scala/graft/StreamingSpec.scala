@@ -749,6 +749,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming index ingestion writes the batch stored index row for row") {
+    import graft.operators.Sim
+    // the nightly model as literals (the adcServe convention)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val byId = base.filter(col("vec_id") < math.max(Sim.nCentroids, Sim.pqK))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = (0 until Sim.nCentroids).map(k => byId(k.toLong))
+    val book = (0 until Sim.pqK).map(k => byId(k.toLong))
+    // the vector stream: two files so ingestion spans micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_in").toString
+    val mid = base.agg(max(col("vec_id"))).head.getLong(0) / 2
+    Seq(base.filter(col("vec_id") <= mid), base.filter(col("vec_id") > mid))
+      .zipWithIndex.foreach { case (slice, i) =>
+        slice.coalesce(1).write.parquet(s"$dir/h$i")
+        val f = new java.io.File(s"$dir/h$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/h$i.parquet"))
+      }
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val vectors = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreamPipeline.indexIngestStream(vectors, cents, book)
+      .writeStream.format("parquet").partitionBy("cluster")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("vec_id") ->
+        ((0 until Sim.pqM).map(j => r.getAs[Long](s"code$j")),
+          r.getAs[Number]("cluster").longValue)
+    val got = spark.read.parquet(outDir).collect().map(key).toMap
+    val bdir = java.nio.file.Files.createTempDirectory("graft_ingest_batch").toString
+    Sim.writeVectorIndex(t, bdir)
+    val batch = spark.read.parquet(bdir).collect().map(key).toMap
+    assert(got.size == batch.size, s"row count ${got.size} vs ${batch.size}")
+    assert(got == batch, "streamed codes/clusters diverged from the batch index")
+    // the layout is the index layout: one directory per inverted list
+    val parts = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+    assert(parts.nonEmpty && parts == new java.io.File(bdir).listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet,
+      s"partition layout diverged: $parts")
+  }
+
   test("bm25 serving survives a checkpointed restart and rejects re-delivery") {
     import graft.operators.TrainData
     // the second half of the query stream lands while the query is DOWN,
