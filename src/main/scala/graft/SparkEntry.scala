@@ -211,6 +211,7 @@ object SparkEntry {
     "sink_vector_index_upsert" -> ((s, d) => Sim.vectorIndexUpsert(tables(s, d))),
     "sim_ann_filtered"        -> ((s, d) => Sim.cosineTopKFiltered(tables(s, d))),
     "text_bm25_topk"          -> ((s, d) => TrainData.bm25TopKDocs(tables(s, d))),
+    "sink_text_index"         -> ((s, d) => TrainData.textIndexSink(tables(s, d))),
     "dedup_soft_weight"       -> ((s, d) => Dedup.softWeight(tables(s, d)))
   )
 
@@ -664,6 +665,17 @@ object SparkEntry {
     * Yields `d` = (doc_id, w), `lbl` = (doc_id, group_id), `sz` =
     * (group_id, group_size).
     */
+  /** The BM25 postings CTE chain (tokenize + per-(doc, term) tf) — ONE
+    * builder for the retrieval oracle and the persisted-index oracle, so
+    * the two cannot drift on tokenization.
+    */
+  private val bm25PostingsCtes: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                   FROM documents),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+                (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
+              GROUP BY 1, 2, 3)"""
+
   private val dupGroupsCtes: String =
     s"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
                    FROM documents),
@@ -2668,11 +2680,7 @@ object SparkEntry {
       val k1p1 = TrainData.bm25K1 + 1.0
       val b = TrainData.bm25B
       val b1 = 1.0 - TrainData.bm25B
-      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-                     FROM documents),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
-                  (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
-                GROUP BY 1, 2, 3),
+      s"""$bm25PostingsCtes,
          sc AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM d),
          qt AS (SELECT DISTINCT term FROM tf
                 WHERE doc_id < ${TrainData.bm25NQueries}),
@@ -2700,6 +2708,21 @@ object SparkEntry {
          SELECT query_id, doc_id, rank, n_terms, score_q6
          FROM r WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank"""
     },
+    // readback-stats oracle for the persisted lexical index: per term-hash
+    // bucket (the portable 60-bit md5 hash — the dedup_audit replay), the
+    // posting rows, distinct terms/docs and total tf the stored files must
+    // re-aggregate to; shares the postings CTEs with text_bm25_topk
+    "sink_text_index" ->
+      s"""$bm25PostingsCtes,
+         b AS (SELECT CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT)
+                 % ${TrainData.textIndexBuckets} AS bucket,
+                 term, doc_id, tf
+               FROM tf)
+         SELECT bucket, count(*) AS n_postings,
+           count(DISTINCT term) AS n_terms,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(tf) AS BIGINT) AS sum_tf
+         FROM b GROUP BY 1 ORDER BY 1""",
     "text_contamination" -> {
       val g = TrainData.contamGram
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

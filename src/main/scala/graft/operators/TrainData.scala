@@ -830,6 +830,49 @@ object TrainData {
     tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term")
   }
 
+  /** Buckets for the persisted lexical index layout: a term's postings
+    * live in partition `portableHash(term) % buckets`, so a serving
+    * probe on a term reads ONE directory — partition pruning is the
+    * term routing at the storage layer (the sink_vector_index idea on
+    * the lexical axis). Engine-portable hash so the oracle replays the
+    * layout.
+    */
+  val textIndexBuckets = 16L
+
+  /** sink_text_index — the physical build of the lexical index the
+    * serving leg consumes (`bm25PostingsWithDf` + the bucket axis),
+    * written partitioned by term-hash bucket: each bucket is a
+    * directory, maxRecordsPerFile bounds file sizes, and salted writers
+    * spread a hot bucket (a df≈N term's posting list) across tasks —
+    * the Route/vector-sink write discipline. Returns per-bucket
+    * readback stats re-aggregated from the STORED files (posting rows,
+    * distinct terms, distinct docs, total tf), hash-checked against the
+    * shared postings CTEs — the on-disk result is proven, not assumed.
+    */
+  def textIndexSink(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val out = outDir.getOrElse("/tmp/graft_tindex/default")
+    bm25PostingsWithDf(t.documents)
+      .withColumn("bucket",
+        pmod(Dedup.portableHash(col("term")), lit(textIndexBuckets)))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
+      .repartition(t.spark.sessionState.conf.numShufflePartitions,
+        col("bucket"), col("salt"))
+      .drop("salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000000)
+      .partitionBy("bucket").parquet(out)
+    // materialize before returning (the pqAdcTopKStored discipline): the
+    // deterministic directory is overwritten per run
+    graft.engine.Reliability.planCheckpoint(
+      t.spark.read.parquet(out)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_postings"),
+          countDistinct(col("term")).as("n_terms"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("tf")).as("sum_tf"))
+        .orderBy(col("bucket")))
+  }
+
   /** The shared BM25 scoring columns — ONE expression tree for the batch
     * operator and the streaming serve leg (bit-equality across the two
     * faces requires the identical IEEE op sequence). Each expects the

@@ -1801,6 +1801,42 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("text index sink buckets by the portable term hash and prunes probes") {
+    import graft.operators.Dedup
+    val out = java.nio.file.Files.createTempDirectory("graft_tindex_spec").toString
+    val stats = TrainData.textIndexSink(t, Some(out)).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_postings"), r.getAs[Long]("n_terms"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tf"))).toMap
+    // every stored row sits in ITS term's bucket — the routing invariant
+    // a serving probe relies on (a misplaced posting is unfindable)
+    val misplaced = t.spark.read.parquet(out)
+      .filter(col("bucket") =!=
+        pmod(Dedup.portableHash(col("term")), lit(TrainData.textIndexBuckets)))
+      .count()
+    assert(misplaced == 0, s"$misplaced postings in the wrong bucket")
+    // a term probe prunes to one directory at the scan
+    val someBucket = stats.keys.min
+    val one = t.spark.read.parquet(out).filter(col("bucket") === someBucket)
+    assert(one.count() == stats(someBucket)._1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"probe did not prune partitions:\n$plan")
+    // the stored index re-aggregates to the in-plan postings build: total
+    // tf equals the corpus token count, and df rides every posting row
+    // consistently with the per-bucket distinct-term counts
+    val toks = Dedup.withWords(t.documents)
+      .agg(sum(size(col("w")))).head.getLong(0)
+    assert(stats.values.map(_._4).sum == toks,
+      "stored tf total != corpus token count")
+    val dfBad = t.spark.read.parquet(out).groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("n"), max(col("df")).as("dfmax"),
+        min(col("df")).as("dfmin"))
+      .filter(col("n") =!= col("dfmax") || col("n") =!= col("dfmin")).count()
+    assert(dfBad == 0, "stored df column inconsistent with the posting rows")
+  }
+
   test("bm25 ranks a lexical twin first, excludes self, scores descend") {
     import spark.implicits._
     // query doc 0 carries rare terms; doc 100 repeats them densely and in
