@@ -797,6 +797,34 @@ class StreamingSpec extends SparkSpec {
       s"partition layout diverged: $parts")
   }
 
+  test("bm25 serving over the PERSISTED index equals the in-plan postings") {
+    import graft.operators.TrainData
+    // the full production path: sink_text_index writes the bucketed index,
+    // the server reads the DIRECTORY back — a serve verdict from stored
+    // files must equal one from the in-plan postings build (stored ==
+    // computed on the lexical serve path, the pqAdcTopKStored discipline)
+    val idx = java.nio.file.Files.createTempDirectory("graft_tindex_serve").toString
+    TrainData.textIndexSink(t, Some(idx))
+    val stored = spark.read.parquet(idx).persist()
+    val Array(nDocs, sumDl) = graft.operators.Dedup.withWords(t.documents)
+      .agg(count(lit(1)), sum(size(col("w")))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft_tindex_serve_q").toString
+    t.documents.filter(col("doc_id") < TrainData.bm25NQueries)
+      .coalesce(1).write.parquet(s"$dir/h0")
+    val queries = spark.readStream.schema(t.documents.schema).parquet(s"$dir/h0")
+    val out = EventStreamPipeline.bm25ServeStream(queries, stored, nDocs, sumDl)
+    runToMemory("bm25stored", out.toDF(), "append")
+    stored.unpersist()
+    val got = spark.sql("SELECT queryId, rank, docId, scoreQ6 FROM bm25stored")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = TrainData.bm25TopKDocs(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_q6"))).toMap
+    assert(got == batch, "serving from the stored index diverged from batch")
+  }
+
   test("bm25 serving survives a checkpointed restart and rejects re-delivery") {
     import graft.operators.TrainData
     // the second half of the query stream lands while the query is DOWN,
