@@ -208,6 +208,7 @@ object SparkEntry {
     "sink_vector_index_compact" -> ((s, d) => Sim.vectorIndexCompact(tables(s, d))),
     "sim_ann_pq_adc_stored"   -> ((s, d) => Sim.pqAdcTopKStored(tables(s, d))),
     "sim_ann_ivfpq"           -> ((s, d) => Sim.ivfPqTopK(tables(s, d))),
+    "sim_ann_ivfpq_filtered"  -> ((s, d) => Sim.ivfPqTopKFiltered(tables(s, d))),
     "sink_vector_index_upsert" -> ((s, d) => Sim.vectorIndexUpsert(tables(s, d))),
     "sim_ann_filtered"        -> ((s, d) => Sim.cosineTopKFiltered(tables(s, d))),
     "text_bm25_topk"          -> ((s, d) => TrainData.bm25TopKDocs(tables(s, d))),
@@ -4019,40 +4020,67 @@ object SparkEntry {
     // the stored-index search's oracle IS the in-plan search's oracle:
     // a hash match proves the persisted code table searches identically
     "sim_ann_pq_adc_stored" -> pqAdcSql,
-    "sim_ann_ivfpq" -> {
-      val (m, sd) = (Sim.pqM, Sim.pqSubDim)
-      val dCols = (0 until m)
-        .map(j => s"sum(CASE WHEN qb.m = $j THEN d END) AS d$j").mkString(",\n           ")
-      val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
-      s"""WITH $centroidAssignCtes,
-         ${pqEncodeChain("q")},
-         pr AS (SELECT vec_id AS query_id, cluster FROM (
-                  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY ccos DESC, cluster) AS prk
-                  FROM p WHERE vec_id < ${Sim.nQueries})
-                WHERE prk <= ${Sim.ivfPqProbes}),
-         qq AS (SELECT vec_id AS query_id, v AS qv FROM e
-                WHERE vec_id < ${Sim.nQueries}),
-         tbl AS (SELECT qq.query_id, qc.code, m.m,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
-                   i -> (qq.qv[m.m*$sd+i] - qc.cv[m.m*$sd+i])
-                        * (qq.qv[m.m*$sd+i] - qc.cv[m.m*$sd+i]))),
-                   (a, b) -> a + b) AS d
-               FROM qq CROSS JOIN qc
-                 CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m),
-         cand AS (SELECT pr.query_id, a.vec_id
-                  FROM a JOIN pr USING (cluster) WHERE a.vec_id <> pr.query_id),
-         s AS (SELECT cand.query_id, cand.vec_id,
-           $dCols
-           FROM cand JOIN qb ON qb.vec_id = cand.vec_id
-             JOIN tbl ON tbl.m = qb.m AND tbl.code = qb.code
-               AND tbl.query_id = cand.query_id
-           GROUP BY 1, 2),
-         k AS (SELECT query_id, vec_id, ($adcSum) AS adc, row_number() OVER (
-                 PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
-         SELECT query_id, vec_id AS neighbor_id, rank,
-           floor(adc * 10000) / 10000 AS adc_dist
-         FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
-    }
+    "sim_ann_ivfpq" -> ivfPqAdcSql(filtered = false),
+    // the filtered-search face: the SAME ivf-pq builder restricted to
+    // same-label candidates BEFORE the ADC lookups — the filtered result
+    // provably comes from the same index math
+    "sim_ann_ivfpq_filtered" -> ivfPqAdcSql(filtered = true)
   )
+
+  /** The IVF∘ADC oracle chain — ONE builder for the unfiltered search and
+    * the label-filtered face, so the two cannot drift on probe routing,
+    * encode, or ADC arithmetic; `filtered` adds the label equi-predicate
+    * to the candidate CTE (pre-filter, before any distance work) and the
+    * label column to the output.
+    */
+  private def ivfPqAdcSql(filtered: Boolean): String = {
+    val (m, sd) = (Sim.pqM, Sim.pqSubDim)
+    val dCols = (0 until m)
+      .map(j => s"sum(CASE WHEN qb.m = $j THEN d END) AS d$j").mkString(",\n           ")
+    val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
+    val labCte =
+      if (filtered) ",\n       lab AS (SELECT vec_id, label FROM embeddings)"
+      else ""
+    val candCte =
+      if (filtered)
+        s"""cand AS (SELECT pr.query_id, CAST(ql.label AS BIGINT) AS label, a.vec_id
+                  FROM a JOIN pr USING (cluster)
+                    JOIN lab cl ON cl.vec_id = a.vec_id
+                    JOIN lab ql ON ql.vec_id = pr.query_id
+                  WHERE a.vec_id <> pr.query_id AND cl.label = ql.label)"""
+      else
+        """cand AS (SELECT pr.query_id, a.vec_id
+                  FROM a JOIN pr USING (cluster) WHERE a.vec_id <> pr.query_id)"""
+    val labelSel = if (filtered) "cand.label," else ""
+    val labelGrp = if (filtered) "GROUP BY 1, 2, 3" else "GROUP BY 1, 2"
+    val labelOut = if (filtered) "label," else ""
+    s"""WITH $centroidAssignCtes,
+       ${pqEncodeChain("q")},
+       pr AS (SELECT vec_id AS query_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cluster) AS prk
+                FROM p WHERE vec_id < ${Sim.nQueries})
+              WHERE prk <= ${Sim.ivfPqProbes}),
+       qq AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < ${Sim.nQueries}),
+       tbl AS (SELECT qq.query_id, qc.code, m.m,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, $sd),
+                 i -> (qq.qv[m.m*$sd+i] - qc.cv[m.m*$sd+i])
+                      * (qq.qv[m.m*$sd+i] - qc.cv[m.m*$sd+i]))),
+                 (a, b) -> a + b) AS d
+             FROM qq CROSS JOIN qc
+               CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS m) m)$labCte,
+       $candCte,
+       s AS (SELECT cand.query_id, $labelSel cand.vec_id,
+         $dCols
+         FROM cand JOIN qb ON qb.vec_id = cand.vec_id
+           JOIN tbl ON tbl.m = qb.m AND tbl.code = qb.code
+             AND tbl.query_id = cand.query_id
+         $labelGrp),
+       k AS (SELECT *, ($adcSum) AS adc, row_number() OVER (
+               PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
+       SELECT query_id, $labelOut vec_id AS neighbor_id, rank,
+         floor(adc * 10000) / 10000 AS adc_dist
+       FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
+  }
 }

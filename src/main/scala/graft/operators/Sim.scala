@@ -856,6 +856,45 @@ object Sim {
         .join(broadcast(adcDistTable(t)), Seq("m", "code", "query_id")))
   }
 
+  /** sim_ann_ivfpq_filtered — FILTERED search over the INDEX, the at-scale
+    * face of `sim_ann_filtered` (which is exact brute force): the IVF∘ADC
+    * composition with the metadata equi-predicate applied to the
+    * candidate set BEFORE any distance work — candidates surviving the
+    * coarse probe are label-checked against the query's label and only
+    * matching ones reach the 4-byte ADC lookups. This is the vector-DB
+    * "filtered search" production path: pre-filter (post-filtering the
+    * unfiltered top-k is the documented failure mode — k survivors may
+    * not exist in any top-k'), with the filter riding broadcast-joined
+    * tiny frames (the query labels) and a doc_id-axis equi-join for the
+    * candidate labels. At 100 TB the same predicate can also become
+    * partition pruning when the stored index layout adds the label axis
+    * (`sink_vector_index` partitions by list; a label sub-partition is
+    * the same directory idea one level down). Hash-checked via the
+    * SHARED ivf-pq SQL builder restricted to matching labels — the
+    * filtered result provably comes from the same index math.
+    */
+  def ivfPqTopKFiltered(t: Tables): DataFrame = {
+    val labels = t.embeddings.select(col("vec_id"), col("label"))
+    val qlab = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("qlabel"))
+    val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"))
+    val cand = assigned.join(broadcast(queryProbes(t)), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(labels, "vec_id")
+      .join(broadcast(qlab), "query_id")
+      .filter(col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"))
+    adcRank(
+      cand.join(pqDataCodes(t), "vec_id")
+        .join(broadcast(adcDistTable(t)), Seq("m", "code", "query_id")))
+      .join(broadcast(qlab.select(col("query_id"), col("qlabel").as("label"))),
+        "query_id")
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("rank"), col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** sim_ann_ivfpq_residual — the COMPLETE faithful IVF-PQ search
     * (Jégou et al. 2011 §III): candidates carry residual codes
     * (`pqResidual`), and each query builds one ADC table PER PROBED LIST

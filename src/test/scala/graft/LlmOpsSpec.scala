@@ -1801,6 +1801,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("filtered ivf-pq stays in-label and shares the index math") {
+    val labels = t.embeddings.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val filtered = Sim.ivfPqTopKFiltered(t).collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach { r =>
+      // pre-filter semantics: every neighbor carries the query's label
+      assert(labels(r.getAs[Long]("neighbor_id")) ==
+        r.getAs[Long]("label").toInt)
+      assert(labels(r.getAs[Long]("query_id")) == r.getAs[Long]("label").toInt)
+    }
+    // ranks are dense 1..k' per query
+    filtered.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to g.length))
+    }
+    // same index math: any (query, neighbor) pair both faces surface must
+    // carry the SAME adc distance — the filter changes the candidate set,
+    // never the arithmetic
+    val unfiltered = Sim.ivfPqTopK(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("adc_dist")).toMap
+    val shared = filtered.flatMap { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      unfiltered.get(k).map(d => (k, r.getAs[Double]("adc_dist"), d))
+    }
+    shared.foreach { case (k, df, du) =>
+      assert(df == du, s"pair $k scored differently across faces: $df vs $du")
+    }
+  }
+
   test("text index sink buckets by the portable term hash and prunes probes") {
     import graft.operators.Dedup
     val out = java.nio.file.Files.createTempDirectory("graft_tindex_spec").toString
