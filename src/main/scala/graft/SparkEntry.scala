@@ -211,8 +211,12 @@ object SparkEntry {
     "sim_ann_ivfpq_filtered"  -> ((s, d) => Sim.ivfPqTopKFiltered(tables(s, d))),
     "sink_vector_index_upsert" -> ((s, d) => Sim.vectorIndexUpsert(tables(s, d))),
     "sim_ann_filtered"        -> ((s, d) => Sim.cosineTopKFiltered(tables(s, d))),
+    "sim_ann_adc_rerank"      -> ((s, d) => Sim.adcRefineTopK(tables(s, d))),
     "text_bm25_topk"          -> ((s, d) => TrainData.bm25TopKDocs(tables(s, d))),
+    "retrieval_hybrid_rrf"    -> ((s, d) => TrainData.hybridRrf(tables(s, d))),
     "sink_text_index"         -> ((s, d) => TrainData.textIndexSink(tables(s, d))),
+    "sink_text_index_compact" -> ((s, d) => TrainData.textIndexCompact(tables(s, d))),
+    "mix_unimax"              -> ((s, d) => TrainData.mixUnimax(tables(s, d))),
     "dedup_soft_weight"       -> ((s, d) => Dedup.softWeight(tables(s, d)))
   )
 
@@ -526,12 +530,18 @@ object SparkEntry {
     * stored-index face (hash match there proves the persisted code table
     * searches identically to the in-plan encode).
     */
-  private def pqAdcSql: String = {
+  /** The ADC-ranking CTE chain (encode + per-query distance tables +
+    * ranked candidates) — ONE builder for the plain ADC search and the
+    * refine shortlist, so the two oracles cannot drift on the ADC sum.
+    * Yields `k` = (query_id, vec_id, adc, rank) with NO rank cut, plus
+    * pqEncodeCtes' `e` = (vec_id, v) for exact-distance consumers.
+    */
+  private def pqAdcChain: String = {
     val (m, sd) = (Sim.pqM, Sim.pqSubDim)
     val dCols = (0 until m)
       .map(j => s"sum(CASE WHEN b.m = $j THEN d END) AS d$j").mkString(",\n           ")
     val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
-    s"""WITH $pqEncodeCtes,
+    s"""$pqEncodeCtes,
        q AS (SELECT vec_id AS query_id, v AS qv FROM e
              WHERE vec_id < ${Sim.nQueries}),
        tbl AS (SELECT q.query_id, c.code, m.m,
@@ -546,11 +556,33 @@ object SparkEntry {
          FROM b JOIN tbl ON b.m = tbl.m AND b.code = tbl.code
          WHERE b.vec_id <> tbl.query_id GROUP BY 1, 2),
        k AS (SELECT query_id, vec_id, ($adcSum) AS adc, row_number() OVER (
-               PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
+               PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)"""
+  }
+
+  private def pqAdcSql: String =
+    s"""WITH $pqAdcChain
        SELECT query_id, vec_id AS neighbor_id, rank,
          floor(adc * 10000) / 10000 AS adc_dist
        FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
-  }
+
+  /** The refine oracle: ADC shortlist (shared chain) → exact cosine from
+    * the raw vectors → top-k on the exact scores.
+    */
+  private def pqAdcRerankSql: String =
+    s"""WITH $pqAdcChain,
+       sl AS (SELECT query_id, vec_id FROM k
+              WHERE rank <= ${Sim.refineShortlist}),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+              WHERE vec_id < ${Sim.nQueries}),
+       x AS (SELECT sl.query_id, sl.vec_id,
+               list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm) AS cos
+             FROM sl JOIN qn USING (query_id) JOIN n USING (vec_id)),
+       rr AS (SELECT query_id, vec_id, cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x)
+       SELECT query_id, vec_id AS neighbor_id, rank,
+         floor(cos * 10000) / 10000 AS cos_sim
+       FROM rr WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
 
   /** Nearest-centroid assignment CTE chain — the oracle mirror of
     * Sim.assignToCentroids, shared by emb_cluster_assign and
@@ -668,14 +700,89 @@ object SparkEntry {
     */
   /** The BM25 postings CTE chain (tokenize + per-(doc, term) tf) — ONE
     * builder for the retrieval oracle and the persisted-index oracle, so
-    * the two cannot drift on tokenization.
+    * the two cannot drift on tokenization. A WITH-free fragment so the
+    * hybrid-retrieval oracle can compose it beside the cosine chain.
     */
   private val bm25PostingsCtes: String =
-    s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    s"""d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
                    FROM documents),
        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
                 (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
               GROUP BY 1, 2, 3)"""
+
+  /** The BM25 FULL-ranking CTE chain — postings → matched-postings df →
+    * micro-unit integer contributions → per-(query, doc) sum → rank.
+    * ONE builder (ending in `lxr` = query_id, doc_id, rank, n_terms,
+    * score_q6, NO rank cut) shared by the text_bm25_topk oracle and the
+    * hybrid-retrieval lexical leg, so the two cannot drift on scoring.
+    */
+  private def bm25RankCtes: String = {
+    val k1 = TrainData.bm25K1
+    val k1p1 = TrainData.bm25K1 + 1.0
+    val b = TrainData.bm25B
+    val b1 = 1.0 - TrainData.bm25B
+    s"""$bm25PostingsCtes,
+       sc AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM d),
+       qt AS (SELECT DISTINCT term FROM tf
+              WHERE doc_id < ${TrainData.bm25NQueries}),
+       tfq AS MATERIALIZED (SELECT tf.* FROM tf JOIN qt USING (term)),
+       dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+       q AS (SELECT doc_id AS query_id, term FROM tfq
+             WHERE doc_id < ${TrainData.bm25NQueries}),
+       c0 AS (SELECT q.query_id, tfq.doc_id,
+                CAST(n_docs - df AS DOUBLE) + 0.5 AS idf_n,
+                CAST(df AS DOUBLE) + 0.5 AS idf_d,
+                CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs) AS dl_ratio,
+                CAST(tf AS DOUBLE) AS tfd
+              FROM tfq JOIN q USING (term) JOIN dfq USING (term), sc
+              WHERE tfq.doc_id <> q.query_id),
+       c AS (SELECT query_id, doc_id,
+               CAST(floor((idf_n / idf_d)
+                 * (tfd * $k1p1 / (tfd + $k1 * ($b1 + $b * dl_ratio)))
+                 * 1000000.0) AS BIGINT) AS c_q6
+             FROM c0),
+       s AS (SELECT query_id, doc_id, CAST(sum(c_q6) AS BIGINT) AS score_q6,
+               count(*) AS n_terms
+             FROM c GROUP BY 1, 2),
+       lxr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_q6 DESC, doc_id) AS rank FROM s)"""
+  }
+
+  /** The exact-cosine FULL-ranking CTE chain (ending in `cr` = query_id,
+    * neighbor_id, rank, cos — NO rank cut), parameterized by the query
+    * set size; CTE names prefixed `c` so the hybrid oracle can compose
+    * it beside the BM25 chain. Shared by sim_ann_cosine_topk and the
+    * hybrid-retrieval vector leg.
+    */
+  private def cosineRankCtes(nq: Long): String =
+    s"""ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ce),
+       cq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM cn
+              WHERE vec_id < $nq),
+       cp AS (SELECT cq.query_id, cn.vec_id AS neighbor_id,
+                list_dot_product(qv, v) / (qn * nrm) AS cos
+              FROM cq JOIN cn ON cn.vec_id <> cq.query_id),
+       cr AS (SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS rank
+              FROM cp)"""
+
+  /** Per-bucket readback stats over the lexical postings — ONE builder
+    * for the index build (`where` = "") and the compaction face (`where`
+    * = the live-docs filter), sharing the postings CTEs with
+    * text_bm25_topk so none of the three can drift on tokenization.
+    */
+  private def textIndexStatsSql(where: String): String =
+    s"""WITH $bm25PostingsCtes,
+       b AS (SELECT CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT)
+               % ${TrainData.textIndexBuckets} AS bucket,
+               term, doc_id, tf
+             FROM tf $where)
+       SELECT bucket, count(*) AS n_postings,
+         count(DISTINCT term) AS n_terms,
+         count(DISTINCT doc_id) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS sum_tf
+       FROM b GROUP BY 1 ORDER BY 1"""
 
   private val dupGroupsCtes: String =
     s"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -2481,19 +2588,9 @@ object SparkEntry {
          LEFT JOIN sz s ON l.group_id = s.group_id
          ORDER BY dd.doc_id""",
     "sim_ann_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
-               WHERE vec_id < ${Sim.nQueries}),
-         p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-                 list_dot_product(qv, v) / (qn * nrm) AS cos
-               FROM q JOIN n ON n.vec_id <> q.query_id),
-         r AS (SELECT query_id, neighbor_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, neighbor_id) AS rank
-               FROM p)
+      s"""WITH ${cosineRankCtes(Sim.nQueries)}
          SELECT query_id, neighbor_id, rank, floor(cos * 10000) / 10000 AS cos_sim
-         FROM r WHERE rank <= ${Sim.topK} ORDER BY query_id, rank""",
+         FROM cr WHERE rank <= ${Sim.topK} ORDER BY query_id, rank""",
     // filtered vector search: the label equi-predicate joins BEFORE the
     // distance work (pre-filtering — post-filtering a plain top-k is the
     // documented failure mode), candidates restricted to the query's label
@@ -2676,54 +2773,46 @@ object SparkEntry {
     // parse the SAME double literals. df from matched postings only (equal
     // to corpus-wide df per matched term); no df cap — the rational idf
     // already collapses for corpus-wide terms (see bm25TopKDocs Scaladoc).
-    "text_bm25_topk" -> {
-      val k1 = TrainData.bm25K1
-      val k1p1 = TrainData.bm25K1 + 1.0
-      val b = TrainData.bm25B
-      val b1 = 1.0 - TrainData.bm25B
-      s"""$bm25PostingsCtes,
-         sc AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM d),
-         qt AS (SELECT DISTINCT term FROM tf
-                WHERE doc_id < ${TrainData.bm25NQueries}),
-         tfq AS MATERIALIZED (SELECT tf.* FROM tf JOIN qt USING (term)),
-         dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
-         q AS (SELECT doc_id AS query_id, term FROM tfq
-               WHERE doc_id < ${TrainData.bm25NQueries}),
-         c0 AS (SELECT q.query_id, tfq.doc_id,
-                  CAST(n_docs - df AS DOUBLE) + 0.5 AS idf_n,
-                  CAST(df AS DOUBLE) + 0.5 AS idf_d,
-                  CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs) AS dl_ratio,
-                  CAST(tf AS DOUBLE) AS tfd
-                FROM tfq JOIN q USING (term) JOIN dfq USING (term), sc
-                WHERE tfq.doc_id <> q.query_id),
-         c AS (SELECT query_id, doc_id,
-                 CAST(floor((idf_n / idf_d)
-                   * (tfd * $k1p1 / (tfd + $k1 * ($b1 + $b * dl_ratio)))
-                   * 1000000.0) AS BIGINT) AS c_q6
-               FROM c0),
-         s AS (SELECT query_id, doc_id, CAST(sum(c_q6) AS BIGINT) AS score_q6,
-                 count(*) AS n_terms
-               FROM c GROUP BY 1, 2),
-         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY score_q6 DESC, doc_id) AS rank FROM s)
+    "text_bm25_topk" ->
+      s"""WITH $bm25RankCtes
          SELECT query_id, doc_id, rank, n_terms, score_q6
-         FROM r WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank"""
+         FROM lxr WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank""",
+    // Reciprocal Rank Fusion over the two ranking chains — BOTH legs are
+    // the shared builders (bm25RankCtes / cosineRankCtes), so the fused
+    // result provably comes from the same leg math as the standalone
+    // faces; the fusion itself is all-integer (1e6 div (k + rank))
+    "retrieval_hybrid_rrf" -> {
+      val (k, d, tk) = (TrainData.rrfK, TrainData.rrfDepth, TrainData.rrfTopK)
+      s"""WITH $bm25RankCtes,
+         ${cosineRankCtes(TrainData.bm25NQueries)},
+         lx AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+                FROM lxr WHERE rank <= $d),
+         vx AS (SELECT query_id, neighbor_id AS doc_id,
+                  CAST(rank AS BIGINT) AS vec_rank
+                FROM cr WHERE rank <= $d),
+         f AS (SELECT coalesce(lx.query_id, vx.query_id) AS query_id,
+                 coalesce(lx.doc_id, vx.doc_id) AS doc_id, lex_rank, vec_rank
+               FROM lx FULL OUTER JOIN vx
+                 ON lx.query_id = vx.query_id AND lx.doc_id = vx.doc_id),
+         g AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+                 coalesce(1000000 // ($k + lex_rank), 0)
+                   + coalesce(1000000 // ($k + vec_rank), 0) AS rrf_q6
+               FROM f),
+         rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_q6 DESC, doc_id) AS rank FROM g)
+         SELECT query_id, doc_id, rank, lex_rank, vec_rank, rrf_q6
+         FROM rr WHERE rank <= $tk ORDER BY query_id, rank"""
     },
     // readback-stats oracle for the persisted lexical index: per term-hash
     // bucket (the portable 60-bit md5 hash — the dedup_audit replay), the
     // posting rows, distinct terms/docs and total tf the stored files must
     // re-aggregate to; shares the postings CTEs with text_bm25_topk
-    "sink_text_index" ->
-      s"""$bm25PostingsCtes,
-         b AS (SELECT CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT)
-                 % ${TrainData.textIndexBuckets} AS bucket,
-                 term, doc_id, tf
-               FROM tf)
-         SELECT bucket, count(*) AS n_postings,
-           count(DISTINCT term) AS n_terms,
-           count(DISTINCT doc_id) AS n_docs,
-           CAST(sum(tf) AS BIGINT) AS sum_tf
-         FROM b GROUP BY 1 ORDER BY 1""",
+    "sink_text_index" -> textIndexStatsSql(""),
+    // the compaction face: the SAME stats builder restricted to live
+    // (non-tombstoned) documents — a hash match proves the rewritten
+    // directory equals a from-scratch build over the surviving docs
+    "sink_text_index_compact" ->
+      textIndexStatsSql(s"WHERE doc_id % 13 <> 0"),
     "text_contamination" -> {
       val g = TrainData.contamGram
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -4016,10 +4105,47 @@ object SparkEntry {
            floor(raw_boost * 10000) / 10000 AS boost,
            floor(raw_boost / mb * 10000) / 10000 AS keep_rate
          FROM b, mx ORDER BY source""",
+    // UniMax water-filling, closed form: the capped/uncapped branch is
+    // decided in ALL-INTEGER arithmetic and the uncapped share is one
+    // integer division — no double ever enters an allocation
+    "mix_unimax" -> {
+      val cap = TrainData.unimaxEpochCap
+      val mul = TrainData.unimaxBudgetMul
+      s"""WITH d AS (SELECT lang,
+                len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+              FROM documents),
+         dom AS (SELECT lang, count(*) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+         sc AS (SELECT count(*) AS n_domains,
+                  CAST(sum(n_tokens) AS BIGINT) * $mul AS budget FROM dom),
+         r AS (SELECT lang, n_docs, n_tokens, n_tokens * $cap AS cap_tokens,
+                 n_domains, budget,
+                 row_number() OVER (ORDER BY n_tokens * $cap, lang) AS rn,
+                 CAST(sum(n_tokens * $cap) OVER (ORDER BY n_tokens * $cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM dom, sc),
+         cnd AS (SELECT *, (cap_tokens * (n_domains - rn + 1)
+                   <= budget - (cum - cap_tokens)) AS cond_ok FROM r),
+         ff AS (SELECT *, min(CASE WHEN NOT cond_ok THEN rn END) OVER () AS f
+                FROM cnd),
+         g AS (SELECT *, (f IS NULL OR rn < f) AS capped FROM ff),
+         h AS (SELECT *, CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                 OVER () AS BIGINT) AS capped_sum FROM g),
+         alloc AS (SELECT *, CAST(CASE WHEN capped THEN cap_tokens
+                     ELSE (budget - capped_sum) // (n_domains - f + 1)
+                   END AS BIGINT) AS alloc_tokens FROM h)
+         SELECT lang, n_docs, n_tokens,
+           CAST(cap_tokens AS BIGINT) AS cap_tokens, capped, alloc_tokens,
+           floor(alloc_tokens * 10000.0 / n_tokens) / 10000 AS epochs_q4
+         FROM alloc ORDER BY lang"""
+    },
     "sim_ann_pq_adc" -> pqAdcSql,
     // the stored-index search's oracle IS the in-plan search's oracle:
     // a hash match proves the persisted code table searches identically
     "sim_ann_pq_adc_stored" -> pqAdcSql,
+    // the refine stage: ADC shortlist (shared chain with sim_ann_pq_adc)
+    // → exact cosine over only the shortlist → top-k on exact scores
+    "sim_ann_adc_rerank" -> pqAdcRerankSql,
     "sim_ann_ivfpq" -> ivfPqAdcSql(filtered = false),
     // the filtered-search face: the SAME ivf-pq builder restricted to
     // same-label candidates BEFORE the ADC lookups — the filtered result

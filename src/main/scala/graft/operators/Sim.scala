@@ -28,24 +28,36 @@ object Sim {
   val topK = 5
   val nQueries = 10 // vec_id < 10 are the query set
 
-  /** #40 sim_ann_cosine_topk — exact cosine top-k per query vector.
-    * Query side is tiny ⇒ broadcast; per-vector norms computed once.
-    * floor-rounding for oracle stability.
+  /** Exact cosine FULL ranking per query — the unsorted internal face
+    * (no rank cut, no orderBy) shared by the registered `cosineTopK`
+    * and the hybrid-retrieval vector leg (which needs a deeper shortlist
+    * and a different query set). Yields (query_id, neighbor_id, rank,
+    * cos). Query side is tiny ⇒ broadcast; the ranking window is one
+    * pass over the per-query candidate axis.
     */
-  def cosineTopK(t: Tables): DataFrame = {
+  private[graft] def cosineRanked(t: Tables, nQ: Long): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val e = vecs(t)
-    val q = e.filter(col("vec_id") < nQueries)
+    val q = e.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr("graft_cosine(qv, v)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+    pairs.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  /** #40 sim_ann_cosine_topk — exact cosine top-k per query vector.
+    * Query side is tiny ⇒ broadcast; per-vector norms computed once.
+    * floor-rounding for oracle stability.
+    */
+  def cosineTopK(t: Tables): DataFrame =
+    cosineRanked(t, nQueries).filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
         (floor(col("cos") * 10000) / 10000).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** sim_ann_filtered — FILTERED vector search, the vector-DB capability
     * every retrieval deployment actually runs ("nearest neighbors WHERE
@@ -737,20 +749,28 @@ object Sim {
         posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
           .as(Seq("m", "code")))
 
-  /** Fold the (query_id, vec_id, m, d) lookup rows into ranked top-k.
-    * The ADC sum assembles column-wise per subspace (fixed order) so the
-    * 4dp floor — and the rank order — is exact on both engines.
+  /** Fold the (query_id, vec_id, m, d) lookup rows into per-candidate ADC
+    * scores (query_id, vec_id, adc). The ADC sum assembles column-wise per
+    * subspace (fixed order) so downstream floors — and the rank order —
+    * are exact on both engines. Shared by the ranked search face
+    * (`adcRank`) and the refine shortlist (`adcRefineTopK`).
     */
-  private def adcRank(lookups: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def adcScores(lookups: DataFrame): DataFrame = {
     val parts = lookups
       .groupBy("query_id", "vec_id")
       .agg(
         sum(when(col("m") === 0, col("d"))).as("d0"),
         (1 until pqM).map(j => sum(when(col("m") === j, col("d"))).as(s"d$j")): _*)
     val adc = (0 until pqM).map(j => col(s"d$j")).reduce(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
     parts.withColumn("adc", adc)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
+  /** Rank the ADC scores into the registered top-k face. */
+  private def adcRank(lookups: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
+    adcScores(lookups)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
@@ -762,6 +782,53 @@ object Sim {
     adcRank(
       pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
         .filter(col("vec_id") =!= col("query_id")))
+
+  /** ADC shortlist size for the refine stage — candidates surviving the
+    * compressed-domain pass that get exact distances recomputed.
+    */
+  val refineShortlist = 20
+
+  /** sim_ann_adc_rerank — the REFINE stage of a PQ index (FAISS's
+    * IndexRefineFlat composition, Jégou et al. 2011 §V "re-ranking"):
+    * the 4-byte-code ADC scan picks `refineShortlist` candidates per
+    * query, then the EXACT cosine is recomputed for only those from the
+    * raw vectors, and the top-k comes from the exact scores. This is how
+    * a production PQ deployment recovers the accuracy the 4-byte
+    * compression gave up: ADC ordering is approximate (quantization can
+    * swap near-ties), so the shortlist is taken wider than k and the
+    * final ranking is exact — the recall/latency knob is the shortlist
+    * width, not the code length.
+    *
+    * Scale shape: stage 1 is the same linear code-table pass as
+    * `pqAdcTopK` (raw floats never touched); stage 2 fetches raw vectors
+    * for only Q × shortlist ids — a point-lookup join on the vec_id axis
+    * (at 100 TB: the code table is resident, the floats are the cold
+    * store this join reads ~100 rows from). Exact-over-shortlist ranking
+    * replays bit-for-bit on both engines (the ADC sum is fixed-order,
+    * cosine is IEEE /,*,sqrt) ⇒ hash-checked end-to-end.
+    */
+  def adcRefineTopK(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(t.spark)
+    val shortlist = adcScores(
+      pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("query_id")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))))
+      .filter(col("crank") <= refineShortlist)
+      .select(col("query_id"), col("vec_id"))
+    val e = vecs(t)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(e, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        (floor(col("cos") * 10000) / 10000).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** sim_ann_pq_adc_stored — the search face of the PERSISTED index: ADC
     * over a code table read back from `vectorIndexSink`'s directory

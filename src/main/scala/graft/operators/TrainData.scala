@@ -668,6 +668,77 @@ object TrainData {
       .orderBy(col("doc_id"))
   }
 
+  /** UniMax epoch cap: no language may be repeated more than this many
+    * times, however small it is (the paper's `N` in "at most N epochs").
+    */
+  val unimaxEpochCap = 4L
+
+  /** Budget multiplier: the training budget is `corpus_tokens × mul`
+    * (multi-epoch training — the paper's regime). At 3× the tail
+    * languages hit the epoch cap and the head (en) is budget-bound, so
+    * both allocation branches are live on the test corpora.
+    */
+  val unimaxBudgetMul = 3L
+
+  /** mix_unimax — UniMax language sampling (Chung et al., ICLR 2023):
+    * allocate a total token budget across languages so every language
+    * gets an equal share EXCEPT that none exceeds `unimaxEpochCap`
+    * epochs of its own data — the published fix for temperature
+    * sampling's twin failure modes (high T starves the head, low T
+    * over-repeats the tail into memorization). The paper's sequential
+    * water-filling (ascending by size: grant
+    * `min(cap_i, remaining/remaining_count)`) is re-expressed
+    * CLOSED-FORM so both engines replay it exactly: after the first
+    * language whose cap exceeds the even share, every later language
+    * is uncapped and gets the SAME even share — so the fill is two
+    * window passes over the size-sorted language axis:
+    *  1. `rn`/`cum` over (cap asc, lang): language i is capped iff
+    *     `cap_i · (n − rn_i + 1) ≤ B − cum_{i−1}` (all-integer — no
+    *     double ever enters the branch decision);
+    *  2. `F` = first uncapped rank; uncapped allocation is
+    *     `(B − Σ_{capped} cap) div (n − F + 1)` — one integer division
+    *     (the ≤ n−F+1 remainder tokens stay unallocated by contract).
+    * Realized epochs floor-quantize at 4dp for the report.
+    *
+    * Scale shape: token counting is ONE map-side-combined groupBy on the
+    * language axis; the water-fill windows run on the LANGUAGE table —
+    * vocabulary-bounded (tens of rows, the DSIR-histogram boundedness
+    * argument), so the global (unpartitioned) sort window is a
+    * config-sized frame, not a corpus axis.
+    */
+  def mixUnimax(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = Dedup.withWords(t.documents)
+      .select(col("lang"), size(col("w")).cast("long").as("dl"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * unimaxEpochCap)
+    val scalars = dom.agg(
+      count(lit(1)).as("n_domains"),
+      (sum(col("n_tokens")) * unimaxBudgetMul).as("budget"))
+    val wOrd = Window.orderBy(col("cap_tokens").asc, col("lang").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dom.crossJoin(broadcast(scalars))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cum", sum(col("cap_tokens")).over(wCum))
+      .withColumn("cond_ok",
+        col("cap_tokens") * (col("n_domains") - col("rn") + 1) <=
+          col("budget") - (col("cum") - col("cap_tokens")))
+      .withColumn("f", min(when(!col("cond_ok"), col("rn"))).over(wAll))
+      .withColumn("capped", col("f").isNull || col("rn") < col("f"))
+      .withColumn("capped_sum",
+        sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).over(wAll))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr("(budget - capped_sum) div (n_domains - f + 1)")))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("cap_tokens"),
+        col("capped"), col("alloc_tokens"),
+        (floor(col("alloc_tokens") * lit(10000.0) / col("n_tokens")) / 10000)
+          .as("epochs_q4"))
+      .orderBy(col("lang"))
+  }
+
   /** DSIR hashed-feature dimensionality (prod: 10k buckets; 64 keeps the
     * oracle dim readable) and the target-domain membership rule (every
     * 17th doc — the stand-in for "a sample of the domain you want more
@@ -849,28 +920,83 @@ object TrainData {
     * distinct terms, distinct docs, total tf), hash-checked against the
     * shared postings CTEs — the on-disk result is proven, not assumed.
     */
-  def textIndexSink(t: Tables, outDir: Option[String] = None): DataFrame = {
-    val out = outDir.getOrElse("/tmp/graft_tindex/default")
-    bm25PostingsWithDf(t.documents)
+  /** The physical postings write shared by the index build and the
+    * compaction rewrite: bucket by portable term hash (a term probe
+    * prunes to one directory), salted writers spread a hot bucket,
+    * maxRecordsPerFile bounds file sizes — the sink_vector_index write
+    * discipline on the lexical axis. Expects (doc_id, dl, term, tf, df).
+    */
+  private def writePostings(postings: DataFrame, out: String): Unit =
+    postings
       .withColumn("bucket",
         pmod(Dedup.portableHash(col("term")), lit(textIndexBuckets)))
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(8)))
-      .repartition(t.spark.sessionState.conf.numShufflePartitions,
+      .repartition(postings.sparkSession.sessionState.conf.numShufflePartitions,
         col("bucket"), col("salt"))
       .drop("salt")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 1000000)
       .partitionBy("bucket").parquet(out)
+
+  /** Per-bucket readback stats over a stored postings directory — the
+    * shared face the build and the compaction return, so their oracles
+    * share one SQL builder (the readIndexStats discipline).
+    */
+  private def readTextIndexStats(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("sum_tf"))
+      .orderBy(col("bucket"))
+
+  def textIndexSink(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val out = outDir.getOrElse("/tmp/graft_tindex/default")
+    writePostings(bm25PostingsWithDf(t.documents), out)
     // materialize before returning (the pqAdcTopKStored discipline): the
     // deterministic directory is overwritten per run
+    graft.engine.Reliability.planCheckpoint(readTextIndexStats(t.spark, out))
+  }
+
+  /** sink_text_index_compact — the weekly PHYSICAL maintenance of the
+    * persisted lexical index: read the stored postings back, drop
+    * tombstoned documents' rows (the shared `Dedup.isRetired` modulus),
+    * RECOMPUTE every surviving term's df, and rewrite the directory with
+    * fresh bucket/salt layout. The df recompute is the point — and the
+    * asymmetry with the vector index's cheap append-upsert: a PQ code
+    * row depends only on its own vector, so deletes just remove rows;
+    * a df-bearing posting depends on EVERY OTHER document containing
+    * the term, so retiring one document invalidates the stored df of
+    * each of its terms corpus-wide. A naive append/delete "upsert" of
+    * this index is therefore structurally WRONG (stale df skews every
+    * BM25 idf) — the lexical axis maintains by periodic rewrite, with
+    * the serve path free to recompute df live from postings between
+    * rewrites. Returns the same per-bucket readback stats as
+    * `sink_text_index`; the oracle restricts the shared postings CTEs
+    * to live documents, so a hash match proves compacted ==
+    * from-scratch-on-live-docs. The spec additionally pins that no
+    * retired doc survives in the stored files and that every stored df
+    * equals its term's actual posting count.
+    *
+    * Scale shape: one scan of the stored postings (never the raw text),
+    * one vocabulary-axis groupBy for the df refresh, one (bucket, salt)
+    * shuffle, one write; the stats face is map-side-combined.
+    */
+  def textIndexCompact(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val base = outDir.getOrElse("/tmp/graft_tindex/compact")
+    // the grown index being maintained (in production it already exists)
+    writePostings(bm25PostingsWithDf(t.documents), s"$base/full")
+    val live = t.spark.read.parquet(s"$base/full")
+      .filter(!Dedup.isRetired(col("doc_id")))
+    val refreshed = live.drop("df")
+      .join(live.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("df"))
+    writePostings(refreshed, s"$base/compacted")
+    // materialize before returning (the pqAdcTopKStored discipline)
     graft.engine.Reliability.planCheckpoint(
-      t.spark.read.parquet(out)
-        .groupBy(col("bucket").cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n_postings"),
-          countDistinct(col("term")).as("n_terms"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          sum(col("tf")).as("sum_tf"))
-        .orderBy(col("bucket")))
+      readTextIndexStats(t.spark, s"$base/compacted"))
   }
 
   /** The shared BM25 scoring columns — ONE expression tree for the batch
@@ -891,7 +1017,12 @@ object TrainData {
   private[graft] def bm25ContribQ6: org.apache.spark.sql.Column =
     floor(col("idf") * col("tfn") * 1000000.0).cast("long")
 
-  def bm25TopKDocs(t: Tables): DataFrame = {
+  /** BM25 FULL ranking per query — the unsorted internal face (no rank
+    * cut, no orderBy) shared by the registered `bm25TopKDocs` and the
+    * hybrid-retrieval lexical leg (which takes a deeper shortlist).
+    * Yields (query_id, doc_id, rank, n_terms, score_q6).
+    */
+  private[graft] def bm25Ranked(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = bm25Postings(t.documents)
     val scalars = Dedup.withWords(t.documents)
@@ -924,9 +1055,72 @@ object TrainData {
     contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c_q6")).as("score_q6"), count(lit(1)).as("n_terms"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= bm25TopK)
+  }
+
+  def bm25TopKDocs(t: Tables): DataFrame =
+    bm25Ranked(t).filter(col("rank") <= bm25TopK)
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("n_terms"), col("score_q6"))
+      .orderBy(col("query_id"), col("rank"))
+
+  // ---- Hybrid retrieval (lexical + vector fusion) ----
+
+  /** RRF smoothing constant — Cormack, Clarke & Buettcher (SIGIR 2009)
+    * fix k=60 and report it insensitive; kept at the published value.
+    */
+  val rrfK = 60L
+
+  /** Per-leg shortlist depth feeding the fusion (deeper than the final
+    * k so a doc ranked just off one leg's top-k can still win fused).
+    */
+  val rrfDepth = 10
+
+  /** Final fused top-k per query. */
+  val rrfTopK = 5
+
+  /** retrieval_hybrid_rrf — Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR 2009) over the two retrieval legs this engine serves: the
+    * BM25 lexical ranking and the exact-cosine vector ranking, fused as
+    * score(d) = Σ_legs 1/(k + rank_leg(d)) — THE production hybrid-
+    * search pattern (every lexical+vector deployment ships some form of
+    * it), chosen over score normalization because it needs no
+    * cross-leg score calibration: only ranks enter the fusion.
+    *
+    * Determinism design: each leg's contribution is the INTEGER
+    * division 1000000 div (k + rank) — ranks are integers and integer
+    * division is exact on both engines, so the fused score is an exact
+    * integer sum (the bm25 micro-unit discipline taken to its limit:
+    * no float exists anywhere in the fusion). Ties break on doc_id.
+    * The two legs share the documents/embeddings id axis (the
+    * embeddings table carries the documents' vectors), and the query
+    * set is ids < bm25NQueries on BOTH legs.
+    *
+    * Scale shape: each leg is its own audited plan (BM25: broadcast
+    * query-term semi-join bounds all work by matched posting lists;
+    * cosine: broadcast query side, one candidate-axis window); the
+    * fusion itself joins two Q×depth frames — config-sized, nothing
+    * corpus-scale touches the fused axis. A missing leg contributes 0
+    * via the outer join (a doc need only appear in one shortlist).
+    */
+  def hybridRrf(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Ranked(t).filter(col("rank") <= rrfDepth)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val vec = Sim.cosineRanked(t, bm25NQueries)
+      .filter(col("rank") <= rrfDepth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_q6",
+        coalesce(expr(s"1000000L div (${rrfK}L + lex_rank)"), lit(0L)) +
+        coalesce(expr(s"1000000L div (${rrfK}L + vec_rank)"), lit(0L)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_q6").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= rrfTopK)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("lex_rank"), col("vec_rank"), col("rrf_q6"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -1961,4 +1961,134 @@ class LlmOpsSpec extends SparkSpec {
         math.floor((1.0 / size) * 10000) / 10000)
     }
   }
+
+  test("adc refine recovers exact-ranking accuracy at least as well as adc") {
+    val exact = Sim.cosineTopK(t).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet)
+      val hits = byQ.map { case (q, got) => (got & exact(q)).size }.sum
+      hits.toDouble / (exact.size * Sim.topK)
+    }
+    val refined = Sim.adcRefineTopK(t).collect()
+    val plain = Sim.pqAdcTopK(t).collect()
+    assert(recall(refined) >= recall(plain),
+      s"refine recall ${recall(refined)} below plain ADC ${recall(plain)}")
+    // shape: k rows per query, ranks contiguous, no self-matches, and the
+    // exact cosine really re-ranked (scores descend within each query)
+    refined.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      assert(sorted.length == Sim.topK)
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    refined.foreach(r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+  }
+
+  test("unimax caps the tail at exactly the epoch cap and evens the head") {
+    val rows = TrainData.mixUnimax(t).collect()
+    val (capped, uncapped) = rows.partition(_.getAs[Boolean]("capped"))
+    // both allocation branches must be live on the corpus — an all-capped
+    // or all-even fill would leave half the operator unexercised (the
+    // text_bm25_topk 0-row lesson)
+    assert(capped.nonEmpty && uncapped.nonEmpty,
+      s"degenerate fill: ${capped.length} capped / ${uncapped.length} even")
+    capped.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Double]("epochs_q4") == TrainData.unimaxEpochCap.toDouble)
+    }
+    // every uncapped language gets the SAME even share, and that share is
+    // strictly below its cap (else it would have been capped)
+    val shares = uncapped.map(_.getAs[Long]("alloc_tokens")).distinct
+    assert(shares.length == 1, s"uneven uncapped shares: ${shares.toSeq}")
+    uncapped.foreach(r =>
+      assert(r.getAs[Long]("alloc_tokens") < r.getAs[Long]("cap_tokens")))
+    // the fill never overspends: total allocation ≤ budget, and the
+    // shortfall is only the integer-division remainder (< n_uncapped)
+    val total = Dedup.withWords(t.documents)
+      .agg(sum(size(col("w")))).head.getLong(0)
+    val budget = total * TrainData.unimaxBudgetMul
+    val spent = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(spent <= budget)
+    assert(budget - spent < uncapped.length,
+      s"unallocated remainder ${budget - spent} exceeds the division slack")
+  }
+
+  test("hybrid rrf fuses the two legs with exact integer reciprocal ranks") {
+    val rows = TrainData.hybridRrf(t).collect()
+    // recompute the fusion from the leg internals — full-outer on
+    // (query, doc), integer-division contributions, doc_id tie-break
+    val lex = TrainData.bm25Ranked(t).filter(col("rank") <= TrainData.rrfDepth)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val vec = Sim.cosineRanked(t, TrainData.bm25NQueries)
+      .filter(col("rank") <= TrainData.rrfDepth)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val fusedExp = (lex.keySet ++ vec.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq.map { k =>
+          val s = lex.get(k).map(r => 1000000L / (TrainData.rrfK + r)).getOrElse(0L) +
+            vec.get(k).map(r => 1000000L / (TrainData.rrfK + r)).getOrElse(0L)
+          (q, k._2, s)
+        }.sortBy { case (_, d, s) => (-s, d) }
+          .take(TrainData.rrfTopK).zipWithIndex
+          .map { case ((_, d, s), i) => (q, d) -> (i + 1, s) }
+    }
+    assert(rows.length == fusedExp.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      val (expRank, expScore) = fusedExp(k)
+      assert(r.getAs[Int]("rank") == expRank, s"rank drift at $k")
+      assert(r.getAs[Long]("rrf_q6") == expScore, s"score drift at $k")
+      // a leg rank present in the output must be the leg's actual rank
+      Option(r.getAs[java.lang.Long]("lex_rank")).foreach(lr =>
+        assert(lex(k) == lr.longValue))
+      Option(r.getAs[java.lang.Long]("vec_rank")).foreach(vr =>
+        assert(vec(k) == vr.longValue))
+    }
+    // both fusion cases must be live on the corpus: docs found by both
+    // legs AND docs carried by a single leg (the degenerate-fill lesson)
+    assert(rows.exists(r => r.getAs[java.lang.Long]("lex_rank") != null &&
+      r.getAs[java.lang.Long]("vec_rank") != null), "no both-legs winner")
+    assert(rows.exists(r => r.getAs[java.lang.Long]("lex_rank") == null ||
+      r.getAs[java.lang.Long]("vec_rank") == null), "no single-leg winner")
+    // shape: k rows per query, contiguous ranks
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.length == TrainData.rrfTopK)
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to g.length))
+    }
+  }
+
+  test("text index compact drops retired docs and refreshes every df") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tic_spec").toString
+    val stats = TrainData.textIndexCompact(t, Some(base)).collect()
+    // no tombstoned doc survives in any stored file
+    val stored = spark.read.parquet(s"$base/compacted")
+    assert(stored.filter(Dedup.isRetired(col("doc_id"))).count() == 0)
+    // every stored df equals its term's actual surviving posting count —
+    // the recompute is the point (a stale df skews every BM25 idf)
+    val dfBad = stored.groupBy("term")
+      .agg(count(lit(1)).as("n"), max(col("df")).as("dfmax"),
+        min(col("df")).as("dfmin"))
+      .filter(col("n") =!= col("dfmax") || col("n") =!= col("dfmin")).count()
+    assert(dfBad == 0, "compacted df stale against surviving postings")
+    // compacted == from-scratch build over live docs, row for row
+    val scratch = TrainData.bm25PostingsWithDf(
+        t.documents.filter(!Dedup.isRetired(col("doc_id"))))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("df"))
+    val storedRows = stored.select("doc_id", "dl", "term", "tf", "df")
+    assert(storedRows.exceptAll(scratch).count() == 0)
+    assert(scratch.exceptAll(storedRows).count() == 0)
+    // the rewrite preserved the pruning layout a term probe relies on
+    val someBucket = stats.map(_.getAs[Long]("bucket")).min
+    val plan = stored.filter(col("bucket") === someBucket)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"compacted probe did not prune partitions:\n$plan")
+  }
 }

@@ -521,4 +521,43 @@ class PlanAuditSpec extends SparkSpec {
     val nHashAgg = "HashAggregate".r.findAllIn(p).length
     assert(nHashAgg >= 4, s"per-center minima lost partial aggregation:\n$p")
   }
+
+  test("adc refine: code-table stage 1, point-lookup stage 2, no cartesian") {
+    val p = finalPlan(graft.operators.Sim.adcRefineTopK(t))
+    assert(!p.contains("CartesianProduct"), s"refine went cartesian:\n$p")
+    // the ADC distance table and the query-vector side both broadcast —
+    // stage 2's raw-float fetch must never shuffle the corpus onto the
+    // Q×shortlist candidate set
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2, s"dist table / query side lost broadcast:\n$p")
+    // stage 1's per-(query, vec) ADC fold partial-aggs map-side
+    val nHashAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nHashAgg >= 2, s"ADC fold lost partial aggregation:\n$p")
+  }
+
+  test("hybrid rrf: both legs keep their audited shapes, fusion never cartesian") {
+    val p = finalPlan(TrainData.hybridRrf(t))
+    assert(!p.contains("CartesianProduct"), s"hybrid rrf went cartesian:\n$p")
+    // the bm25 leg's query-term/df broadcasts and the cosine leg's
+    // query-side broadcast all survive into the fused plan
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3, s"a leg lost its broadcast in the fused plan:\n$p")
+    // postings build + per-(query, doc) folds still partial-agg map-side
+    val nHashAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nHashAgg >= 2, s"a leg lost partial aggregation:\n$p")
+  }
+
+  test("unimax counts tokens with partial agg; windows stay on the lang table") {
+    val p = plan(TrainData.mixUnimax(t))
+    assert(!p.contains("CartesianProduct"), s"unimax went cartesian:\n$p")
+    // the corpus-axis token count combines map-side before its exchange —
+    // the only heavy work; everything after runs on the language table
+    val nHashAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nHashAgg >= 2, s"token count lost partial aggregation:\n$p")
+    // the single-partition water-fill window must sit ABOVE the lang
+    // aggregate (config-sized input), never over the document scan: the
+    // plan has exactly one scan of documents feeding an aggregate first
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"unimax re-scans the corpus for the fill:\n$p")
+  }
 }
