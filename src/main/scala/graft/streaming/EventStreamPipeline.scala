@@ -1179,6 +1179,93 @@ object EventStreamPipeline {
       }
   }
 
+  case class HybridServe(queryId: Long, docId: Long, rank: Int,
+      lexRank: Option[Long], vecRank: Option[Long], rrfQ6: Long)
+  case class HybridSeen(seen: Boolean)
+
+  /** Online HYBRID retrieval — the live face of `retrieval_hybrid_rrf`,
+    * and the round's serving story closed end-to-end: an arriving query
+    * document (text + embedding) probes BOTH persisted legs — its
+    * distinct in-row terms hit the lexical postings index (the
+    * bm25ServeStream path, shared `TrainData.bm25*` expression columns)
+    * and its vector scores exact cosine against the static embedding
+    * table (the batch `cosineRanked` contract) — then ONE keyed verdict
+    * stage ranks each leg to `rrfDepth`, fuses with the all-integer
+    * reciprocal-rank sum (1e6 div (k + rank) — no float in the fusion,
+    * so the in-group fold order cannot matter), and emits the fused
+    * top-k. Both legs' candidates for a query arrive in the same
+    * micro-batch (each is a stream-static join off the same input row),
+    * so the group sees the complete candidate set atomically. First
+    * arrival wins; re-delivered query ids are ignored (the AdcServe
+    * at-least-once discipline).
+    *
+    * `postings` (doc_id, dl, term, tf, df) and `vectors` (vec_id, v) are
+    * caller-owned: persist before constructing the stream, unpersist on
+    * stop (a stream-static join re-evaluates the static plan every
+    * micro-batch).
+    */
+  def hybridServeStream(queries: DataFrame, postings: DataFrame,
+      vectors: DataFrame, nDocs: Long, sumDl: Long): Dataset[HybridServe] = {
+    import graft.operators.TrainData
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val lex = queries.select(col("doc_id").as("query_id"),
+        explode(array_distinct(graft.operators.Dedup.wordsCol)).as("term"))
+      .join(postings, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("sum_dl", lit(sumDl))
+      .withColumn("idf", TrainData.bm25Idf)
+      .withColumn("dl_ratio", TrainData.bm25DlRatio)
+      .withColumn("tfn", TrainData.bm25Tfn)
+      .withColumn("c_q6", TrainData.bm25ContribQ6)
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        lit("lex").as("leg"), col("c_q6"),
+        lit(null).cast("double").as("cos"))
+    val vec = queries.select(col("doc_id").as("query_id"), col("v").as("qv"))
+      .join(vectors, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("graft_cosine(qv, v)"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        lit("vec").as("leg"), lit(null).cast("long").as("c_q6"), col("cos"))
+    lex.unionByName(vec)
+      .as[(Long, Long, String, Option[Long], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HybridSeen, HybridServe](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (q, rows, state: GroupState[HybridSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(HybridSeen(true))
+            val rs = rows.toSeq
+            // per-leg ranking replays the batch contracts: lexical =
+            // (integer score desc, doc asc), vector = (cos desc, doc asc)
+            val lexRanks = rs.filter(_._3 == "lex")
+              .groupBy(_._2).map { case (d, g) => (d, g.flatMap(_._4).sum) }
+              .toSeq.sortBy { case (d, s) => (-s, d) }
+              .take(TrainData.rrfDepth).zipWithIndex
+              .map { case ((d, _), i) => d -> (i + 1).toLong }.toMap
+            val vecRanks = rs.filter(_._3 == "vec")
+              .map(r => (r._2, r._5.get))
+              .sortBy { case (d, c) => (-c, d) }
+              .take(TrainData.rrfDepth).zipWithIndex
+              .map { case ((d, _), i) => d -> (i + 1).toLong }.toMap
+            (lexRanks.keySet ++ vecRanks.keySet).toSeq.map { d =>
+              val s =
+                lexRanks.get(d).map(r => 1000000L / (TrainData.rrfK + r))
+                  .getOrElse(0L) +
+                vecRanks.get(d).map(r => 1000000L / (TrainData.rrfK + r))
+                  .getOrElse(0L)
+              (d, s)
+            }.sortBy { case (d, s) => (-s, d) }
+              .take(TrainData.rrfTopK).zipWithIndex
+              .map { case ((d, s), i) =>
+                HybridServe(q, d, i + 1, lexRanks.get(d), vecRanks.get(d), s)
+              }.iterator
+          }
+      }
+  }
+
   /** The dataset card LIVE (the streaming face of corpus_stats): running
     * per-(source, lang) document/token/char totals maintained as a
     * complete-mode aggregation — the card a data-ops dashboard reads

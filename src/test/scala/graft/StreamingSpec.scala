@@ -878,6 +878,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.keys.exists(_._1 >= 2), "post-restart batch produced nothing")
   }
 
+  test("streaming hybrid serving fuses both persisted legs exactly like batch") {
+    import graft.operators.TrainData
+    // both nightly artifacts: the lexical postings and the vector table
+    val postings = TrainData.bm25PostingsWithDf(t.documents).persist()
+    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val Array(nDocs, sumDl) = graft.operators.Dedup.withWords(t.documents)
+      .agg(count(lit(1)), sum(size(col("w")))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // a hybrid query carries BOTH faces of the doc: text + embedding
+    val qdocs = t.documents.filter(col("doc_id") < TrainData.bm25NQueries)
+      .select(col("doc_id"), col("text"))
+      .join(vectors.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_q").toString
+    Seq(qdocs.filter(col("doc_id") < 2), qdocs.filter(col("doc_id") >= 2))
+      .zipWithIndex.foreach { case (slice, i) =>
+        slice.coalesce(1).write.parquet(s"$dir/h$i")
+        val f = new java.io.File(s"$dir/h$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/h$i.parquet"))
+      }
+    val queries = spark.readStream.schema(qdocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = EventStreamPipeline
+      .hybridServeStream(queries, postings, vectors, nDocs, sumDl)
+    runToMemory("hybridserve", out.toDF(), "append")
+    postings.unpersist(); vectors.unpersist()
+    val got = spark
+      .sql("SELECT queryId, rank, docId, lexRank, vecRank, rrfQ6 FROM hybridserve")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), Option(r.getAs[java.lang.Long]("lexRank")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("vecRank")).map(_.longValue),
+          r.getLong(5))).toMap
+    val batch = TrainData.hybridRrf(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"),
+          Option(r.getAs[java.lang.Long]("lex_rank")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("vec_rank")).map(_.longValue),
+          r.getAs[Long]("rrf_q6"))).toMap
+    assert(got.keySet == batch.keySet,
+      s"serving rank set differs: ${got.keySet.size} vs ${batch.keySet.size}")
+    got.foreach { case (k, v) =>
+      assert(v == batch(k), s"query/rank $k diverged: stream=$v batch=${batch(k)}")
+    }
+  }
+
   test("streaming packer reproduces the batch bins across micro-batches") {
     val docs = spark.readStream.schema(t.documents.schema)
       .option("maxFilesPerTrigger", 1).parquet(docStreamDir)
