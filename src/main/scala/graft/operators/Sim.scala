@@ -821,7 +821,10 @@ object Sim {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    shortlist.join(e, "vec_id").join(broadcast(q), "query_id")
+    // the Q×shortlist id set broadcasts EXPLICITLY: the raw-float fetch
+    // must stay a broadcast probe of the cold store, never a corpus
+    // shuffle keyed on ~100 ids
+    e.join(broadcast(shortlist), "vec_id").join(broadcast(q), "query_id")
       .withColumn("cos", expr("graft_cosine(qv, v)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

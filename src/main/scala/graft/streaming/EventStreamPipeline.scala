@@ -1202,7 +1202,10 @@ object EventStreamPipeline {
     * `postings` (doc_id, dl, term, tf, df) and `vectors` (vec_id, v) are
     * caller-owned: persist before constructing the stream, unpersist on
     * stop (a stream-static join re-evaluates the static plan every
-    * micro-batch).
+    * micro-batch). The vector leg here is the EXACT-cosine contract (to
+    * match the registered batch face bit-for-bit); a 100 TB deployment
+    * swaps that leg for the adcServeStream probe of the persisted PQ
+    * index — the fusion stage is unchanged, only leg ranks enter it.
     */
   def hybridServeStream(queries: DataFrame, postings: DataFrame,
       vectors: DataFrame, nDocs: Long, sumDl: Long): Dataset[HybridServe] = {

@@ -525,11 +525,13 @@ class PlanAuditSpec extends SparkSpec {
   test("adc refine: code-table stage 1, point-lookup stage 2, no cartesian") {
     val p = finalPlan(graft.operators.Sim.adcRefineTopK(t))
     assert(!p.contains("CartesianProduct"), s"refine went cartesian:\n$p")
-    // the ADC distance table and the query-vector side both broadcast —
-    // stage 2's raw-float fetch must never shuffle the corpus onto the
-    // Q×shortlist candidate set
+    // the ADC distance table, the query-vector side AND the Q×shortlist
+    // id set all broadcast — stage 2's raw-float fetch must be a
+    // broadcast probe of the cold store, never a corpus shuffle
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(nBroadcast >= 2, s"dist table / query side lost broadcast:\n$p")
+    assert(nBroadcast >= 3, s"dist table / query / shortlist lost broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stage-2 float fetch shuffled the corpus:\n$p")
     // stage 1's per-(query, vec) ADC fold partial-aggs map-side
     val nHashAgg = "HashAggregate".r.findAllIn(p).length
     assert(nHashAgg >= 2, s"ADC fold lost partial aggregation:\n$p")
