@@ -733,6 +733,13 @@ object Dedup {
       nEdges = nNext
       edges = next
     }
+    // the 50-round bound is a runaway BACKSTOP, not a quiet exit: a
+    // non-converged edge set is not depth-1 stars and the labels below
+    // would be silently wrong — fail loudly instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ccStar did not converge in $round rounds ($changed edges still changing); " +
+          "the connected-components labeling would be invalid")
     // fixpoint = depth-1 stars: every non-root appears exactly once as u,
     // roots only as v
     edges.select(col("u").as("doc_id"), col("v").as("label"))

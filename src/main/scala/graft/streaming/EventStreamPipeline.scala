@@ -902,7 +902,13 @@ object EventStreamPipeline {
     import graft.operators.Dedup
     val k = Dedup.minhashK
     val ttlMs: Option[Long] =
-      spark.conf.getOption(FrontierTtlKey).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      spark.conf.getOption(FrontierTtlKey).map(_.trim).filter(_.nonEmpty).map { s =>
+        try s.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$FrontierTtlKey must be a millisecond count, got '$s'")
+        }
+      }
     val timeoutConf =
       if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout

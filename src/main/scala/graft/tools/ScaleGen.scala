@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * each copy is an independent population, not a clone set:
   *  - events: ids and users offset per copy (factor× traffic from
   *    factor× users on the same day); envelope violation classes ride
-  *    event_id moduli, so each copy carries the same class mix.
+  *    event_id moduli, so each copy carries a statistically similar
+  *    class mix (the per-copy id offset shifts which rows land in each
+  *    %61/%67 class, so per-class counts drift slightly — fine for a
+  *    throughput probe, which measures volume, not exact class counts).
   *  - documents: ids offset; every WORD gets a copy tag (`c<k>` prefix),
   *    so shingles/minhashes/simhashes are disjoint across copies — the
   *    near-dup graph scales factor× without manufacturing cross-copy
