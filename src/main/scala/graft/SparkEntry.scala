@@ -420,11 +420,11 @@ object SparkEntry {
                          AND arg_encrypt IS NULL) THEN 'ARGS_BAD'
                 WHEN arg_encrypt IS NOT NULL AND arg_encrypt NOT IN ('0','1') THEN 'ENCRYPT_BAD'
                 WHEN arg_compress IS NOT NULL AND arg_compress NOT IN ('0','1') THEN 'COMPRESS_BAD'
-                WHEN arg_encrypt = '1' AND arg_type = '2' THEN 'ENCRYPT_UNSUPPORTED'
                 -- the oracle cannot decrypt; it replays the generator's
-                -- truncated-ciphertext class (odd type-1 rows, %3=0) and,
-                -- for intact ciphertext, validates the PLAINTEXT its raw
-                -- CTE carries where Spark carries the ciphertext
+                -- truncated-ciphertext class (%3=0 on BOTH the SM4 type-2
+                -- and AES type-1 branches) and, for intact ciphertext,
+                -- validates the PLAINTEXT its raw CTE carries where Spark
+                -- carries the ciphertext
                 WHEN arg_encrypt = '1' AND event_id % 3 = 0 THEN 'EVENT_DECRYPT_BAD'
                 WHEN NOT json_valid(arg_event) THEN 'EVENT_BAD'
                 ELSE 'OK' END AS verdict

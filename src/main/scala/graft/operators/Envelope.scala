@@ -239,18 +239,50 @@ object Envelope {
   val gateAesKey = "GraftGateAesK128"
   val gateAesIv = "GraftGateIv16byt"
 
-  /** The RSA-wrapped-key token carried in encrypted Args (`key` field):
-    * opaque to the resolver — the RSA unwrap is the documented remaining
-    * boundary (platform private key), the unwrapped result is the session
-    * key above.
+  /** The RSA-wrapped-key token carried in TYPE-1 encrypted Args (`key`
+    * field): opaque to the resolver — the RSA unwrap is the documented
+    * remaining boundary (platform private key), the unwrapped result is
+    * the session key above.
     */
   val gateWrappedKeyToken = "UlNBd3JhcHBlZDprZXkraXY="
 
+  /** Public TEST key material for the TYPE-2 (SM2/SM4) rows — minted for
+    * this corpus (the SM2 keypair was generated with OpenSSL's SM2 support
+    * and is embedded in SmCryptoSpec's cross-implementation vectors; the
+    * platform's production key stays out, exactly as with AES/RSA). The
+    * SM4 content key's hex IS what the SM2 unwrap yields
+    * (MsgResolver.java:117-122: plaintext = "<sm4KeyHex>,<extra>", split
+    * on ',', hex-decode the first part).
+    */
+  val gateSm4KeyHex: String =
+    "GraftGateSm4K128".getBytes("UTF-8").map("%02X".format(_)).mkString
+  val gateSm2PrivHex = "dd3e3207e12c447bf0f1221bc55178e07cfdb990b5d56de4d2f150c7c9c8717a"
+
+  /** The SM2-wrapped SM4 key carried in type-2 Args (`key` field): the
+    * C1C3C2 hex WITHOUT its leading '04' marker, so the resolver's
+    * startsWith-'04'-prepend branch (MsgResolver.java:112-114) has real
+    * work. Minted ONCE per JVM (deterministic nonce from the plaintext's
+    * SM3) on the driver at plan-build time — the generator never pays EC
+    * math per row, and the resolver's per-thread unwrap cache pays it once
+    * per task thread.
+    */
+  lazy val gateSm2WrappedKey: String = {
+    import graft.functions.SmCrypto
+    val plain = s"$gateSm4KeyHex,graft".getBytes("UTF-8")
+    val pub = SmCrypto.publicKey(BigInt(gateSm2PrivHex, 16))
+    val pubX = BigInt(1, java.util.Arrays.copyOfRange(pub, 1, 33))
+    val pubY = BigInt(1, java.util.Arrays.copyOfRange(pub, 33, 65))
+    val k = BigInt(1, SmCrypto.sm3(plain ++ "graft-nonce".getBytes("UTF-8")))
+    val ct = SmCrypto.sm2Encrypt(pubX, pubY, plain, k)
+    ct.map("%02X".format(_)).mkString.drop(2) // strip the leading '04'
+  }
+
   /** Encrypt-row sub-classes inside the %61=5 rows: even event_id ⇒
-    * type '2' (SM2/SM4 — stays ENCRYPT_UNSUPPORTED, platform key material
-    * is not public), odd ⇒ type '1' (RSA/AES — resolves end-to-end);
-    * among type-1 rows, %3=0 carries a TRUNCATED ciphertext so the
-    * decrypt-failure verdict has real rows.
+    * type '2' (SM2-wrapped SM4 key + SM4/ECB payload — resolves natively
+    * via graft_sm2_unwrap/graft_sm4_decrypt), odd ⇒ type '1' (RSA/AES —
+    * resolves natively via the session AES key); in BOTH types, %3=0
+    * carries a TRUNCATED ciphertext so the decrypt-failure verdict has
+    * real rows on each branch.
     */
   val gateTypeExpr = "CASE WHEN event_id % 2 = 0 THEN '2' ELSE '1' END"
 
@@ -260,10 +292,11 @@ object Envelope {
     * content is itself JSON, so embedded payloads are escaped with escJson
     * (the Args event payload ends up double-escaped, exactly like the wire
     * format). violations (%61): 0 Ip number, 1 Now string, 2 Header number,
-    * 3 Args empty object, 4 compress invalid, 5 encrypt=1 (type 2 = SM2
-    * boundary; type 1 = AES, resolved natively — the Spark side carries
-    * REAL ciphertext, the oracle side the plaintext it was minted from),
-    * 6 header without user-agent; %67 trailing garbage.
+    * 3 Args empty object, 4 compress invalid, 5 encrypt=1 (type 2 =
+    * SM2-wrapped-key + SM4 payload, type 1 = RSA-token + AES payload —
+    * BOTH resolve natively: the Spark side carries REAL ciphertext, the
+    * oracle side the plaintext it was minted from), 6 header without
+    * user-agent; %67 trailing garbage.
     *
     * `encEvent` is the engine-specific payload expression for the
     * encrypt=1 rows — hex ciphertext on the Spark side
@@ -280,7 +313,8 @@ object Envelope {
         " '\"compress\":\"', CASE WHEN event_id % 61 = 4 THEN '9' ELSE '0' END, '\",'," +
         " '\"encrypt\":\"',  CASE WHEN event_id % 61 = 5 THEN '1' ELSE '0' END, '\"'," +
         " CASE WHEN event_id % 61 = 5 THEN concat(',\"type\":\"', " + gateTypeExpr + "," +
-        " '\",\"key\":\"', '" + gateWrappedKeyToken + "', '\"') ELSE '' END, '}')"
+        " '\",\"key\":\"', CASE WHEN event_id % 2 = 0 THEN '" + gateSm2WrappedKey +
+        "' ELSE '" + gateWrappedKeyToken + "' END, '\"') ELSE '' END, '}')"
     val gateBody =
       "concat(CASE WHEN event_id % 67 = 0 THEN 'x' ELSE '' END, '{'," +
         " '\"Ip\":', CASE WHEN event_id % 61 = 0 THEN '123' ELSE concat('\"', ip, '\"') END, ','," +
@@ -295,11 +329,15 @@ object Envelope {
     Seq("gate_msg" -> gateBody)
   }
 
-  /** Spark side: REAL hex ciphertext for encrypt rows (truncated for the
-    * %3=0 decrypt-failure class).
+  /** Spark side: REAL hex ciphertext for encrypt rows — SM4 for type-2
+    * (even event_id), AES for type-1 (odd) — truncated in the %3=0
+    * decrypt-failure class of each branch.
     */
-  val gateDefs: Seq[(String, String)] = gateDefsWith(
-    s"CASE WHEN event_id % 2 = 1 AND event_id % 3 = 0" +
+  lazy val gateDefs: Seq[(String, String)] = gateDefsWith(
+    s"CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0" +
+      s" THEN substr(graft_sm4_encrypt(msg, '$gateSm4KeyHex'), 1, 16)" +
+      s" WHEN event_id % 2 = 0 THEN graft_sm4_encrypt(msg, '$gateSm4KeyHex')" +
+      s" WHEN event_id % 3 = 0" +
       s" THEN substr(graft_aes_encrypt(msg, '$gateAesKey', '$gateAesIv'), 1, 16)" +
       s" ELSE graft_aes_encrypt(msg, '$gateAesKey', '$gateAesIv') END")
 

@@ -17,25 +17,31 @@ import org.apache.spark.sql.functions._
   * whole-stage codegen except the zlib inflate (a native expression).
   *
   * Crypto: MsgResolver's encrypt=1 path (MsgResolver.java:104-135) carries
-  * a type discriminator — type '2' wraps the payload SM2/SM4 (platform key
-  * material, not public: distinct ENCRYPT_UNSUPPORTED verdict, the
-  * documented boundary), anything else is the RSA/AES branch — an
-  * RSA-wrapped "key,iv" blob plus an AES/CBC/PKCS5Padding HEX ciphertext
-  * (DecodeService.aesDecode). The AES half resolves NATIVELY here:
-  * `graft_aes_decrypt` opens the payload with the session data key
-  * (`spark.graft.gate.aesKey`/`aesIv` — production RSA-unwraps each
-  * message's wrapped key driver-side and sets these; the RSA unwrap itself
-  * stays with the platform private key). Decrypt failure is its own
-  * verdict (EVENT_DECRYPT_BAD), mirroring the reference's decrypt
+  * a type discriminator. Type '2' (MsgResolver.java:109-125) resolves
+  * NATIVELY: `graft_sm2_unwrap` opens the message's SM2-wrapped key blob
+  * with the session SM2 private key (`spark.graft.gate.sm2PrivKey`), the
+  * unwrapped "sm4KeyHex,..." splits on ',' and `graft_sm4_decrypt`
+  * (SM4/ECB/PKCS5, hutool SmUtil.sm4's default) opens the payload — the
+  * full reference chain, on minted TEST keys. Anything else is the
+  * RSA/AES branch — an RSA-wrapped "key,iv" blob plus an
+  * AES/CBC/PKCS5Padding HEX ciphertext (DecodeService.aesDecode); the AES
+  * half resolves natively via `graft_aes_decrypt` with the session data
+  * key (`spark.graft.gate.aesKey`/`aesIv` — production RSA-unwraps each
+  * message's wrapped key driver-side and sets these; the RSA unwrap
+  * itself stays with the platform private key, the one remaining
+  * boundary). Decrypt failure on either branch is its own verdict
+  * (EVENT_DECRYPT_BAD), mirroring the reference's decrypt
   * ResolveException.
   */
 object Gate {
 
-  /** Session conf keys for the post-RSA-unwrap AES data key; defaults =
-    * the synthesized corpus' public test key material.
+  /** Session conf keys for the post-RSA-unwrap AES data key and the SM2
+    * private key; defaults = the synthesized corpus' public test key
+    * material.
     */
   val AesKeyConf = "spark.graft.gate.aesKey"
   val AesIvConf = "spark.graft.gate.aesIv"
+  val Sm2PrivConf = "spark.graft.gate.sm2PrivKey"
 
   private def env(t: Tables): DataFrame = Envelope.attach(t.events)
 
@@ -71,6 +77,7 @@ object Gate {
     graft.functions.CodecExpressions.register(df.sparkSession)
     val aesKey = df.sparkSession.conf.get(AesKeyConf, Envelope.gateAesKey)
     val aesIv = df.sparkSession.conf.get(AesIvConf, Envelope.gateAesIv)
+    val sm2Priv = df.sparkSession.conf.get(Sm2PrivConf, Envelope.gateSm2PrivHex)
     // ONE parse: the outer message lands in a VARIANT; per-field TYPE
     // (string vs number — MsgResolver's ClassCastException sites) comes
     // from schema_of_variant over cheap binary accessors instead of a
@@ -99,10 +106,18 @@ object Gate {
       "get_json_object(args_s, '$.event') AS arg_event",
       "get_json_object(args_s, '$.compress') AS arg_compress",
       "get_json_object(args_s, '$.encrypt') AS arg_encrypt",
-      "get_json_object(args_s, '$.type') AS arg_type")
+      "get_json_object(args_s, '$.type') AS arg_type",
+      "get_json_object(args_s, '$.key') AS arg_key")
     // getContent's branch order (MsgResolver.java:104-148): encrypted
-    // payloads decrypt and IGNORE compress; only unencrypted ones inflate
-    val content = when(col("arg_encrypt") === "1",
+    // payloads decrypt and IGNORE compress; only unencrypted ones inflate.
+    // The type-2 chain is exactly MsgResolver.java:110-125: SM2-unwrap the
+    // message's key blob, split on ',', first part is the SM4 key hex,
+    // SM4-decrypt the event (each step NULL-propagating into the
+    // EVENT_DECRYPT_BAD verdict).
+    val content = when(col("arg_encrypt") === "1" && (col("arg_type") <=> lit("2")),
+        expr(s"graft_sm4_decrypt(arg_event, " +
+          s"element_at(split(graft_sm2_unwrap(arg_key, '$sm2Priv'), ','), 1))"))
+      .when(col("arg_encrypt") === "1",
         expr(s"graft_aes_decrypt(arg_event, '$aesKey', '$aesIv')"))
       .when(col("arg_compress") === "1",
         expr("graft_zlib_inflate(arg_event)")).otherwise(col("arg_event"))
@@ -121,10 +136,9 @@ object Gate {
         .when(!(col("args_t") <=> lit("STRING")) || argsEmpty, "ARGS_BAD")
         .when(col("arg_encrypt").isNotNull && !col("arg_encrypt").isin("0", "1"), "ENCRYPT_BAD")
         .when(col("arg_compress").isNotNull && !col("arg_compress").isin("0", "1"), "COMPRESS_BAD")
-        // type '2' = the SM2/SM4 branch (platform keys — documented
-        // boundary); everything else falls into the RSA/AES branch,
-        // exactly MsgResolver's `"2".equals(type)` split
-        .when(col("arg_encrypt") === "1" && (col("arg_type") <=> lit("2")), "ENCRYPT_UNSUPPORTED")
+        // both crypto branches (type '2' = SM2/SM4, else RSA/AES — exactly
+        // MsgResolver's `"2".equals(type)` split) resolve in `c`; a NULL
+        // there is a decrypt failure on either branch
         .when(col("arg_encrypt") === "1" && col("c").isNull, "EVENT_DECRYPT_BAD")
         .when(expr("try_parse_json(c)").isNull, "EVENT_BAD")
         .otherwise("OK")
@@ -138,7 +152,7 @@ object Gate {
         when(col("verdict") === "OK", col("hdr_ua")).otherwise(Enrich.NullValue))
       .drop("v", "ip_t", "ip_s", "now_t", "now_s", "header_t", "header_s",
         "args_t", "args_s", "hdr_ua", "arg_event", "arg_compress",
-        "arg_encrypt", "arg_type", "c")
+        "arg_encrypt", "arg_type", "arg_key", "c")
   }
 
   /** The gate DECISION chain over a resolved frame (GateFlatMapFunction's

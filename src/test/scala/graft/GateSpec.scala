@@ -58,12 +58,20 @@ class GateSpec extends SparkSpec {
       // the AES transport path: real ciphertext under the session key
       13L -> gate("1.2.3.4",
         s"""{"event":"${aesHex(plain)}","compress":"0","encrypt":"1","type":"1","key":"w"}"""),
-      // type 2 = SM2/SM4 — the documented platform-key boundary
+      // type 2 with a GARBAGE key blob: the SM2 unwrap fails -> reject
       14L -> gate("1.2.3.4",
         s"""{"event":"${aesHex(plain)}","compress":"0","encrypt":"1","type":"2","key":"w"}"""),
       // truncated ciphertext (not a whole block) must reject, not crash
       15L -> gate("1.2.3.4",
-        s"""{"event":"${aesHex(plain).take(16)}","compress":"0","encrypt":"1","type":"1","key":"w"}"""))
+        s"""{"event":"${aesHex(plain).take(16)}","compress":"0","encrypt":"1","type":"1","key":"w"}"""),
+      // the SM2/SM4 transport path end-to-end: SM4 ciphertext + the
+      // SM2-wrapped key blob (whose leading '04' the generator strips, so
+      // this also exercises the prepend branch of MsgResolver.java:112)
+      16L -> gate("1.2.3.4",
+        s"""{"event":"${sm4Hex(plain)}","compress":"0","encrypt":"1","type":"2","key":"${Envelope.gateSm2WrappedKey}"}"""),
+      // truncated SM4 ciphertext rejects on the type-2 branch too
+      17L -> gate("1.2.3.4",
+        s"""{"event":"${sm4Hex(plain).take(16)}","compress":"0","encrypt":"1","type":"2","key":"${Envelope.gateSm2WrappedKey}"}"""))
     val r = resolveLiteral(msgs)
     assert(r(1L)._1 == "OK" && r(1L)._2 == "1.2.3.4" && r(1L)._3.contains(1700000000L))
     assert(r(1L)._4 == "UA-X")
@@ -79,9 +87,20 @@ class GateSpec extends SparkSpec {
     assert(r(11L)._1 == "EVENT_BAD") // zlib decode failure = reject, like the reference
     assert(r(12L)._1 == "EVENT_BAD")
     assert(r(13L)._1 == "OK" && r(13L)._2 == "1.2.3.4", s"AES path: ${r(13L)}")
-    assert(r(14L)._1 == "ENCRYPT_UNSUPPORTED")
+    assert(r(14L)._1 == "EVENT_DECRYPT_BAD")
     assert(r(15L)._1 == "EVENT_DECRYPT_BAD")
+    assert(r(16L)._1 == "OK" && r(16L)._2 == "1.2.3.4", s"SM2/SM4 path: ${r(16L)}")
+    assert(r(17L)._1 == "EVENT_DECRYPT_BAD")
   }
+
+  /** SM4/ECB/PKCS5 hex encrypt through SmCrypto's primitive (the
+    * INDEPENDENT vectors pinning that primitive against OpenSSL live in
+    * SmCryptoSpec; this face just frames for the gate wire format).
+    */
+  private def sm4Hex(plain: String): String =
+    graft.functions.SmCrypto.sm4EncryptEcb(
+      Envelope.gateSm4KeyHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      plain.getBytes("UTF-8")).map("%02X".format(_)).mkString
 
   /** Independent AES-CBC/PKCS5 hex encrypt (javax.crypto directly, NOT the
     * graft expression) — the known-vector discipline: the spec's cipher
@@ -160,8 +179,7 @@ class GateSpec extends SparkSpec {
     val counts = Gate.gateResolveStats(t).collect()
       .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n")).toMap
     for (v <- Seq("OK", "JSON_BAD", "IP_BAD", "NOW_BAD", "HEADER_BAD",
-        "ARGS_BAD", "COMPRESS_BAD", "ENCRYPT_UNSUPPORTED",
-        "EVENT_DECRYPT_BAD", "EVENT_BAD"))
+        "ARGS_BAD", "COMPRESS_BAD", "EVENT_DECRYPT_BAD", "EVENT_BAD"))
       assert(counts.contains(v), s"verdict $v never produced; got $counts")
     assert(counts("OK") > counts.values.sum / 2)
   }
