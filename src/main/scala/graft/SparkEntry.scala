@@ -214,6 +214,7 @@ object SparkEntry {
     "sim_ann_adc_rerank"      -> ((s, d) => Sim.adcRefineTopK(tables(s, d))),
     "text_bm25_topk"          -> ((s, d) => TrainData.bm25TopKDocs(tables(s, d))),
     "retrieval_hybrid_rrf"    -> ((s, d) => TrainData.hybridRrf(tables(s, d))),
+    "retrieval_hybrid_rrf_stored" -> ((s, d) => TrainData.hybridRrfStored(tables(s, d))),
     "sink_text_index"         -> ((s, d) => TrainData.textIndexSink(tables(s, d))),
     "sink_text_index_compact" -> ((s, d) => TrainData.textIndexCompact(tables(s, d))),
     "mix_unimax"              -> ((s, d) => TrainData.mixUnimax(tables(s, d))),
@@ -746,6 +747,29 @@ object SparkEntry {
              FROM c GROUP BY 1, 2),
        lxr AS (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY score_q6 DESC, doc_id) AS rank FROM s)"""
+  }
+
+  /** The RRF fusion tail — ONE SQL builder for both hybrid oracles (the
+    * rrfFuse discipline on the oracle side): takes the two leg CTE bodies
+    * (each yielding query_id, doc_id, {lex,vec}_rank already cut to
+    * rrfDepth) and emits the all-integer fusion + final select.
+    */
+  private def rrfFuseSql(lxCte: String, vxCte: String): String = {
+    val (k, tk) = (TrainData.rrfK, TrainData.rrfTopK)
+    s"""lx AS ($lxCte),
+       vx AS ($vxCte),
+       f AS (SELECT coalesce(lx.query_id, vx.query_id) AS query_id,
+               coalesce(lx.doc_id, vx.doc_id) AS doc_id, lex_rank, vec_rank
+             FROM lx FULL OUTER JOIN vx
+               ON lx.query_id = vx.query_id AND lx.doc_id = vx.doc_id),
+       g AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+               coalesce(1000000 // ($k + lex_rank), 0)
+                 + coalesce(1000000 // ($k + vec_rank), 0) AS rrf_q6
+             FROM f),
+       rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_q6 DESC, doc_id) AS rank FROM g)
+       SELECT query_id, doc_id, rank, lex_rank, vec_rank, rrf_q6
+       FROM rr WHERE rank <= $tk ORDER BY query_id, rank"""
   }
 
   /** The exact-cosine FULL-ranking CTE chain (ending in `cr` = query_id,
@@ -2781,28 +2805,31 @@ object SparkEntry {
     // the shared builders (bm25RankCtes / cosineRankCtes), so the fused
     // result provably comes from the same leg math as the standalone
     // faces; the fusion itself is all-integer (1e6 div (k + rank))
-    "retrieval_hybrid_rrf" -> {
-      val (k, d, tk) = (TrainData.rrfK, TrainData.rrfDepth, TrainData.rrfTopK)
+    "retrieval_hybrid_rrf" ->
       s"""WITH $bm25RankCtes,
          ${cosineRankCtes(TrainData.bm25NQueries)},
-         lx AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
-                FROM lxr WHERE rank <= $d),
-         vx AS (SELECT query_id, neighbor_id AS doc_id,
-                  CAST(rank AS BIGINT) AS vec_rank
-                FROM cr WHERE rank <= $d),
-         f AS (SELECT coalesce(lx.query_id, vx.query_id) AS query_id,
-                 coalesce(lx.doc_id, vx.doc_id) AS doc_id, lex_rank, vec_rank
-               FROM lx FULL OUTER JOIN vx
-                 ON lx.query_id = vx.query_id AND lx.doc_id = vx.doc_id),
-         g AS (SELECT query_id, doc_id, lex_rank, vec_rank,
-                 coalesce(1000000 // ($k + lex_rank), 0)
-                   + coalesce(1000000 // ($k + vec_rank), 0) AS rrf_q6
-               FROM f),
-         rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY rrf_q6 DESC, doc_id) AS rank FROM g)
-         SELECT query_id, doc_id, rank, lex_rank, vec_rank, rrf_q6
-         FROM rr WHERE rank <= $tk ORDER BY query_id, rank"""
-    },
+         ${rrfFuseSql(
+           s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+              FROM lxr WHERE rank <= ${TrainData.rrfDepth}""",
+           s"""SELECT query_id, neighbor_id AS doc_id,
+                CAST(rank AS BIGINT) AS vec_rank
+              FROM cr WHERE rank <= ${TrainData.rrfDepth}""")}""",
+    // the stored-index hybrid: SAME bm25 ranking CTEs (stored == computed
+    // on the lexical leg is sink_text_index's proven contract), vector
+    // leg = the SAME ivf-pq chain as sim_ann_ivfpq (stored == computed is
+    // sink_vector_index's), fused by the SAME rrfFuseSql builder — the
+    // hash match proves fused-from-storage == fused-from-plan leg math
+    "retrieval_hybrid_rrf_stored" ->
+      s"""WITH $bm25RankCtes,
+         vk AS (WITH ${ivfPqAdcChain(filtered = false)}
+                SELECT query_id, vec_id, rank FROM k
+                WHERE query_id < ${TrainData.bm25NQueries}),
+         ${rrfFuseSql(
+           s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+              FROM lxr WHERE rank <= ${TrainData.rrfDepth}""",
+           s"""SELECT query_id, vec_id AS doc_id,
+                CAST(rank AS BIGINT) AS vec_rank
+              FROM vk WHERE rank <= ${TrainData.rrfDepth}""")}""",
     // readback-stats oracle for the persisted lexical index: per term-hash
     // bucket (the portable 60-bit md5 hash — the dedup_audit replay), the
     // posting rows, distinct terms/docs and total tf the stored files must
@@ -4159,7 +4186,12 @@ object SparkEntry {
     * to the candidate CTE (pre-filter, before any distance work) and the
     * label column to the output.
     */
-  private def ivfPqAdcSql(filtered: Boolean): String = {
+  /** The IVF∘ADC CTE chain up to the full ranking `k` (query_id, vec_id,
+    * adc, rank[, label]) — shared by the two registered ivf-pq faces and
+    * the stored-hybrid oracle's vector leg (which cuts `k` at rrfDepth
+    * instead of topK).
+    */
+  private def ivfPqAdcChain(filtered: Boolean): String = {
     val (m, sd) = (Sim.pqM, Sim.pqSubDim)
     val dCols = (0 until m)
       .map(j => s"sum(CASE WHEN qb.m = $j THEN d END) AS d$j").mkString(",\n           ")
@@ -4179,8 +4211,7 @@ object SparkEntry {
                   FROM a JOIN pr USING (cluster) WHERE a.vec_id <> pr.query_id)"""
     val labelSel = if (filtered) "cand.label," else ""
     val labelGrp = if (filtered) "GROUP BY 1, 2, 3" else "GROUP BY 1, 2"
-    val labelOut = if (filtered) "label," else ""
-    s"""WITH $centroidAssignCtes,
+    s"""$centroidAssignCtes,
        ${pqEncodeChain("q")},
        pr AS (SELECT vec_id AS query_id, cluster FROM (
                 SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
@@ -4204,7 +4235,12 @@ object SparkEntry {
              AND tbl.query_id = cand.query_id
          $labelGrp),
        k AS (SELECT *, ($adcSum) AS adc, row_number() OVER (
-               PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)
+               PARTITION BY query_id ORDER BY ($adcSum), vec_id) AS rank FROM s)"""
+  }
+
+  private def ivfPqAdcSql(filtered: Boolean): String = {
+    val labelOut = if (filtered) "label," else ""
+    s"""WITH ${ivfPqAdcChain(filtered)}
        SELECT query_id, $labelOut vec_id AS neighbor_id, rank,
          floor(adc * 10000) / 10000 AS adc_dist
        FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""

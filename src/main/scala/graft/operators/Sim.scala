@@ -766,17 +766,24 @@ object Sim {
       .select(col("query_id"), col("vec_id"), col("adc"))
   }
 
-  /** Rank the ADC scores into the registered top-k face. */
-  private def adcRank(lookups: DataFrame): DataFrame = {
+  /** The FULL ADC ranking (query_id, vec_id, adc, rank) — unsorted, no
+    * rank cut: the internal face the registered top-k (`adcRank`) and the
+    * hybrid-retrieval vector leg (which takes a deeper shortlist) share,
+    * so the two cannot drift on the ranking rule (adc asc, vec_id asc).
+    */
+  private[graft] def adcRanked(lookups: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
-    adcScores(lookups)
-      .withColumn("rank", row_number().over(w))
+    adcScores(lookups).withColumn("rank", row_number().over(w))
+  }
+
+  /** Rank the ADC scores into the registered top-k face. */
+  private def adcRank(lookups: DataFrame): DataFrame =
+    adcRanked(lookups)
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         (floor(col("adc") * 10000) / 10000).as("adc_dist"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   def pqAdcTopK(t: Tables): DataFrame =
     adcRank(
@@ -849,6 +856,30 @@ object Sim {
     adcRank(
       dataCodes.join(broadcast(adcDistTable(t)), Seq("m", "code"))
         .filter(col("vec_id") =!= col("query_id")))
+  }
+
+  /** The IVF∘ADC FULL ranking served from a STORED code table — the
+    * vector leg of `retrieval_hybrid_rrf_stored` and the batch twin of
+    * the live `hybridServeStream` probe: candidates come from the stored
+    * index's cluster column (the partition key — a probe prunes to
+    * `ivfPqProbes` directories at the storage layer), distances from the
+    * stored 4-byte codes via the broadcast ADC tables. Ranks to any
+    * depth (no cut — callers cut; the fusion takes `rrfDepth`, deeper
+    * than the registered top-k). `nQ` restricts the query set (the hybrid
+    * fusion uses TrainData.bm25NQueries on BOTH legs — one query set).
+    */
+  private[graft] def ivfPqRankedFromStored(t: Tables, codes: DataFrame,
+      nQ: Long = nQueries): DataFrame = {
+    val cand = codes.select(col("vec_id"), col("cluster"))
+      .join(broadcast(queryProbes(t).filter(col("query_id") < nQ)), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val dataCodes = codes.select(col("vec_id"),
+      posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
+        .as(Seq("m", "code")))
+    adcRanked(
+      cand.join(dataCodes, "vec_id")
+        .join(broadcast(adcDistTable(t)), Seq("m", "code", "query_id")))
   }
 
   /** The registered end-to-end form: build + persist the index, then

@@ -1103,7 +1103,6 @@ object TrainData {
     * via the outer join (a doc need only appear in one shortlist).
     */
   def hybridRrf(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lex = bm25Ranked(t).filter(col("rank") <= rrfDepth)
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("lex_rank"))
@@ -1111,6 +1110,17 @@ object TrainData {
       .filter(col("rank") <= rrfDepth)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("vec_rank"))
+    rrfFuse(lex, vec)
+  }
+
+  /** The RRF fusion stage — ONE implementation shared by the in-plan
+    * hybrid (`hybridRrf`) and the stored-index hybrid (`hybridRrfStored`),
+    * so the two faces cannot drift on the fusion arithmetic. Expects each
+    * leg already cut to `rrfDepth`: (query_id, doc_id, lex_rank) and
+    * (query_id, doc_id, vec_rank).
+    */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_q6",
         coalesce(expr(s"1000000L div (${rrfK}L + lex_rank)"), lit(0L)) +
@@ -1122,5 +1132,81 @@ object TrainData {
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("lex_rank"), col("vec_rank"), col("rrf_q6"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The BM25 FULL ranking served from a STORED postings directory (the
+    * `sink_text_index` layout: doc_id, dl, term, tf, df, bucket) plus the
+    * scalars sidecar the nightly build persists beside it — the lexical
+    * leg of `retrieval_hybrid_rrf_stored`. Query terms come from the
+    * INDEX itself (the query docs' own postings rows — the identical
+    * distinct-(doc, term) set the in-plan build derives), df/dl/tf are
+    * the STORED values, and the scoring columns are the shared
+    * `bm25Idf`/`bm25DlRatio`/`bm25Tfn`/`bm25ContribQ6` expressions — the
+    * identical IEEE op sequence, so stored-served ranks are bit-equal to
+    * the in-plan `bm25Ranked`.
+    */
+  private[graft] def bm25RankedFromStored(stored: DataFrame,
+      scalars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = stored.filter(col("doc_id") < bm25NQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val contrib = stored
+      .join(broadcast(q), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", bm25Idf)
+      .withColumn("dl_ratio", bm25DlRatio)
+      .withColumn("tfn", bm25Tfn)
+      .withColumn("c_q6", bm25ContribQ6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q6").desc, col("doc_id").asc)
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_q6")).as("score_q6"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** retrieval_hybrid_rrf_stored — the AT-SCALE hybrid face: the same RRF
+    * fusion as `retrieval_hybrid_rrf`, but BOTH legs served from the
+    * PERSISTED indexes (the production shape — a serving tier owns two
+    * stored artifacts and never touches raw text or raw floats at query
+    * time). The lexical leg reads `sink_text_index`'s bucketed postings
+    * (+ the n_docs/sum_dl scalars sidecar the nightly build persists —
+    * the bm25ServeStream literal move, made durable); the vector leg is
+    * the IVF∘ADC probe of `sink_vector_index`'s code table (cluster
+    * column = the partition key, so each query scans `ivfPqProbes` lists
+    * of 4-byte codes). The oracle composes the SAME bm25 ranking CTEs as
+    * the in-plan hybrid with the SAME ivf-pq chain as `sim_ann_ivfpq`,
+    * so a hash match proves fused-from-storage == fused-from-plan on the
+    * lexical leg and == the audited index math on the vector leg.
+    *
+    * The vector legs of the two hybrid faces DIFFER by design: in-plan
+    * fuses exact cosine (the accuracy ceiling, feasible when the floats
+    * are warm), stored fuses the compressed-domain IVF∘ADC ranks (what a
+    * 100 TB tier actually scans); `retrieval_audit` quantifies the gap.
+    * Result is MATERIALIZED before returning (the pqAdcTopKStored
+    * discipline: both directories are deterministic and overwritten).
+    */
+  def hybridRrfStored(t: Tables): DataFrame = {
+    val tOut = "/tmp/graft_tindex/hybrid_stored"
+    writePostings(bm25PostingsWithDf(t.documents), tOut)
+    // the scalars sidecar: corpus n_docs/sum_dl persisted WITH the index
+    // (serving must not touch the raw corpus — including its size)
+    Dedup.withWords(t.documents)
+      .select(size(col("w")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"${tOut}__scalars")
+    val vOut = "/tmp/graft_vindex/hybrid_stored"
+    Sim.writeVectorIndex(t, vOut)
+    val spark = t.spark
+    val lex = bm25RankedFromStored(
+        spark.read.parquet(tOut), spark.read.parquet(s"${tOut}__scalars"))
+      .filter(col("rank") <= rrfDepth)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val vec = Sim.ivfPqRankedFromStored(t, spark.read.parquet(vOut), bm25NQueries)
+      .filter(col("rank") <= rrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    graft.engine.Reliability.planCheckpoint(rrfFuse(lex, vec))
   }
 }

@@ -1189,33 +1189,37 @@ object EventStreamPipeline {
       lexRank: Option[Long], vecRank: Option[Long], rrfQ6: Long)
   case class HybridSeen(seen: Boolean)
 
-  /** Online HYBRID retrieval — the live face of `retrieval_hybrid_rrf`,
-    * and the round's serving story closed end-to-end: an arriving query
-    * document (text + embedding) probes BOTH persisted legs — its
-    * distinct in-row terms hit the lexical postings index (the
-    * bm25ServeStream path, shared `TrainData.bm25*` expression columns)
-    * and its vector scores exact cosine against the static embedding
-    * table (the batch `cosineRanked` contract) — then ONE keyed verdict
-    * stage ranks each leg to `rrfDepth`, fuses with the all-integer
-    * reciprocal-rank sum (1e6 div (k + rank) — no float in the fusion,
-    * so the in-group fold order cannot matter), and emits the fused
-    * top-k. Both legs' candidates for a query arrive in the same
-    * micro-batch (each is a stream-static join off the same input row),
-    * so the group sees the complete candidate set atomically. First
-    * arrival wins; re-delivered query ids are ignored (the AdcServe
-    * at-least-once discipline).
+  /** Online HYBRID retrieval — the live face of the STORED hybrid
+    * (`retrieval_hybrid_rrf_stored`), the serving story closed at scale:
+    * an arriving query document (text + embedding) probes BOTH persisted
+    * indexes — its distinct in-row terms hit the lexical postings index
+    * (the bm25ServeStream path, shared `TrainData.bm25*` expression
+    * columns), and its vector routes to its `ivfPqProbes` nearest coarse
+    * lists PER-ROW (centroids + PQ codebook as LITERALS — the
+    * adcServeStream nightly-model move) and ADC-scores ONLY those lists'
+    * stored 4-byte codes — then ONE keyed verdict stage ranks each leg
+    * to `rrfDepth`, fuses with the all-integer reciprocal-rank sum
+    * (1e6 div (k + rank) — no float in the fusion, so the in-group fold
+    * order cannot matter), and emits the fused top-k. This is the 100 TB
+    * shape the round-8 Scaladoc promised: raw floats never enter the
+    * serve path — the vector leg scans probes/lists of the code table,
+    * exactly the batch `ivfPqRankedFromStored` contract (the spec pins
+    * exact equality with `TrainData.hybridRrfStored`). Both legs'
+    * candidates for a query arrive in the same micro-batch (each is a
+    * stream-static join off the same input row), so the group sees the
+    * complete candidate set atomically. First arrival wins; re-delivered
+    * query ids are ignored (the AdcServe at-least-once discipline).
     *
-    * `postings` (doc_id, dl, term, tf, df) and `vectors` (vec_id, v) are
+    * `postings` (doc_id, dl, term, tf, df) and `storedCodes` (vec_id,
+    * code0..m-1, cluster — `sink_vector_index`'s layout read back) are
     * caller-owned: persist before constructing the stream, unpersist on
     * stop (a stream-static join re-evaluates the static plan every
-    * micro-batch). The vector leg here is the EXACT-cosine contract (to
-    * match the registered batch face bit-for-bit); a 100 TB deployment
-    * swaps that leg for the adcServeStream probe of the persisted PQ
-    * index — the fusion stage is unchanged, only leg ranks enter it.
+    * micro-batch).
     */
   def hybridServeStream(queries: DataFrame, postings: DataFrame,
-      vectors: DataFrame, nDocs: Long, sumDl: Long): Dataset[HybridServe] = {
-    import graft.operators.TrainData
+      storedCodes: DataFrame, cents: Seq[Seq[Double]], book: Seq[Seq[Double]],
+      nDocs: Long, sumDl: Long): Dataset[HybridServe] = {
+    import graft.operators.{Sim, TrainData}
     val spark = queries.sparkSession
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
@@ -1231,12 +1235,35 @@ object EventStreamPipeline {
       .withColumn("c_q6", TrainData.bm25ContribQ6)
       .select(col("query_id"), col("doc_id").as("cand_id"),
         lit("lex").as("leg"), col("c_q6"),
-        lit(null).cast("double").as("cos"))
-    val vec = queries.select(col("doc_id").as("query_id"), col("v").as("qv"))
-      .join(vectors, col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr("graft_cosine(qv, v)"))
+        lit(null).cast("double").as("adc"))
+    // the vector leg IS the adcServeStream probe: per-row coarse routing
+    // against the centroid literals, stream-static join on the stored
+    // index's cluster key (partition pruning bounds the scan), ADC in one
+    // row expression against the codebook literal — identical fold order
+    // to the batch dist-table scan, so ranks are bit-equal
+    val (m, sd) = (Sim.pqM, Sim.pqSubDim)
+    val probed = queries
+      .withColumn("cents", typedLit(cents))
+      .withColumn("probes", expr(
+        s"""transform(slice(array_sort(transform(
+              sequence(0, ${Sim.nCentroids - 1}),
+              k -> struct(-graft_cosine(v, cents[k]) AS nc, k AS k))),
+            1, ${Sim.ivfPqProbes}), s -> s.k)"""))
+      .select(col("doc_id").as("query_id"), col("v"),
+        explode(col("probes")).as("cluster"))
+    val adcExpr = (0 until m).map { j =>
+      val off = j * sd
+      expr(s"""aggregate(sequence(0, ${sd - 1}), cast(0.0 as double),
+           (a, i) -> a + (v[$off+i] - book[code$j][$off+i])
+                       * (v[$off+i] - book[code$j][$off+i]))""")
+    }.reduce(_ + _)
+    val vec = probed
+      .join(storedCodes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("book", typedLit(book))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        lit("vec").as("leg"), lit(null).cast("long").as("c_q6"), col("cos"))
+        lit("vec").as("leg"), lit(null).cast("long").as("c_q6"),
+        adcExpr.as("adc"))
     lex.unionByName(vec)
       .as[(Long, Long, String, Option[Long], Option[Double])]
       .groupByKey(_._1)
@@ -1248,7 +1275,8 @@ object EventStreamPipeline {
             state.update(HybridSeen(true))
             val rs = rows.toSeq
             // per-leg ranking replays the batch contracts: lexical =
-            // (integer score desc, doc asc), vector = (cos desc, doc asc)
+            // (integer score desc, doc asc), vector = the ADC rule
+            // (distance asc, vec_id asc — adcRanked's window)
             val lexRanks = rs.filter(_._3 == "lex")
               .groupBy(_._2).map { case (d, g) => (d, g.flatMap(_._4).sum) }
               .toSeq.sortBy { case (d, s) => (-s, d) }
@@ -1256,7 +1284,7 @@ object EventStreamPipeline {
               .map { case ((d, _), i) => d -> (i + 1).toLong }.toMap
             val vecRanks = rs.filter(_._3 == "vec")
               .map(r => (r._2, r._5.get))
-              .sortBy { case (d, c) => (-c, d) }
+              .sortBy { case (d, c) => (c, d) }
               .take(TrainData.rrfDepth).zipWithIndex
               .map { case ((d, _), i) => d -> (i + 1).toLong }.toMap
             (lexRanks.keySet ++ vecRanks.keySet).toSeq.map { d =>

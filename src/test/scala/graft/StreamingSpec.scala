@@ -797,6 +797,58 @@ class StreamingSpec extends SparkSpec {
       s"partition layout diverged: $parts")
   }
 
+  test("index ingestion survives a checkpointed restart without loss or dupes") {
+    import graft.operators.Sim
+    // half the vectors land, the ingest query DIES, the rest land while
+    // it is down: the recovered query must append exactly the missing
+    // rows (the parquet sink's manifest + file-source offsets = effective
+    // exactly-once), leaving the stored index bit-equal to batch
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val byId = base.filter(col("vec_id") < math.max(Sim.nCentroids, Sim.pqK))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = (0 until Sim.nCentroids).map(k => byId(k.toLong))
+    val book = (0 until Sim.pqK).map(k => byId(k.toLong))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt_out").toString
+    val mid = base.agg(max(col("vec_id"))).head.getLong(0) / 2
+    def land(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      slice.coalesce(1).write.parquet(s"$dir/$name")
+      val f = new java.io.File(s"$dir/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val vectors = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = EventStreamPipeline.indexIngestStream(vectors, cents, book)
+        .writeStream.format("parquet").partitionBy("cluster")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    land(base.filter(col("vec_id") <= mid), "h0")
+    runOnce()
+    land(base.filter(col("vec_id") > mid), "h1")
+    runOnce()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("vec_id") ->
+        ((0 until Sim.pqM).map(j => r.getAs[Long](s"code$j")),
+          r.getAs[Number]("cluster").longValue)
+    val gotRows = spark.read.parquet(outDir).collect()
+    val got = gotRows.map(key).toMap
+    assert(gotRows.length == got.size,
+      "the restart appended duplicate code rows")
+    val bdir = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt_b").toString
+    Sim.writeVectorIndex(t, bdir)
+    val batch = spark.read.parquet(bdir).collect().map(key).toMap
+    assert(got == batch,
+      "post-restart stored index diverged from the batch build")
+  }
+
   test("bm25 serving over the PERSISTED index equals the in-plan postings") {
     import graft.operators.TrainData
     // the full production path: sink_text_index writes the bucketed index,
@@ -878,20 +930,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.keys.exists(_._1 >= 2), "post-restart batch produced nothing")
   }
 
-  test("streaming hybrid serving fuses both persisted legs exactly like batch") {
-    import graft.operators.TrainData
-    // both nightly artifacts: the lexical postings and the vector table
-    val postings = TrainData.bm25PostingsWithDf(t.documents).persist()
-    val vectors = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .persist()
+  /** Both persisted artifacts + the model literals for the hybrid serve
+    * specs: the bucketed lexical index (read back from sink_text_index's
+    * directory), the PQ code table (read back from writeVectorIndex's),
+    * the corpus scalars, and the centroid/codebook literals.
+    */
+  private def hybridServeFixture() = {
+    import graft.operators.{Sim, TrainData}
+    val tIdx = java.nio.file.Files.createTempDirectory("graft_hybrid_tidx").toString
+    TrainData.textIndexSink(t, Some(tIdx))
+    val postings = spark.read.parquet(tIdx).persist()
+    val vIdx = java.nio.file.Files.createTempDirectory("graft_hybrid_vidx").toString
+    Sim.writeVectorIndex(t, vIdx)
+    val codes = spark.read.parquet(vIdx).persist()
     val Array(nDocs, sumDl) = graft.operators.Dedup.withWords(t.documents)
       .agg(count(lit(1)), sum(size(col("w")))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val byId = base.filter(col("vec_id") < math.max(Sim.nCentroids, Sim.pqK))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = (0 until Sim.nCentroids).map(k => byId(k.toLong))
+    val book = (0 until Sim.pqK).map(k => byId(k.toLong))
     // a hybrid query carries BOTH faces of the doc: text + embedding
     val qdocs = t.documents.filter(col("doc_id") < TrainData.bm25NQueries)
       .select(col("doc_id"), col("text"))
-      .join(vectors.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .join(base.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    (postings, codes, cents, book, nDocs, sumDl, qdocs)
+  }
+
+  private def hybridBatchTruth() =
+    graft.operators.TrainData.hybridRrfStored(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"),
+          Option(r.getAs[java.lang.Long]("lex_rank")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("vec_rank")).map(_.longValue),
+          r.getAs[Long]("rrf_q6"))).toMap
+
+  test("streaming hybrid serving fuses both persisted legs exactly like batch") {
+    // the serve leg vs the STORED batch face (retrieval_hybrid_rrf_stored):
+    // lexical from the bucketed postings directory, vector = the IVF∘ADC
+    // probe of the stored code table — raw floats never enter the path
+    val (postings, codes, cents, book, nDocs, sumDl, qdocs) = hybridServeFixture()
     val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_q").toString
     Seq(qdocs.filter(col("doc_id") < 2), qdocs.filter(col("doc_id") >= 2))
       .zipWithIndex.foreach { case (slice, i) =>
@@ -904,26 +984,70 @@ class StreamingSpec extends SparkSpec {
     val queries = spark.readStream.schema(qdocs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val out = EventStreamPipeline
-      .hybridServeStream(queries, postings, vectors, nDocs, sumDl)
+      .hybridServeStream(queries, postings, codes, cents, book, nDocs, sumDl)
     runToMemory("hybridserve", out.toDF(), "append")
-    postings.unpersist(); vectors.unpersist()
     val got = spark
       .sql("SELECT queryId, rank, docId, lexRank, vecRank, rrfQ6 FROM hybridserve")
       .collect().map(r => (r.getLong(0), r.getInt(1)) ->
         (r.getLong(2), Option(r.getAs[java.lang.Long]("lexRank")).map(_.longValue),
           Option(r.getAs[java.lang.Long]("vecRank")).map(_.longValue),
           r.getLong(5))).toMap
-    val batch = TrainData.hybridRrf(t).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
-        (r.getAs[Long]("doc_id"),
-          Option(r.getAs[java.lang.Long]("lex_rank")).map(_.longValue),
-          Option(r.getAs[java.lang.Long]("vec_rank")).map(_.longValue),
-          r.getAs[Long]("rrf_q6"))).toMap
+    val batch = hybridBatchTruth()
+    postings.unpersist(); codes.unpersist()
     assert(got.keySet == batch.keySet,
       s"serving rank set differs: ${got.keySet.size} vs ${batch.keySet.size}")
     got.foreach { case (k, v) =>
       assert(v == batch(k), s"query/rank $k diverged: stream=$v batch=${batch(k)}")
     }
+  }
+
+  test("hybrid serving survives a checkpointed restart and rejects re-delivery") {
+    // the bm25ServeStream restart discipline on the fused face: half the
+    // queries land, the stream dies, the rest land PLUS a re-delivered
+    // copy of the first half — recovered Seen state must keep batch-1
+    // verdicts from re-emitting while new arrivals fuse normally
+    val (postings, codes, cents, book, nDocs, sumDl, qdocs) = hybridServeFixture()
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hybrid_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_hybrid_ckpt_out").toString
+    def land(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      slice.coalesce(1).write.parquet(s"$dir/$name")
+      val f = new java.io.File(s"$dir/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val queries = spark.readStream.schema(qdocs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = EventStreamPipeline
+        .hybridServeStream(queries, postings, codes, cents, book, nDocs, sumDl)
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    land(qdocs.filter(col("doc_id") < 2), "h0")
+    runOnce()
+    land(qdocs.filter(col("doc_id") >= 2), "h1")
+    land(qdocs.filter(col("doc_id") < 2), "h0again") // re-delivery
+    runOnce()
+    val gotRows = spark.read.parquet(outDir).collect()
+    val got = gotRows.map(r => (r.getAs[Long]("queryId"), r.getAs[Int]("rank")) ->
+      (r.getAs[Long]("docId"),
+        Option(r.getAs[java.lang.Long]("lexRank")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("vecRank")).map(_.longValue),
+        r.getAs[Long]("rrfQ6"))).toMap
+    assert(gotRows.length == got.size,
+      "re-delivered queries emitted duplicate verdicts across the restart")
+    val batch = hybridBatchTruth()
+    postings.unpersist(); codes.unpersist()
+    assert(got.keySet == batch.keySet, "restart lost or duplicated servings")
+    got.foreach { case (k, v) =>
+      assert(v == batch(k), s"query/rank $k diverged after restart: $v vs ${batch(k)}")
+    }
+    assert(got.keys.exists(_._1 >= 2), "post-restart batch produced nothing")
   }
 
   test("streaming packer reproduces the batch bins across micro-batches") {
