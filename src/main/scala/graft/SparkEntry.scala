@@ -217,6 +217,9 @@ object SparkEntry {
     "retrieval_hybrid_rrf_stored" -> ((s, d) => TrainData.hybridRrfStored(tables(s, d))),
     "sink_text_index"         -> ((s, d) => TrainData.textIndexSink(tables(s, d))),
     "sink_text_index_compact" -> ((s, d) => TrainData.textIndexCompact(tables(s, d))),
+    "sink_text_index_upsert"  -> ((s, d) => TrainData.textIndexUpsert(tables(s, d))),
+    "text_bm25_stored_fresh"  -> ((s, d) => TrainData.bm25TopKStoredFresh(tables(s, d))),
+    "retrieval_audit"         -> ((s, d) => TrainData.retrievalAudit(tables(s, d))),
     "mix_unimax"              -> ((s, d) => TrainData.mixUnimax(tables(s, d))),
     "dedup_soft_weight"       -> ((s, d) => Dedup.softWeight(tables(s, d)))
   )
@@ -566,11 +569,13 @@ object SparkEntry {
          floor(adc * 10000) / 10000 AS adc_dist
        FROM k WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
 
-  /** The refine oracle: ADC shortlist (shared chain) → exact cosine from
-    * the raw vectors → top-k on the exact scores.
+  /** The refine chain: ADC shortlist (shared chain) → exact cosine from
+    * the raw vectors → full exact re-ranking (ends in `rr`, no rank cut).
+    * ONE builder for the sim_ann_adc_rerank oracle and the retrieval
+    * audit's refine face, so the two cannot drift.
     */
-  private def pqAdcRerankSql: String =
-    s"""WITH $pqAdcChain,
+  private def pqAdcRefineChain: String =
+    s"""$pqAdcChain,
        sl AS (SELECT query_id, vec_id FROM k
               WHERE rank <= ${Sim.refineShortlist}),
        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -580,10 +585,80 @@ object SparkEntry {
                list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm) AS cos
              FROM sl JOIN qn USING (query_id) JOIN n USING (vec_id)),
        rr AS (SELECT query_id, vec_id, cos, row_number() OVER (
-                PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x)
+                PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM x)"""
+
+  private def pqAdcRerankSql: String =
+    s"""WITH $pqAdcRefineChain
        SELECT query_id, vec_id AS neighbor_id, rank,
          floor(cos * 10000) / 10000 AS cos_sim
        FROM rr WHERE rank <= ${Sim.topK} ORDER BY query_id, rank"""
+
+  /** The retrieval_audit oracle: five top-k set-overlap counts, each face
+    * nested as its OWN `WITH` subquery built from the SAME chain builders
+    * as that face's standalone oracle (pqAdcChain / ivfPqAdcChain /
+    * pqAdcRefineChain / bm25RankCtes / cosineRankCtes / rrfFuseSql) — so
+    * the audit provably scores the audited math, and no CTE names can
+    * clash across faces.
+    */
+  private def retrievalAuditSql: String = {
+    val k = Sim.topK
+    def row(metric: String, nq: Long, body: String): String =
+      s"""SELECT '$metric' AS metric, CAST($nq AS BIGINT) AS n_queries,
+         CAST($k AS BIGINT) AS k, n_agree,
+         floor(n_agree * 10000.0 / (${nq * k})) / 10000 AS overlap_at_k
+         FROM (WITH $body) z"""
+    val hybCte =
+      s"""hyk AS (WITH $bm25RankCtes,
+             ${cosineRankCtes(TrainData.bm25NQueries)},
+             ${rrfFuseSql(
+               s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+                  FROM lxr WHERE rank <= ${TrainData.rrfDepth}""",
+               s"""SELECT query_id, neighbor_id AS doc_id,
+                    CAST(rank AS BIGINT) AS vec_rank
+                  FROM cr WHERE rank <= ${TrainData.rrfDepth}""")})"""
+    val rows = Seq(
+      row("adc_vs_exact", Sim.nQueries,
+        s"""$pqAdcChain,
+           ${cosineRankCtes(Sim.nQueries)}
+           SELECT count(*) AS n_agree
+           FROM (SELECT query_id, vec_id FROM k WHERE rank <= $k) a
+           JOIN (SELECT query_id, neighbor_id AS vec_id FROM cr
+                 WHERE rank <= $k) b
+           USING (query_id, vec_id)"""),
+      row("ivfpq_vs_adc", Sim.nQueries,
+        s"""ivk AS (WITH ${ivfPqAdcChain(filtered = false)}
+                    SELECT query_id, vec_id FROM k WHERE rank <= $k),
+           adk AS (WITH $pqAdcChain
+                   SELECT query_id, vec_id FROM k WHERE rank <= $k)
+           SELECT count(*) AS n_agree
+           FROM ivk JOIN adk USING (query_id, vec_id)"""),
+      row("refine_vs_exact", Sim.nQueries,
+        s"""$pqAdcRefineChain,
+           ${cosineRankCtes(Sim.nQueries)}
+           SELECT count(*) AS n_agree
+           FROM (SELECT query_id, vec_id FROM rr WHERE rank <= $k) a
+           JOIN (SELECT query_id, neighbor_id AS vec_id FROM cr
+                 WHERE rank <= $k) b
+           USING (query_id, vec_id)"""),
+      row("hybrid_vs_lex", TrainData.bm25NQueries,
+        s"""$hybCte,
+           lx5 AS (WITH $bm25RankCtes
+                   SELECT query_id, doc_id FROM lxr
+                   WHERE rank <= ${TrainData.bm25TopK})
+           SELECT count(*) AS n_agree
+           FROM (SELECT query_id, doc_id FROM hyk) h
+           JOIN lx5 USING (query_id, doc_id)"""),
+      row("hybrid_vs_vec", TrainData.bm25NQueries,
+        s"""$hybCte,
+           vc5 AS (WITH ${cosineRankCtes(TrainData.bm25NQueries)}
+                   SELECT query_id, neighbor_id AS doc_id FROM cr
+                   WHERE rank <= $k)
+           SELECT count(*) AS n_agree
+           FROM (SELECT query_id, doc_id FROM hyk) h
+           JOIN vc5 USING (query_id, doc_id)"""))
+    rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) u ORDER BY metric")
+  }
 
   /** Nearest-centroid assignment CTE chain — the oracle mirror of
     * Sim.assignToCentroids, shared by emb_cluster_assign and
@@ -2840,6 +2915,20 @@ object SparkEntry {
     // directory equals a from-scratch build over the surviving docs
     "sink_text_index_compact" ->
       textIndexStatsSql(s"WHERE doc_id % 13 <> 0"),
+    // the daily append: SAME oracle as the from-scratch build — the stats
+    // face never reads df, so the hash match proves base ∪ delta equals
+    // the full build on the posting rows (the sink_vector_index_upsert
+    // rule on the lexical axis)
+    "sink_text_index_upsert" -> textIndexStatsSql(""),
+    // serving an UPSERTED (stale-stored-df) index through the fresh-df
+    // face: SAME oracle as text_bm25_topk — the hash match proves a
+    // day-old index served fresh equals the in-plan truth, i.e. serving
+    // between rewrites never reads a stale df
+    "text_bm25_stored_fresh" ->
+      s"""WITH $bm25RankCtes
+         SELECT query_id, doc_id, rank, n_terms, score_q6
+         FROM lxr WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank""",
+    "retrieval_audit" -> retrievalAuditSql,
     "text_contamination" -> {
       val g = TrainData.contamGram
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

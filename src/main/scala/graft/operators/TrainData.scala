@@ -926,7 +926,8 @@ object TrainData {
     * maxRecordsPerFile bounds file sizes — the sink_vector_index write
     * discipline on the lexical axis. Expects (doc_id, dl, term, tf, df).
     */
-  private def writePostings(postings: DataFrame, out: String): Unit =
+  private def writePostings(postings: DataFrame, out: String,
+      mode: String = "overwrite"): Unit =
     postings
       .withColumn("bucket",
         pmod(Dedup.portableHash(col("term")), lit(textIndexBuckets)))
@@ -934,9 +935,22 @@ object TrainData {
       .repartition(postings.sparkSession.sessionState.conf.numShufflePartitions,
         col("bucket"), col("salt"))
       .drop("salt")
-      .write.mode("overwrite")
+      .write.mode(mode)
       .option("maxRecordsPerFile", 1000000)
       .partitionBy("bucket").parquet(out)
+
+  /** The scalars sidecar persisted beside a postings directory: one
+    * (n_docs, sum_dl) row per write. The upsert APPENDS a delta row
+    * instead of rewriting (the corpus_stats_inc fold at the storage
+    * layer); readers aggregate `sum` over the rows, so base + deltas
+    * always reads as the current corpus totals with no rewrite.
+    */
+  private def writeScalars(docs: DataFrame, out: String,
+      mode: String = "overwrite"): Unit =
+    Dedup.withWords(docs)
+      .select(size(col("w")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode(mode).parquet(out)
 
   /** Per-bucket readback stats over a stored postings directory — the
     * shared face the build and the compaction return, so their oracles
@@ -997,6 +1011,57 @@ object TrainData {
     // materialize before returning (the pqAdcTopKStored discipline)
     graft.engine.Reliability.planCheckpoint(
       readTextIndexStats(t.spark, s"$base/compacted"))
+  }
+
+  /** The upserted-index write shared by `sink_text_index_upsert` and the
+    * fresh-serve face: nightly base build from the pre-delta corpus
+    * (postings WITH df, one scalars row), then the day's delta docs'
+    * postings APPENDED with df NULL — honestly absent, because a
+    * df-bearing posting depends on every other document containing the
+    * term (the `textIndexCompact` asymmetry): the delta invalidates the
+    * BASE rows' stored df too, so writing any number for the delta's df
+    * would only dress up a value nothing may read. Between weekly
+    * rewrites the serve path recomputes df live from matched postings
+    * (`bm25RankedFromStoredFresh`) and reads corpus totals as the SUM of
+    * sidecar rows (base + delta — the corpus_stats_inc fold).
+    */
+  private def writeUpsertedIndex(t: Tables, base: String): Unit = {
+    val mx = t.documents.agg(max(col("doc_id")).as("max_id"))
+    val withMx = t.documents.crossJoin(broadcast(mx))
+    val isDelta = Dedup.incIsDelta(col("doc_id"), col("max_id"))
+    val baseDocs = withMx.filter(!isDelta).drop("max_id")
+    val deltaDocs = withMx.filter(isDelta).drop("max_id")
+    writePostings(bm25PostingsWithDf(baseDocs), base, "overwrite")
+    writeScalars(baseDocs, s"${base}__scalars", "overwrite")
+    writePostings(
+      bm25Postings(deltaDocs).withColumn("df", lit(null).cast("long")),
+      base, "append")
+    writeScalars(deltaDocs, s"${base}__scalars", "append")
+  }
+
+  /** sink_text_index_upsert — the DAILY maintenance leg of the persisted
+    * lexical index (the vector index's `sink_vector_index_upsert` move on
+    * the lexical axis, honest about the df asymmetry): the day's delta
+    * documents' postings are encoded alone and APPENDED into the same
+    * bucket layout (new files inside each touched term-hash partition —
+    * no rewrite of existing files), with df NULL (see
+    * `writeUpsertedIndex`); the scalars sidecar gets one appended delta
+    * row. Returns the same per-bucket readback stats as `sink_text_index`
+    * and shares its oracle — the stats face never reads df, so a hash
+    * match PROVES base ∪ delta append equals the from-scratch full build
+    * on the posting rows. df freshness between rewrites is the serve
+    * face's job (`text_bm25_stored_fresh` — oracle-proven equal to the
+    * in-plan truth) and the weekly `sink_text_index_compact` rewrite
+    * restores stored df.
+    *
+    * Scale shape: the base never rewrites; delta work is |delta| tokenize
+    * + one (bucket, salt) shuffle of delta postings; the stats face is a
+    * map-side-combined groupBy on the bucket axis.
+    */
+  def textIndexUpsert(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val base = outDir.getOrElse("/tmp/graft_tindex/upsert")
+    writeUpsertedIndex(t, base)
+    graft.engine.Reliability.planCheckpoint(readTextIndexStats(t.spark, base))
   }
 
   /** The shared BM25 scoring columns — ONE expression tree for the batch
@@ -1165,6 +1230,73 @@ object TrainData {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** The FRESH-df BM25 ranking over an UPSERTED postings directory — the
+    * serve face that runs between weekly rewrites, when appended delta
+    * postings have made every stored df stale (and the delta's own df is
+    * NULL by design). The stored df column is NEVER read: per-term df is
+    * recomputed live from the matched postings — the `bm25Ranked`
+    * df-from-matched-postings move, so the recompute is bounded by the
+    * query's posting lists, never a full-vocabulary pass — and the corpus
+    * scalars read as the SUM of the sidecar's base + delta rows. Scoring
+    * columns are the shared expressions ⇒ fresh-served ranks are
+    * bit-equal to the in-plan `bm25Ranked` over the full corpus, which is
+    * exactly the freshness claim: serving between rewrites never reads a
+    * stale df.
+    */
+  private[graft] def bm25RankedFromStoredFresh(stored: DataFrame,
+      sidecar: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scalars = sidecar
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val qterms = stored.filter(col("doc_id") < bm25NQueries)
+      .select(col("term")).distinct()
+    // one matched-postings materialization feeds df + scoring (the
+    // bm25Ranked checkpoint discipline); stored df is dropped UNREAD
+    val tfq = graft.engine.Reliability.planCheckpoint(
+      stored.drop("df").join(broadcast(qterms), "term"))
+    val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = tfq.filter(col("doc_id") < bm25NQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val contrib = tfq
+      .join(broadcast(q), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", bm25Idf)
+      .withColumn("dl_ratio", bm25DlRatio)
+      .withColumn("tfn", bm25Tfn)
+      .withColumn("c_q6", bm25ContribQ6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q6").desc, col("doc_id").asc)
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_q6")).as("score_q6"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** text_bm25_stored_fresh — the registered end-to-end form of serving
+    * between rewrites: write the upserted index (base + appended delta,
+    * stale/NULL stored df), then answer the standard BM25 top-k reading
+    * ONLY the stored files through the fresh-df face. Shares
+    * `text_bm25_topk`'s oracle — the hash match PROVES a day-old index
+    * served fresh equals the in-plan truth over the full corpus, i.e. the
+    * daily append loses nothing a reader can observe (the
+    * corpus_stats_inc rule applied to retrieval). MATERIALIZED before
+    * returning (the pqAdcTopKStored discipline: the directory is
+    * deterministic and overwritten per run).
+    */
+  def bm25TopKStoredFresh(t: Tables): DataFrame = {
+    val dir = "/tmp/graft_tindex/fresh"
+    writeUpsertedIndex(t, dir)
+    val spark = t.spark
+    graft.engine.Reliability.planCheckpoint(
+      bm25RankedFromStoredFresh(
+          spark.read.parquet(dir), spark.read.parquet(s"${dir}__scalars"))
+        .filter(col("rank") <= bm25TopK)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          col("n_terms"), col("score_q6"))
+        .orderBy(col("query_id"), col("rank")))
+  }
+
   /** retrieval_hybrid_rrf_stored — the AT-SCALE hybrid face: the same RRF
     * fusion as `retrieval_hybrid_rrf`, but BOTH legs served from the
     * PERSISTED indexes (the production shape — a serving tier owns two
@@ -1186,15 +1318,76 @@ object TrainData {
     * Result is MATERIALIZED before returning (the pqAdcTopKStored
     * discipline: both directories are deterministic and overwritten).
     */
+  /** retrieval_audit — the dedup_audit discipline applied to search: one
+    * summary frame scoring the approximate retrieval stack against its
+    * own accuracy ceilings, the numbers a production deployment reads
+    * BEFORE trusting an index (FAISS's recall@k evaluation, run as a
+    * corpus job). Five comparisons, each the top-k set overlap between
+    * an approximate face and its reference face on the shared query set:
+    *
+    *  - adc_vs_exact    — the 4-byte-code ADC scan vs exact cosine: what
+    *                      the PQ compression costs.
+    *  - ivfpq_vs_adc    — IVF routing vs the full ADC scan: what probing
+    *                      `ivfPqProbes` lists instead of all costs.
+    *  - refine_vs_exact — the ADC→exact rerank vs exact: what the refine
+    *                      stage RECOVERS (its point is ≥ adc_vs_exact).
+    *  - hybrid_vs_lex / hybrid_vs_vec — RRF fusion vs each single leg:
+    *                      how far the fused ranking moves from either
+    *                      (1.0 would mean one leg dominates — fusion
+    *                      doing nothing).
+    *
+    * All overlaps are INTEGER counts over rank-cut sets (the legs' own
+    * deterministic rankings) ⇒ hash-exact; the floored ratio divides by
+    * the constant n_queries × k, so degenerate corpora yield 0 counts,
+    * never NULL or a crash. Oracle composes the SAME chain builders as
+    * each face's standalone oracle (nested WITH per face — no shared-CTE
+    * drift possible).
+    *
+    * Scale shape: every face is its own audited plan; the overlap joins
+    * touch only Q×k-row frames (config-sized). The cut faces are
+    * persisted so the union's branches don't recompute them. At 100 TB
+    * this runs on a sampled query set — the plan is identical, only the
+    * query filter changes (the dedup_audit rule).
+    */
+  def retrievalAudit(t: Tables): DataFrame = {
+    val exact5 = Sim.cosineRanked(t, Sim.nQueries)
+      .filter(col("rank") <= Sim.topK)
+      .select(col("query_id"), col("neighbor_id").as("nid")).persist()
+    val adc = Sim.pqAdcTopK(t)
+      .select(col("query_id"), col("neighbor_id").as("nid")).persist()
+    val hyb = hybridRrf(t)
+      .select(col("query_id"), col("doc_id").as("nid")).persist()
+    def overlap(metric: String, nq: Long, a: DataFrame, b: DataFrame)
+        : DataFrame =
+      a.join(b, Seq("query_id", "nid"))
+        .agg(count(lit(1)).as("n_agree"))
+        .select(lit(metric).as("metric"), lit(nq).as("n_queries"),
+          lit(Sim.topK.toLong).as("k"), col("n_agree"),
+          (floor(col("n_agree") * 10000.0 / (nq * Sim.topK)) / 10000)
+            .as("overlap_at_k"))
+    val rows = Seq(
+      overlap("adc_vs_exact", Sim.nQueries, adc, exact5),
+      overlap("ivfpq_vs_adc", Sim.nQueries,
+        Sim.ivfPqTopK(t).select(col("query_id"), col("neighbor_id").as("nid")),
+        adc),
+      overlap("refine_vs_exact", Sim.nQueries,
+        Sim.adcRefineTopK(t)
+          .select(col("query_id"), col("neighbor_id").as("nid")),
+        exact5),
+      overlap("hybrid_vs_lex", bm25NQueries, hyb,
+        bm25Ranked(t).filter(col("rank") <= bm25TopK)
+          .select(col("query_id"), col("doc_id").as("nid"))),
+      overlap("hybrid_vs_vec", bm25NQueries, hyb,
+        exact5.filter(col("query_id") < bm25NQueries)))
+    rows.reduce(_ unionByName _).orderBy(col("metric"))
+  }
+
   def hybridRrfStored(t: Tables): DataFrame = {
     val tOut = "/tmp/graft_tindex/hybrid_stored"
     writePostings(bm25PostingsWithDf(t.documents), tOut)
     // the scalars sidecar: corpus n_docs/sum_dl persisted WITH the index
     // (serving must not touch the raw corpus — including its size)
-    Dedup.withWords(t.documents)
-      .select(size(col("w")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"${tOut}__scalars")
+    writeScalars(t.documents, s"${tOut}__scalars")
     val vOut = "/tmp/graft_vindex/hybrid_stored"
     Sim.writeVectorIndex(t, vOut)
     val spark = t.spark

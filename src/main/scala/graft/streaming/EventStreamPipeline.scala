@@ -1125,6 +1125,44 @@ object EventStreamPipeline {
       col("cluster").cast("long").as("cluster"): _*)
   }
 
+  /** Live lexical-index INGESTION — the `indexIngestStream` twin on the
+    * text axis, matching the daily upsert's delta contract
+    * (`sink_text_index_upsert`): each arriving document tokenizes IN-ROW
+    * (the shared `Dedup.wordsCol` — ingestion can never drift from the
+    * batch tokenizer), folds to its per-term tf WITHOUT any stateful
+    * aggregation (distinct terms + an in-row occurrence count over the
+    * words array — zero shuffle, append-mode safe), and emits postings
+    * rows (doc_id, dl, term, tf, df = NULL, bucket) for the caller to
+    * append `.partitionBy("bucket")` into the persisted layout — new
+    * files inside each touched term-hash directory, never a rewrite.
+    * df is NULL by the upsert's design: a new document invalidates the
+    * BASE rows' stored df corpus-wide (the `textIndexCompact` asymmetry),
+    * so no per-row number could be correct — readers between rewrites
+    * serve through the fresh-df face (`text_bm25_stored_fresh`), and the
+    * weekly compaction restores stored df. The spec pins row-set and
+    * partition-layout equality with the batch upsert's delta portion —
+    * closing the lexical lifecycle loop: INGEST live → serve fresh →
+    * compact weekly.
+    */
+  def textIngestStream(docs: DataFrame): DataFrame = {
+    import graft.operators.{Dedup, TrainData}
+    docs
+      .withColumn("w", Dedup.wordsCol)
+      // dl stays INT (size()'s type) — the batch postings' parquet schema,
+      // so streamed files append cleanly into the stored layout
+      .withColumn("dl", size(col("w")))
+      .select(col("doc_id"), col("dl"),
+        explode(array_distinct(col("w"))).as("term"), col("w"))
+      .withColumn("tf",
+        expr("size(filter(w, x -> x = term))").cast("long"))
+      .withColumn("df", lit(null).cast("long"))
+      .withColumn("bucket",
+        pmod(Dedup.portableHash(col("term")),
+          lit(TrainData.textIndexBuckets)))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("df"), col("bucket"))
+  }
+
   case class Bm25Serve(queryId: Long, docId: Long, rank: Int,
       nTerms: Long, scoreQ6: Long)
   case class Bm25Seen(seen: Boolean)

@@ -2091,4 +2091,99 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
       s"compacted probe did not prune partitions:\n$plan")
   }
+
+  test("text index upsert appends the delta with NULL df, stats equal the build") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tiu_spec").toString + "/idx"
+    val upserted = TrainData.textIndexUpsert(t, Some(base)).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_postings"),
+        r.getAs[Long]("n_terms"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tf"))).sorted
+    val full = TrainData.textIndexSink(t).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_postings"),
+        r.getAs[Long]("n_terms"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tf"))).sorted
+    // base ∪ delta append == the from-scratch build on the posting rows
+    assert(upserted.sameElements(full))
+    val stored = spark.read.parquet(base)
+    val maxId = t.documents.agg(max(col("doc_id"))).head.getLong(0)
+    val isDelta = col("doc_id") * 5 > lit(maxId) * 4
+    // the delta really appended (both populations present) and carries the
+    // honest NULL df — no number exists that a reader could mistake for
+    // a valid document frequency
+    assert(stored.filter(isDelta).count() > 0, "no delta postings stored")
+    assert(stored.filter(!isDelta).count() > 0, "no base postings stored")
+    assert(stored.filter(isDelta && col("df").isNotNull).count() == 0,
+      "delta postings carry a df value")
+    assert(stored.filter(!isDelta && col("df").isNull).count() == 0,
+      "base postings lost their df")
+    // non-vacuity of the freshness problem: the delta made at least one
+    // base term's STORED df stale against the true corpus posting count
+    // (if this ever read 0 the fresh-serve spec would prove nothing)
+    val trueDf = TrainData.bm25PostingsWithDf(t.documents)
+      .select(col("term"), col("df").as("true_df")).distinct()
+    val stale = stored.filter(!isDelta).select("term", "df").distinct()
+      .join(trueDf, "term")
+      .filter(col("df") =!= col("true_df")).count()
+    assert(stale > 0, "no stored df went stale — the freshness spec is vacuous")
+    // the scalars sidecar is the corpus_stats_inc fold: base + delta rows
+    // summing to the corpus totals
+    val sidecar = spark.read.parquet(s"${base}__scalars").collect()
+    assert(sidecar.length == 2, s"expected base+delta sidecar rows: ${sidecar.length}")
+    val toks = Dedup.withWords(t.documents)
+      .agg(sum(size(col("w")))).head.getLong(0)
+    assert(sidecar.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
+    assert(sidecar.map(_.getAs[Long]("sum_dl")).sum == toks)
+  }
+
+  test("fresh-df serving over an upserted index equals the in-plan truth") {
+    // the upserted index's stored df is provably stale (previous spec);
+    // equality with the in-plan ranking — which uses the TRUE corpus df —
+    // is therefore only possible if the serve path read NO stored df
+    val got = TrainData.bm25TopKStoredFresh(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("score_q6")))
+    val want = TrainData.bm25TopKDocs(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("score_q6")))
+    assert(got.sameElements(want),
+      s"fresh-served ranking drifted from the in-plan truth")
+    assert(got.nonEmpty, "0-row pass proves nothing (the bm25 lesson)")
+  }
+
+  test("retrieval audit counts the overlaps of the faces it audits") {
+    def keySet(rows: Array[org.apache.spark.sql.Row], idCol: String) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long](idCol))).toSet
+    val exact5 = keySet(Sim.cosineRanked(t, Sim.nQueries)
+      .filter(col("rank") <= Sim.topK).collect(), "neighbor_id")
+    val adc = keySet(Sim.pqAdcTopK(t).collect(), "neighbor_id")
+    val ivf = keySet(Sim.ivfPqTopK(t).collect(), "neighbor_id")
+    val rfn = keySet(Sim.adcRefineTopK(t).collect(), "neighbor_id")
+    val lex = keySet(TrainData.bm25Ranked(t)
+      .filter(col("rank") <= TrainData.bm25TopK).collect(), "doc_id")
+    val hyb = keySet(TrainData.hybridRrf(t).collect(), "doc_id")
+    val expected = Map(
+      "adc_vs_exact" -> (adc & exact5).size,
+      "ivfpq_vs_adc" -> (ivf & adc).size,
+      "refine_vs_exact" -> (rfn & exact5).size,
+      "hybrid_vs_lex" -> (hyb & lex).size,
+      "hybrid_vs_vec" ->
+        (hyb & exact5.filter(_._1 < TrainData.bm25NQueries)).size)
+    val rows = TrainData.retrievalAudit(t).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val m = r.getAs[String]("metric")
+      val nAgree = r.getAs[Long]("n_agree")
+      assert(nAgree == expected(m), s"$m: got $nAgree want ${expected(m)}")
+      val bound = r.getAs[Long]("n_queries") * r.getAs[Long]("k")
+      assert(nAgree >= 0 && nAgree <= bound, s"$m out of [0, $bound]")
+      assert(r.getAs[Double]("overlap_at_k") ==
+        math.floor(nAgree * 10000.0 / bound) / 10000)
+    }
+    // the refine stage exists to RECOVER accuracy the codes gave up: on
+    // this corpus it must agree with exact at least as often as raw ADC
+    assert(expected("refine_vs_exact") >= expected("adc_vs_exact"),
+      "refine stage lost accuracy vs the raw ADC scan")
+  }
 }

@@ -849,6 +849,47 @@ class StreamingSpec extends SparkSpec {
       "post-restart stored index diverged from the batch build")
   }
 
+  test("streaming lexical ingestion writes the upsert's delta postings row for row") {
+    import graft.operators.TrainData
+    // the day's delta, exactly as the daily upsert defines it
+    val maxId = t.documents.agg(max(col("doc_id"))).head.getLong(0)
+    val isDelta = col("doc_id") * 5 > lit(maxId) * 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_tingest_in").toString
+    t.documents.filter(isDelta).coalesce(1).write.parquet(s"$dir/h0")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_tingest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tingest_ckpt").toString
+    val docs = spark.readStream.schema(t.documents.schema).parquet(s"$dir/h0")
+    val q = EventStreamPipeline.textIngestStream(docs)
+      .writeStream.format("parquet").partitionBy("bucket")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        (r.getAs[Int]("dl"), r.getAs[Long]("tf"),
+          r.getAs[Number]("bucket").longValue)
+    val gotRows = spark.read.parquet(outDir).collect()
+    // df is the honest NULL the upsert contract demands — nothing a
+    // reader could mistake for a valid document frequency
+    gotRows.foreach(r => assert(r.isNullAt(r.fieldIndex("df")),
+      "streamed posting carries a df value"))
+    val got = gotRows.map(key).toMap
+    assert(gotRows.length == got.size, "duplicate streamed postings")
+    // the batch twin: the delta portion of the upserted stored index
+    val base = java.nio.file.Files.createTempDirectory("graft_tingest_b")
+      .toString + "/idx"
+    TrainData.textIndexUpsert(t, Some(base))
+    val batch = spark.read.parquet(base).filter(isDelta).collect().map(key).toMap
+    assert(got.nonEmpty && got == batch,
+      "streamed postings diverged from the batch upsert's delta")
+    // same storage layout: a term probe prunes to the same bucket dirs
+    val parts = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    val wantParts = batch.values.map(_._3).toSet.map((b: Long) => s"bucket=$b")
+    assert(parts == wantParts, s"partition layout diverged: $parts vs $wantParts")
+  }
+
   test("bm25 serving over the PERSISTED index equals the in-plan postings") {
     import graft.operators.TrainData
     // the full production path: sink_text_index writes the bucketed index,
