@@ -609,6 +609,18 @@ object Dedup {
     * work bounded by current degree. Both faces return identical labels
     * (spec-pinned on the sf corpus and on a planted deep chain); the
     * registered oracle proves whichever runs.
+    *
+    * Default DECIDED ON MEASUREMENT (round 9, sf10 = 100× corpus,
+    * back-to-back same host, co-run + solo): solo dedup_groups 172 s
+    * propagation vs 160 s star, keep_best 142 vs 178, soft_weight 157
+    * vs 182 — parity within the CC family's run-to-run variance, because
+    * at this scale the PPJoin candidate generation dominates the chain
+    * and the label iteration is a minority share. Propagation therefore
+    * STAYS the default (fewer rounds on bench-scale graphs, simpler
+    * plan); star remains the conf-selected path for genuinely deep/hot
+    * components, where per-round full-edge shuffles and min-label
+    * hot-spotting are the known propagation failure modes the star
+    * alternation provably avoids.
     */
   val CcAlgoKey = "spark.graft.ccAlgo"
 

@@ -897,7 +897,12 @@ object TrainData {
     * nightly job persists next to the n_docs/sum_dl scalars).
     */
   def bm25PostingsWithDf(docs: DataFrame): DataFrame = {
-    val tf = bm25Postings(docs)
+    // materialize the postings ONCE: both the df aggregate and the join's
+    // probe side consume this frame, and without the checkpoint the full
+    // tokenize + tf build runs twice (ReuseExchange does not span the two
+    // differing parents of a shared aggregate — the bm25Ranked lesson
+    // applied to the index write path)
+    val tf = graft.engine.Reliability.planCheckpoint(bm25Postings(docs))
     tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), "term")
   }
 

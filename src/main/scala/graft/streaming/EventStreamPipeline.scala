@@ -1153,6 +1153,9 @@ object EventStreamPipeline {
       .withColumn("dl", size(col("w")))
       .select(col("doc_id"), col("dl"),
         explode(array_distinct(col("w"))).as("term"), col("w"))
+      // in-row tf is O(distinct terms × dl) per doc — the price of
+      // avoiding a stateful streaming aggregate; fine at real document
+      // lengths, and bulk backfill takes the batch upsert path anyway
       .withColumn("tf",
         expr("size(filter(w, x -> x = term))").cast("long"))
       .withColumn("df", lit(null).cast("long"))
