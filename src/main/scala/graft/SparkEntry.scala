@@ -215,6 +215,7 @@ object SparkEntry {
     "text_bm25_topk"          -> ((s, d) => TrainData.bm25TopKDocs(tables(s, d))),
     "retrieval_hybrid_rrf"    -> ((s, d) => TrainData.hybridRrf(tables(s, d))),
     "retrieval_hybrid_rrf_stored" -> ((s, d) => TrainData.hybridRrfStored(tables(s, d))),
+    "retrieval_hybrid_rrf_stored_fresh" -> ((s, d) => TrainData.hybridRrfStoredFresh(tables(s, d))),
     "sink_text_index"         -> ((s, d) => TrainData.textIndexSink(tables(s, d))),
     "sink_text_index_compact" -> ((s, d) => TrainData.textIndexCompact(tables(s, d))),
     "sink_text_index_upsert"  -> ((s, d) => TrainData.textIndexUpsert(tables(s, d))),
@@ -846,6 +847,26 @@ object SparkEntry {
        SELECT query_id, doc_id, rank, lex_rank, vec_rank, rrf_q6
        FROM rr WHERE rank <= $tk ORDER BY query_id, rank"""
   }
+
+  /** The stored-hybrid oracle: the SAME bm25 ranking CTEs as the in-plan
+    * hybrid (stored == computed on the lexical leg is sink_text_index's
+    * proven contract; fresh-df-served == in-plan is text_bm25_stored_
+    * fresh's), vector leg = the SAME ivf-pq chain as sim_ann_ivfpq
+    * (stored == computed is sink_vector_index's; upsert == build is
+    * sink_vector_index_upsert's), fused by the SAME rrfFuseSql builder.
+    * ONE string serves both the weekly-fresh and the mid-day faces.
+    */
+  private def hybridStoredSql: String =
+    s"""WITH $bm25RankCtes,
+       vk AS (WITH ${ivfPqAdcChain(filtered = false)}
+              SELECT query_id, vec_id, rank FROM k
+              WHERE query_id < ${TrainData.bm25NQueries}),
+       ${rrfFuseSql(
+         s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+            FROM lxr WHERE rank <= ${TrainData.rrfDepth}""",
+         s"""SELECT query_id, vec_id AS doc_id,
+              CAST(rank AS BIGINT) AS vec_rank
+            FROM vk WHERE rank <= ${TrainData.rrfDepth}""")}"""
 
   /** The exact-cosine FULL-ranking CTE chain (ending in `cr` = query_id,
     * neighbor_id, rank, cos — NO rank cut), parameterized by the query
@@ -2894,17 +2915,12 @@ object SparkEntry {
     // leg = the SAME ivf-pq chain as sim_ann_ivfpq (stored == computed is
     // sink_vector_index's), fused by the SAME rrfFuseSql builder — the
     // hash match proves fused-from-storage == fused-from-plan leg math
-    "retrieval_hybrid_rrf_stored" ->
-      s"""WITH $bm25RankCtes,
-         vk AS (WITH ${ivfPqAdcChain(filtered = false)}
-                SELECT query_id, vec_id, rank FROM k
-                WHERE query_id < ${TrainData.bm25NQueries}),
-         ${rrfFuseSql(
-           s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
-              FROM lxr WHERE rank <= ${TrainData.rrfDepth}""",
-           s"""SELECT query_id, vec_id AS doc_id,
-                CAST(rank AS BIGINT) AS vec_rank
-              FROM vk WHERE rank <= ${TrainData.rrfDepth}""")}""",
+    "retrieval_hybrid_rrf_stored" -> hybridStoredSql,
+    // the mid-day (upserted, not-yet-rewritten indexes) hybrid: SAME
+    // oracle as the stored hybrid — the hash match proves serving from
+    // day-old indexes on BOTH axes loses nothing a reader can observe
+    // (fresh-df lexical == in-plan truth; the vector append == the build)
+    "retrieval_hybrid_rrf_stored_fresh" -> hybridStoredSql,
     // readback-stats oracle for the persisted lexical index: per term-hash
     // bucket (the portable 60-bit md5 hash — the dedup_audit replay), the
     // posting rows, distinct terms/docs and total tf the stored files must

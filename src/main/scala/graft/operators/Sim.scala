@@ -1228,8 +1228,12 @@ object Sim {
     * one (cluster, salt) shuffle of delta codes; the stats face is a
     * map-side-combined groupBy on the list axis.
     */
-  def vectorIndexUpsert(t: Tables, outDir: Option[String] = None): DataFrame = {
-    val base = outDir.getOrElse("/tmp/graft_vindex/upsert")
+  /** The upserted-layout write (base overwrite + delta append) shared by
+    * the registered `sink_vector_index_upsert` and the day-old-index
+    * hybrid face (`retrieval_hybrid_rrf_stored_fresh`), so the two can
+    * never drift on what "a day-old vector index" means.
+    */
+  private[graft] def writeUpsertedVectorIndex(t: Tables, base: String): Unit = {
     val mx = t.embeddings.agg(max(col("vec_id")).as("max_id"))
     // one encode feeds both writes (in production the base index already
     // exists and ONLY the delta is encoded; here both sides re-derive
@@ -1239,6 +1243,11 @@ object Sim {
     writeCodes(withMx.filter(!isDelta).drop("max_id"), base, "overwrite")
     writeCodes(withMx.filter(isDelta).drop("max_id"), base, "append")
     withMx.unpersist()
+  }
+
+  def vectorIndexUpsert(t: Tables, outDir: Option[String] = None): DataFrame = {
+    val base = outDir.getOrElse("/tmp/graft_vindex/upsert")
+    writeUpsertedVectorIndex(t, base)
     graft.engine.Reliability.planCheckpoint(readIndexStats(t, base))
   }
 

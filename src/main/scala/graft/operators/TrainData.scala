@@ -1323,6 +1323,38 @@ object TrainData {
     * Result is MATERIALIZED before returning (the pqAdcTopKStored
     * discipline: both directories are deterministic and overwritten).
     */
+  /** retrieval_hybrid_rrf_stored_fresh — the MID-DAY hybrid: the same RRF
+    * fusion as `retrieval_hybrid_rrf_stored`, but both legs served from
+    * DAY-OLD (upserted, not-yet-rewritten) indexes — the state a serving
+    * tier actually lives in between weekly rewrites. The lexical leg
+    * reads the UPSERTED postings (base + appended delta, stored df
+    * provably stale / NULL) through the fresh-df face
+    * (`bm25RankedFromStoredFresh` — stored df never read, scalars = the
+    * sidecar SUM); the vector leg is the same IVF∘ADC probe over the
+    * UPSERTED code table (`sink_vector_index_upsert`'s layout — codes
+    * are per-vector facts, so the append IS the truth). SAME oracle as
+    * `retrieval_hybrid_rrf_stored`: the hash match proves serving from
+    * day-old indexes loses NOTHING a reader can observe — the composed
+    * closing proof of the round's two index-maintenance stories.
+    */
+  def hybridRrfStoredFresh(t: Tables): DataFrame = {
+    val tOut = "/tmp/graft_tindex/hybrid_fresh"
+    writeUpsertedIndex(t, tOut)
+    val vOut = "/tmp/graft_vindex/hybrid_fresh"
+    Sim.writeUpsertedVectorIndex(t, vOut)
+    val spark = t.spark
+    val lex = bm25RankedFromStoredFresh(
+        spark.read.parquet(tOut), spark.read.parquet(s"${tOut}__scalars"))
+      .filter(col("rank") <= rrfDepth)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val vec = Sim.ivfPqRankedFromStored(t, spark.read.parquet(vOut), bm25NQueries)
+      .filter(col("rank") <= rrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    graft.engine.Reliability.planCheckpoint(rrfFuse(lex, vec))
+  }
+
   /** retrieval_audit — the dedup_audit discipline applied to search: one
     * summary frame scoring the approximate retrieval stack against its
     * own accuracy ceilings, the numbers a production deployment reads

@@ -2152,6 +2152,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "0-row pass proves nothing (the bm25 lesson)")
   }
 
+  test("the mid-day hybrid equals the weekly-fresh stored hybrid row for row") {
+    // day-old indexes on both axes (stale/NULL lexical df, appended
+    // vector codes) served through the fresh faces must fuse to exactly
+    // what freshly rebuilt indexes fuse to — the composed proof of both
+    // maintenance stories
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_q6")))
+    val fresh = rows(TrainData.hybridRrfStoredFresh(t))
+    val weekly = rows(TrainData.hybridRrfStored(t))
+    assert(fresh.nonEmpty && fresh.sameElements(weekly),
+      "day-old-index hybrid diverged from the freshly-built stored hybrid")
+  }
+
   test("retrieval audit counts the overlaps of the faces it audits") {
     def keySet(rows: Array[org.apache.spark.sql.Row], idCol: String) =
       rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long](idCol))).toSet

@@ -549,6 +549,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(nHashAgg >= 2, s"a leg lost partial aggregation:\n$p")
   }
 
+  test("fresh-df stored serving keeps the bm25 broadcast shape") {
+    // the face that serves between index rewrites: query terms, the
+    // recomputed df table and the scalars fold must all broadcast into
+    // the matched-postings probe — a corpus-axis shuffle here would make
+    // every between-rewrites query pay an index-wide exchange
+    val dir = java.nio.file.Files.createTempDirectory("graft_pas_fresh")
+      .toString + "/idx"
+    val stats = TrainData.textIndexUpsert(t, Some(dir))
+    stats.collect() // materialize the write
+    val p = finalPlan(TrainData.bm25RankedFromStoredFresh(
+      spark.read.parquet(dir), spark.read.parquet(s"${dir}__scalars")))
+    assert(!p.contains("CartesianProduct"), s"fresh serve went cartesian:\n$p")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2, s"query/df sides lost their broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"scalars not broadcast:\n$p")
+  }
+
+  test("retrieval audit joins only config-sized shortlists, never cartesian") {
+    val p = finalPlan(TrainData.retrievalAudit(t))
+    assert(!p.contains("CartesianProduct"), s"audit went cartesian:\n$p")
+    // every overlap join is two Q×k frames — AQE must keep them broadcast
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 5, s"an overlap join shuffled a shortlist:\n$p")
+  }
+
   test("unimax counts tokens with partial agg; windows stay on the lang table") {
     val p = plan(TrainData.mixUnimax(t))
     assert(!p.contains("CartesianProduct"), s"unimax went cartesian:\n$p")

@@ -890,6 +890,56 @@ class StreamingSpec extends SparkSpec {
     assert(parts == wantParts, s"partition layout diverged: $parts vs $wantParts")
   }
 
+  test("lexical ingestion survives a checkpointed restart without loss or dupes") {
+    import graft.operators.TrainData
+    // half the delta lands, the ingest query DIES, the rest lands while it
+    // is down: the recovered query must append exactly the missing
+    // postings (file-source offsets + sink manifest = effective
+    // exactly-once), leaving the stored delta bit-equal to the batch
+    // upsert's delta portion
+    val maxId = t.documents.agg(max(col("doc_id"))).head.getLong(0)
+    val isDelta = col("doc_id") * 5 > lit(maxId) * 4
+    val delta = t.documents.filter(isDelta)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tingest_r_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_tingest_r_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tingest_r_ck").toString
+    val mid = (maxId * 4 / 5 + maxId) / 2
+    def land(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      slice.coalesce(1).write.parquet(s"$dir/$name")
+      val f = new java.io.File(s"$dir/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema(t.documents.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = EventStreamPipeline.textIngestStream(docs)
+        .writeStream.format("parquet").partitionBy("bucket")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    land(delta.filter(col("doc_id") <= mid), "h0")
+    runOnce()
+    land(delta.filter(col("doc_id") > mid), "h1")
+    runOnce()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        (r.getAs[Int]("dl"), r.getAs[Long]("tf"),
+          r.getAs[Number]("bucket").longValue)
+    val gotRows = spark.read.parquet(outDir).collect()
+    val got = gotRows.map(key).toMap
+    assert(gotRows.length == got.size, "the restart appended duplicate postings")
+    val base = java.nio.file.Files.createTempDirectory("graft_tingest_r_b")
+      .toString + "/idx"
+    TrainData.textIndexUpsert(t, Some(base))
+    val batch = spark.read.parquet(base).filter(isDelta).collect().map(key).toMap
+    assert(got.nonEmpty && got == batch,
+      "post-restart stored postings diverged from the batch upsert's delta")
+  }
+
   test("bm25 serving over the PERSISTED index equals the in-plan postings") {
     import graft.operators.TrainData
     // the full production path: sink_text_index writes the bucketed index,
