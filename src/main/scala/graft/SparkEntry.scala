@@ -221,6 +221,7 @@ object SparkEntry {
     "sink_text_index_upsert"  -> ((s, d) => TrainData.textIndexUpsert(tables(s, d))),
     "text_bm25_stored_fresh"  -> ((s, d) => TrainData.bm25TopKStoredFresh(tables(s, d))),
     "retrieval_audit"         -> ((s, d) => TrainData.retrievalAudit(tables(s, d))),
+    "retrieval_eval_ndcg"     -> ((s, d) => TrainData.retrievalEvalNdcg(tables(s, d))),
     "mix_unimax"              -> ((s, d) => TrainData.mixUnimax(tables(s, d))),
     "dedup_soft_weight"       -> ((s, d) => Dedup.softWeight(tables(s, d)))
   )
@@ -659,6 +660,78 @@ object SparkEntry {
            JOIN vc5 USING (query_id, doc_id)"""))
     rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) u ORDER BY metric")
+  }
+
+  /** The retrieval_eval_ndcg oracle. Judgments replay the all-integer
+    * Jaccard grading over the SAME distinct per-doc 3-shingles as
+    * Dedup.shingles; the three system rankings nest their own chain
+    * builders (the retrievalAuditSql pattern); the DCG discounts are the
+    * SAME Scala-computed micro-unit literals the Spark plan uses
+    * (`TrainData.ndcgDiscQ6`) — log2 never runs in either engine.
+    */
+  private def retrievalEvalNdcgSql: String = {
+    val k = TrainData.ndcgK
+    val disc = s"[${TrainData.ndcgDiscQ6.mkString(", ")}]"
+    val nq = TrainData.bm25NQueries
+    def evalSelect(name: String, sys: String): String =
+      s"""SELECT '$name' AS system, g.query_id, g.dcg_q6,
+           coalesce(ji.idcg_q6, 0) AS idcg_q6,
+           CASE WHEN ji.idcg_q6 > 0
+             THEN floor(g.dcg_q6 * 10000.0 / ji.idcg_q6) / 10000 END AS ndcg_q4
+         FROM (SELECT r.query_id,
+                 CAST(sum(coalesce(jrel.rel, 0) * ($disc)[r.rank]) AS BIGINT)
+                   AS dcg_q6
+               FROM $sys r LEFT JOIN jrel
+                 ON jrel.query_id = r.query_id AND jrel.doc_id = r.doc_id
+               GROUP BY 1) g
+         LEFT JOIN jidcg ji ON ji.query_id = g.query_id"""
+    s"""WITH jd AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+       jsh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s
+               FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                     FROM jd WHERE len(w) >= 3)),
+       jcnt AS (SELECT doc_id, count(*) AS c FROM jsh GROUP BY 1),
+       jrel AS (SELECT query_id, doc_id, rel FROM (
+                  SELECT p.qid AS query_id, p.did AS doc_id,
+                    CASE WHEN p.shared * 2 >= cd.c + cq.c - p.shared THEN 3
+                         WHEN p.shared * 4 >= cd.c + cq.c - p.shared THEN 2
+                         WHEN p.shared * 10 >= cd.c + cq.c - p.shared THEN 1
+                         ELSE 0 END AS rel
+                  FROM (SELECT q.doc_id AS qid, d.doc_id AS did,
+                          count(*) AS shared
+                        FROM jsh d JOIN jsh q ON d.s = q.s
+                        WHERE q.doc_id < $nq AND d.doc_id <> q.doc_id
+                        GROUP BY 1, 2) p
+                  JOIN jcnt cd ON cd.doc_id = p.did
+                  JOIN jcnt cq ON cq.doc_id = p.qid)
+                WHERE rel > 0),
+       jidcg AS (SELECT query_id,
+                   CAST(sum(rel * ($disc)[irank]) AS BIGINT) AS idcg_q6
+                 FROM (SELECT query_id, rel, row_number() OVER (
+                         PARTITION BY query_id ORDER BY rel DESC, doc_id)
+                         AS irank FROM jrel)
+                 WHERE irank <= $k GROUP BY 1),
+       bm AS (WITH $bm25RankCtes
+              SELECT query_id, doc_id, rank FROM lxr WHERE rank <= $k),
+       cs AS (WITH ${cosineRankCtes(nq)}
+              SELECT query_id, neighbor_id AS doc_id, rank FROM cr
+              WHERE rank <= $k),
+       hy AS (WITH $bm25RankCtes,
+              ${cosineRankCtes(nq)},
+              ${rrfFuseSql(
+                s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+                   FROM lxr WHERE rank <= ${TrainData.rrfDepth}""",
+                s"""SELECT query_id, neighbor_id AS doc_id,
+                     CAST(rank AS BIGINT) AS vec_rank
+                   FROM cr WHERE rank <= ${TrainData.rrfDepth}""")})
+       SELECT * FROM (
+         ${evalSelect("bm25", "bm")}
+         UNION ALL
+         ${evalSelect("cosine", "cs")}
+         UNION ALL
+         ${evalSelect("hybrid_rrf", "hy")}
+       ) u ORDER BY system, query_id"""
   }
 
   /** Nearest-centroid assignment CTE chain — the oracle mirror of
@@ -2945,6 +3018,7 @@ object SparkEntry {
          SELECT query_id, doc_id, rank, n_terms, score_q6
          FROM lxr WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank""",
     "retrieval_audit" -> retrievalAuditSql,
+    "retrieval_eval_ndcg" -> retrievalEvalNdcgSql,
     "text_contamination" -> {
       val g = TrainData.contamGram
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

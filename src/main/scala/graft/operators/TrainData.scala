@@ -1419,6 +1419,104 @@ object TrainData {
     rows.reduce(_ unionByName _).orderBy(col("metric"))
   }
 
+  /** NDCG cut depth — matches every face's registered top-k, so the eval
+    * scores exactly what the faces serve.
+    */
+  val ndcgK = 5
+
+  /** Per-position DCG discounts as micro-unit integers:
+    * d_i = floor(1e6 / log2(i + 1)), computed ONCE here and interpolated
+    * into BOTH plans as integer literals (the bm25 shape-constants move —
+    * log2 never runs inside either engine, so the one libm call with no
+    * cross-engine guarantee is evaluated exactly once, on the driver).
+    */
+  private[graft] val ndcgDiscQ6: Seq[Long] =
+    (1 to ndcgK).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Graded relevance judgments, SYSTEM-INDEPENDENT (the circularity
+    * rule: ground truth must not be derived from any system under
+    * evaluation): lexical 3-shingle Jaccard between each query doc and
+    * every other doc, graded in ALL-INTEGER arithmetic —
+    * rel 3 ⇔ j ≥ 1/2 (shared×2 ≥ union), rel 2 ⇔ j ≥ 1/4,
+    * rel 1 ⇔ j ≥ 1/10 — no float ever compares against a threshold, so
+    * the grade cannot flip cross-engine. Shares `Dedup.shingles`'s
+    * builder semantics (distinct per-doc 3-grams).
+    *
+    * Scale shape: the query side is Q docs — its shingle set broadcasts;
+    * the shared-count groupBy is bounded by matched shingle rows (≤ Q×N,
+    * map-side combined); one corpus-axis join attaches per-doc shingle
+    * counts. At 100 TB judgments come from human/LLM labels — same
+    * schema, this generator is the deterministic stand-in.
+    */
+  private[graft] def relevanceJudgments(t: Tables): DataFrame = {
+    val sh = Dedup.shingles(t)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val qsh = sh.filter(col("doc_id") < bm25NQueries)
+      .select(col("doc_id").as("query_id"), col("s"))
+    val qcnt = cnt.filter(col("doc_id") < bm25NQueries)
+      .select(col("doc_id").as("query_id"), col("c").as("qc"))
+    sh.join(broadcast(qsh), "s")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cnt, "doc_id")
+      .join(broadcast(qcnt), "query_id")
+      .withColumn("uni", col("c") + col("qc") - col("shared"))
+      .withColumn("rel",
+        when(col("shared") * 2 >= col("uni"), 3L)
+          .when(col("shared") * 4 >= col("uni"), 2L)
+          .when(col("shared") * 10 >= col("uni"), 1L)
+          .otherwise(0L))
+      .filter(col("rel") > 0)
+      .select(col("query_id"), col("doc_id"), col("rel"))
+  }
+
+  /** retrieval_eval_ndcg — ABSOLUTE retrieval quality (retrieval_audit
+    * measures agreement between faces; this measures each face against
+    * graded ground truth): NDCG@k per (system, query) for the three
+    * serving systems — BM25, exact cosine, hybrid RRF — against the
+    * system-independent judgments. DCG = Σ rel_i × d_i with the
+    * micro-unit integer discounts (`ndcgDiscQ6`), IDCG from the ideal
+    * (rel desc, doc_id asc) ordering of the query's judged docs — both
+    * exact integer sums; the only division is the final floored ratio
+    * over a positive IDCG (NULL when a query has no judged docs — the
+    * dedup_audit rule). This is the op a deployment runs on its judgment
+    * list before and after every index/ranker change.
+    */
+  def retrievalEvalNdcg(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val judg = relevanceJudgments(t).persist()
+    val disc = typedLit(ndcgDiscQ6)
+    val idcg = judg
+      .withColumn("irank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("irank") <= ndcgK)
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * element_at(disc, col("irank"))).as("idcg_q6"))
+    val systems = Seq(
+      ("bm25", bm25Ranked(t).filter(col("rank") <= ndcgK)
+        .select(col("query_id"), col("doc_id"), col("rank"))),
+      ("cosine", Sim.cosineRanked(t, bm25NQueries)
+        .filter(col("rank") <= ndcgK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))),
+      ("hybrid_rrf", hybridRrf(t)
+        .select(col("query_id"), col("doc_id"), col("rank"))))
+    systems.map { case (name, ranked) =>
+      ranked
+        .join(judg, Seq("query_id", "doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .groupBy(col("query_id"))
+        .agg(sum(col("rel") * element_at(disc, col("rank"))).as("dcg_q6"))
+        .join(idcg, Seq("query_id"), "left")
+        .select(lit(name).as("system"), col("query_id"), col("dcg_q6"),
+          coalesce(col("idcg_q6"), lit(0L)).as("idcg_q6"),
+          when(col("idcg_q6") > 0,
+            floor(col("dcg_q6") * 10000.0 / col("idcg_q6")) / 10000)
+            .as("ndcg_q4"))
+    }.reduce(_ unionByName _).orderBy(col("system"), col("query_id"))
+  }
+
   def hybridRrfStored(t: Tables): DataFrame = {
     val tOut = "/tmp/graft_tindex/hybrid_stored"
     writePostings(bm25PostingsWithDf(t.documents), tOut)

@@ -2166,6 +2166,76 @@ class LlmOpsSpec extends SparkSpec {
       "day-old-index hybrid diverged from the freshly-built stored hybrid")
   }
 
+  test("ndcg judgments grade planted jaccard levels in exact integers") {
+    import spark.implicits._
+    // query doc 0 has shingles {"a b c", "b c d"}; each planted doc hits
+    // one grade boundary EXACTLY (the all-integer comparisons):
+    //  100 identical            j = 1      → rel 3
+    //  101 1 shared / 3 union   j = 1/3    → rel 2 (1*4 ≥ 3)
+    //  102 1 shared / 2 union   j = 1/2    → rel 3 (1*2 ≥ 2, boundary)
+    //  103 1 shared / 9 union   j = 1/9    → rel 1 (1*10 ≥ 9)
+    //  104 1 shared / 12 union  j = 1/12   → dropped (1*10 < 12)
+    val docs = Seq(
+      (0L, "a b c d"),
+      (100L, "a b c d"),
+      (101L, "a b c x"),
+      (102L, "a b c"),
+      (103L, "a b c e f g h i j k"),
+      (104L, "a b c e f g h i j k l m n")).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val got = TrainData.relevanceJudgments(t2).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rel")).toMap
+    assert(got == Map(100L -> 3L, 101L -> 2L, 102L -> 3L, 103L -> 1L),
+      s"planted grades diverged: $got")
+  }
+
+  test("ndcg eval replays from the judgments and the faces it scores") {
+    val disc = TrainData.ndcgDiscQ6
+    val judg = TrainData.relevanceJudgments(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rel")).toMap
+    assert(judg.nonEmpty, "no judged pairs — the eval would be vacuous")
+    val idcg: Map[Long, Long] = judg.toSeq
+      .map { case ((q, d), rel) => (q, d, rel) }
+      .groupBy(_._1).map { case (q, g) =>
+        q -> g.sortBy(x => (-x._3, x._2)).take(TrainData.ndcgK)
+          .zipWithIndex.map { case ((_, _, rel), i) => rel * disc(i) }.sum
+      }
+    def dcgOf(ranked: Array[(Long, Long, Int)]): Map[Long, Long] =
+      ranked.groupBy(_._1).map { case (q, g) =>
+        q -> g.map { case (_, d, rk) =>
+          judg.getOrElse((q, d), 0L) * disc(rk - 1) }.sum
+      }
+    val faces: Map[String, Map[Long, Long]] = Map(
+      "bm25" -> dcgOf(TrainData.bm25Ranked(t)
+        .filter(col("rank") <= TrainData.ndcgK).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("rank")))),
+      "cosine" -> dcgOf(Sim.cosineRanked(t, TrainData.bm25NQueries)
+        .filter(col("rank") <= TrainData.ndcgK).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("rank")))),
+      "hybrid_rrf" -> dcgOf(TrainData.hybridRrf(t).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("rank")))))
+    val rows = TrainData.retrievalEvalNdcg(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sys, q) = (r.getAs[String]("system"), r.getAs[Long]("query_id"))
+      val wantDcg = faces(sys).getOrElse(q, 0L)
+      assert(r.getAs[Long]("dcg_q6") == wantDcg, s"$sys/$q dcg drift")
+      val wantIdcg = idcg.getOrElse(q, 0L)
+      assert(r.getAs[Long]("idcg_q6") == wantIdcg, s"$sys/$q idcg drift")
+      if (wantIdcg > 0)
+        assert(r.getAs[Double]("ndcg_q4") ==
+          math.floor(wantDcg * 10000.0 / wantIdcg) / 10000, s"$sys/$q ratio")
+      // NDCG is a [0, 1] metric by construction: DCG over the ideal
+      // ordering can never exceed IDCG
+      assert(wantDcg <= wantIdcg, s"$sys/$q dcg exceeds ideal")
+    }
+  }
+
   test("retrieval audit counts the overlaps of the faces it audits") {
     def keySet(rows: Array[org.apache.spark.sql.Row], idCol: String) =
       rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long](idCol))).toSet

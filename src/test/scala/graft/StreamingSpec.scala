@@ -968,6 +968,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "serving from the stored index diverged from batch")
   }
 
+  test("bm25 serving live from a DAY-OLD upserted index with refreshed df") {
+    import graft.operators.TrainData
+    // the mid-day LIVE contract (the batch text_bm25_stored_fresh story
+    // on the serve stream): the index is upserted — appended delta, every
+    // stored df stale or NULL — and the serving tier refreshes df with
+    // ONE static-side groupBy over the stored postings (caller-owned,
+    // persisted once) and reads corpus scalars as the sidecar SUM; the
+    // stream itself is unchanged bm25ServeStream. Verdicts must equal the
+    // in-plan batch truth, which uses the TRUE corpus df — possible only
+    // if no stale stored df leaked into serving.
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_fresh_idx")
+      .toString + "/idx"
+    TrainData.textIndexUpsert(t, Some(idx))
+    val stored = spark.read.parquet(idx)
+    val freshPostings = stored.drop("df")
+      .join(stored.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      .persist()
+    val Array(nDocs, sumDl) = spark.read.parquet(s"${idx}__scalars")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_fresh_q").toString
+    t.documents.filter(col("doc_id") < TrainData.bm25NQueries)
+      .coalesce(1).write.parquet(s"$dir/h0")
+    val queries = spark.readStream.schema(t.documents.schema).parquet(s"$dir/h0")
+    val out = EventStreamPipeline.bm25ServeStream(queries, freshPostings, nDocs, sumDl)
+    runToMemory("bm25fresh", out.toDF(), "append")
+    freshPostings.unpersist()
+    val got = spark.sql("SELECT queryId, rank, docId, nTerms, scoreQ6 FROM bm25fresh")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = TrainData.bm25TopKDocs(t).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+          r.getAs[Long]("score_q6"))).toMap
+    assert(got.nonEmpty && got == batch,
+      "mid-day live serving diverged from the in-plan truth")
+  }
+
   test("bm25 serving survives a checkpointed restart and rejects re-delivery") {
     import graft.operators.TrainData
     // the second half of the query stream lands while the query is DOWN,
