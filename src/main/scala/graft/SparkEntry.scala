@@ -223,7 +223,8 @@ object SparkEntry {
     "retrieval_audit"         -> ((s, d) => TrainData.retrievalAudit(tables(s, d))),
     "retrieval_eval_ndcg"     -> ((s, d) => TrainData.retrievalEvalNdcg(tables(s, d))),
     "mix_unimax"              -> ((s, d) => TrainData.mixUnimax(tables(s, d))),
-    "dedup_soft_weight"       -> ((s, d) => Dedup.softWeight(tables(s, d)))
+    "dedup_soft_weight"       -> ((s, d) => Dedup.softWeight(tables(s, d))),
+    "split_leakage_safe"      -> ((s, d) => Dedup.splitLeakageSafe(tables(s, d)))
   )
 
   /** DuckDB list literal for a stopword set. */
@@ -2780,6 +2781,26 @@ object SparkEntry {
          LEFT JOIN lbl l ON dd.doc_id = l.doc_id
          LEFT JOIN sz s ON l.group_id = s.group_id
          ORDER BY dd.doc_id""",
+    // leakage-safe split: the assignment hashes the GROUP id (shared
+    // dup-groups closure), so near-dup clusters cannot straddle splits;
+    // the portable 60-bit md5 permille bucket replays exactly
+    "split_leakage_safe" ->
+      s"""$dupGroupsCtes,
+         base AS (SELECT dd.doc_id,
+                    coalesce(l.group_id, dd.doc_id) AS group_id,
+                    CAST(coalesce(s.group_size, 1) AS BIGINT) AS group_size
+                  FROM documents dd
+                  LEFT JOIN lbl l ON dd.doc_id = l.doc_id
+                  LEFT JOIN sz s ON l.group_id = s.group_id),
+         bk AS (SELECT *,
+                  CAST(concat('0x', substring(md5(CAST(group_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 1000 AS bucket
+                FROM base)
+         SELECT doc_id, group_id, group_size, bucket,
+           CASE WHEN bucket < ${Dedup.splitTrainPermille} THEN 'train'
+                WHEN bucket < ${Dedup.splitValPermille} THEN 'val'
+                ELSE 'test' END AS split
+         FROM bk ORDER BY doc_id""",
     "sim_ann_cosine_topk" ->
       s"""WITH ${cosineRankCtes(Sim.nQueries)}
          SELECT query_id, neighbor_id, rank, floor(cos * 10000) / 10000 AS cos_sim

@@ -849,6 +849,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Split fractions in permille: [0, 900) train, [900, 950) val,
+    * [950, 1000) test.
+    */
+  val splitTrainPermille = 900L
+  val splitValPermille = 950L
+
+  /** split_leakage_safe — train/val/test assignment that cannot leak
+    * near-duplicates across splits: the split is a deterministic hash of
+    * the near-dup GROUP id, not the document id, so every member of a
+    * cluster lands in the same split (per-doc hash splitting silently
+    * puts a train doc's near-copy into test — the eval-contamination
+    * failure mode this operator exists to prevent; singletons hash their
+    * own id). Portable 60-bit md5 hash into permille buckets so the
+    * oracle replays the assignment exactly (the textIndexBuckets move).
+    *
+    * Scale shape: identical to `softWeight` — the group table is tiny,
+    * one doc_id-axis left join, the hash and split are row expressions.
+    */
+  def splitLeakageSafe(t: Tables): DataFrame = {
+    val g = dupGroupsUnsorted(t)
+    t.documents.select(col("doc_id"))
+      .join(g.select(col("doc_id"), col("group_id"), col("group_size")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"))
+      .withColumn("bucket",
+        pmod(portableHash(col("group_id").cast("string")), lit(1000L)))
+      .withColumn("split",
+        when(col("bucket") < splitTrainPermille, "train")
+          .when(col("bucket") < splitValPermille, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("group_id"), col("group_size"),
+        col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_audit — the approximate-vs-exact dedup audit every production
     * pipeline should run on a sample before trusting its ANN dedup: the
     * MinHash-LSH candidate pairs and the est-Jaccard-verified subset are

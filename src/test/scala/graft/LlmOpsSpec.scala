@@ -2166,6 +2166,36 @@ class LlmOpsSpec extends SparkSpec {
       "day-old-index hybrid diverged from the freshly-built stored hybrid")
   }
 
+  test("leakage-safe split never separates a near-dup pair across splits") {
+    val rows = Dedup.splitLeakageSafe(t).collect()
+    // every document assigned exactly once
+    assert(rows.length == t.documents.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    val splitOf = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // the leakage pin against the ACTUAL near-dup pair list (not just the
+    // group table the operator itself derives): each pair co-locates
+    val pairs = Dedup.ngramJaccard(t).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(pairs.nonEmpty, "no near-dup pairs — the leakage pin is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b),
+        s"near-dup pair ($a, $b) split across ${splitOf(a)}/${splitOf(b)}")
+    }
+    // the split is a function of the group hash — bucket agrees with split
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val want = if (b < Dedup.splitTrainPermille) "train"
+        else if (b < Dedup.splitValPermille) "val" else "test"
+      assert(r.getAs[String]("split") == want)
+    }
+    // all three splits are populated and train dominates (the 90/5/5
+    // intent, asserted loosely — the hash is uniform, not exact)
+    val counts = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length)
+    assert(counts.keySet == Set("train", "val", "test"), s"missing split: $counts")
+    assert(counts("train") > rows.length / 2, s"train not dominant: $counts")
+  }
+
   test("ndcg judgments grade planted jaccard levels in exact integers") {
     import spark.implicits._
     // query doc 0 has shingles {"a b c", "b c d"}; each planted doc hits
