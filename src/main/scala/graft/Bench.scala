@@ -38,7 +38,12 @@ object Bench {
     "dw_user_detail_inc", "route_event_attr", "pipeline_curation_llm",
     "gate_resolve_stats", "pipeline_event_attr", "text_langid_agreement",
     "dedup_minhash_lsh", "dedup_audit",
-    "sim_ann_ivfpq_residual_trained", "emb_pq_encode_trained")
+    "sim_ann_ivfpq_residual_trained", "emb_pq_encode_trained",
+    // the round-9 heavies: the inline-index-building retrieval faces and
+    // the CC-chain consumers (all ~7-15 s solo at sf0.1)
+    "retrieval_hybrid_rrf_stored_fresh", "retrieval_hybrid_rrf_stored",
+    "retrieval_audit", "retrieval_eval_ndcg",
+    "dedup_soft_weight", "split_leakage_safe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
