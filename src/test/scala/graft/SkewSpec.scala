@@ -68,6 +68,37 @@ class SkewSpec extends SparkSpec {
       s"one task read $maxTask records — the hot app was not range-split")
   }
 
+  test("ndcg judgments: a corpus-wide hot shingle stays broadcast-bounded") {
+    import spark.implicits._
+    val n = 400
+    // every doc (including the query docs) carries the same 5 hot
+    // 3-grams plus unique filler: every (query, doc) pair matches on all
+    // 5 — the shape that would melt a shuffled shingle-axis join and
+    // reward losing the map-side combine of the shared-count groupBy
+    val hot = "h1 h2 h3 h4 h5 h6 h7"
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"$hot u${i}a u${i}b u${i}c")
+    }.toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val judg = TrainData.relevanceJudgments(t2)
+    // the query shingle set rides a broadcast — the shingle axis is never
+    // a shuffled join key, so the hot shingle cannot concentrate anywhere
+    val plan = judg.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") ||
+      !plan.matches("(?s).*SortMergeJoin [^\\n]*\\bs\\b.*"),
+      s"the shingle axis shuffled:\n$plan")
+    var rows = 0L
+    val maxTask = maxTaskShuffleRead { rows = judg.count() }
+    // every non-query doc shares 5 of its 8 shingles with each query ⇒
+    // jaccard 5/11 ≥ 1/4 ⇒ graded; the pair axis itself is the bound
+    assert(rows >= TrainData.bm25NQueries * (n - TrainData.bm25NQueries),
+      s"hot-shingle corpus lost judged pairs: $rows")
+    val pairBound = TrainData.bm25NQueries * n
+    assert(maxTask < 2 * pairBound,
+      s"one task read $maxTask records — the hot shingle concentrated " +
+        s"(pair-axis bound ${2 * pairBound})")
+  }
+
   test("ppjoin: a corpus-wide hot shingle cannot go quadratic") {
     import spark.implicits._
     val n = 400
