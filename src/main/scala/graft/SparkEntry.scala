@@ -695,9 +695,9 @@ object SparkEntry {
        jcnt AS (SELECT doc_id, count(*) AS c FROM jsh GROUP BY 1),
        jrel AS (SELECT query_id, doc_id, rel FROM (
                   SELECT p.qid AS query_id, p.did AS doc_id,
-                    CASE WHEN p.shared * 2 >= cd.c + cq.c - p.shared THEN 3
-                         WHEN p.shared * 4 >= cd.c + cq.c - p.shared THEN 2
-                         WHEN p.shared * 10 >= cd.c + cq.c - p.shared THEN 1
+                    CASE WHEN p.shared * 25 >= cd.c + cq.c - p.shared THEN 3
+                         WHEN p.shared * 50 >= cd.c + cq.c - p.shared THEN 2
+                         WHEN p.shared * 100 >= cd.c + cq.c - p.shared THEN 1
                          ELSE 0 END AS rel
                   FROM (SELECT q.doc_id AS qid, d.doc_id AS did,
                           count(*) AS shared
@@ -718,6 +718,9 @@ object SparkEntry {
        cs AS (WITH ${cosineRankCtes(nq)}
               SELECT query_id, neighbor_id AS doc_id, rank FROM cr
               WHERE rank <= $k),
+       iv AS (WITH ${ivfPqAdcChain(filtered = false)}
+              SELECT query_id, vec_id AS doc_id, rank FROM k
+              WHERE rank <= $k AND query_id < $nq),
        hy AS (WITH $bm25RankCtes,
               ${cosineRankCtes(nq)},
               ${rrfFuseSql(
@@ -732,6 +735,8 @@ object SparkEntry {
          ${evalSelect("cosine", "cs")}
          UNION ALL
          ${evalSelect("hybrid_rrf", "hy")}
+         UNION ALL
+         ${evalSelect("ivfpq", "iv")}
        ) u ORDER BY system, query_id"""
   }
 

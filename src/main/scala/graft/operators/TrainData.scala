@@ -1438,10 +1438,15 @@ object TrainData {
     * rule: ground truth must not be derived from any system under
     * evaluation): lexical 3-shingle Jaccard between each query doc and
     * every other doc, graded in ALL-INTEGER arithmetic —
-    * rel 3 ⇔ j ≥ 1/2 (shared×2 ≥ union), rel 2 ⇔ j ≥ 1/4,
-    * rel 1 ⇔ j ≥ 1/10 — no float ever compares against a threshold, so
-    * the grade cannot flip cross-engine. Shares `Dedup.shingles`'s
-    * builder semantics (distinct per-doc 3-grams).
+    * rel 3 ⇔ j ≥ 1/25 (shared×25 ≥ union), rel 2 ⇔ j ≥ 1/50,
+    * rel 1 ⇔ j ≥ 1/100 — no float ever compares against a threshold, so
+    * the grade cannot flip cross-engine. The thresholds are TUNED TO THE
+    * SYNTHETIC CORPUS's similarity range (query-doc jaccard tops out
+    * ≈ 0.04 at sf0.01 — a 0-pair judgment list would make every DCG a
+    * vacuous zero, the text_bm25_topk 0-row lesson); a real deployment
+    * replaces this generator with human/LLM labels of the same schema.
+    * Shares `Dedup.shingles`'s builder semantics (distinct per-doc
+    * 3-grams).
     *
     * Scale shape: the query side is Q docs — its shingle set broadcasts;
     * the shared-count groupBy is bounded by matched shingle rows (≤ Q×N,
@@ -1464,9 +1469,9 @@ object TrainData {
       .join(broadcast(qcnt), "query_id")
       .withColumn("uni", col("c") + col("qc") - col("shared"))
       .withColumn("rel",
-        when(col("shared") * 2 >= col("uni"), 3L)
-          .when(col("shared") * 4 >= col("uni"), 2L)
-          .when(col("shared") * 10 >= col("uni"), 1L)
+        when(col("shared") * 25 >= col("uni"), 3L)
+          .when(col("shared") * 50 >= col("uni"), 2L)
+          .when(col("shared") * 100 >= col("uni"), 1L)
           .otherwise(0L))
       .filter(col("rel") > 0)
       .select(col("query_id"), col("doc_id"), col("rel"))
@@ -1501,7 +1506,14 @@ object TrainData {
         .filter(col("rank") <= ndcgK)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))),
       ("hybrid_rrf", hybridRrf(t)
-        .select(col("query_id"), col("doc_id"), col("rank"))))
+        .select(col("query_id"), col("doc_id"), col("rank"))),
+      // the COMPRESSED serving path: what the 4-byte-code index a 100 TB
+      // tier actually scans costs in absolute quality vs the exact legs
+      // (per-query ranks are query-independent, so the nQueries→Q cut is
+      // a plain filter)
+      ("ivfpq", Sim.ivfPqTopK(t)
+        .filter(col("query_id") < bm25NQueries)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))))
     systems.map { case (name, ranked) =>
       ranked
         .join(judg, Seq("query_id", "doc_id"), "left")

@@ -2199,24 +2199,25 @@ class LlmOpsSpec extends SparkSpec {
   test("ndcg judgments grade planted jaccard levels in exact integers") {
     import spark.implicits._
     // query doc 0 has shingles {"a b c", "b c d"}; each planted doc hits
-    // one grade boundary EXACTLY (the all-integer comparisons):
-    //  100 identical            j = 1      → rel 3
-    //  101 1 shared / 3 union   j = 1/3    → rel 2 (1*4 ≥ 3)
-    //  102 1 shared / 2 union   j = 1/2    → rel 3 (1*2 ≥ 2, boundary)
-    //  103 1 shared / 9 union   j = 1/9    → rel 1 (1*10 ≥ 9)
-    //  104 1 shared / 12 union  j = 1/12   → dropped (1*10 < 12)
-    val docs = Seq(
-      (0L, "a b c d"),
-      (100L, "a b c d"),
-      (101L, "a b c x"),
-      (102L, "a b c"),
-      (103L, "a b c e f g h i j k"),
-      (104L, "a b c e f g h i j k l m n")).toDF("doc_id", "text")
+    // one grade boundary EXACTLY (the all-integer comparisons, with the
+    // corpus-tuned 1/25, 1/50, 1/100 thresholds). A doc of n words holds
+    // n-2 distinct shingles; sharing exactly "a b c" gives
+    // union = 2 + (n-2) - 1 = n - 1:
+    //  100 identical              j = 1      → rel 3
+    //  101 26 words, 1 shared     j = 1/25   → rel 3 (1*25 ≥ 25, boundary)
+    //  102 51 words, 1 shared     j = 1/50   → rel 2 (boundary)
+    //  103 101 words, 1 shared    j = 1/100  → rel 1 (boundary)
+    //  104 102 words, 1 shared    j = 1/101  → dropped (1*100 < 101)
+    def filler(id: Long, nWords: Int): (Long, String) =
+      (id, ("a b c" +: (4 to nWords).map(j => s"w${id}x$j")).mkString(" "))
+    val docs = (Seq((0L, "a b c d"), (100L, "a b c d")) ++
+      Seq(filler(101L, 26), filler(102L, 51), filler(103L, 101),
+        filler(104L, 102))).toDF("doc_id", "text")
     val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
     val got = TrainData.relevanceJudgments(t2).collect()
       .filter(_.getAs[Long]("query_id") == 0L)
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rel")).toMap
-    assert(got == Map(100L -> 3L, 101L -> 2L, 102L -> 3L, 103L -> 1L),
+    assert(got == Map(100L -> 3L, 101L -> 3L, 102L -> 2L, 103L -> 1L),
       s"planted grades diverged: $got")
   }
 
@@ -2248,6 +2249,10 @@ class LlmOpsSpec extends SparkSpec {
           r.getAs[Int]("rank")))),
       "hybrid_rrf" -> dcgOf(TrainData.hybridRrf(t).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("rank")))),
+      "ivfpq" -> dcgOf(Sim.ivfPqTopK(t).collect()
+        .filter(_.getAs[Long]("query_id") < TrainData.bm25NQueries)
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
           r.getAs[Int]("rank")))))
     val rows = TrainData.retrievalEvalNdcg(t).collect()
     assert(rows.nonEmpty)
