@@ -380,12 +380,17 @@ object Dedup {
     val nCand = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    sig.select(col("doc_id"),
+    val out = sig.select(col("doc_id"),
         md5(concat_ws(":", (0 until minhashK).map(j => col(s"mh$j")): _*)).as("sig_id"))
       .join(nCand, Seq("doc_id"), "left")
       .select(col("doc_id"), col("sig_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
       .orderBy(col("doc_id"))
+    // materialize now so the signature cache can be released instead of
+    // leaking for the session's lifetime (the minhashCandidatePairs move)
+    val res = graft.engine.Reliability.planCheckpoint(out)
+    sig.unpersist()
+    res
   }
 
   /** Estimated Jaccard between all LSH candidate pairs (used by the spec and

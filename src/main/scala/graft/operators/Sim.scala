@@ -196,13 +196,18 @@ object Sim {
     // exact search inside the probed lists only
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(assigned, Seq("list_id"))
+    val out = probes.join(assigned, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr("graft_cosine(qv, v)"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         (floor(col("cos") * 10000) / 10000).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
+    // materialize the (Q×k) result so the MLlib feature cache can be
+    // released instead of leaking for the session's lifetime
+    val res = graft.engine.Reliability.planCheckpoint(out)
+    e.unpersist()
+    res
   }
 
   /** Fixed coarse-cluster count for the standalone assignment operator. */

@@ -1302,27 +1302,6 @@ object TrainData {
         .orderBy(col("query_id"), col("rank")))
   }
 
-  /** retrieval_hybrid_rrf_stored — the AT-SCALE hybrid face: the same RRF
-    * fusion as `retrieval_hybrid_rrf`, but BOTH legs served from the
-    * PERSISTED indexes (the production shape — a serving tier owns two
-    * stored artifacts and never touches raw text or raw floats at query
-    * time). The lexical leg reads `sink_text_index`'s bucketed postings
-    * (+ the n_docs/sum_dl scalars sidecar the nightly build persists —
-    * the bm25ServeStream literal move, made durable); the vector leg is
-    * the IVF∘ADC probe of `sink_vector_index`'s code table (cluster
-    * column = the partition key, so each query scans `ivfPqProbes` lists
-    * of 4-byte codes). The oracle composes the SAME bm25 ranking CTEs as
-    * the in-plan hybrid with the SAME ivf-pq chain as `sim_ann_ivfpq`,
-    * so a hash match proves fused-from-storage == fused-from-plan on the
-    * lexical leg and == the audited index math on the vector leg.
-    *
-    * The vector legs of the two hybrid faces DIFFER by design: in-plan
-    * fuses exact cosine (the accuracy ceiling, feasible when the floats
-    * are warm), stored fuses the compressed-domain IVF∘ADC ranks (what a
-    * 100 TB tier actually scans); `retrieval_audit` quantifies the gap.
-    * Result is MATERIALIZED before returning (the pqAdcTopKStored
-    * discipline: both directories are deterministic and overwritten).
-    */
   /** retrieval_hybrid_rrf_stored_fresh — the MID-DAY hybrid: the same RRF
     * fusion as `retrieval_hybrid_rrf_stored`, but both legs served from
     * DAY-OLD (upserted, not-yet-rewritten) indexes — the state a serving
@@ -1394,29 +1373,38 @@ object TrainData {
       .select(col("query_id"), col("neighbor_id").as("nid")).persist()
     val hyb = hybridRrf(t)
       .select(col("query_id"), col("doc_id").as("nid")).persist()
-    def overlap(metric: String, nq: Long, a: DataFrame, b: DataFrame)
+    // each comparison carries ITS OWN cut depth (the hybrid sets are cut
+    // at rrfTopK, the lexical leg at bm25TopK — all 5 today, but a
+    // constant drift must change the reported k and ratio, not silently
+    // mislabel them)
+    def overlap(metric: String, nq: Long, k: Long, a: DataFrame, b: DataFrame)
         : DataFrame =
       a.join(b, Seq("query_id", "nid"))
         .agg(count(lit(1)).as("n_agree"))
         .select(lit(metric).as("metric"), lit(nq).as("n_queries"),
-          lit(Sim.topK.toLong).as("k"), col("n_agree"),
-          (floor(col("n_agree") * 10000.0 / (nq * Sim.topK)) / 10000)
+          lit(k).as("k"), col("n_agree"),
+          (floor(col("n_agree") * 10000.0 / (nq * k)) / 10000)
             .as("overlap_at_k"))
     val rows = Seq(
-      overlap("adc_vs_exact", Sim.nQueries, adc, exact5),
-      overlap("ivfpq_vs_adc", Sim.nQueries,
+      overlap("adc_vs_exact", Sim.nQueries, Sim.topK, adc, exact5),
+      overlap("ivfpq_vs_adc", Sim.nQueries, Sim.topK,
         Sim.ivfPqTopK(t).select(col("query_id"), col("neighbor_id").as("nid")),
         adc),
-      overlap("refine_vs_exact", Sim.nQueries,
+      overlap("refine_vs_exact", Sim.nQueries, Sim.topK,
         Sim.adcRefineTopK(t)
           .select(col("query_id"), col("neighbor_id").as("nid")),
         exact5),
-      overlap("hybrid_vs_lex", bm25NQueries, hyb,
+      overlap("hybrid_vs_lex", bm25NQueries, math.min(rrfTopK, bm25TopK), hyb,
         bm25Ranked(t).filter(col("rank") <= bm25TopK)
           .select(col("query_id"), col("doc_id").as("nid"))),
-      overlap("hybrid_vs_vec", bm25NQueries, hyb,
+      overlap("hybrid_vs_vec", bm25NQueries, math.min(rrfTopK, Sim.topK), hyb,
         exact5.filter(col("query_id") < bm25NQueries)))
-    rows.reduce(_ unionByName _).orderBy(col("metric"))
+    // materialize the (5-row) summary so the three shortlist caches can be
+    // released instead of leaking blocks for the rest of a 190-query session
+    val res = graft.engine.Reliability.planCheckpoint(
+      rows.reduce(_ unionByName _).orderBy(col("metric")))
+    exact5.unpersist(); adc.unpersist(); hyb.unpersist()
+    res
   }
 
   /** NDCG cut depth — matches every face's registered top-k, so the eval
@@ -1505,16 +1493,21 @@ object TrainData {
       ("cosine", Sim.cosineRanked(t, bm25NQueries)
         .filter(col("rank") <= ndcgK)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))),
+      // cut every system frame to ndcgK EXPLICITLY (hybridRrf's rrfTopK
+      // and ivfPqTopK's Sim.topK equal ndcgK today, but element_at(disc,
+      // rank) indexes past the discount array under ANSI mode the day a
+      // constant drifts — the cut must not be implicit)
       ("hybrid_rrf", hybridRrf(t)
+        .filter(col("rank") <= ndcgK)
         .select(col("query_id"), col("doc_id"), col("rank"))),
       // the COMPRESSED serving path: what the 4-byte-code index a 100 TB
       // tier actually scans costs in absolute quality vs the exact legs
       // (per-query ranks are query-independent, so the nQueries→Q cut is
       // a plain filter)
       ("ivfpq", Sim.ivfPqTopK(t)
-        .filter(col("query_id") < bm25NQueries)
+        .filter(col("query_id") < bm25NQueries && col("rank") <= ndcgK)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))))
-    systems.map { case (name, ranked) =>
+    val out = systems.map { case (name, ranked) =>
       ranked
         .join(judg, Seq("query_id", "doc_id"), "left")
         .withColumn("rel", coalesce(col("rel"), lit(0L)))
@@ -1527,8 +1520,34 @@ object TrainData {
             floor(col("dcg_q6") * 10000.0 / col("idcg_q6")) / 10000)
             .as("ndcg_q4"))
     }.reduce(_ unionByName _).orderBy(col("system"), col("query_id"))
+    // materialize the (4×Q-row) result so the judgments cache is released
+    // instead of leaking blocks for the rest of the session
+    val res = graft.engine.Reliability.planCheckpoint(out)
+    judg.unpersist()
+    res
   }
 
+  /** retrieval_hybrid_rrf_stored — the AT-SCALE hybrid face: the same RRF
+    * fusion as `retrieval_hybrid_rrf`, but BOTH legs served from the
+    * PERSISTED indexes (the production shape — a serving tier owns two
+    * stored artifacts and never touches raw text or raw floats at query
+    * time). The lexical leg reads `sink_text_index`'s bucketed postings
+    * (+ the n_docs/sum_dl scalars sidecar the nightly build persists —
+    * the bm25ServeStream literal move, made durable); the vector leg is
+    * the IVF∘ADC probe of `sink_vector_index`'s code table (cluster
+    * column = the partition key, so each query scans `ivfPqProbes` lists
+    * of 4-byte codes). The oracle composes the SAME bm25 ranking CTEs as
+    * the in-plan hybrid with the SAME ivf-pq chain as `sim_ann_ivfpq`,
+    * so a hash match proves fused-from-storage == fused-from-plan on the
+    * lexical leg and == the audited index math on the vector leg.
+    *
+    * The vector legs of the two hybrid faces DIFFER by design: in-plan
+    * fuses exact cosine (the accuracy ceiling, feasible when the floats
+    * are warm), stored fuses the compressed-domain IVF∘ADC ranks (what a
+    * 100 TB tier actually scans); `retrieval_audit` quantifies the gap.
+    * Result is MATERIALIZED before returning (the pqAdcTopKStored
+    * discipline: both directories are deterministic and overwritten).
+    */
   def hybridRrfStored(t: Tables): DataFrame = {
     val tOut = "/tmp/graft_tindex/hybrid_stored"
     writePostings(bm25PostingsWithDf(t.documents), tOut)
