@@ -133,6 +133,8 @@ object SparkEntry {
     "dedup_exact_inc"     -> ((s, d) => Dedup.exactIncremental(tables(s, d))),
     "dedup_index_compact" -> ((s, d) => Dedup.indexCompact(tables(s, d))),
     "dedup_groups"        -> ((s, d) => Dedup.dupGroups(tables(s, d))),
+    "sink_dedup_groups"   -> ((s, d) => Dedup.dupGroupsSink(tables(s, d))),
+    "dedup_groups_inc"    -> ((s, d) => Dedup.dupGroupsInc(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
     "sim_ann_cosine_topk" -> ((s, d) => Sim.cosineTopK(tables(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Sim.embeddingNearDup(tables(s, d))),
@@ -2756,6 +2758,20 @@ object SparkEntry {
     // the min-label fixpoint IS oracle SQL: transitive closure by recursive
     // CTE over the (tiny) near-dup pair graph, then min-reachable per node
     "dedup_groups" ->
+      s"""$dupGroupsCtes
+         SELECT l.doc_id, l.group_id, s.group_size
+         FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",
+    // the BUILD face returns the group table re-read from the STORED
+    // artifact — SAME oracle as dedup_groups, so the hash match proves
+    // stored == computed (the sink_vector_index rule on the group axis)
+    "sink_dedup_groups" ->
+      s"""$dupGroupsCtes
+         SELECT l.doc_id, l.group_id, s.group_size
+         FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",
+    // the DAILY fold: stored base pairs + delta-bounded new pairs,
+    // re-labeled — SAME oracle as dedup_groups (the full-corpus rescan),
+    // so the hash match proves fold == rescan (the corpus_stats_inc rule)
+    "dedup_groups_inc" ->
       s"""$dupGroupsCtes
          SELECT l.doc_id, l.group_id, s.group_size
          FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",

@@ -179,6 +179,24 @@ object Dedup {
     * would materialize a range exchange nothing reads.
     */
   private def ngramJaccardUnsorted(t: Tables): DataFrame = {
+    val docs = ppjoinDocs(t, withDelta = false).persist()
+    // materialize the (structurally bounded) verified pair list so the
+    // per-doc frame's cache is released HERE instead of leaking a cached
+    // corpus-sized frame per invocation
+    val out = graft.engine.Reliability.planCheckpoint(ppjoinPairs(docs))
+    docs.unpersist()
+    out
+  }
+
+  /** The per-doc PPJoin frame — steps 1-2 of the chain documented on
+    * `ngramJaccard`: (doc_id, c, sarr, iplen, pplen), where `sarr` is the
+    * (df, s)-sorted distinct shingle array and the two prefix lengths are
+    * the index / probe bounds. `withDelta` additionally stamps each doc
+    * with the shared recency split (`incIsDelta`) for the delta-bounded
+    * candidate generation `dupGroupsInc` runs. Callers persist: the frame
+    * feeds candidate generation AND verification.
+    */
+  private def ppjoinDocs(t: Tables, withDelta: Boolean): DataFrame = {
     val sh = shingles(t)
     // step 1: df via a COUNT groupBy (map-side combined) joined back on the
     // shingle — never a window over s (single-task funnel for the hottest
@@ -203,18 +221,61 @@ object Dedup {
         expr("transform(arr, x -> x.s)").as("sarr"),
         (col("c") - floor(col("c") * jaccardTau) + 1).cast("int").as("iplen"),
         (col("c") - floor(col("c") * probeBeta) + 1).cast("int").as("pplen"))
-      .persist()
+    if (!withDelta) docs
+    else {
+      val mx = t.documents.agg(max(col("doc_id")).as("max_id"))
+      docs.crossJoin(broadcast(mx))
+        .withColumn("is_delta", incIsDelta(col("doc_id"), col("max_id")))
+        .drop("max_id")
+    }
+  }
+
+  /** Steps 3-4 of the PPJoin chain documented on `ngramJaccard`:
+    * candidate generation over the prefix postings + per-pair positional
+    * filtering + exact verification, over a (persisted) `ppjoinDocs`
+    * frame. Returns the verified pair list (da, db, jaccard).
+    *
+    * `touchingDelta = true` restricts candidate generation to pairs with
+    * AT LEAST ONE delta endpoint (requires the `is_delta` column): the
+    * probe side runs delta-only against the full index, and the full
+    * probe side runs against a delta-only index — every (delta, base),
+    * (base, delta) and (delta, delta) qualifying pair is still generated
+    * under the same common prefix order (both restrictions are filters
+    * over the SAME full-corpus-df frame, so the prefix-filtering
+    * completeness argument is unchanged), while no (base, base) pair can
+    * enter the candidate join at all. Delta-delta candidates arise in
+    * both branches; the min-aggregation absorbs the duplicates. This is
+    * what bounds a daily fold's quadratic work by the delta, not the
+    * corpus.
+    */
+  private def ppjoinPairs(docs: DataFrame,
+      touchingDelta: Boolean = false): DataFrame = {
     // step 3: 1-based position of each index-prefix shingle in df order
-    val pre = docs.select(col("doc_id"), col("c"), col("pplen"),
-      posexplode(expr("slice(sarr, 1, iplen)")).as(Seq("p0", "s")))
-      .select(col("doc_id"), col("c"), col("s"), (col("p0") + 1).as("pos"),
-        col("pplen"))
-    val probe = pre.filter(col("pos") <= col("pplen"))
-      .select(col("doc_id").as("qd"), col("c").as("qc"), col("s"), col("pos").as("qpos"))
+    val preCols =
+      Seq(col("doc_id"), col("c"), col("pplen")) ++
+        (if (touchingDelta) Seq(col("is_delta")) else Nil)
+    val posCols =
+      Seq(col("doc_id"), col("c"), col("s"), (col("p0") + 1).as("pos"),
+        col("pplen")) ++
+        (if (touchingDelta) Seq(col("is_delta")) else Nil)
+    val pre = docs.select(
+        preCols :+ posexplode(expr("slice(sarr, 1, iplen)")).as(Seq("p0", "s")): _*)
+      .select(posCols: _*)
+    val probeCols =
+      Seq(col("doc_id").as("qd"), col("c").as("qc"), col("s"),
+        col("pos").as("qpos")) ++
+        (if (touchingDelta) Seq(col("is_delta").as("q_delta")) else Nil)
+    val probe = pre.filter(col("pos") <= col("pplen")).select(probeCols: _*)
     val smallerFirst = col("qc") < col("c") ||
       (col("qc") === col("c") && col("qd") < col("doc_id"))
     val alpha = lit(jaccardTau / (1 + jaccardTau)) * (col("qc") + col("c"))
-    val cand = probe.join(pre.hint("merge"), Seq("s")).filter(smallerFirst)
+    val matched =
+      if (!touchingDelta) probe.join(pre.hint("merge"), Seq("s"))
+      else
+        probe.filter(col("q_delta")).join(pre.hint("merge"), Seq("s"))
+          .unionByName(
+            probe.join(pre.filter(col("is_delta")).hint("merge"), Seq("s")))
+    val cand = matched.filter(smallerFirst)
       .groupBy(col("qd"), col("doc_id").as("id"))
       .agg(first(col("qc")).as("qc"), first(col("c")).as("c"),
         min(col("qpos")).as("qi"), min(col("pos")).as("ij"))
@@ -597,10 +658,12 @@ object Dedup {
     * joins/aggregations (at production scale the same loop runs
     * large-star/small-star with checkpoints every few rounds).
     * Output: every paired doc with its group id (min doc_id reachable) and
-    * group size; rows-only (iterative fixpoints aren't oracle SQL).
+    * group size. Serves from the STORED group artifact (`storedGroups` —
+    * the same hash-checked rows the in-plan closure produces, proven by
+    * `sink_dedup_groups` sharing this oracle).
     */
   def dupGroups(t: Tables): DataFrame =
-    dupGroupsUnsorted(t).orderBy(col("doc_id"))
+    storedGroups(t).orderBy(col("doc_id"))
 
   /** Session conf key selecting the connected-components algorithm for
     * `dupGroups`: unset/"propagation" = min-label propagation with pointer
@@ -629,23 +692,132 @@ object Dedup {
     */
   val CcAlgoKey = "spark.graft.ccAlgo"
 
-  /** The unsorted group table — chain consumers (`keepBest`) join this by
-    * doc_id; the presentation sort stays on the registered face only.
+  /** Component labels over a pair list via the conf-selected CC engine. */
+  private def ccLabels(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame): DataFrame =
+    if (spark.conf.getOption(CcAlgoKey).map(_.trim.toLowerCase)
+          .contains("star")) ccStar(pairs)
+    else ccPropagation(pairs)
+
+  /** The group table (doc_id, group_id, group_size) from an (already
+    * materialized) pair list — the shared tail of the full build and the
+    * incremental fold.
     */
-  private[operators] def dupGroupsUnsorted(t: Tables): DataFrame = {
-    // checkpoint the pair list BEFORE anything branches over it: a union /
-    // self-join over an unmaterialized plan executes the whole
-    // candidate-generation pipeline once per branch (exchange reuse does
-    // not span the differing final projections)
-    val pairs = graft.engine.Reliability.planCheckpoint(
-      ngramJaccardUnsorted(t).select(col("da"), col("db")))
-    val labels =
-      if (t.spark.conf.getOption(CcAlgoKey).map(_.trim.toLowerCase)
-            .contains("star")) ccStar(pairs)
-      else ccPropagation(pairs)
+  private def groupsFromPairs(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame): DataFrame = {
+    val labels = ccLabels(spark, pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("group_id"), col("group_size"))
+  }
+
+  /** The in-plan group table (the BUILD body — consumers read the stored
+    * artifact via `storedGroups` instead of re-deriving this chain).
+    */
+  private[graft] def dupGroupsUnsorted(t: Tables): DataFrame =
+    // ngramJaccardUnsorted materializes the pair list (planCheckpoint), so
+    // the CC iteration and the size join never re-execute the PPJoin chain
+    groupsFromPairs(t.spark, ngramJaccardUnsorted(t).select(col("da"), col("db")))
+
+  /** The physical dup-group artifact write — the nightly GROUP-axis build
+    * job (`sink_dedup_groups`): the verified near-dup pair list and the
+    * transitive group table, each hash-repartitioned on its join axis so
+    * a hot group's rows spread across writers. The pair list is persisted
+    * BESIDE the labels because the daily fold (`dupGroupsInc`) needs it:
+    * new pairs can merge two existing groups, so labels alone are not
+    * foldable — the union pair set is what the fold re-labels.
+    */
+  private[graft] def writeDupGroups(t: Tables, out: String): Unit = {
+    val n = t.spark.sessionState.conf.numShufflePartitions
+    val pairs = ngramJaccardUnsorted(t) // materialized (planCheckpoint)
+    pairs.repartition(n, col("da"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+      .parquet(s"$out/pairs")
+    groupsFromPairs(t.spark, pairs.select(col("da"), col("db")))
+      .repartition(n, col("doc_id"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+      .parquet(s"$out/groups")
+  }
+
+  /** The session's dup-group artifact directory for `t`'s corpus —
+    * built by the first caller, reused by every later one (the
+    * ArtifactCache contract: content-fingerprint keyed, so spec corpora
+    * sharing a path can never read each other's groups).
+    */
+  private[graft] def dupGroupsDir(t: Tables): String = {
+    val fp = graft.engine.ArtifactCache.fingerprint(
+      t.documents, xxhash64(col("doc_id"), col("text")))
+    graft.engine.ArtifactCache.ensure("dupgroups", fp)(writeDupGroups(t, _))
+  }
+
+  /** The STORED group table (doc_id, group_id, group_size) — what every
+    * group consumer (`dupGroups`, `keepBest`, `softWeight`,
+    * `splitLeakageSafe`) joins against: the group axis gets the same
+    * build-once / serve-many lifecycle as the vector and lexical indexes,
+    * instead of each consumer re-deriving the full PPJoin+CC closure
+    * (round 9's measured largest recurring cost: 123-182 s solo each at
+    * sf10).
+    */
+  private[operators] def storedGroups(t: Tables): DataFrame =
+    t.spark.read.parquet(s"${dupGroupsDir(t)}/groups")
+
+  /** sink_dedup_groups — the registered BUILD face of the dup-group
+    * artifact: always (re)builds the stored pair list + group table, then
+    * returns the group table re-read from the STORED files — the same
+    * oracle as `dedup_groups`, so the hash match proves stored ==
+    * computed (the sink_vector_index discipline on the group axis). The
+    * rebuild is forced (not ensure-cached) so a bench reading of this key
+    * always prices the build; consumers in the same session then serve
+    * from the artifact it marked built.
+    */
+  def dupGroupsSink(t: Tables): DataFrame = {
+    val fp = graft.engine.ArtifactCache.fingerprint(
+      t.documents, xxhash64(col("doc_id"), col("text")))
+    val dir = graft.engine.ArtifactCache.rebuild("dupgroups", fp)(
+      writeDupGroups(t, _))
+    // materialize before returning (the pqAdcTopKStored discipline): the
+    // directory is deterministic and overwritten per rebuild
+    graft.engine.Reliability.planCheckpoint(
+      t.spark.read.parquet(s"$dir/groups").orderBy(col("doc_id")))
+  }
+
+  /** dedup_groups_inc — the DAILY maintenance leg of the dup-group
+    * artifact (the sink_vector_index_upsert move on the GROUP axis): the
+    * nightly build labeled the pre-delta corpus; the day's delta docs
+    * generate their new near-dup pairs DELTA-BOUNDED (`ppjoinPairs`
+    * touchingDelta: probe-delta × index-all ∪ probe-all × index-delta —
+    * no base×base pair can enter the candidate join), the stored base
+    * pair list is read back UNRECOMPUTED, and the connected-components
+    * labeling re-runs over stored ∪ new. Labels must be re-derived from
+    * the union pair set — not folded label-to-label — because one new
+    * pair can MERGE two existing groups (A~B arrives while {A,...} and
+    * {B,...} were distinct components); the CC pass over the (tiny,
+    * structurally bounded) pair list is the cheap tail of the chain, the
+    * PPJoin candidate generation it skips for base×base is the dominant
+    * cost. SAME oracle as `dedup_groups` (the full-corpus rescan), so the
+    * hash match PROVES fold == rescan (the corpus_stats_inc rule).
+    *
+    * Scale shape: the linear passes (shingle df + per-doc arrays) still
+    * scan the corpus — prefix completeness needs one COMMON df order
+    * across both sides, and those are the same two map-side-combined
+    * shuffles every shingle consumer pays; the quadratic work (candidate
+    * join + verification) is bounded by the delta's posting lists. In
+    * production the base artifact already exists; the registered form
+    * builds it in-query (on the pre-delta corpus) to stand alone.
+    */
+  def dupGroupsInc(t: Tables): DataFrame = {
+    val mx = t.documents.agg(max(col("doc_id")).as("max_id"))
+    val baseDocs = t.documents.crossJoin(broadcast(mx))
+      .filter(!incIsDelta(col("doc_id"), col("max_id"))).drop("max_id")
+    val baseT = new Tables(t.spark, t.dir) { override def documents = baseDocs }
+    val basePairs = t.spark.read.parquet(s"${dupGroupsDir(baseT)}/pairs")
+      .select(col("da"), col("db"))
+    val docs = ppjoinDocs(t, withDelta = true).persist()
+    val newPairs = graft.engine.Reliability.planCheckpoint(
+      ppjoinPairs(docs, touchingDelta = true).select(col("da"), col("db")))
+    docs.unpersist()
+    groupsFromPairs(t.spark, basePairs.unionByName(newPairs))
+      .orderBy(col("doc_id"))
   }
 
   /** Min-label propagation + pointer jumping over an undirected pair list
@@ -808,11 +980,10 @@ object Dedup {
     * window over group_id — group sizes bound the window, nothing new is
     * quadratic beyond the component search itself.
     *
-    * As a REGISTERED query this re-runs the `dupGroups` component search
-    * from scratch (each queries entry must stand alone from the raw
-    * tables) — a real pipeline feeds the already-materialized group table,
-    * so a bench reading of this key prices groups + selection, not
-    * selection.
+    * Serves from the STORED group artifact (`storedGroups` — built once
+    * per session per corpus, the production shape where the nightly job
+    * owns the closure); run solo it still stands alone by building the
+    * artifact on first touch.
     */
   def keepBest(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -820,7 +991,7 @@ object Dedup {
       .select(col("doc_id"), TextAnalysis.qualityCol.as("quality"))
     val w = Window.partitionBy("group_id")
       .orderBy(col("quality").desc, col("doc_id"))
-    dupGroupsUnsorted(t)
+    storedGroups(t)
       .join(q, "doc_id")
       .withColumn("rk", row_number().over(w))
       .select(col("doc_id"), col("group_id"), col("group_size"), col("quality"),
@@ -842,7 +1013,7 @@ object Dedup {
     * search.
     */
   def softWeight(t: Tables): DataFrame = {
-    val g = dupGroupsUnsorted(t)
+    val g = storedGroups(t)
     t.documents.select(col("doc_id"))
       .join(g.select(col("doc_id"), col("group_id"), col("group_size")),
         Seq("doc_id"), "left")
@@ -873,7 +1044,7 @@ object Dedup {
     * one doc_id-axis left join, the hash and split are row expressions.
     */
   def splitLeakageSafe(t: Tables): DataFrame = {
-    val g = dupGroupsUnsorted(t)
+    val g = storedGroups(t)
     t.documents.select(col("doc_id"))
       .join(g.select(col("doc_id"), col("group_id"), col("group_size")),
         Seq("doc_id"), "left")

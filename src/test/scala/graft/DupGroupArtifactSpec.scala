@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The persisted dup-group artifact lifecycle (sink_dedup_groups /
+  * dedup_groups_inc / the serve-from-stored consumers) — the index-
+  * lifecycle discipline applied to the GROUP axis.
+  */
+class DupGroupArtifactSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A corpus where the DELTA (newest fifth of ids) MERGES two base
+    * groups: sliding word windows give A1~A2 and C1~C2 (each J ≥ 0.5)
+    * with every A×C pair below tau, and the delta doc E = the middle
+    * window overlaps both sides at J ≈ 0.62 — so the base closure has
+    * TWO groups and the full closure has ONE. Exercises exactly the case
+    * that makes labels non-foldable (a new pair joining two existing
+    * components).
+    */
+  private def mergeCorpus = {
+    val w = (1 to 16).map(i => s"mgw$i")
+    def win(a: Int, b: Int) = w.slice(a - 1, b).mkString(" ")
+    Seq(
+      (1L, win(1, 12)),          // A1
+      (2L, win(1, 12) + " mgz"), // A2 ~ A1
+      (3L, win(5, 16)),          // C1  (A×C overlap ≈ 0.43 < tau)
+      (4L, win(5, 16) + " mgy"), // C2 ~ C1
+      (10L, win(3, 14))          // E: delta (10*5 > 10*4), ~A and ~C
+    ).toDF("doc_id", "text")
+  }
+
+  test("sink_dedup_groups: stored group table equals the in-plan closure; pairs artifact matches ngramJaccard") {
+    val docs = mergeCorpus
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val stored = Dedup.dupGroupsSink(t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inPlan = Dedup.dupGroupsUnsorted(t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored.nonEmpty, "vacuous: the corpus produced no dup groups")
+    assert(stored == inPlan, "stored group table diverges from the in-plan closure")
+    // the pair list persisted beside the labels is the verified pair set
+    val dir = Dedup.dupGroupsDir(t2)
+    val storedPairs = spark.read.parquet(s"$dir/pairs")
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(t2)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storedPairs == exact, "stored pair list diverges from the PPJoin pair set")
+  }
+
+  test("dedup_groups_inc: fold == rescan, and the delta genuinely MERGES two base groups") {
+    val docs = mergeCorpus
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    // the base closure (pre-delta corpus) must have TWO groups — the
+    // anti-vacuity guard: without it this test would pass on any corpus
+    // whose delta adds nothing
+    val mx = 10L
+    val baseDocs = docs.filter(col("doc_id") * 5 <= mx * 4)
+    val baseT = new graft.sources.Tables(spark, sf) { override def documents = baseDocs }
+    val baseGroups = Dedup.dupGroups(baseT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(baseGroups.keySet == Set(1L, 2L, 3L, 4L), s"base closure: $baseGroups")
+    assert(baseGroups.values.toSet.size == 2, "base closure must have two groups")
+    // fold == rescan
+    val fold = Dedup.dupGroupsInc(t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rescan = Dedup.dupGroupsUnsorted(t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fold == rescan, s"fold != rescan: $fold vs $rescan")
+    // and the merge actually happened: one group of all five docs
+    assert(fold.size == 5 && fold.forall(x => x._2 == 1L && x._3 == 5L),
+      s"expected one merged group of 5 with label 1: $fold")
+  }
+
+  test("consumers serve from the stored artifact: no rebuild between consumers; the sink face does rebuild") {
+    val docs = mergeCorpus
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    Dedup.dupGroups(t2).collect() // first touch builds
+    val dir = Dedup.dupGroupsDir(t2)
+    def successMtime: Long =
+      new java.io.File(s"$dir/groups/_SUCCESS").lastModified()
+    val built = successMtime
+    assert(built > 0, "artifact _SUCCESS marker missing after first touch")
+    Dedup.keepBest(t2).collect()
+    Dedup.softWeight(t2).collect()
+    Dedup.splitLeakageSafe(t2).collect()
+    assert(successMtime == built,
+      "a consumer rebuilt the artifact instead of serving from it")
+    Thread.sleep(1100) // _SUCCESS mtime granularity can be 1 s
+    Dedup.dupGroupsSink(t2).collect()
+    assert(successMtime > built, "the sink face must force a rebuild")
+  }
+
+  test("artifact cache keys on corpus CONTENT: two corpora sharing a path get distinct artifacts") {
+    val docsA = Seq((1L, "ka1 ka2 ka3 ka4"), (2L, "ka1 ka2 ka3 ka4 ka5"))
+      .toDF("doc_id", "text")
+    val docsB = Seq((1L, "kb1 kb2 kb3 kb4"), (2L, "kb9 kb8 kb7 kb6"))
+      .toDF("doc_id", "text")
+    val tA = new graft.sources.Tables(spark, sf) { override def documents = docsA }
+    val tB = new graft.sources.Tables(spark, sf) { override def documents = docsB }
+    assert(Dedup.dupGroupsDir(tA) != Dedup.dupGroupsDir(tB),
+      "two different corpora resolved to the same artifact directory")
+    // corpus B has no qualifying pair -> its artifact must be empty, not A's
+    assert(Dedup.dupGroups(tB).count() == 0L)
+    assert(Dedup.dupGroups(tA).count() == 2L)
+  }
+}

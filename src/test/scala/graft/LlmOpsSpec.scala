@@ -310,11 +310,13 @@ class LlmOpsSpec extends SparkSpec {
 
   test("dupGroups under the star knob equals the propagation face") {
     // the at-scale large-star/small-star path must be a pure physical
-    // swap: same groups, same sizes, bit-identical rows
-    val base = Dedup.dupGroups(t).collect().map(_.toSeq).toSet
+    // swap: same groups, same sizes, bit-identical rows. Compares the
+    // IN-PLAN closure (dupGroupsUnsorted) — the registered face serves
+    // from the session-memoized artifact and would not re-run CC here.
+    val base = Dedup.dupGroupsUnsorted(t).collect().map(_.toSeq).toSet
     spark.conf.set(Dedup.CcAlgoKey, "star")
     try {
-      val star = Dedup.dupGroups(t).collect().map(_.toSeq).toSet
+      val star = Dedup.dupGroupsUnsorted(t).collect().map(_.toSeq).toSet
       assert(star == base, "star CC diverged from propagation on the sf corpus")
       assert(star.nonEmpty)
     } finally spark.conf.unset(Dedup.CcAlgoKey)

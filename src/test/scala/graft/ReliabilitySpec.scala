@@ -32,11 +32,14 @@ class ReliabilitySpec extends SparkSpec {
   }
 
   test("dedup_groups is unchanged under the reliable-checkpoint knob") {
-    val base = operators.Dedup.dupGroups(t).collect().map(_.toSeq).toSet
+    // the IN-PLAN closure (dupGroupsUnsorted), not the registered face:
+    // the registered face serves from the session-memoized artifact, so a
+    // second call would reuse stored rows and never exercise the knob
+    val base = operators.Dedup.dupGroupsUnsorted(t).collect().map(_.toSeq).toSet
     val dir = java.nio.file.Files.createTempDirectory("graft_reliable_groups")
     spark.conf.set(Reliability.ConfKey, dir.toString)
     try {
-      val reliable = operators.Dedup.dupGroups(t).collect().map(_.toSeq).toSet
+      val reliable = operators.Dedup.dupGroupsUnsorted(t).collect().map(_.toSeq).toSet
       assert(reliable == base)
     } finally {
       spark.conf.unset(Reliability.ConfKey)
