@@ -218,6 +218,9 @@ object SparkEntry {
     "retrieval_hybrid_rrf"    -> ((s, d) => TrainData.hybridRrf(tables(s, d))),
     "retrieval_hybrid_rrf_stored" -> ((s, d) => TrainData.hybridRrfStored(tables(s, d))),
     "retrieval_hybrid_rrf_stored_fresh" -> ((s, d) => TrainData.hybridRrfStoredFresh(tables(s, d))),
+    "retrieval_hybrid_rrf_serve" -> ((s, d) => TrainData.hybridRrfServe(tables(s, d))),
+    "text_bm25_serve"         -> ((s, d) => TrainData.bm25TopKServe(tables(s, d))),
+    "sim_ann_adc_serve"       -> ((s, d) => Sim.pqAdcServe(tables(s, d))),
     "sink_text_index"         -> ((s, d) => TrainData.textIndexSink(tables(s, d))),
     "sink_text_index_compact" -> ((s, d) => TrainData.textIndexCompact(tables(s, d))),
     "sink_text_index_upsert"  -> ((s, d) => TrainData.textIndexUpsert(tables(s, d))),
@@ -3036,6 +3039,19 @@ object SparkEntry {
     // day-old indexes on BOTH axes loses nothing a reader can observe
     // (fresh-df lexical == in-plan truth; the vector append == the build)
     "retrieval_hybrid_rrf_stored_fresh" -> hybridStoredSql,
+    // the SERVE-ONLY hybrid reads the session's ensured artifacts instead
+    // of writing indexes in-query: identical leg + fusion math, SAME
+    // oracle — the hash match proves the serve path alone reproduces the
+    // self-contained face (whose build half is already proven by the sink
+    // oracles)
+    "retrieval_hybrid_rrf_serve" -> hybridStoredSql,
+    // the SERVE-ONLY lexical face: stored-served is bit-equal to the
+    // in-plan ranking by the shared scoring expressions — text_bm25_topk's
+    // oracle verbatim
+    "text_bm25_serve" ->
+      s"""WITH $bm25RankCtes
+         SELECT query_id, doc_id, rank, n_terms, score_q6
+         FROM lxr WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank""",
     // readback-stats oracle for the persisted lexical index: per term-hash
     // bucket (the portable 60-bit md5 hash — the dedup_audit replay), the
     // posting rows, distinct terms/docs and total tf the stored files must
@@ -4391,6 +4407,9 @@ object SparkEntry {
     // the stored-index search's oracle IS the in-plan search's oracle:
     // a hash match proves the persisted code table searches identically
     "sim_ann_pq_adc_stored" -> pqAdcSql,
+    // the SERVE-ONLY face reads the ensured artifact instead of building
+    // in-query — same search math, same oracle
+    "sim_ann_adc_serve" -> pqAdcSql,
     // the refine stage: ADC shortlist (shared chain with sim_ann_pq_adc)
     // → exact cosine over only the shortlist → top-k on exact scores
     "sim_ann_adc_rerank" -> pqAdcRerankSql,

@@ -902,6 +902,28 @@ object Sim {
       pqAdcTopKFromStored(t, t.spark.read.parquet(out)))
   }
 
+  /** The session's ensured vector-index artifact for `t`'s embeddings —
+    * built by the first serve-only caller, reused by every later one
+    * (the ArtifactCache contract): what separates pricing the SERVE math
+    * from pricing the build the self-contained faces perform inline.
+    */
+  private[graft] def vectorIndexDir(t: Tables): String = {
+    val fp = graft.engine.ArtifactCache.fingerprint(
+      t.embeddings, xxhash64(col("vec_id"), col("embedding")))
+    graft.engine.ArtifactCache.ensure("vindex", fp)(writeVectorIndex(t, _))
+  }
+
+  /** sim_ann_adc_serve — the SERVE-ONLY face of the stored ADC scan: the
+    * same search math as `sim_ann_pq_adc_stored` (same oracle), but the
+    * index comes from the session's ensured artifact instead of being
+    * rebuilt inside the query — so a bench reading prices what a serving
+    * tier actually runs per query (4-byte-code scan + broadcast ADC
+    * tables), while the build cost stays on the build faces. Run solo it
+    * still stands alone: the first touch builds the artifact.
+    */
+  def pqAdcServe(t: Tables): DataFrame =
+    pqAdcTopKFromStored(t, t.spark.read.parquet(vectorIndexDir(t)))
+
   /** emb_dedup_pq — near-dup candidates at 4 bytes a vector: two vectors
     * whose PQ codes agree on EVERY subspace sit in the same Voronoi cell
     * of the product space, the cheapest possible semantic-dup screen

@@ -1527,6 +1527,66 @@ object TrainData {
     res
   }
 
+  /** The session's ensured lexical-index artifact for `t`'s corpus
+    * (postings WITH df + the one-row scalars sidecar) — built by the
+    * first serve-only caller, reused by every later one (the
+    * ArtifactCache contract; the Sim.vectorIndexDir twin on the lexical
+    * axis).
+    */
+  private[graft] def textIndexDir(t: Tables): String = {
+    val fp = graft.engine.ArtifactCache.fingerprint(
+      t.documents, xxhash64(col("doc_id"), col("text")))
+    graft.engine.ArtifactCache.ensure("tindex", fp) { dir =>
+      writePostings(bm25PostingsWithDf(t.documents), s"$dir/postings")
+      writeScalars(t.documents, s"$dir/scalars")
+    }
+  }
+
+  /** text_bm25_serve — the SERVE-ONLY face of stored lexical retrieval:
+    * the same ranking as `text_bm25_topk` (same oracle — stored-served is
+    * bit-equal by the shared scoring expressions), read from the
+    * session's ensured index artifact instead of tokenizing the corpus
+    * in-query. This is what a serving tier pays per query batch: matched
+    * posting lists + the broadcast scalars row, never the raw text. Run
+    * solo it still stands alone: the first touch builds the artifact.
+    */
+  def bm25TopKServe(t: Tables): DataFrame = {
+    val dir = textIndexDir(t)
+    val spark = t.spark
+    bm25RankedFromStored(spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/scalars"))
+      .filter(col("rank") <= bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("n_terms"), col("score_q6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** retrieval_hybrid_rrf_serve — the SERVE-ONLY hybrid: identical fusion
+    * and leg math to `retrieval_hybrid_rrf_stored` (same oracle), with
+    * BOTH indexes read from the session's ensured artifacts instead of
+    * being written inside the query. Round 9's measurements showed the
+    * self-contained stored faces' cost is dominated by their inline index
+    * WRITES (two full write passes on one disk — a bench artifact of
+    * standing alone, not a serve-path cost); this face is the number a
+    * production query tier actually runs: ~23 s at sf10 of pure serve
+    * math per the round-9 decomposition, vs 108 s with the inline builds.
+    */
+  def hybridRrfServe(t: Tables): DataFrame = {
+    val dir = textIndexDir(t)
+    val spark = t.spark
+    val lex = bm25RankedFromStored(spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/scalars"))
+      .filter(col("rank") <= rrfDepth)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val vec = Sim.ivfPqRankedFromStored(t,
+        spark.read.parquet(Sim.vectorIndexDir(t)), bm25NQueries)
+      .filter(col("rank") <= rrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    rrfFuse(lex, vec)
+  }
+
   /** retrieval_hybrid_rrf_stored — the AT-SCALE hybrid face: the same RRF
     * fusion as `retrieval_hybrid_rrf`, but BOTH legs served from the
     * PERSISTED indexes (the production shape — a serving tier owns two
