@@ -227,6 +227,7 @@ object SparkEntry {
     "text_bm25_stored_fresh"  -> ((s, d) => TrainData.bm25TopKStoredFresh(tables(s, d))),
     "retrieval_audit"         -> ((s, d) => TrainData.retrievalAudit(tables(s, d))),
     "retrieval_eval_ndcg"     -> ((s, d) => TrainData.retrievalEvalNdcg(tables(s, d))),
+    "retrieval_eval_ndcg_planted" -> ((s, d) => TrainData.retrievalEvalNdcgPlanted(tables(s, d))),
     "mix_unimax"              -> ((s, d) => TrainData.mixUnimax(tables(s, d))),
     "dedup_soft_weight"       -> ((s, d) => Dedup.softWeight(tables(s, d))),
     "split_leakage_safe"      -> ((s, d) => Dedup.splitLeakageSafe(tables(s, d)))
@@ -616,7 +617,7 @@ object SparkEntry {
          floor(n_agree * 10000.0 / (${nq * k})) / 10000 AS overlap_at_k
          FROM (WITH $body) z"""
     val hybCte =
-      s"""hyk AS (WITH $bm25RankCtes,
+      s"""hyk AS (WITH ${bm25RankCtes()},
              ${cosineRankCtes(TrainData.bm25NQueries)},
              ${rrfFuseSql(
                s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
@@ -650,7 +651,7 @@ object SparkEntry {
            USING (query_id, vec_id)"""),
       row("hybrid_vs_lex", TrainData.bm25NQueries,
         s"""$hybCte,
-           lx5 AS (WITH $bm25RankCtes
+           lx5 AS (WITH ${bm25RankCtes()}
                    SELECT query_id, doc_id FROM lxr
                    WHERE rank <= ${TrainData.bm25TopK})
            SELECT count(*) AS n_agree
@@ -675,7 +676,15 @@ object SparkEntry {
     * SAME Scala-computed micro-unit literals the Spark plan uses
     * (`TrainData.ndcgDiscQ6`) — log2 never runs in either engine.
     */
-  private def retrievalEvalNdcgSql: String = {
+  /** The NDCG@k scoring tail shared by the measured and planted evals:
+    * takes a CTE prelude that must END with `jrel` (query_id, doc_id,
+    * rel) and the two system source tables (physical names or prelude
+    * CTE names — the planted eval passes its augmented-corpus CTEs), and
+    * emits jidcg + the four system frames + the final union. ONE builder,
+    * so the two oracles cannot drift on the scoring arithmetic.
+    */
+  private def ndcgEvalSql(jrelPrelude: String, docsSrc: String,
+      embSrc: String): String = {
     val k = TrainData.ndcgK
     val disc = s"[${TrainData.ndcgDiscQ6.mkString(", ")}]"
     val nq = TrainData.bm25NQueries
@@ -691,7 +700,44 @@ object SparkEntry {
                  ON jrel.query_id = r.query_id AND jrel.doc_id = r.doc_id
                GROUP BY 1) g
          LEFT JOIN jidcg ji ON ji.query_id = g.query_id"""
-    s"""WITH jd AS (SELECT doc_id,
+    s"""WITH $jrelPrelude,
+       jidcg AS (SELECT query_id,
+                   CAST(sum(rel * ($disc)[irank]) AS BIGINT) AS idcg_q6
+                 FROM (SELECT query_id, rel, row_number() OVER (
+                         PARTITION BY query_id ORDER BY rel DESC, doc_id)
+                         AS irank FROM jrel)
+                 WHERE irank <= $k GROUP BY 1),
+       bm AS (WITH ${bm25RankCtes(docsSrc)}
+              SELECT query_id, doc_id, rank FROM lxr WHERE rank <= $k),
+       cs AS (WITH ${cosineRankCtes(nq, embSrc)}
+              SELECT query_id, neighbor_id AS doc_id, rank FROM cr
+              WHERE rank <= $k),
+       iv AS (WITH ${ivfPqAdcChain(filtered = false, src = embSrc)}
+              SELECT query_id, vec_id AS doc_id, rank FROM k
+              WHERE rank <= $k AND query_id < $nq),
+       hy AS (WITH ${bm25RankCtes(docsSrc)},
+              ${cosineRankCtes(nq, embSrc)},
+              ${rrfFuseSql(
+                s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+                   FROM lxr WHERE rank <= ${TrainData.rrfDepth}""",
+                s"""SELECT query_id, neighbor_id AS doc_id,
+                     CAST(rank AS BIGINT) AS vec_rank
+                   FROM cr WHERE rank <= ${TrainData.rrfDepth}""")})
+       SELECT * FROM (
+         ${evalSelect("bm25", "bm")}
+         UNION ALL
+         ${evalSelect("cosine", "cs")}
+         UNION ALL
+         ${evalSelect("hybrid_rrf", "hy")}
+         UNION ALL
+         ${evalSelect("ivfpq", "iv")}
+       ) u ORDER BY system, query_id"""
+  }
+
+  private def retrievalEvalNdcgSql: String = {
+    val nq = TrainData.bm25NQueries
+    ndcgEvalSql(
+      s"""jd AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\\s+') AS w
            FROM documents),
        jsh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s
@@ -711,38 +757,52 @@ object SparkEntry {
                         GROUP BY 1, 2) p
                   JOIN jcnt cd ON cd.doc_id = p.did
                   JOIN jcnt cq ON cq.doc_id = p.qid)
-                WHERE rel > 0),
-       jidcg AS (SELECT query_id,
-                   CAST(sum(rel * ($disc)[irank]) AS BIGINT) AS idcg_q6
-                 FROM (SELECT query_id, rel, row_number() OVER (
-                         PARTITION BY query_id ORDER BY rel DESC, doc_id)
-                         AS irank FROM jrel)
-                 WHERE irank <= $k GROUP BY 1),
-       bm AS (WITH $bm25RankCtes
-              SELECT query_id, doc_id, rank FROM lxr WHERE rank <= $k),
-       cs AS (WITH ${cosineRankCtes(nq)}
-              SELECT query_id, neighbor_id AS doc_id, rank FROM cr
-              WHERE rank <= $k),
-       iv AS (WITH ${ivfPqAdcChain(filtered = false)}
-              SELECT query_id, vec_id AS doc_id, rank FROM k
-              WHERE rank <= $k AND query_id < $nq),
-       hy AS (WITH $bm25RankCtes,
-              ${cosineRankCtes(nq)},
-              ${rrfFuseSql(
-                s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
-                   FROM lxr WHERE rank <= ${TrainData.rrfDepth}""",
-                s"""SELECT query_id, neighbor_id AS doc_id,
-                     CAST(rank AS BIGINT) AS vec_rank
-                   FROM cr WHERE rank <= ${TrainData.rrfDepth}""")})
-       SELECT * FROM (
-         ${evalSelect("bm25", "bm")}
-         UNION ALL
-         ${evalSelect("cosine", "cs")}
-         UNION ALL
-         ${evalSelect("hybrid_rrf", "hy")}
-         UNION ALL
-         ${evalSelect("ivfpq", "iv")}
-       ) u ORDER BY system, query_id"""
+                WHERE rel > 0)""",
+      "documents", "embeddings")
+  }
+
+  /** The planted-slice eval oracle: the SAME augmentation arithmetic as
+    * TrainData.plantedTables (word repeat / mod-index sampling, first-k
+    * component keep with x*0 zeroing) as corpus CTEs, the CONSTRUCTED
+    * judgment list (rel = 4 - v by the plant design), and the shared
+    * scoring tail over the augmented sources.
+    */
+  private def retrievalEvalNdcgPlantedSql: String = {
+    val nq = TrainData.bm25NQueries
+    val base = TrainData.plantedBase
+    val dims = TrainData.plantedDims
+    ndcgEvalSql(
+      s"""pw AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents WHERE doc_id < $nq),
+       pv AS (SELECT * FROM (VALUES (1, ${dims(0)}), (2, ${dims(1)}),
+               (3, ${dims(2)})) t(v, kd)),
+       pdocs AS (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT $base + pw.doc_id * 10 + pv.v AS doc_id,
+            array_to_string(CASE pv.v
+              WHEN 1 THEN flatten([w, w, w, w])
+              WHEN 2 THEN list_transform(list_filter(generate_series(1, len(w)),
+                i -> (i-1) % 2 = 0), i -> w[i])
+              ELSE list_transform(list_filter(generate_series(1, len(w)),
+                i -> (i-1) % 4 = 0), i -> w[i])
+            END, ' ') AS text
+          FROM pw CROSS JOIN pv),
+       pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label
+              FROM embeddings),
+       pemb AS (SELECT vec_id, embedding, label FROM pe
+          UNION ALL
+          SELECT $base + pe.vec_id * 10 + pv.v AS vec_id,
+            list_transform(generate_series(1, len(embedding)), i ->
+              CASE WHEN i <= pv.kd THEN embedding[i]
+                   ELSE embedding[i] * 0 END) AS embedding,
+            label
+          FROM pe CROSS JOIN pv WHERE pe.vec_id < $nq),
+       jrel AS (SELECT pw.doc_id AS query_id,
+                  $base + pw.doc_id * 10 + pv.v AS doc_id,
+                  CAST(4 - pv.v AS BIGINT) AS rel
+                FROM pw CROSS JOIN pv)""",
+      "pdocs", "pemb")
   }
 
   /** Nearest-centroid assignment CTE chain — the oracle mirror of
@@ -750,8 +810,8 @@ object SparkEntry {
     * dedup_semantic so the two oracles can't drift. Yields
     * `a` = (vec_id, v, nrm, cluster, ccos).
     */
-  private val centroidAssignCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def centroidAssignCtes(src: String = "embeddings"): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        c AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn FROM n
              WHERE vec_id < ${Sim.nCentroids}),
@@ -816,7 +876,7 @@ object SparkEntry {
     * the live-vectors filter.
     */
   private def vectorIndexStatsSql(where: String): String =
-    s"""WITH $centroidAssignCtes,
+    s"""WITH ${centroidAssignCtes()},
        ${pqEncodeChain("q")},
        ck AS (SELECT vec_id, array_to_string(list(code ORDER BY m), ':') AS ck
               FROM qb GROUP BY vec_id)
@@ -864,9 +924,9 @@ object SparkEntry {
     * the two cannot drift on tokenization. A WITH-free fragment so the
     * hybrid-retrieval oracle can compose it beside the cosine chain.
     */
-  private val bm25PostingsCtes: String =
+  private def bm25PostingsCtes(src: String = "documents"): String =
     s"""d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-                   FROM documents),
+                   FROM $src),
        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
                 (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d)
               GROUP BY 1, 2, 3)"""
@@ -877,12 +937,12 @@ object SparkEntry {
     * score_q6, NO rank cut) shared by the text_bm25_topk oracle and the
     * hybrid-retrieval lexical leg, so the two cannot drift on scoring.
     */
-  private def bm25RankCtes: String = {
+  private def bm25RankCtes(src: String = "documents"): String = {
     val k1 = TrainData.bm25K1
     val k1p1 = TrainData.bm25K1 + 1.0
     val b = TrainData.bm25B
     val b1 = 1.0 - TrainData.bm25B
-    s"""$bm25PostingsCtes,
+    s"""${bm25PostingsCtes(src)},
        sc AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM d),
        qt AS (SELECT DISTINCT term FROM tf
               WHERE doc_id < ${TrainData.bm25NQueries}),
@@ -941,7 +1001,7 @@ object SparkEntry {
     * ONE string serves both the weekly-fresh and the mid-day faces.
     */
   private def hybridStoredSql: String =
-    s"""WITH $bm25RankCtes,
+    s"""WITH ${bm25RankCtes()},
        vk AS (WITH ${ivfPqAdcChain(filtered = false)}
               SELECT query_id, vec_id, rank FROM k
               WHERE query_id < ${TrainData.bm25NQueries}),
@@ -958,8 +1018,8 @@ object SparkEntry {
     * it beside the BM25 chain. Shared by sim_ann_cosine_topk and the
     * hybrid-retrieval vector leg.
     */
-  private def cosineRankCtes(nq: Long): String =
-    s"""ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def cosineRankCtes(nq: Long, src: String = "embeddings"): String =
+    s"""ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ce),
        cq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM cn
               WHERE vec_id < $nq),
@@ -977,7 +1037,7 @@ object SparkEntry {
     * text_bm25_topk so none of the three can drift on tokenization.
     */
   private def textIndexStatsSql(where: String): String =
-    s"""WITH $bm25PostingsCtes,
+    s"""WITH ${bm25PostingsCtes()},
        b AS (SELECT CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT)
                % ${TrainData.textIndexBuckets} AS bucket,
                term, doc_id, tf
@@ -3012,7 +3072,7 @@ object SparkEntry {
     // to corpus-wide df per matched term); no df cap — the rational idf
     // already collapses for corpus-wide terms (see bm25TopKDocs Scaladoc).
     "text_bm25_topk" ->
-      s"""WITH $bm25RankCtes
+      s"""WITH ${bm25RankCtes()}
          SELECT query_id, doc_id, rank, n_terms, score_q6
          FROM lxr WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank""",
     // Reciprocal Rank Fusion over the two ranking chains — BOTH legs are
@@ -3020,7 +3080,7 @@ object SparkEntry {
     // result provably comes from the same leg math as the standalone
     // faces; the fusion itself is all-integer (1e6 div (k + rank))
     "retrieval_hybrid_rrf" ->
-      s"""WITH $bm25RankCtes,
+      s"""WITH ${bm25RankCtes()},
          ${cosineRankCtes(TrainData.bm25NQueries)},
          ${rrfFuseSql(
            s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
@@ -3049,7 +3109,7 @@ object SparkEntry {
     // in-plan ranking by the shared scoring expressions — text_bm25_topk's
     // oracle verbatim
     "text_bm25_serve" ->
-      s"""WITH $bm25RankCtes
+      s"""WITH ${bm25RankCtes()}
          SELECT query_id, doc_id, rank, n_terms, score_q6
          FROM lxr WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank""",
     // readback-stats oracle for the persisted lexical index: per term-hash
@@ -3072,11 +3132,15 @@ object SparkEntry {
     // day-old index served fresh equals the in-plan truth, i.e. serving
     // between rewrites never reads a stale df
     "text_bm25_stored_fresh" ->
-      s"""WITH $bm25RankCtes
+      s"""WITH ${bm25RankCtes()}
          SELECT query_id, doc_id, rank, n_terms, score_q6
          FROM lxr WHERE rank <= ${TrainData.bm25TopK} ORDER BY query_id, rank""",
     "retrieval_audit" -> retrievalAuditSql,
     "retrieval_eval_ndcg" -> retrievalEvalNdcgSql,
+    // the planted twin-corpus eval: constructed judgments (labels known
+    // by the plant design), augmented sources via the parameterized chain
+    // builders, SAME scoring tail — discriminating NDCG on all 4 systems
+    "retrieval_eval_ndcg_planted" -> retrievalEvalNdcgPlantedSql,
     "text_contamination" -> {
       val g = TrainData.contamGram
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -3468,11 +3532,11 @@ object SparkEntry {
          FROM d GROUP BY source, weight ORDER BY source"""
     },
     "emb_cluster_assign" ->
-      s"""WITH $centroidAssignCtes
+      s"""WITH ${centroidAssignCtes()}
          SELECT vec_id, cluster, floor(ccos * 10000) / 10000 AS cos_sim
          FROM a ORDER BY vec_id""",
     "dedup_semantic" ->
-      s"""WITH $centroidAssignCtes,
+      s"""WITH ${centroidAssignCtes()},
          pr AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
@@ -3904,7 +3968,7 @@ object SparkEntry {
          GROUP BY f.doc_id ORDER BY f.doc_id"""
     },
     "sim_knn_graph" ->
-      s"""WITH $centroidAssignCtes,
+      s"""WITH ${centroidAssignCtes()},
          pr AS (SELECT a.vec_id, a.cluster, b.vec_id AS neighbor_id,
                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
@@ -4204,7 +4268,7 @@ object SparkEntry {
       val errSum = (0 until m)
         .map(j => s"sum(CASE WHEN m = $j THEN dist END)").mkString(" + ")
       val outCodes = (0 until m).map(j => s"code$j").mkString(", ")
-      s"""WITH $centroidAssignCtes,
+      s"""WITH ${centroidAssignCtes()},
          $pqResidualCtes,
          enc AS (SELECT vec_id,
            $codeCols,
@@ -4219,7 +4283,7 @@ object SparkEntry {
         .map(j => s"sum(CASE WHEN rbb.m = $j THEN d END) AS d$j")
         .mkString(",\n           ")
       val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
-      s"""WITH $centroidAssignCtes,
+      s"""WITH ${centroidAssignCtes()},
          $pqResidualCtes,
          pr AS (SELECT vec_id AS query_id, cluster FROM (
                   SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
@@ -4431,13 +4495,13 @@ object SparkEntry {
     * the stored-hybrid oracle's vector leg (which cuts `k` at rrfDepth
     * instead of topK).
     */
-  private def ivfPqAdcChain(filtered: Boolean): String = {
+  private def ivfPqAdcChain(filtered: Boolean, src: String = "embeddings"): String = {
     val (m, sd) = (Sim.pqM, Sim.pqSubDim)
     val dCols = (0 until m)
       .map(j => s"sum(CASE WHEN qb.m = $j THEN d END) AS d$j").mkString(",\n           ")
     val adcSum = (0 until m).map(j => s"d$j").mkString(" + ")
     val labCte =
-      if (filtered) ",\n       lab AS (SELECT vec_id, label FROM embeddings)"
+      if (filtered) s",\n       lab AS (SELECT vec_id, label FROM $src)"
       else ""
     val candCte =
       if (filtered)
@@ -4451,7 +4515,7 @@ object SparkEntry {
                   FROM a JOIN pr USING (cluster) WHERE a.vec_id <> pr.query_id)"""
     val labelSel = if (filtered) "cand.label," else ""
     val labelGrp = if (filtered) "GROUP BY 1, 2, 3" else "GROUP BY 1, 2"
-    s"""$centroidAssignCtes,
+    s"""${centroidAssignCtes(src)},
        ${pqEncodeChain("q")},
        pr AS (SELECT vec_id AS query_id, cluster FROM (
                 SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id

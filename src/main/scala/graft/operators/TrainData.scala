@@ -1477,9 +1477,99 @@ object TrainData {
     * dedup_audit rule). This is the op a deployment runs on its judgment
     * list before and after every index/ranker change.
     */
-  def retrievalEvalNdcg(t: Tables): DataFrame = {
+  def retrievalEvalNdcg(t: Tables): DataFrame =
+    ndcgScored(t, relevanceJudgments(t))
+
+  /** Id base for the planted docs/vectors (far above any corpus id). */
+  val plantedBase = 1000000L
+
+  /** Component count kept per planted-vector variant (rest zeroed):
+    * cos(q, planted_v) decreases with v, so the vector systems see three
+    * well-separated relevance tiers.
+    */
+  val plantedDims = Seq(48, 32, 16)
+
+  /** The planted twin corpus (the sim_ann_project_rerank move applied to
+    * evaluation): for each query doc q, three planted documents with
+    * KNOWN relevance — v1 is q's words repeated 4× (a verbatim copy with
+    * saturated term frequencies: a 1× copy only TIES q's own tf profile
+    * and on a rare-term-free query ranked 7th behind corpus docs with
+    * luckier tf draws; repetition raises every term's tfn toward its k1+1
+    * ceiling, so v1 dominates any doc that merely matches q's profile),
+    * v2 every 2nd word, v3 every 4th (EVEN index sampling, not a prefix:
+    * the corpus plants its rare high-idf topic tokens anywhere in the
+    * doc, and a prefix slice silently drops a tail token — the round-10
+    * lesson) — and three planted vectors keeping the first
+    * `plantedDims(v-1)` components of q's embedding with the rest zeroed
+    * (x*0 keeps the element type and is exact on finite inputs ⇒ graded
+    * cosine tiers for the vector systems). All arithmetic is integer
+    * index sampling / float zeroing, replayed verbatim by the oracle.
+    */
+  private[graft] def plantedTables(t: Tables): Tables = {
+    val qdocs = Dedup.withWords(t.documents)
+      .filter(col("doc_id") < bm25NQueries)
+    val keepWords = Map(
+      1 -> "flatten(array_repeat(w, 4))",
+      2 -> "filter(w, (x, i) -> i % 2 = 0)",
+      3 -> "filter(w, (x, i) -> i % 4 = 0)")
+    val pdocs = (1 to 3).map { v =>
+      qdocs.select(
+        (lit(plantedBase) + col("doc_id") * 10 + v).as("doc_id"),
+        concat_ws(" ", expr(keepWords(v))).as("text"))
+    }.reduce(_ unionByName _)
+    val docs2 = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(pdocs)
+    val qemb = t.embeddings.filter(col("vec_id") < bm25NQueries)
+    val pembs = (1 to 3).map { v =>
+      val k = plantedDims(v - 1)
+      qemb.select(
+        (lit(plantedBase) + col("vec_id") * 10 + v).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> IF(i < $k, x, x * 0))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    val emb2 = t.embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(pembs)
+    new Tables(t.spark, t.dir) {
+      override def documents: DataFrame = docs2
+      override def embeddings: DataFrame = emb2
+    }
+  }
+
+  /** The planted slice's judgments are CONSTRUCTED, not measured: the
+    * plant design fixes rel(q, planted_v) = 4 - v (the human/LLM-label
+    * stand-in with labels known by construction). System-independent by
+    * definition — no system's output enters the table.
+    */
+  private[graft] def plantedJudgments(t: Tables): DataFrame =
+    (1 to 3).map { v =>
+      t.documents.filter(col("doc_id") < bm25NQueries)
+        .select(col("doc_id").as("query_id"),
+          (lit(plantedBase) + col("doc_id") * 10 + v).as("doc_id"),
+          lit(4L - v).as("rel"))
+    }.reduce(_ unionByName _)
+
+  /** retrieval_eval_ndcg_planted — the DISCRIMINATING retrieval eval: the
+    * corpus-measured judgments of `retrieval_eval_ndcg` are honest but
+    * near-vacuous for the bm25/ivfpq systems on the shuffled-vocabulary
+    * synthetic corpus (all-zero NDCG rows — term overlap and 3-shingle
+    * overlap diverge there); this face runs the SAME four systems over
+    * the planted twin corpus, whose judgment list populates all three
+    * grades for every query BY CONSTRUCTION. NDCG differences between
+    * bm25 / cosine / hybrid / ivfpq are real signal here (spec pins
+    * nonzero NDCG on every system), while the production schema —
+    * (query, doc, graded rel) — is unchanged.
+    */
+  def retrievalEvalNdcgPlanted(t: Tables): DataFrame =
+    ndcgScored(plantedTables(t), plantedJudgments(t))
+
+  /** The NDCG@k scoring shared by the measured and planted evals: DCG /
+    * IDCG as exact integer sums over the driver-computed micro-unit
+    * discounts, four systems, one union.
+    */
+  private def ndcgScored(t: Tables, judgments: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val judg = relevanceJudgments(t).persist()
+    val judg = judgments.persist()
     val disc = typedLit(ndcgDiscQ6)
     val idcg = judg
       .withColumn("irank", row_number().over(
