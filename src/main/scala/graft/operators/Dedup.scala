@@ -703,7 +703,7 @@ object Dedup {
     * materialized) pair list — the shared tail of the full build and the
     * incremental fold.
     */
-  private def groupsFromPairs(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def groupsFromPairs(spark: org.apache.spark.sql.SparkSession,
       pairs: DataFrame): DataFrame = {
     val labels = ccLabels(spark, pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))

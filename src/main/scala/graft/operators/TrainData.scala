@@ -1366,6 +1366,20 @@ object TrainData {
     * query filter changes (the dedup_audit rule).
     */
   def retrievalAudit(t: Tables): DataFrame = {
+    val (plan, caches) = retrievalAuditPlan(t)
+    // materialize the (5-row) summary so the three shortlist caches can be
+    // released instead of leaking blocks for the rest of a 190-query session
+    val res = graft.engine.Reliability.planCheckpoint(plan)
+    caches.foreach(_.unpersist())
+    res
+  }
+
+  /** The audit's LAZY plan + its shortlist caches (PlanAuditSpec pins the
+    * join structure here — the registered face truncates the plan when it
+    * materializes, which would hide the joins from the pin).
+    */
+  private[graft] def retrievalAuditPlan(t: Tables)
+      : (DataFrame, Seq[DataFrame]) = {
     val exact5 = Sim.cosineRanked(t, Sim.nQueries)
       .filter(col("rank") <= Sim.topK)
       .select(col("query_id"), col("neighbor_id").as("nid")).persist()
@@ -1399,12 +1413,8 @@ object TrainData {
           .select(col("query_id"), col("doc_id").as("nid"))),
       overlap("hybrid_vs_vec", bm25NQueries, math.min(rrfTopK, Sim.topK), hyb,
         exact5.filter(col("query_id") < bm25NQueries)))
-    // materialize the (5-row) summary so the three shortlist caches can be
-    // released instead of leaking blocks for the rest of a 190-query session
-    val res = graft.engine.Reliability.planCheckpoint(
-      rows.reduce(_ unionByName _).orderBy(col("metric")))
-    exact5.unpersist(); adc.unpersist(); hyb.unpersist()
-    res
+    (rows.reduce(_ unionByName _).orderBy(col("metric")),
+      Seq(exact5, adc, hyb))
   }
 
   /** NDCG cut depth — matches every face's registered top-k, so the eval

@@ -1539,6 +1539,46 @@ object EventStreamPipeline {
       }
       .start()
 
+  /** Streaming GROUP-artifact maintenance — the LIVE face of
+    * `dedup_groups_inc`, closing the group axis's lifecycle (build
+    * nightly / fold daily / MAINTAIN live): VERIFIED near-dup pairs
+    * arrive (in production, the minhash frontier's verified output —
+    * candidate generation, the chain's dominant cost, already happened
+    * upstream on the frontier), and each micro-batch folds them into the
+    * persisted group artifact. Connected-component labels are GLOBAL —
+    * one arriving pair can merge two components neither of whose other
+    * members appears in this batch or under any one state key, so no
+    * keyed-state formulation can maintain labels locally (state for key
+    * A cannot read key B's) — the fold therefore runs per TRIGGER
+    * through the stored artifact, exactly the daily fold at micro-batch
+    * granularity: the batch's pairs land under a batch-keyed
+    * subdirectory (a re-delivered batch OVERWRITES its own files —
+    * at-least-once safe, the foreachBatch idempotency idiom), and the
+    * group table re-labels from the DISTINCT union pair set via the same
+    * conf-selected CC engines as every batch face. Returns the started
+    * query; the caller owns checkpointing and stop.
+    */
+  def dupGroupsMaintainStream(pairs: DataFrame, dir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    pairs
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.select(col("da"), col("db"))
+          .write.mode("overwrite").parquet(s"$dir/pairs/batch=$batchId")
+        val all = graft.engine.Reliability.planCheckpoint(
+          spark.read.parquet(s"$dir/pairs")
+            .select(col("da"), col("db")).distinct())
+        graft.operators.Dedup.groupsFromPairs(spark, all)
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col("doc_id"))
+          .write.mode("overwrite").parquet(s"$dir/groups")
+        ()
+      }
+      .start()
+
   /** Streaming AllJob — the reference's full chain (AllJob.java:49-56,
     * GateJob→IdJob→DwJob with in-memory handoff) as ONE streaming query:
     * the stateless gate leg (resolver verdict + blacklist anti-joins) runs

@@ -104,4 +104,39 @@ class DupGroupArtifactSpec extends SparkSpec {
     assert(Dedup.dupGroups(tB).count() == 0L)
     assert(Dedup.dupGroups(tA).count() == 2L)
   }
+
+  test("dupGroupsMaintainStream: cross-batch pair arrivals fold to the batch closure (incl. a merge)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = mergeCorpus
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val allPairs = Dedup.ngramJaccard(t2)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // batch 1 = the base pairs (no endpoint is the delta doc 10),
+    // batch 2 = the merging pairs through doc 10 - a genuine cross-batch
+    // component merge, the case keyed state cannot express
+    val (merging, base) = allPairs.partition(p => p._1 == 10L || p._2 == 10L)
+    assert(base.nonEmpty && merging.nonEmpty, s"degenerate split: $base / $merging")
+    val dir = java.nio.file.Files.createTempDirectory("graft_grp_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_grp_ckpt").toString
+    val in = MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStreamPipeline.dupGroupsMaintainStream(
+      in.toDF().select(col("_1").as("da"), col("_2").as("db")), dir, ckpt)
+    try {
+      in.addData(base.toSeq: _*)
+      q.processAllAvailable()
+      val mid = spark.read.parquet(s"$dir/groups")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+      assert(mid.values.toSet.size == 2, s"base fold should hold two groups: $mid")
+      in.addData(merging.toSeq: _*)
+      q.processAllAvailable()
+      val fin = spark.read.parquet(s"$dir/groups")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"),
+          r.getAs[Long]("group_size"))).toSet
+      val batch = Dedup.dupGroupsUnsorted(t2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fin == batch, s"streamed fold != batch closure: $fin vs $batch")
+    } finally q.stop()
+  }
 }

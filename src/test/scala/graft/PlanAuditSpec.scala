@@ -567,7 +567,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("retrieval audit joins only config-sized shortlists, never cartesian") {
-    val p = finalPlan(TrainData.retrievalAudit(t))
+    // the LAZY plan: the registered face truncates (planCheckpoint) when
+    // it materializes, which would hide the joins from this pin
+    val (lazyPlan, caches) = TrainData.retrievalAuditPlan(t)
+    val p = finalPlan(lazyPlan)
+    caches.foreach(_.unpersist())
     assert(!p.contains("CartesianProduct"), s"audit went cartesian:\n$p")
     // every overlap join is two Q×k frames — AQE must keep them broadcast
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
