@@ -196,7 +196,7 @@ object Dedup {
     * candidate generation `dupGroupsInc` runs. Callers persist: the frame
     * feeds candidate generation AND verification.
     */
-  private def ppjoinDocs(t: Tables, withDelta: Boolean): DataFrame = {
+  private[graft] def ppjoinDocs(t: Tables, withDelta: Boolean): DataFrame = {
     val sh = shingles(t)
     // step 1: df via a COUNT groupBy (map-side combined) joined back on the
     // shingle — never a window over s (single-task funnel for the hottest
@@ -248,7 +248,7 @@ object Dedup {
     * what bounds a daily fold's quadratic work by the delta, not the
     * corpus.
     */
-  private def ppjoinPairs(docs: DataFrame,
+  private[graft] def ppjoinPairs(docs: DataFrame,
       touchingDelta: Boolean = false): DataFrame = {
     // step 3: 1-based position of each index-prefix shingle in df order
     val preCols =

@@ -139,4 +139,57 @@ class DupGroupArtifactSpec extends SparkSpec {
       assert(fin == batch, s"streamed fold != batch closure: $fin vs $batch")
     } finally q.stop()
   }
+
+  test("dedup_groups_inc on the REAL corpus: fold == rescan with a non-vacuous delta") {
+    // at sf0.001 the generator's dup pairs genuinely straddle the recency
+    // split (10 of 28 pairs touch the newest fifth, one sits fully inside
+    // it) - so this equality exercises the delta-bounded candidate path
+    // on real data, not just the constructed merge corpus. (At sf0.01 the
+    // generator happens to plant every dup below id 500 of 10000 - a
+    // clean delta - so the driver-corpus hash match alone would not.)
+    val mx = t.documents.agg(max(col("doc_id"))).head().getLong(0)
+    val docs = Dedup.ppjoinDocs(t, withDelta = true).persist()
+    val newPairs = Dedup.ppjoinPairs(docs, touchingDelta = true)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    docs.unpersist()
+    assert(newPairs.nonEmpty, "vacuous: the sf corpus delta generated no pairs")
+    assert(newPairs.forall(p => p._1 * 5 > mx * 4 || p._2 * 5 > mx * 4),
+      "a generated pair touches no delta endpoint")
+    val fold = Dedup.dupGroupsInc(t).collect().map(_.toSeq).toSet
+    val rescan = Dedup.dupGroupsUnsorted(t).orderBy(col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(fold == rescan, "fold != rescan on the real corpus")
+  }
+
+  test("dupGroupsMaintainStream: a re-delivered batch is idempotent (restart with fresh checkpoint)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = mergeCorpus
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val allPairs = Dedup.ngramJaccard(t2)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (merging, base) = allPairs.partition(p => p._1 == 10L || p._2 == 10L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_grp_redeliver").toString
+    def runOnce(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_grp_ck2").toString
+      val in = MemoryStream[(Long, Long)]
+      val q = graft.streaming.EventStreamPipeline.dupGroupsMaintainStream(
+        in.toDF().select(col("_1").as("da"), col("_2").as("db")), dir, ckpt)
+      try {
+        in.addData(base.toSeq: _*); q.processAllAvailable()
+        in.addData(merging.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(s"$dir/groups").collect().map(_.toSeq).toSet
+    // a restarted query with a FRESH checkpoint re-delivers both batches
+    // under the same batch ids - the overwrite-own-subdir idiom must make
+    // that a no-op on the folded state
+    runOnce()
+    val second = spark.read.parquet(s"$dir/groups").collect().map(_.toSeq).toSet
+    assert(first == second, "re-delivered batches changed the folded groups")
+    val batch = Dedup.dupGroupsUnsorted(t2).collect().map(_.toSeq).toSet
+    assert(second == batch, "folded groups diverge from the batch closure")
+  }
 }

@@ -578,6 +578,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(nBroadcast >= 5, s"an overlap join shuffled a shortlist:\n$p")
   }
 
+  test("delta-bounded group fold: candidate joins stay merge-pinned, never cartesian") {
+    // the dedup_groups_inc candidate generation: both restricted joins
+    // (probe-delta x index-all, probe-all x index-delta) must stay
+    // sort-merge on the shingle key - downstream of an explode, Catalyst's
+    // size estimate would otherwise happily broadcast a corpus-sized frame
+    val docs = Dedup.ppjoinDocs(t, withDelta = true)
+    val p = plan(Dedup.ppjoinPairs(docs, touchingDelta = true))
+    assert(!p.contains("CartesianProduct"), s"delta fold went cartesian:\n$p")
+    val nMerge = "SortMergeJoin".r.findAllIn(p).length
+    assert(nMerge >= 2, s"a delta candidate join lost its merge pin:\n$p")
+  }
+
   test("unimax counts tokens with partial agg; windows stay on the lang table") {
     val p = plan(TrainData.mixUnimax(t))
     assert(!p.contains("CartesianProduct"), s"unimax went cartesian:\n$p")
