@@ -37,7 +37,7 @@ object Bench {
     // suite prices one build + serve-many (the production shape); the
     // consumers (dedup_groups, keep_best, soft_weight, split) then read
     // the stored artifact
-    "sink_dedup_groups", "dedup_groups_inc",
+    "sink_dedup_groups", "dedup_groups_inc", "sink_dedup_groups_compact",
     "pipeline_all_job", "dedup_groups", "dedup_keep_best",
     "dedup_ngram_jaccard", "dw_user_all", "dw_user_detail",
     "dw_user_detail_inc", "route_event_attr", "pipeline_curation_llm",

@@ -134,6 +134,7 @@ object SparkEntry {
     "dedup_index_compact" -> ((s, d) => Dedup.indexCompact(tables(s, d))),
     "dedup_groups"        -> ((s, d) => Dedup.dupGroups(tables(s, d))),
     "sink_dedup_groups"   -> ((s, d) => Dedup.dupGroupsSink(tables(s, d))),
+    "sink_dedup_groups_compact" -> ((s, d) => Dedup.dupGroupsCompact(tables(s, d))),
     "dedup_groups_inc"    -> ((s, d) => Dedup.dupGroupsInc(tables(s, d))),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(tables(s, d))),
     "sim_ann_cosine_topk" -> ((s, d) => Sim.cosineTopK(tables(s, d))),
@@ -1048,9 +1049,9 @@ object SparkEntry {
          CAST(sum(tf) AS BIGINT) AS sum_tf
        FROM b GROUP BY 1 ORDER BY 1"""
 
-  private val dupGroupsCtes: String =
+  private def dupGroupsCtes(where: String = ""): String =
     s"""WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-                   FROM documents),
+                   FROM documents $where),
        d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
        s0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM d3),
        sh AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS s FROM s0),
@@ -2821,25 +2822,33 @@ object SparkEntry {
     // the min-label fixpoint IS oracle SQL: transitive closure by recursive
     // CTE over the (tiny) near-dup pair graph, then min-reachable per node
     "dedup_groups" ->
-      s"""$dupGroupsCtes
+      s"""${dupGroupsCtes()}
          SELECT l.doc_id, l.group_id, s.group_size
          FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",
     // the BUILD face returns the group table re-read from the STORED
     // artifact — SAME oracle as dedup_groups, so the hash match proves
     // stored == computed (the sink_vector_index rule on the group axis)
     "sink_dedup_groups" ->
-      s"""$dupGroupsCtes
+      s"""${dupGroupsCtes()}
+         SELECT l.doc_id, l.group_id, s.group_size
+         FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",
+    // the WEEKLY compaction: tombstoned docs' pairs drop and the
+    // survivors RE-LABEL (a retired bridge doc splits its component);
+    // oracle = the SAME recursive closure restricted to live docs, so
+    // the hash match proves compacted == from-scratch-on-live
+    "sink_dedup_groups_compact" ->
+      s"""${dupGroupsCtes("WHERE doc_id % 13 <> 0")}
          SELECT l.doc_id, l.group_id, s.group_size
          FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",
     // the DAILY fold: stored base pairs + delta-bounded new pairs,
     // re-labeled — SAME oracle as dedup_groups (the full-corpus rescan),
     // so the hash match proves fold == rescan (the corpus_stats_inc rule)
     "dedup_groups_inc" ->
-      s"""$dupGroupsCtes
+      s"""${dupGroupsCtes()}
          SELECT l.doc_id, l.group_id, s.group_size
          FROM lbl l JOIN sz s ON l.group_id = s.group_id ORDER BY l.doc_id""",
     "dedup_keep_best" ->
-      s"""$dupGroupsCtes,
+      s"""${dupGroupsCtes()},
          q AS (SELECT doc_id,
                  floor((CAST(least(len(w), 50) AS DOUBLE) / 50 * 0.5
                    + CAST(len(list_filter(w, x ->
@@ -2856,7 +2865,7 @@ object SparkEntry {
     // soft dedup: every doc kept, weighted 1/|cluster|; singletons (no
     // near-dup pair) weigh 1.0 — the left join against the corpus axis
     "dedup_soft_weight" ->
-      s"""$dupGroupsCtes
+      s"""${dupGroupsCtes()}
          SELECT dd.doc_id,
            coalesce(l.group_id, dd.doc_id) AS group_id,
            CAST(coalesce(s.group_size, 1) AS BIGINT) AS group_size,
@@ -2869,7 +2878,7 @@ object SparkEntry {
     // dup-groups closure), so near-dup clusters cannot straddle splits;
     // the portable 60-bit md5 permille bucket replays exactly
     "split_leakage_safe" ->
-      s"""$dupGroupsCtes,
+      s"""${dupGroupsCtes()},
          base AS (SELECT dd.doc_id,
                     coalesce(l.group_id, dd.doc_id) AS group_id,
                     CAST(coalesce(s.group_size, 1) AS BIGINT) AS group_size
@@ -4158,7 +4167,7 @@ object SparkEntry {
             .map(j => s"mh$j").mkString(", ")
           s"SELECT doc_id, $b AS band, md5(concat_ws(':', $cols)) AS band_key FROM sig"
         }.mkString(" UNION ALL ")
-      s"""$dupGroupsCtes,
+      s"""${dupGroupsCtes()},
          h2 AS (SELECT doc_id,
                  CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % $p AS h0
                FROM sh),

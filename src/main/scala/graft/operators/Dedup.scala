@@ -781,6 +781,51 @@ object Dedup {
       t.spark.read.parquet(s"$dir/groups").orderBy(col("doc_id")))
   }
 
+  /** sink_dedup_groups_compact — the WEEKLY maintenance pass of the
+    * dup-group artifact (completing the group axis's lifecycle symmetry
+    * with the vector and lexical indexes: build / upsert / COMPACT):
+    * read the stored pair list back, drop every pair touching a
+    * tombstoned document (the shared `isRetired` modulus — deletion
+    * requests, domain bans), and RE-LABEL the survivors before rewriting
+    * both tables. The re-label is the point — and the asymmetry with a
+    * naive row delete: a retired document can be the BRIDGE of its
+    * component (A~X~B with A!~B), so deleting its rows without
+    * re-running connected components would leave A and B labeled as one
+    * group that no longer exists; label validity is a property of the
+    * whole pair graph, exactly like stored df was a property of the
+    * whole corpus (`textIndexCompact`). Returns the compacted group
+    * table re-read from the STORED files; the oracle is the SAME
+    * recursive closure restricted to live documents, so the hash match
+    * proves compacted == from-scratch-on-live-docs. The spec additionally
+    * pins a planted bridge SPLIT and that no retired doc survives.
+    *
+    * Scale shape: one scan of the stored pair list (never the corpus
+    * text — pair existence between two live docs does not depend on
+    * retired ones), the CC re-label over the (shrinking) live pair set,
+    * two bounded writes.
+    */
+  def dupGroupsCompact(t: Tables): DataFrame = {
+    val base = "/tmp/graft_dupgroups/compact"
+    // the grown artifact being maintained (in production it already exists)
+    writeDupGroups(t, s"$base/full")
+    val live = graft.engine.Reliability.planCheckpoint(
+      t.spark.read.parquet(s"$base/full/pairs")
+        .filter(!isRetired(col("da")) && !isRetired(col("db")))
+        .select(col("da"), col("db")))
+    val n = t.spark.sessionState.conf.numShufflePartitions
+    live.repartition(n, col("da"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+      .parquet(s"$base/compacted/pairs")
+    groupsFromPairs(t.spark, live)
+      .repartition(n, col("doc_id"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+      .parquet(s"$base/compacted/groups")
+    // materialize before returning (the pqAdcTopKStored discipline): the
+    // directory is deterministic and overwritten per run
+    graft.engine.Reliability.planCheckpoint(
+      t.spark.read.parquet(s"$base/compacted/groups").orderBy(col("doc_id")))
+  }
+
   /** dedup_groups_inc — the DAILY maintenance leg of the dup-group
     * artifact (the sink_vector_index_upsert move on the GROUP axis): the
     * nightly build labeled the pre-delta corpus; the day's delta docs

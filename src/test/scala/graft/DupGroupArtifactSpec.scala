@@ -192,4 +192,35 @@ class DupGroupArtifactSpec extends SparkSpec {
     val batch = Dedup.dupGroupsUnsorted(t2).collect().map(_.toSeq).toSet
     assert(second == batch, "folded groups diverge from the batch closure")
   }
+
+  test("sink_dedup_groups_compact: a retired BRIDGE doc splits its group; surviving pairs re-label") {
+    val w = (1 to 16).map(i => s"cpw$i")
+    def win(a: Int, b: Int) = w.slice(a - 1, b).mkString(" ")
+    val sv = (1 to 6).map(i => s"csv$i").mkString(" ")
+    val docs = Seq(
+      (1L, win(1, 12)),   // A — paired only through the bridge
+      (13L, win(3, 14)),  // X: the bridge (13 % 13 == 0 -> retired)
+      (3L, win(5, 16)),   // B — A~X~B, A!~B
+      (2L, sv),           // surviving independent pair
+      (4L, sv + " csvz")
+    ).toDF("doc_id", "text")
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    // pre-compaction sanity: the bridge unites {1, 3, 13}
+    val before = Dedup.dupGroupsUnsorted(t2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.keySet == Set(1L, 2L, 3L, 4L, 13L), s"before: $before")
+    assert(before(1L) == before(3L) && before(3L) == before(13L),
+      "the bridge doc must unite A and B before compaction")
+    val compacted = Dedup.dupGroupsCompact(t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // no retired doc survives; the bridged component SPLIT (A and B are
+    // unpaired without X, so they leave the group table entirely) — a
+    // row-delete without re-labeling would have kept them grouped
+    assert(compacted == Set((2L, 2L, 2L), (4L, 2L, 2L)),
+      s"compacted closure wrong: $compacted")
+    // and the stored pair list holds only live-endpoint pairs
+    val pairs = spark.read.parquet("/tmp/graft_dupgroups/compact/compacted/pairs")
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs == Set((2L, 4L)), s"compacted pairs wrong: $pairs")
+  }
 }
