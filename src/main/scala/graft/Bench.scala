@@ -70,14 +70,30 @@ object Bench {
     // the serve-only faces and group consumers exist to price SERVE math
     // (the production tier where the nightly job already built the
     // indexes); the build cost is priced by the registered build faces
-    // (sink_dedup_groups / dedup_groups_inc / sink_text_index /
-    // sink_vector_index), which always rebuild
+    // (sink_dedup_groups / sink_text_index / sink_vector_index), which
+    // always rebuild. The BASE-corpus group artifact is pre-built too so
+    // dedup_groups_inc consistently prices the FOLD (production: the
+    // nightly base exists) instead of build+fold on first touch and
+    // fold-only on the solo re-time. A pre-build failure is FLAGGED, not
+    // swallowed: it silently shifts full builds into serve-face timings.
     try {
+      import org.apache.spark.sql.functions._
       val t = graft.sources.Tables(spark, sfDir)
       graft.operators.TrainData.textIndexDir(t)
       graft.operators.Sim.vectorIndexDir(t)
       graft.operators.Dedup.dupGroupsDir(t)
-    } catch { case _: Throwable => () }
+      val mx = t.documents.agg(max(col("doc_id")).as("max_id"))
+      val baseDocs = t.documents.crossJoin(broadcast(mx))
+        .filter(!graft.operators.Dedup.incIsDelta(col("doc_id"), col("max_id")))
+        .drop("max_id")
+      val baseT = new graft.sources.Tables(spark, sfDir) {
+        override def documents = baseDocs
+      }
+      graft.operators.Dedup.dupGroupsDir(baseT)
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] artifact pre-build FAILED (serve-face " +
+        s"timings will include builds): ${t.getClass.getSimpleName}: ${t.getMessage}")
+    }
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum

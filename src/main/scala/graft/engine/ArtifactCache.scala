@@ -18,56 +18,83 @@ import org.apache.spark.sql.functions._
   * tiers only read), while a solo run still stands alone by building on
   * demand.
   *
-  * Keying: artifacts are keyed by a CONTENT fingerprint of their source
-  * table (one linear aggregate — count + an order-independent xxhash64
-  * sum), never by the table path alone: specs override `Tables.documents`
-  * with synthetic frames that share one path, and a path key would serve
-  * corpus A's artifact to corpus B. Distinct corpora therefore get
-  * distinct directories; a rebuilt corpus gets a fresh one.
+  * Keying: artifacts are keyed by a fingerprint of their source table.
+  * For a plain file-backed table the fingerprint comes from the FILE
+  * METADATA (sorted path:length:modTime list) — an O(listing) operation,
+  * because a serve face that content-hashed the corpus on every call
+  * would re-read all raw text per query, the exact cost class the serve
+  * tier exists to avoid. For anything else (spec corpora override
+  * `Tables.documents` with in-memory frames that share one path — a path
+  * key would serve corpus A's artifact to corpus B) the fingerprint falls
+  * back to a CONTENT hash: one linear aggregate (count + an
+  * order-independent xxhash64 XOR), fine at spec scale.
   *
-  * The memo is per-JVM. Directories are deterministic under the
-  * fingerprint, so a crashed session's leftovers are simply overwritten
-  * by the next build (mode=overwrite), never trusted.
+  * Scope: the memo is per-JVM and the registry assumes ONE session owns
+  * the artifact root at a time (bench / Verify / the driver each run
+  * single-JVM). Two concurrent JVMs over the same corpus would race an
+  * overwrite against an in-flight read — a deployment sharing artifacts
+  * across processes puts them on a real store with a lock/rename
+  * protocol; directories here are deterministic under the fingerprint, so
+  * a crashed session's leftovers are simply overwritten by the next
+  * build, never trusted.
   */
 object ArtifactCache {
 
-  private val built = scala.collection.mutable.HashSet[String]()
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val root = "/tmp/graft_artifacts"
 
-  /** Content fingerprint of `df` over `cols`: row count + the
-    * order-independent XOR of per-row xxhash64 (bit_xor — exact under
-    * ANSI mode where a long SUM of hashes overflows; pairs of identical
-    * rows would cancel, but every caller hashes a unique-id column in) —
-    * one map-side-combined linear scan, negligible next to any index
-    * build it guards.
+  /** Fingerprint of `df` over `cols`: file-metadata based (NO data scan)
+    * when `df` is a plain file-backed scan; content-based otherwise.
     */
-  def fingerprint(df: DataFrame, cols: Column*): String = {
-    val r = df.select(xxhash64(cols: _*).as("h"))
-      .agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
-    s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}"
+  def fingerprint(df: DataFrame, cols: Column*): String =
+    fileKey(df).getOrElse {
+      val r = df.select(xxhash64(cols: _*).as("h"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+      s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}"
+    }
+
+  /** The zero-data-scan fast path: a plain file-backed relation's
+    * identity is its file listing (path, length, modification time) —
+    * the standard cache-invalidation triple; a rewrite of any file
+    * yields a fresh fingerprint and therefore a rebuild.
+    */
+  private[graft] def fileKey(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed match {
+      case l: LogicalRelation =>
+        l.relation match {
+          case fs: HadoopFsRelation =>
+            val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+              .sorted
+            val h = scala.util.hashing.MurmurHash3.orderedHash(files)
+            Some(s"files_${files.size}_${java.lang.Integer.toHexString(h)}")
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** The artifact directory for (kind, fingerprint), building via `build`
-    * iff this session has not built it yet.
+    * iff this session has not built it yet. Concurrent callers of the
+    * SAME artifact serialize on its map bin (computeIfAbsent — second
+    * caller waits, then reads); different artifacts build independently.
     */
-  def ensure(kind: String, fp: String)(build: String => Unit): String =
-    synchronized {
-      val dir = s"$root/$kind/$fp"
-      if (!built.contains(dir)) { build(dir); built += dir }
-      dir
-    }
+  def ensure(kind: String, fp: String)(build: String => Unit): String = {
+    val dir = s"$root/$kind/$fp"
+    built.computeIfAbsent(dir, _ => { build(dir); dir })
+  }
 
   /** Force a (re)build — the registered BUILD faces call this so their
     * bench reading always prices the build, and mark the artifact built
     * so serve faces in the same session reuse it.
     */
-  def rebuild(kind: String, fp: String)(build: String => Unit): String =
-    synchronized {
-      val dir = s"$root/$kind/$fp"
-      build(dir)
-      built += dir
-      dir
-    }
+  def rebuild(kind: String, fp: String)(build: String => Unit): String = {
+    val dir = s"$root/$kind/$fp"
+    build(dir)
+    built.put(dir, dir)
+    dir
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Sim, TrainData}
+import org.apache.spark.sql.functions._
 
 /** The serve-only retrieval faces (text_bm25_serve / sim_ann_adc_serve /
   * retrieval_hybrid_rrf_serve): identical results to their self-contained
@@ -30,6 +31,27 @@ class ServeFaceSpec extends SparkSpec {
     assert(served.nonEmpty, "vacuous: no fused rows")
     assert(served == rows(TrainData.hybridRrfStored(t)),
       "serve-only hybrid diverges from the self-contained stored hybrid")
+  }
+
+  test("artifact fingerprints of file-backed tables are metadata-only: no raw-corpus scan per serve call") {
+    // the serve contract ("matched posting lists ... never the raw text")
+    // requires the per-call fingerprint to avoid content-scanning the
+    // corpus: a plain parquet table must take the file-metadata fast path
+    val k1 = graft.engine.ArtifactCache.fileKey(t.documents)
+    assert(k1.isDefined, "a plain parquet scan missed the metadata fast path")
+    // stable across independent Tables instances (the per-query re-read)
+    val k2 = graft.engine.ArtifactCache.fileKey(
+      graft.sources.Tables(spark, sf).documents)
+    assert(k1 == k2, "the metadata fingerprint is not stable across reads")
+    // derived / in-memory frames (the spec-corpus case) must NOT take the
+    // fast path — content keying is what isolates corpora sharing a path
+    import spark.implicits._
+    val mem = Seq((1L, "fk a b c")).toDF("doc_id", "text")
+    assert(graft.engine.ArtifactCache.fileKey(mem).isEmpty,
+      "an in-memory frame claimed a file identity")
+    assert(graft.engine.ArtifactCache.fileKey(
+      t.documents.filter(col("doc_id") > 0)).isEmpty,
+      "a derived frame claimed its source's file identity")
   }
 
   test("serve faces reuse the ensured artifacts: no rebuild across calls") {
