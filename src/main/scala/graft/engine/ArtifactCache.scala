@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   * tier exists to avoid. For anything else (spec corpora override
   * `Tables.documents` with in-memory frames that share one path — a path
   * key would serve corpus A's artifact to corpus B) the fingerprint falls
-  * back to a CONTENT hash: one linear aggregate (count + an
-  * order-independent xxhash64 XOR), fine at spec scale.
+  * back to a CONTENT hash: two linear order-independent aggregates
+  * (count + xxhash64 XOR + a decimal SUM of the same hashes), fine at
+  * spec scale. The sum breaks the XOR's cancellation class: rows
+  * duplicated an even number of times XOR to zero, but their hashes
+  * still add (2·h ≠ 0), so {r1,r1,r2} and {r3,r3,r2} no longer collide.
+  * The sum runs over DECIMAL(38,0) — an ANSI-mode BIGINT sum of 64-bit
+  * hashes would overflow and throw.
   *
   * Scope: the memo is per-JVM and the registry assumes ONE session owns
   * the artifact root at a time (bench / Verify / the driver each run
@@ -36,11 +41,21 @@ import org.apache.spark.sql.functions._
   * across processes puts them on a real store with a lock/rename
   * protocol; directories here are deterministic under the fingerprint, so
   * a crashed session's leftovers are simply overwritten by the next
-  * build, never trusted.
+  * build, never trusted. Leftovers from PRIOR sessions (a corpus rewrite
+  * mints a fresh fingerprint directory every time) are best-effort pruned:
+  * after a successful build, sibling fingerprint directories of the same
+  * kind that this session neither built nor started building are deleted.
   */
 object ArtifactCache {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Directories with an in-flight OR completed build this session — the
+    * prune guard: a sibling prune must never delete a directory another
+    * thread is mid-build on (it enters this set BEFORE its build starts,
+    * while `built` only lists completed builds).
+    */
+  private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val root = "/tmp/graft_artifacts"
 
@@ -51,8 +66,14 @@ object ArtifactCache {
     fileKey(df).getOrElse {
       val r = df.select(xxhash64(cols: _*).as("h"))
         .agg(count(lit(1)).as("n"),
-          coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
-      s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}"
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+          // decimal, not bigint: ANSI mode throws on a 64-bit hash sum
+          coalesce(sum(col("h").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+            .as("s")).head()
+      val sumHash = scala.util.hashing.MurmurHash3
+        .stringHash(r.getDecimal(2).toBigInteger.toString)
+      s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}_" +
+        java.lang.Integer.toHexString(sumHash)
     }
 
   /** The zero-data-scan fast path: a plain file-backed relation's
@@ -82,19 +103,87 @@ object ArtifactCache {
     * SAME artifact serialize on its map bin (computeIfAbsent — second
     * caller waits, then reads); different artifacts build independently.
     */
+  /** The deterministic directory for (kind, fingerprint) — no build. */
+  def dir(kind: String, fp: String): String = s"$root/$kind/$fp"
+
   def ensure(kind: String, fp: String)(build: String => Unit): String = {
-    val dir = s"$root/$kind/$fp"
-    built.computeIfAbsent(dir, _ => { build(dir); dir })
+    val dir = this.dir(kind, fp)
+    live.add(dir)
+    val res = built.computeIfAbsent(dir, _ => { build(dir); dir })
+    prune(kind)
+    res
   }
 
   /** Force a (re)build — the registered BUILD faces call this so their
     * bench reading always prices the build, and mark the artifact built
-    * so serve faces in the same session reuse it.
+    * so serve faces in the same session reuse it. The build runs INSIDE
+    * the per-directory map bin (compute), so it serializes against a
+    * concurrent ensure() of the same artifact instead of interleaving
+    * with it.
     */
   def rebuild(kind: String, fp: String)(build: String => Unit): String = {
-    val dir = s"$root/$kind/$fp"
-    build(dir)
-    built.put(dir, dir)
+    val dir = this.dir(kind, fp)
+    live.add(dir)
+    built.compute(dir, (_, _) => { build(dir); dir })
+    prune(kind)
     dir
+  }
+
+  /** Best-effort cross-session cleanup: drop sibling fingerprint
+    * directories of `kind` that this session has neither built nor
+    * started building — a corpus rewrite mints a fresh fingerprint
+    * directory per session, and without pruning the root grows without
+    * bound. Liveness is re-checked immediately before each delete, and
+    * the whole pass is advisory (single-JVM ownership is the documented
+    * scope; a failure to delete is ignored).
+    */
+  private def prune(kind: String): Unit =
+    try {
+      val kindDir = new java.io.File(s"$root/$kind")
+      val children = Option(kindDir.listFiles()).getOrElse(Array.empty)
+      children.foreach { c =>
+        if (c.isDirectory && !live.contains(c.getPath)) deleteRec(c)
+      }
+    } catch { case _: Throwable => () }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Clone `src` into `dst` (replacing `dst`): parquet part files are
+    * HARD-LINKED when the filesystem allows (zero-copy, and safe because
+    * committed part files are immutable — an append writes new files,
+    * never rewrites existing ones), everything else (`_SUCCESS` and
+    * friends, which a later append job RECREATES IN PLACE — through a
+    * hard link that truncation would reach the shared inode and bump the
+    * source artifact's mtime, breaking its metadata fingerprint) is
+    * byte-copied.
+    *
+    * This is the stand-alone harness's zero-cost stand-in for "the index
+    * directory already exists": production's daily upsert appends into
+    * the live directory in place and copies nothing; a registered query
+    * must not mutate the shared session artifact, so it links the base
+    * into its own output directory and appends there.
+    */
+  def cloneDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    deleteRec(d.toFile)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val target = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(target)
+      } else {
+        java.nio.file.Files.createDirectories(target.getParent)
+        val name = p.getFileName.toString
+        if (name.startsWith("_") || name.startsWith("."))
+          java.nio.file.Files.copy(p, target)
+        else
+          try java.nio.file.Files.createLink(target, p)
+          catch { case _: Throwable => java.nio.file.Files.copy(p, target) }
+      }
+    }
   }
 }

@@ -739,16 +739,45 @@ object Dedup {
       .parquet(s"$out/groups")
   }
 
+  /** The document-corpus fingerprint every dup-group artifact keys on —
+    * ONE definition so the build, serve, and maintenance faces can never
+    * key the same corpus differently.
+    */
+  private[graft] def dupGroupsFp(t: Tables): String =
+    graft.engine.ArtifactCache.fingerprint(
+      t.documents, xxhash64(col("doc_id"), col("text")))
+
+  /** The PRE-DELTA view of `t` — documents and embeddings each restricted
+    * to their non-delta rows under the shared recency split (`incIsDelta`
+    * on the table's own max id). This is "yesterday's corpus": the state
+    * the nightly index/group builds ran on, which every daily-maintenance
+    * face (`dupGroupsInc`, the upserted text/vector indexes) folds a delta
+    * into. ONE definition, shared with Bench's artifact pre-build — a
+    * copy-paste drift between the operator's split and the pre-build's
+    * split would silently move the base build back inside the timed
+    * region (the fingerprint would no longer match).
+    */
+  def baseTables(t: Tables): Tables = {
+    val mxD = t.documents.agg(max(col("doc_id")).as("max_id"))
+    val baseDocs = t.documents.crossJoin(broadcast(mxD))
+      .filter(!incIsDelta(col("doc_id"), col("max_id"))).drop("max_id")
+    val mxV = t.embeddings.agg(max(col("vec_id")).as("max_id"))
+    val baseEmb = t.embeddings.crossJoin(broadcast(mxV))
+      .filter(!incIsDelta(col("vec_id"), col("max_id"))).drop("max_id")
+    new Tables(t.spark, t.dir) {
+      override def documents: DataFrame = baseDocs
+      override def embeddings: DataFrame = baseEmb
+    }
+  }
+
   /** The session's dup-group artifact directory for `t`'s corpus —
     * built by the first caller, reused by every later one (the
     * ArtifactCache contract: content-fingerprint keyed, so spec corpora
     * sharing a path can never read each other's groups).
     */
-  private[graft] def dupGroupsDir(t: Tables): String = {
-    val fp = graft.engine.ArtifactCache.fingerprint(
-      t.documents, xxhash64(col("doc_id"), col("text")))
-    graft.engine.ArtifactCache.ensure("dupgroups", fp)(writeDupGroups(t, _))
-  }
+  private[graft] def dupGroupsDir(t: Tables): String =
+    graft.engine.ArtifactCache.ensure("dupgroups", dupGroupsFp(t))(
+      writeDupGroups(t, _))
 
   /** The STORED group table (doc_id, group_id, group_size) — what every
     * group consumer (`dupGroups`, `keepBest`, `softWeight`,
@@ -771,9 +800,7 @@ object Dedup {
     * from the artifact it marked built.
     */
   def dupGroupsSink(t: Tables): DataFrame = {
-    val fp = graft.engine.ArtifactCache.fingerprint(
-      t.documents, xxhash64(col("doc_id"), col("text")))
-    val dir = graft.engine.ArtifactCache.rebuild("dupgroups", fp)(
+    val dir = graft.engine.ArtifactCache.rebuild("dupgroups", dupGroupsFp(t))(
       writeDupGroups(t, _))
     // materialize before returning (the pqAdcTopKStored discipline): the
     // directory is deterministic and overwritten per rebuild
@@ -802,28 +829,36 @@ object Dedup {
     * Scale shape: one scan of the stored pair list (never the corpus
     * text — pair existence between two live docs does not depend on
     * retired ones), the CC re-label over the (shrinking) live pair set,
-    * two bounded writes.
+    * two bounded writes. The artifact being maintained is the SESSION'S
+    * ENSURED one (`dupGroupsDir` — in production it already exists on
+    * disk), read strictly read-only; the compacted output goes to its own
+    * fingerprint-keyed directory (never a fixed path — the content-key
+    * isolation that keeps spec corpora sharing a path from reading each
+    * other's artifacts applies to maintenance outputs too). The timed
+    * body of this face is therefore the true weekly maintenance, not a
+    * full rebuild a production store already paid.
     */
   def dupGroupsCompact(t: Tables): DataFrame = {
-    val base = "/tmp/graft_dupgroups/compact"
-    // the grown artifact being maintained (in production it already exists)
-    writeDupGroups(t, s"$base/full")
-    val live = graft.engine.Reliability.planCheckpoint(
-      t.spark.read.parquet(s"$base/full/pairs")
-        .filter(!isRetired(col("da")) && !isRetired(col("db")))
-        .select(col("da"), col("db")))
-    val n = t.spark.sessionState.conf.numShufflePartitions
-    live.repartition(n, col("da"))
-      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
-      .parquet(s"$base/compacted/pairs")
-    groupsFromPairs(t.spark, live)
-      .repartition(n, col("doc_id"))
-      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
-      .parquet(s"$base/compacted/groups")
+    val srcDir = dupGroupsDir(t) // ensured base artifact, read-only
+    val dir = graft.engine.ArtifactCache.rebuild(
+        "dupgroups_compact", dupGroupsFp(t)) { out =>
+      val live = graft.engine.Reliability.planCheckpoint(
+        t.spark.read.parquet(s"$srcDir/pairs")
+          .filter(!isRetired(col("da")) && !isRetired(col("db")))
+          .select(col("da"), col("db")))
+      val n = t.spark.sessionState.conf.numShufflePartitions
+      live.repartition(n, col("da"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+        .parquet(s"$out/pairs")
+      groupsFromPairs(t.spark, live)
+        .repartition(n, col("doc_id"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+        .parquet(s"$out/groups")
+    }
     // materialize before returning (the pqAdcTopKStored discipline): the
-    // directory is deterministic and overwritten per run
+    // directory is deterministic and rewritten per run
     graft.engine.Reliability.planCheckpoint(
-      t.spark.read.parquet(s"$base/compacted/groups").orderBy(col("doc_id")))
+      t.spark.read.parquet(s"$dir/groups").orderBy(col("doc_id")))
   }
 
   /** dedup_groups_inc — the DAILY maintenance leg of the dup-group
@@ -851,11 +886,7 @@ object Dedup {
     * builds it in-query (on the pre-delta corpus) to stand alone.
     */
   def dupGroupsInc(t: Tables): DataFrame = {
-    val mx = t.documents.agg(max(col("doc_id")).as("max_id"))
-    val baseDocs = t.documents.crossJoin(broadcast(mx))
-      .filter(!incIsDelta(col("doc_id"), col("max_id"))).drop("max_id")
-    val baseT = new Tables(t.spark, t.dir) { override def documents = baseDocs }
-    val basePairs = t.spark.read.parquet(s"${dupGroupsDir(baseT)}/pairs")
+    val basePairs = t.spark.read.parquet(s"${dupGroupsDir(baseTables(t))}/pairs")
       .select(col("da"), col("db"))
     val docs = ppjoinDocs(t, withDelta = true).persist()
     val newPairs = graft.engine.Reliability.planCheckpoint(

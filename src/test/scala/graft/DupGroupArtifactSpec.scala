@@ -218,8 +218,12 @@ class DupGroupArtifactSpec extends SparkSpec {
     // row-delete without re-labeling would have kept them grouped
     assert(compacted == Set((2L, 2L, 2L), (4L, 2L, 2L)),
       s"compacted closure wrong: $compacted")
-    // and the stored pair list holds only live-endpoint pairs
-    val pairs = spark.read.parquet("/tmp/graft_dupgroups/compact/compacted/pairs")
+    // and the stored pair list holds only live-endpoint pairs (the
+    // compacted output lives in its own fingerprint-keyed directory —
+    // round 11 routed the old fixed /tmp scratch path through the cache)
+    val compactDir = graft.engine.ArtifactCache.dir(
+      "dupgroups_compact", Dedup.dupGroupsFp(t2))
+    val pairs = spark.read.parquet(s"$compactDir/pairs")
       .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
     assert(pairs == Set((2L, 4L)), s"compacted pairs wrong: $pairs")
   }

@@ -287,8 +287,10 @@ class LlmOpsSpec extends SparkSpec {
     val stats = graft.operators.Sim.vectorIndexCompact(t, Some(dir)).collect()
       .map(r => r.getAs[Long]("cluster") ->
         (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_code_cells"))).toMap
-    val full = spark.read.parquet(s"$dir/full")
-    val compactedDf = spark.read.parquet(s"$dir/compacted")
+    // the grown index being maintained is the ensured session artifact
+    // (read-only); the compacted rewrite landed at `dir`
+    val full = spark.read.parquet(graft.operators.Sim.vectorIndexDir(t))
+    val compactedDf = spark.read.parquet(dir)
     // no tombstoned vector survives in any stored file
     assert(compactedDf.filter(col("vec_id") % 13 === 0).count() == 0,
       "a retired vector survived compaction")
@@ -1930,13 +1932,14 @@ class LlmOpsSpec extends SparkSpec {
     val full = Sim.vectorIndexSink(t).collect()
       .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
         r.getAs[Long]("n_code_cells"))).sorted
-    val upserted = Sim.vectorIndexUpsert(t).collect()
+    val updir = java.nio.file.Files.createTempDirectory("graft_vupsert").toString + "/idx"
+    val upserted = Sim.vectorIndexUpsert(t, Some(updir)).collect()
       .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
         r.getAs[Long]("n_code_cells"))).sorted
     assert(upserted.sameElements(full))
     // the append really happened as an append: the upsert directory holds
     // base AND delta files, and the delta ids are present post-append
-    val stored = spark.read.parquet("/tmp/graft_vindex/upsert")
+    val stored = spark.read.parquet(updir)
     val maxId = t.embeddings.agg(max(col("vec_id"))).head.getLong(0)
     val deltaCount = stored.filter(col("vec_id") * 5 > maxId * 4).count()
     assert(stored.count() == t.embeddings.count())
@@ -2067,10 +2070,12 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("text index compact drops retired docs and refreshes every df") {
-    val base = java.nio.file.Files.createTempDirectory("graft_tic_spec").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_tic_spec").toString + "/out"
     val stats = TrainData.textIndexCompact(t, Some(base)).collect()
-    // no tombstoned doc survives in any stored file
-    val stored = spark.read.parquet(s"$base/compacted")
+    // no tombstoned doc survives in any stored file (the compacted
+    // rewrite lands at `base`; the maintained index is the read-only
+    // ensured session artifact)
+    val stored = spark.read.parquet(base)
     assert(stored.filter(Dedup.isRetired(col("doc_id"))).count() == 0)
     // every stored df equals its term's actual surviving posting count —
     // the recompute is the point (a stale df skews every BM25 idf)

@@ -26,11 +26,16 @@ class ServeFaceSpec extends SparkSpec {
       "ensured-artifact ADC search diverges from the inline-built one")
   }
 
-  test("retrieval_hybrid_rrf_serve equals the self-contained stored hybrid") {
+  test("retrieval_hybrid_rrf_serve equals the day-old-index fresh hybrid") {
+    // round 11 re-pointed hybridRrfStored at the same ensured artifacts
+    // the serve face reads, so comparing those two would be a tautology;
+    // the INDEPENDENT path is the mid-day face — day-old upserted indexes
+    // served through the fresh-df lexical leg and the appended vector
+    // codes. Equality proves the whole maintenance story end to end.
     val served = rows(TrainData.hybridRrfServe(t))
     assert(served.nonEmpty, "vacuous: no fused rows")
-    assert(served == rows(TrainData.hybridRrfStored(t)),
-      "serve-only hybrid diverges from the self-contained stored hybrid")
+    assert(served == rows(TrainData.hybridRrfStoredFresh(t)),
+      "serve-only hybrid diverges from the day-old-index fresh hybrid")
   }
 
   test("artifact fingerprints of file-backed tables are metadata-only: no raw-corpus scan per serve call") {
@@ -52,6 +57,43 @@ class ServeFaceSpec extends SparkSpec {
     assert(graft.engine.ArtifactCache.fileKey(
       t.documents.filter(col("doc_id") > 0)).isEmpty,
       "a derived frame claimed its source's file identity")
+  }
+
+  test("maintenance faces never mutate the ensured base artifact they read") {
+    // round 11's contract: compact/upsert faces source their BASE from
+    // the session's ensured artifact READ-ONLY and write their output to
+    // their own fingerprint-keyed directory. The listing triple
+    // (path, length, mtime) is exactly the metadata fingerprint — any
+    // mutation (including an in-place truncation reaching a shared
+    // hard-link inode) would change it and silently invalidate the key.
+    def listing(dir: String): Seq[(String, Long, Long)] = {
+      val root = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (!java.nio.file.Files.isDirectory(p))
+          out += ((root.relativize(p).toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      }
+      out.sortBy(_._1).toSeq
+    }
+    val bt = Dedup.baseTables(t)
+    val bases = Seq(
+      "dupgroups"    -> Dedup.dupGroupsDir(t),
+      "tindex"       -> TrainData.textIndexDir(t),
+      "vindex"       -> Sim.vectorIndexDir(t),
+      "tindex/base"  -> TrainData.textIndexDir(bt),
+      "vindex/base"  -> Sim.vectorIndexDir(bt))
+    val before = bases.map { case (k, d) => (k, d, listing(d)) }
+    Dedup.dupGroupsCompact(t).collect()
+    TrainData.textIndexCompact(t).collect()
+    Sim.vectorIndexCompact(t).collect()
+    TrainData.textIndexUpsert(t).collect()
+    Sim.vectorIndexUpsert(t).collect()
+    TrainData.bm25TopKStoredFresh(t).collect()
+    TrainData.hybridRrfStoredFresh(t).collect()
+    before.foreach { case (k, d, l) =>
+      assert(listing(d) == l, s"maintenance mutated the ensured $k base at $d")
+    }
   }
 
   test("serve faces reuse the ensured artifacts: no rebuild across calls") {
