@@ -50,6 +50,21 @@ object ArtifactCache {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-directory build locks. Builds run under a plain monitor — NOT
+    * inside `built`'s `compute*` bins — because a build may itself ensure
+    * another artifact (the upserted indexes clone their PRE-DELTA base:
+    * `writeUpsertedIndex` → `textIndexDir(baseTables)`), and a
+    * ConcurrentHashMap mapping function must not update other mappings of
+    * the same map (nested updates that land in one bin can loop).
+    * Monitors are per-thread reentrant, so nested DIFFERENT-key builds
+    * just take a second lock; a build that ensured ITSELF would recurse —
+    * no such cycle exists (build graph: day-old index → base index).
+    */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(dir: String): Object =
+    locks.computeIfAbsent(dir, _ => new Object)
+
   /** Directories with an in-flight OR completed build this session — the
     * prune guard: a sibling prune must never delete a directory another
     * thread is mid-build on (it enters this set BEFORE its build starts,
@@ -98,33 +113,35 @@ object ArtifactCache {
     }
   }
 
-  /** The artifact directory for (kind, fingerprint), building via `build`
-    * iff this session has not built it yet. Concurrent callers of the
-    * SAME artifact serialize on its map bin (computeIfAbsent — second
-    * caller waits, then reads); different artifacts build independently.
-    */
   /** The deterministic directory for (kind, fingerprint) — no build. */
   def dir(kind: String, fp: String): String = s"$root/$kind/$fp"
 
+  /** The artifact directory for (kind, fingerprint), building via `build`
+    * iff this session has not built it yet. Concurrent callers of the
+    * SAME artifact serialize on its per-directory lock (second caller
+    * waits, then reads); different artifacts build independently.
+    */
   def ensure(kind: String, fp: String)(build: String => Unit): String = {
     val dir = this.dir(kind, fp)
     live.add(dir)
-    val res = built.computeIfAbsent(dir, _ => { build(dir); dir })
+    if (!built.containsKey(dir)) lockFor(dir).synchronized {
+      if (!built.containsKey(dir)) { build(dir); built.put(dir, dir) }
+    }
     prune(kind)
-    res
+    dir
   }
 
   /** Force a (re)build — the registered BUILD faces call this so their
     * bench reading always prices the build, and mark the artifact built
-    * so serve faces in the same session reuse it. The build runs INSIDE
-    * the per-directory map bin (compute), so it serializes against a
+    * so serve faces in the same session reuse it. The build runs under
+    * the SAME per-directory lock as ensure(), so it serializes against a
     * concurrent ensure() of the same artifact instead of interleaving
     * with it.
     */
   def rebuild(kind: String, fp: String)(build: String => Unit): String = {
     val dir = this.dir(kind, fp)
     live.add(dir)
-    built.compute(dir, (_, _) => { build(dir); dir })
+    lockFor(dir).synchronized { build(dir); built.put(dir, dir) }
     prune(kind)
     dir
   }

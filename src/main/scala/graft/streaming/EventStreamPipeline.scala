@@ -1560,18 +1560,62 @@ object EventStreamPipeline {
     */
   def dupGroupsMaintainStream(pairs: DataFrame, dir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    pairs
+    dupGroupsMaintainWithTombstones(
+      pairs.select(lit("pair").as("kind"), col("da"), col("db")),
+      dir, checkpointDir)
+
+  /** The FULL live face of the group artifact: pair arrivals AND
+    * tombstones (document retirements — deletion requests, domain bans)
+    * on one update stream, closing the last asymmetry between the group
+    * axis's batch and live maintenance: the batch side retires via
+    * `sink_dedup_groups_compact`, and a retiring doc must drop its pairs
+    * AND re-label, because it can be the BRIDGE of its component (A~X~B
+    * with A!~B — a row delete without re-running connected components
+    * would leave A and B labeled as one group that no longer exists).
+    * The per-trigger fold-through-storage design already supports this:
+    * labels are re-derived from the stored union pair set every trigger,
+    * so retirement is just one more restriction of that set.
+    *
+    * `updates` rows are (kind, da, db): kind="pair" carries a verified
+    * near-dup pair, kind="retire" carries the retiring doc_id in `da`.
+    * Each batch's rows land under batch-keyed subdirectories (overwrite-
+    * own-subdir — re-delivered batches stay idempotent, the at-least-once
+    * contract), and the group table re-labels from (distinct stored
+    * pairs) minus (pairs touching ANY cumulative tombstone) — so a pair
+    * re-arriving AFTER its endpoint retired stays dead (retirement is
+    * monotone), and the state after a retirement batch equals
+    * `dupGroupsCompact` on the same corpus (spec-pinned).
+    *
+    * Scale shape per trigger: two bounded batch writes, one scan of the
+    * stored pair list (never the corpus text), two anti-joins against the
+    * (tiny) tombstone set, the CC re-label over the live pair set.
+    */
+  def dupGroupsMaintainWithTombstones(updates: DataFrame, dir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        batch.select(col("da"), col("db"))
+        batch.filter(col("kind") === "pair").select(col("da"), col("db"))
           .write.mode("overwrite").parquet(s"$dir/pairs/batch=$batchId")
-        val all = graft.engine.Reliability.planCheckpoint(
-          spark.read.parquet(s"$dir/pairs")
-            .select(col("da"), col("db")).distinct())
-        graft.operators.Dedup.groupsFromPairs(spark, all)
+        batch.filter(col("kind") === "retire").select(col("da").as("doc"))
+          .write.mode("overwrite").parquet(s"$dir/tombstones/batch=$batchId")
+        // explicit read schemas: a batch with no rows of one kind writes
+        // only a _SUCCESS marker in its subdirectory, and schema
+        // INFERENCE over a tree of empty batches would fail (a pair-only
+        // stream never writes a tombstone row)
+        val tomb = spark.read.schema("doc LONG")
+          .parquet(s"$dir/tombstones")
+          .select(col("doc")).distinct()
+        val live = graft.engine.Reliability.planCheckpoint(
+          spark.read.schema("da LONG, db LONG").parquet(s"$dir/pairs")
+            .select(col("da"), col("db")).distinct()
+            .join(tomb.withColumnRenamed("doc", "da"), Seq("da"), "left_anti")
+            .join(tomb.withColumnRenamed("doc", "db"), Seq("db"), "left_anti")
+            .select(col("da"), col("db")))
+        graft.operators.Dedup.groupsFromPairs(spark, live)
           .repartition(spark.sessionState.conf.numShufflePartitions,
             col("doc_id"))
           .write.mode("overwrite").parquet(s"$dir/groups")

@@ -193,17 +193,24 @@ class DupGroupArtifactSpec extends SparkSpec {
     assert(second == batch, "folded groups diverge from the batch closure")
   }
 
-  test("sink_dedup_groups_compact: a retired BRIDGE doc splits its group; surviving pairs re-label") {
+  /** The compact-spec corpus: doc 13 is the BRIDGE of {1, 13, 3} (A~X~B
+    * with A!~B) and retired under the shared modulus; {2, 4} survive.
+    */
+  private def bridgeCorpus = {
     val w = (1 to 16).map(i => s"cpw$i")
     def win(a: Int, b: Int) = w.slice(a - 1, b).mkString(" ")
     val sv = (1 to 6).map(i => s"csv$i").mkString(" ")
-    val docs = Seq(
+    Seq(
       (1L, win(1, 12)),   // A — paired only through the bridge
       (13L, win(3, 14)),  // X: the bridge (13 % 13 == 0 -> retired)
       (3L, win(5, 16)),   // B — A~X~B, A!~B
       (2L, sv),           // surviving independent pair
       (4L, sv + " csvz")
     ).toDF("doc_id", "text")
+  }
+
+  test("sink_dedup_groups_compact: a retired BRIDGE doc splits its group; surviving pairs re-label") {
+    val docs = bridgeCorpus
     val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
     // pre-compaction sanity: the bridge unites {1, 3, 13}
     val before = Dedup.dupGroupsUnsorted(t2).collect()
@@ -226,5 +233,50 @@ class DupGroupArtifactSpec extends SparkSpec {
     val pairs = spark.read.parquet(s"$compactDir/pairs")
       .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
     assert(pairs == Set((2L, 4L)), s"compacted pairs wrong: $pairs")
+  }
+
+  test("dupGroupsMaintainWithTombstones: a live retirement drops pairs AND re-labels (state == dupGroupsCompact); retirement is monotone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = bridgeCorpus
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val allPairs = Dedup.ngramJaccard(t2)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_grp_tomb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_grp_tck").toString
+    val in = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.EventStreamPipeline.dupGroupsMaintainWithTombstones(
+      in.toDF().select(col("_1").as("kind"), col("_2").as("da"), col("_3").as("db")),
+      dir, ckpt)
+    try {
+      // batch 1: every verified pair arrives — the bridge unites {1,3,13}
+      in.addData(allPairs.toSeq.map(p => ("pair", p._1, p._2)): _*)
+      q.processAllAvailable()
+      val before = spark.read.parquet(s"$dir/groups")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+      assert(before.keySet == Set(1L, 2L, 3L, 4L, 13L), s"before: $before")
+      assert(before(1L) == before(3L) && before(3L) == before(13L),
+        "anti-vacuity: the bridge must unite A and B before retirement")
+      // batch 2: the bridge doc retires — its pairs drop and the component
+      // SPLITS (A and B leave the table entirely); the folded state must
+      // equal the batch weekly compaction on the same corpus
+      in.addData(("retire", 13L, -1L))
+      q.processAllAvailable()
+      val after = spark.read.parquet(s"$dir/groups")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"),
+          r.getAs[Long]("group_size"))).toSet
+      val compacted = Dedup.dupGroupsCompact(t2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(after == compacted, s"streamed retirement != batch compaction: $after vs $compacted")
+      // batch 3: a pair through the retired doc RE-ARRIVES — retirement is
+      // monotone, so the cumulative tombstone keeps it dead
+      in.addData(("pair", 1L, 13L))
+      q.processAllAvailable()
+      val replay = spark.read.parquet(s"$dir/groups")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"),
+          r.getAs[Long]("group_size"))).toSet
+      assert(replay == after, "a re-arrived retired-endpoint pair resurrected state")
+    } finally q.stop()
   }
 }
