@@ -109,4 +109,33 @@ class ServeFaceSpec extends SparkSpec {
     TrainData.hybridRrfServe(t).collect()
     assert(mtimes == built, "a serve face rebuilt an ensured artifact")
   }
+
+  test("ArtifactCache: concurrent ensure builds once; rebuild forces; a build may ensure another artifact") {
+    import graft.engine.ArtifactCache
+    val fp = s"spec_${System.nanoTime()}"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 4 threads race ensure() on the SAME artifact: exactly one build
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        ArtifactCache.ensure("spec_cc", fp) { _ =>
+          builds.incrementAndGet(); Thread.sleep(50)
+        }; ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get() == 1, s"concurrent ensure ran ${builds.get()} builds")
+    // rebuild forces a second build; a later ensure reuses it
+    ArtifactCache.rebuild("spec_cc", fp)(_ => { builds.incrementAndGet(); () })
+    ArtifactCache.ensure("spec_cc", fp)(_ => { builds.incrementAndGet(); () })
+    assert(builds.get() == 2, "rebuild must build again and ensure must then reuse")
+    // the nested shape every upserted index uses (its build ensures the
+    // pre-delta base): must complete — the old compute-bin design ran
+    // builds inside ConcurrentHashMap bins, where a nested update of the
+    // same map is forbidden and can loop when keys share a bin
+    var innerRan = false
+    ArtifactCache.ensure("spec_cc_outer", fp) { _ =>
+      ArtifactCache.ensure("spec_cc_inner", fp) { _ => innerRan = true }; ()
+    }
+    assert(innerRan, "the nested ensure did not run its build")
+  }
 }
