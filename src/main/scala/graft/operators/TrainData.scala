@@ -972,8 +972,18 @@ object TrainData {
       .orderBy(col("bucket"))
 
   def textIndexSink(t: Tables, outDir: Option[String] = None): DataFrame = {
-    val out = outDir.getOrElse("/tmp/graft_tindex/default")
-    writePostings(bm25PostingsWithDf(t.documents), out)
+    val out = outDir match {
+      case Some(d) => writePostings(bm25PostingsWithDf(t.documents), d); d
+      case None =>
+        // the registered nightly build REBUILDS the session's ensured
+        // artifact (the dupGroupsSink discipline): bench always prices
+        // the build under this key, and the suite's serve faces then
+        // read the artifact it refreshed — one build per axis, not a
+        // duplicate scratch copy beside the ensured one
+        val dir = graft.engine.ArtifactCache.rebuild(
+          "tindex", textIndexFp(t))(writeTextIndex(t, _))
+        s"$dir/postings"
+    }
     // materialize before returning (the pqAdcTopKStored discipline): the
     // deterministic directory is overwritten per run
     graft.engine.Reliability.planCheckpoint(readTextIndexStats(t.spark, out))
@@ -1659,10 +1669,18 @@ object TrainData {
     * axis).
     */
   private[graft] def textIndexDir(t: Tables): String =
-    graft.engine.ArtifactCache.ensure("tindex", textIndexFp(t)) { dir =>
-      writePostings(bm25PostingsWithDf(t.documents), s"$dir/postings")
-      writeScalars(t.documents, s"$dir/scalars")
-    }
+    graft.engine.ArtifactCache.ensure("tindex", textIndexFp(t))(
+      writeTextIndex(t, _))
+
+  /** The full-corpus lexical-index write (postings WITH df + the scalars
+    * sidecar) — ONE body shared by the session ensure and the registered
+    * build face, so the nightly job and the first-touch lazy build can
+    * never produce different artifacts.
+    */
+  private def writeTextIndex(t: Tables, dir: String): Unit = {
+    writePostings(bm25PostingsWithDf(t.documents), s"$dir/postings")
+    writeScalars(t.documents, s"$dir/scalars")
+  }
 
   /** The document-corpus fingerprint every lexical-index artifact keys
     * on — ONE definition shared by the full-corpus, day-old and compacted
