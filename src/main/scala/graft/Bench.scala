@@ -82,13 +82,12 @@ object Bench {
       graft.operators.Sim.vectorIndexDir(t)
       graft.operators.Dedup.dupGroupsDir(t)
       // the PRE-DELTA bases the daily-maintenance faces fold into — the
-      // ONE shared split definition (Dedup.baseTables); a copy here would
-      // drift from the operators' own split and silently move the base
-      // build back inside the timed region
-      val baseT = graft.operators.Dedup.baseTables(t)
-      graft.operators.Dedup.dupGroupsDir(baseT)
-      graft.operators.TrainData.textIndexDir(baseT)
-      graft.operators.Sim.vectorIndexDir(baseT)
+      // operators' OWN base-dir functions (one definition of both the
+      // split and the cache key); a copy here would drift and silently
+      // move the base build back inside the timed region
+      graft.operators.Dedup.baseDupGroupsDir(t)
+      graft.operators.TrainData.baseTextIndexDir(t)
+      graft.operators.Sim.baseVectorIndexDir(t)
       // the day-old (upserted) indexes the between-rewrites serve faces
       // read; the registered upsert faces still REBUILD these (they price
       // the daily delta work), the stored_fresh faces only read
@@ -166,7 +165,7 @@ object Bench {
     // adjudication mechanical; the stdout line points at it.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/BENCH_FULL.json")
-    try {
+    val fullWritten = try {
       val allQs = ordered.flatMap(k => results.get(k).map(v =>
         s"    \"$k\": {\"sec\": ${r3(v)}, \"gc_ms\": ${gcByQuery.getOrElse(k, 0L)}}"))
         .mkString("{\n", ",\n", "\n  }")
@@ -189,10 +188,16 @@ object Bench {
            |}""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         fullJson.getBytes("UTF-8"))
+      true
     } catch { case t: Throwable =>
       System.err.println(s"[bench] full-JSON write FAILED: ${t.getMessage}")
+      false
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"heavies_solo":$solos,"gc_ms_total":$gcTotal,"sf":"$sfDir","full":"$fullPath"}""")
+    // advertise the full-walls file ONLY if this run actually wrote it —
+    // a stale pointer would hand the adjudicator a previous round's
+    // numbers as this run's
+    val fullField = if (fullWritten) s""""$fullPath"""" else "null"
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"heavies_solo":$solos,"gc_ms_total":$gcTotal,"sf":"$sfDir","full":$fullField}""")
     spark.stop()
   }
 }

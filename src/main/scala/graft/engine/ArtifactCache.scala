@@ -44,7 +44,8 @@ import org.apache.spark.sql.functions._
   * build, never trusted. Leftovers from PRIOR sessions (a corpus rewrite
   * mints a fresh fingerprint directory every time) are best-effort pruned:
   * after a successful build, sibling fingerprint directories of the same
-  * kind that this session neither built nor started building are deleted.
+  * kind that this session neither built nor started building AND that
+  * have not been written to for over an hour are deleted (see `prune`).
   */
 object ArtifactCache {
 
@@ -124,10 +125,16 @@ object ArtifactCache {
   def ensure(kind: String, fp: String)(build: String => Unit): String = {
     val dir = this.dir(kind, fp)
     live.add(dir)
-    if (!built.containsKey(dir)) lockFor(dir).synchronized {
-      if (!built.containsKey(dir)) { build(dir); built.put(dir, dir) }
+    // ALWAYS enter the lock (no lock-free fast path): a rebuild() of this
+    // same directory may be mid-overwrite, and a reader that skipped the
+    // lock would scan a half-rewritten artifact. An uncontended monitor
+    // costs nanoseconds; correctness under rebuild-vs-ensure needs the
+    // serialization.
+    lockFor(dir).synchronized {
+      if (!built.containsKey(dir)) {
+        build(dir); built.put(dir, dir); prune(kind)
+      }
     }
-    prune(kind)
     dir
   }
 
@@ -141,8 +148,7 @@ object ArtifactCache {
   def rebuild(kind: String, fp: String)(build: String => Unit): String = {
     val dir = this.dir(kind, fp)
     live.add(dir)
-    lockFor(dir).synchronized { build(dir); built.put(dir, dir) }
-    prune(kind)
+    lockFor(dir).synchronized { build(dir); built.put(dir, dir); prune(kind) }
     dir
   }
 
@@ -150,16 +156,25 @@ object ArtifactCache {
     * directories of `kind` that this session has neither built nor
     * started building — a corpus rewrite mints a fresh fingerprint
     * directory per session, and without pruning the root grows without
-    * bound. Liveness is re-checked immediately before each delete, and
-    * the whole pass is advisory (single-JVM ownership is the documented
-    * scope; a failure to delete is ignored).
+    * bound. Runs only after an ACTUAL build (never on cache-hit reads —
+    * nothing new can be stale then, and the serve path stays listing-
+    * free), deletes only directories that look ABANDONED (last modified
+    * over an hour ago — a concurrent JVM's in-flight build keeps bumping
+    * its directory's mtime as files land, and single-JVM ownership of
+    * the root is the documented scope for anything longer-lived), and
+    * re-checks liveness immediately before each delete. The whole pass
+    * is advisory; a failure to delete is ignored.
     */
+  private val pruneAgeMs = 60L * 60 * 1000
+
   private def prune(kind: String): Unit =
     try {
+      val now = System.currentTimeMillis()
       val kindDir = new java.io.File(s"$root/$kind")
       val children = Option(kindDir.listFiles()).getOrElse(Array.empty)
       children.foreach { c =>
-        if (c.isDirectory && !live.contains(c.getPath)) deleteRec(c)
+        if (c.isDirectory && now - c.lastModified() > pruneAgeMs &&
+            !live.contains(c.getPath)) deleteRec(c)
       }
     } catch { case _: Throwable => () }
 

@@ -779,6 +779,19 @@ object Dedup {
     graft.engine.ArtifactCache.ensure("dupgroups", dupGroupsFp(t))(
       writeDupGroups(t, _))
 
+  /** The PRE-DELTA corpus' group artifact, keyed by the FULL table's
+    * fingerprint + "_base" — NOT by fingerprinting `baseTables(t)`
+    * directly: the recency split is a pure function of the corpus (its
+    * own max id), so the full fingerprint determines the base content,
+    * and fingerprinting the derived base frame would force the CONTENT
+    * hash path (a corpus-linear scan inside every timed fold that just
+    * needs the base's cache key — the metadata fast path only applies to
+    * plain file-backed scans).
+    */
+  private[graft] def baseDupGroupsDir(t: Tables): String =
+    graft.engine.ArtifactCache.ensure("dupgroups", dupGroupsFp(t) + "_base")(
+      writeDupGroups(baseTables(t), _))
+
   /** The STORED group table (doc_id, group_id, group_size) — what every
     * group consumer (`dupGroups`, `keepBest`, `softWeight`,
     * `splitLeakageSafe`) joins against: the group axis gets the same
@@ -886,7 +899,7 @@ object Dedup {
     * builds it in-query (on the pre-delta corpus) to stand alone.
     */
   def dupGroupsInc(t: Tables): DataFrame = {
-    val basePairs = t.spark.read.parquet(s"${dupGroupsDir(baseTables(t))}/pairs")
+    val basePairs = t.spark.read.parquet(s"${baseDupGroupsDir(t)}/pairs")
       .select(col("da"), col("db"))
     val docs = ppjoinDocs(t, withDelta = true).persist()
     val newPairs = graft.engine.Reliability.planCheckpoint(

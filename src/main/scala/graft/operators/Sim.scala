@@ -938,7 +938,11 @@ object Sim {
     * still stands alone: the first touch builds the artifact.
     */
   def pqAdcServe(t: Tables): DataFrame =
-    pqAdcTopKFromStored(t, t.spark.read.parquet(vectorIndexDir(t)))
+    // materialize (the pqAdcTopKStored discipline): the ensured directory
+    // is a REBUILD target of the registered build faces, so a lazily
+    // returned plan could race a later rebuild's delete of these files
+    graft.engine.Reliability.planCheckpoint(
+      pqAdcTopKFromStored(t, t.spark.read.parquet(vectorIndexDir(t))))
 
   /** emb_dedup_pq — near-dup candidates at 4 bytes a vector: two vectors
     * whose PQ codes agree on EVERY subspace sit in the same Voronoi cell
@@ -1317,10 +1321,20 @@ object Sim {
     // hard-links the base into its own directory (zero-copy — see
     // ArtifactCache.cloneDir) and appends the delta there. ONLY the delta
     // is encoded (`deltaIndexCodes`).
-    val src = vectorIndexDir(graft.operators.Dedup.baseTables(t))
+    val src = baseVectorIndexDir(t)
     graft.engine.ArtifactCache.cloneDir(src, base)
     writeCodes(deltaIndexCodes(t), base, "append")
   }
+
+  /** The PRE-DELTA corpus' vector index, keyed by the FULL table's
+    * fingerprint + "_base" (the Dedup.baseDupGroupsDir rationale: the
+    * recency split is a pure function of the corpus, and fingerprinting
+    * the derived base frame would force a corpus-linear content hash
+    * inside every timed upsert that just needs the base's cache key).
+    */
+  private[graft] def baseVectorIndexDir(t: Tables): String =
+    graft.engine.ArtifactCache.ensure("vindex", vectorIndexFp(t) + "_base")(
+      writeVectorIndex(graft.operators.Dedup.baseTables(t), _))
 
   /** The session's DAY-OLD vector index artifact (pre-delta base +
     * appended delta codes) — ensured once so the between-rewrites serve

@@ -1056,7 +1056,7 @@ object TrainData {
     // it hard-links the base into its own directory (zero-copy — see
     // ArtifactCache.cloneDir) and appends the delta there. Only the delta
     // is ever tokenized.
-    val src = textIndexDir(Dedup.baseTables(t))
+    val src = baseTextIndexDir(t)
     graft.engine.ArtifactCache.cloneDir(s"$src/postings", base)
     graft.engine.ArtifactCache.cloneDir(s"$src/scalars", s"${base}__scalars")
     val mx = t.documents.agg(max(col("doc_id")).as("max_id"))
@@ -1682,6 +1682,16 @@ object TrainData {
     writeScalars(t.documents, s"$dir/scalars")
   }
 
+  /** The PRE-DELTA corpus' lexical index, keyed by the FULL table's
+    * fingerprint + "_base" (the Dedup.baseDupGroupsDir rationale: the
+    * recency split is a pure function of the corpus, and fingerprinting
+    * the derived base frame would force a corpus-linear content hash
+    * inside every timed upsert that just needs the base's cache key).
+    */
+  private[graft] def baseTextIndexDir(t: Tables): String =
+    graft.engine.ArtifactCache.ensure("tindex", textIndexFp(t) + "_base")(
+      writeTextIndex(Dedup.baseTables(t), _))
+
   /** The document-corpus fingerprint every lexical-index artifact keys
     * on — ONE definition shared by the full-corpus, day-old and compacted
     * artifacts so no two faces can key the same corpus differently.
@@ -1715,12 +1725,16 @@ object TrainData {
   def bm25TopKServe(t: Tables): DataFrame = {
     val dir = textIndexDir(t)
     val spark = t.spark
-    bm25RankedFromStored(spark.read.parquet(s"$dir/postings"),
-        spark.read.parquet(s"$dir/scalars"))
-      .filter(col("rank") <= bm25TopK)
-      .select(col("query_id"), col("doc_id"), col("rank"),
-        col("n_terms"), col("score_q6"))
-      .orderBy(col("query_id"), col("rank"))
+    // materialize (the pqAdcTopKStored discipline): the ensured directory
+    // is a rebuild target of sink_text_index, so a lazily returned plan
+    // could race a later rebuild's delete of these files
+    graft.engine.Reliability.planCheckpoint(
+      bm25RankedFromStored(spark.read.parquet(s"$dir/postings"),
+          spark.read.parquet(s"$dir/scalars"))
+        .filter(col("rank") <= bm25TopK)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          col("n_terms"), col("score_q6"))
+        .orderBy(col("query_id"), col("rank")))
   }
 
   /** retrieval_hybrid_rrf_serve — the SERVE-ONLY hybrid: identical fusion
@@ -1746,7 +1760,9 @@ object TrainData {
       .filter(col("rank") <= rrfDepth)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").cast("long").as("vec_rank"))
-    rrfFuse(lex, vec)
+    // materialize (the pqAdcTopKStored discipline): both ensured
+    // directories are rebuild targets of the registered build faces
+    graft.engine.Reliability.planCheckpoint(rrfFuse(lex, vec))
   }
 
   /** retrieval_hybrid_rrf_stored — the AT-SCALE hybrid face: the same RRF
@@ -1792,6 +1808,8 @@ object TrainData {
       .filter(col("rank") <= rrfDepth)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").cast("long").as("vec_rank"))
-    rrfFuse(lex, vec)
+    // materialize (the pqAdcTopKStored discipline): both ensured
+    // directories are rebuild targets of the registered build faces
+    graft.engine.Reliability.planCheckpoint(rrfFuse(lex, vec))
   }
 }

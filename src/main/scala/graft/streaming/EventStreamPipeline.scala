@@ -1598,9 +1598,16 @@ object EventStreamPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        batch.filter(col("kind") === "pair").select(col("da"), col("db"))
+        // cast on WRITE so the stored layout is always INT64 regardless
+        // of the caller's integer type — the fold below reads with an
+        // explicit LONG schema, and an int32-typed pair stream would
+        // otherwise persist INT32 files that schema can't read
+        batch.filter(col("kind") === "pair")
+          .select(col("da").cast("long").as("da"),
+            col("db").cast("long").as("db"))
           .write.mode("overwrite").parquet(s"$dir/pairs/batch=$batchId")
-        batch.filter(col("kind") === "retire").select(col("da").as("doc"))
+        batch.filter(col("kind") === "retire")
+          .select(col("da").cast("long").as("doc"))
           .write.mode("overwrite").parquet(s"$dir/tombstones/batch=$batchId")
         // explicit read schemas: a batch with no rows of one kind writes
         // only a _SUCCESS marker in its subdirectory, and schema

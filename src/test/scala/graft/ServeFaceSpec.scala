@@ -76,13 +76,12 @@ class ServeFaceSpec extends SparkSpec {
       }
       out.sortBy(_._1).toSeq
     }
-    val bt = Dedup.baseTables(t)
     val bases = Seq(
       "dupgroups"    -> Dedup.dupGroupsDir(t),
       "tindex"       -> TrainData.textIndexDir(t),
       "vindex"       -> Sim.vectorIndexDir(t),
-      "tindex/base"  -> TrainData.textIndexDir(bt),
-      "vindex/base"  -> Sim.vectorIndexDir(bt))
+      "tindex/base"  -> TrainData.baseTextIndexDir(t),
+      "vindex/base"  -> Sim.baseVectorIndexDir(t))
     val before = bases.map { case (k, d) => (k, d, listing(d)) }
     Dedup.dupGroupsCompact(t).collect()
     TrainData.textIndexCompact(t).collect()
