@@ -1588,10 +1588,18 @@ object EventStreamPipeline {
     *
     * Scale shape per trigger: two bounded batch writes, one scan of the
     * stored pair list (never the corpus text), two anti-joins against the
-    * (tiny) tombstone set, the CC re-label over the live pair set.
+    * (tiny) tombstone set, the CC re-label over the live pair set. The
+    * batch-subdirectory count is BOUNDED: once more than
+    * `consolidateAfter` subdirectories accumulate, the (already
+    * materialized) distinct union is rewritten into one `batch=base`
+    * subdirectory and the per-batch subdirs are dropped — safe under
+    * re-delivery because pair and tombstone sets are SETS (a re-delivered
+    * batch re-creating its deleted subdir just re-adds rows the base
+    * already holds; `distinct()` makes the union idempotent).
     */
   def dupGroupsMaintainWithTombstones(updates: DataFrame, dir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, consolidateAfter: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     updates
       .writeStream
       .outputMode("append")
@@ -1613,19 +1621,41 @@ object EventStreamPipeline {
         // only a _SUCCESS marker in its subdirectory, and schema
         // INFERENCE over a tree of empty batches would fail (a pair-only
         // stream never writes a tombstone row)
-        val tomb = spark.read.schema("doc LONG")
-          .parquet(s"$dir/tombstones")
-          .select(col("doc")).distinct()
-        val live = graft.engine.Reliability.planCheckpoint(
+        val rawPairs = graft.engine.Reliability.planCheckpoint(
           spark.read.schema("da LONG, db LONG").parquet(s"$dir/pairs")
-            .select(col("da"), col("db")).distinct()
-            .join(tomb.withColumnRenamed("doc", "da"), Seq("da"), "left_anti")
-            .join(tomb.withColumnRenamed("doc", "db"), Seq("db"), "left_anti")
-            .select(col("da"), col("db")))
+            .select(col("da"), col("db")).distinct())
+        val rawTomb = graft.engine.Reliability.planCheckpoint(
+          spark.read.schema("doc LONG").parquet(s"$dir/tombstones")
+            .select(col("doc")).distinct())
+        val live = rawPairs
+          .join(rawTomb.withColumnRenamed("doc", "da"), Seq("da"), "left_anti")
+          .join(rawTomb.withColumnRenamed("doc", "db"), Seq("db"), "left_anti")
+          .select(col("da"), col("db"))
         graft.operators.Dedup.groupsFromPairs(spark, live)
           .repartition(spark.sessionState.conf.numShufflePartitions,
             col("doc_id"))
           .write.mode("overwrite").parquet(s"$dir/groups")
+        // bound the subdirectory count: fold accumulated batch subdirs
+        // into one base subdir (rawPairs/rawTomb are MATERIALIZED above —
+        // planCheckpoint — so rewriting their source files is safe)
+        def consolidate(root: String, df: DataFrame): Unit = {
+          val subs = Option(new java.io.File(root).listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+          if (subs.length > consolidateAfter) {
+            df.write.mode("overwrite").parquet(s"$root/batch=base")
+            subs.filter(_.getName != "batch=base").foreach { d =>
+              def rec(f: java.io.File): Unit = {
+                if (f.isDirectory)
+                  Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+                f.delete(); ()
+              }
+              rec(d)
+            }
+          }
+        }
+        consolidate(s"$dir/pairs", rawPairs)
+        consolidate(s"$dir/tombstones", rawTomb)
         ()
       }
       .start()

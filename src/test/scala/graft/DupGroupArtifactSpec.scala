@@ -279,4 +279,44 @@ class DupGroupArtifactSpec extends SparkSpec {
       assert(replay == after, "a re-arrived retired-endpoint pair resurrected state")
     } finally q.stop()
   }
+
+  test("dupGroupsMaintainWithTombstones: batch subdirs consolidate to a bounded count; re-delivery after consolidation is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = mergeCorpus
+    val t2 = new graft.sources.Tables(spark, sf) { override def documents = docs }
+    val allPairs = Dedup.ngramJaccard(t2)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(allPairs.length >= 3, s"need >=3 pairs to split: ${allPairs.toSeq}")
+    val chunks = allPairs.grouped(math.max(1, allPairs.length / 3)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_grp_cons").toString
+    def subdirs = Option(new java.io.File(s"$dir/pairs").listFiles())
+      .getOrElse(Array.empty).count(f => f.isDirectory && f.getName.startsWith("batch="))
+    def runAll(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_grp_cck").toString
+      val in = MemoryStream[(String, Long, Long)]
+      val q = graft.streaming.EventStreamPipeline.dupGroupsMaintainWithTombstones(
+        in.toDF().select(col("_1").as("kind"), col("_2").as("da"), col("_3").as("db")),
+        dir, ckpt, consolidateAfter = 1)
+      try chunks.foreach { c =>
+        in.addData(c.toSeq.map(p => ("pair", p._1, p._2)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    runAll()
+    // every trigger past the threshold folds old subdirs into batch=base:
+    // the count stays bounded (base + at most the newest batch) instead of
+    // growing one subdir per trigger for the life of the query
+    assert(subdirs <= 2, s"consolidation left $subdirs pair subdirs")
+    val first = spark.read.parquet(s"$dir/groups").collect().map(_.toSeq).toSet
+    val batch = Dedup.dupGroupsUnsorted(t2).collect().map(_.toSeq).toSet
+    assert(first == batch, "consolidated fold diverges from the batch closure")
+    // a restart with a fresh checkpoint re-delivers every batch AFTER the
+    // originals were consolidated away — pair sets are sets, so recreating
+    // the deleted subdirs beside batch=base changes nothing
+    runAll()
+    val second = spark.read.parquet(s"$dir/groups").collect().map(_.toSeq).toSet
+    assert(second == first, "re-delivery after consolidation changed the folded groups")
+  }
 }
