@@ -167,13 +167,23 @@ object ArtifactCache {
     */
   private val pruneAgeMs = 60L * 60 * 1000
 
+  /** Newest mtime across the directory and ONE level of children: a
+    * nested artifact layout (`<fp>/postings/…`) lands its files in
+    * subdirectories, which bump the SUBDIRECTORY's mtime, not the
+    * fingerprint directory's — the age guard must see that activity.
+    */
+  private def lastTouched(dir: java.io.File): Long = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    (dir.lastModified() +: kids.map(_.lastModified())).max
+  }
+
   private def prune(kind: String): Unit =
     try {
       val now = System.currentTimeMillis()
       val kindDir = new java.io.File(s"$root/$kind")
       val children = Option(kindDir.listFiles()).getOrElse(Array.empty)
       children.foreach { c =>
-        if (c.isDirectory && now - c.lastModified() > pruneAgeMs &&
+        if (c.isDirectory && now - lastTouched(c) > pruneAgeMs &&
             !live.contains(c.getPath)) deleteRec(c)
       }
     } catch { case _: Throwable => () }
