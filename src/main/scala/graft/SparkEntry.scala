@@ -807,15 +807,23 @@ object SparkEntry {
   }
 
   /** Nearest-centroid assignment CTE chain — the oracle mirror of
-    * Sim.assignToCentroids, shared by emb_cluster_assign and
-    * dedup_semantic so the two oracles can't drift. Yields
-    * `a` = (vec_id, v, nrm, cluster, ccos).
+    * Sim.assignToCentroids, shared by emb_cluster_assign, dedup_semantic
+    * and sim_knn_graph so the oracles can't drift. Yields
+    * `a` = (vec_id, v, nrm, cluster, ccos). `kSql` is the centroid-count
+    * expression: the fixed `Sim.nCentroids` for the standalone assignment
+    * face, `scaledCentroidKSql` (the corpus-derived `nCentroidsFor`
+    * mirror) for the two all-pairs faces.
     */
-  private def centroidAssignCtes(src: String = "embeddings"): String =
+  private def scaledCentroidKSql(src: String = "embeddings"): String =
+    s"(SELECT greatest(${Sim.nCentroids}, CAST(ceil(count(*) / " +
+      s"${Sim.centroidTargetPop}.0) AS BIGINT)) FROM $src)"
+
+  private def centroidAssignCtes(src: String = "embeddings",
+      kSql: String = graft.operators.Sim.nCentroids.toString): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        c AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn FROM n
-             WHERE vec_id < ${Sim.nCentroids}),
+             WHERE vec_id < $kSql),
        p AS (SELECT n.vec_id, n.v, n.nrm, c.cluster,
                list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS ccos
              FROM n CROSS JOIN c),
@@ -3545,7 +3553,7 @@ object SparkEntry {
          SELECT vec_id, cluster, floor(ccos * 10000) / 10000 AS cos_sim
          FROM a ORDER BY vec_id""",
     "dedup_semantic" ->
-      s"""WITH ${centroidAssignCtes()},
+      s"""WITH ${centroidAssignCtes(kSql = scaledCentroidKSql())},
          pr AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
@@ -3977,7 +3985,7 @@ object SparkEntry {
          GROUP BY f.doc_id ORDER BY f.doc_id"""
     },
     "sim_knn_graph" ->
-      s"""WITH ${centroidAssignCtes()},
+      s"""WITH ${centroidAssignCtes(kSql = scaledCentroidKSql())},
          pr AS (SELECT a.vec_id, a.cluster, b.vec_id AS neighbor_id,
                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),

@@ -125,11 +125,17 @@ object ArtifactCache {
   def ensure(kind: String, fp: String)(build: String => Unit): String = {
     val dir = this.dir(kind, fp)
     live.add(dir)
-    // ALWAYS enter the lock (no lock-free fast path): a rebuild() of this
-    // same directory may be mid-overwrite, and a reader that skipped the
-    // lock would scan a half-rewritten artifact. An uncontended monitor
-    // costs nanoseconds; correctness under rebuild-vs-ensure needs the
-    // serialization.
+    // ALWAYS enter the lock (no lock-free fast path): this serializes
+    // BUILDS — a rebuild() mid-overwrite can't interleave with a second
+    // build, and a caller entering here waits out any in-flight build
+    // before getting the path. It does NOT cover the caller's subsequent
+    // SCAN of the returned directory (that runs after release; holding
+    // the monitor across reads would nest per-artifact locks in opposite
+    // orders for the two-artifact serve faces — a deadlock class worse
+    // than the race). Rebuild-vs-in-flight-read is excluded by the
+    // documented execution scope instead: bench / Verify / the driver
+    // run registered queries single-threaded, and each serve face
+    // materializes its result before returning.
     lockFor(dir).synchronized {
       if (!built.containsKey(dir)) {
         build(dir); built.put(dir, dir); prune(kind)
@@ -167,14 +173,18 @@ object ArtifactCache {
     */
   private val pruneAgeMs = 60L * 60 * 1000
 
-  /** Newest mtime across the directory and ONE level of children: a
-    * nested artifact layout (`<fp>/postings/…`) lands its files in
-    * subdirectories, which bump the SUBDIRECTORY's mtime, not the
-    * fingerprint directory's — the age guard must see that activity.
+  /** Newest mtime across the WHOLE artifact tree: nested layouts
+    * (`<fp>/postings/bucket=N/…`, `<fp>/idx/cluster=N/…`) land files two
+    * levels down, where only the leaf file and its immediate parent get
+    * mtime bumps — a one-level walk would miss a long in-flight append
+    * that only touches existing partition dirs and prune it mid-write.
+    * Artifact trees are small (hundreds of files), so the full walk is
+    * cheap, and it only runs on the post-build prune path anyway.
     */
   private def lastTouched(dir: java.io.File): Long = {
     val kids = Option(dir.listFiles()).getOrElse(Array.empty)
-    (dir.lastModified() +: kids.map(_.lastModified())).max
+    (dir.lastModified() +: kids.map(k =>
+      if (k.isDirectory) lastTouched(k) else k.lastModified())).max
   }
 
   private def prune(kind: String): Unit =

@@ -210,31 +210,92 @@ object Sim {
     res
   }
 
-  /** Fixed coarse-cluster count for the standalone assignment operator. */
+  /** Fixed coarse-cluster count for the standalone assignment operator and
+    * the stored-index faces (there the cluster id is the IVF LIST axis —
+    * its scale story is the index layout, not the pair work).
+    */
   val nCentroids = 8
 
-  /** The ONE nearest-centroid assignment definition `clusterAssign` and
-    * `semanticDedup` both build on (centroid rule: the `nCentroids`
-    * lowest-id vectors; tie-break: higher cosine, then lower centroid id) —
-    * shared so the two operators can never drift. Returns
-    * (vec_id, cluster, v, ccos).
+  /** Target expected CLUSTER population for the two all-pairs-within-
+    * cluster faces (`semanticDedup`, `knnGraph`). Same role as
+    * `lshTargetBucketPop` on the LSH axis.
     */
-  private def assignToCentroids(t: Tables, data: Option[DataFrame] = None)
-      : DataFrame = {
+  val centroidTargetPop = 512
+
+  /** Corpus-size knob for the pair faces: enough centroids that
+    * E[cluster population] = n / k ≈ targetPop. Within-cluster pair work
+    * is then O(k · targetPop²) = O(n · targetPop) — LINEAR in n — instead
+    * of the O(n²/k) of a fixed centroid count (the r11 verdict's measured
+    * scale-killer: fixed k=8 stepped ~50× for 10× data at sf10). The
+    * `lshPlanesFor` precedent, on the centroid axis. Floors at
+    * `nCentroids` so every corpus ≤ 8·targetPop (all oracle SFs) keeps
+    * the original 8-centroid assignment bit-for-bit.
+    */
+  def nCentroidsFor(n: Long, targetPop: Int = centroidTargetPop): Int =
+    math.max(nCentroids, math.ceil(n.toDouble / targetPop).toInt)
+
+  /** The ONE nearest-centroid assignment definition `clusterAssign`,
+    * `semanticDedup`, `knnGraph` and the index faces all build on
+    * (centroid rule: the `k` lowest-id vectors; tie-break: higher cosine,
+    * then lower centroid id) — shared so the operators can never drift.
+    * Returns (vec_id, cluster, v, ccos).
+    *
+    * ONE rule, TWO physical shapes (the spec pins their agreement):
+    *  - k ≤ `nCentroids` (the fixed-count faces): broadcast the k×64
+    *    centroid table, fan out k cosines per row, collapse to the
+    *    argmax with `max_by` — partial aggregation reduces the n·k
+    *    fan-out to n rows map-side, so the only shuffle is n
+    *    pre-aggregated rows (a window rank here would shuffle all n·k).
+    *  - k > `nCentroids` (the corpus-derived counts of `semanticDedup` /
+    *    `knnGraph`): the n·k intermediate ROWS are the cost that made
+    *    the r11 probe superlinear (78M materialized rows at sf10 for
+    *    ~5 GFLOP of actual math), so the argmax folds INSIDE one codegen
+    *    expression over the centroid table shipped as a literal (the
+    *    streaming faces' nightly-model-as-literals move) — zero joins,
+    *    zero shuffle, one corpus scan. Strictly-greater comparison keeps
+    *    the FIRST (lowest-id) centroid on ties — the same (ccos desc,
+    *    cluster asc) rule. The literal is k×64 doubles (~200 KB at
+    *    sf10's k=391); at extreme corpus sizes raise `centroidTargetPop`
+    *    or swap the literal for a broadcast + two-stage routing.
+    */
+  private def assignToCentroids(t: Tables, data: Option[DataFrame] = None,
+      k: Int = nCentroids): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val e = vecs(t)
     // the model side always anchors to `t`'s lowest-id vectors; `data`
     // optionally restricts the ASSIGNED side (the daily delta encode —
     // low ids are never in the delta, so the base model IS the full
     // model and delta assignments cannot drift)
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cluster"), col("v").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)
-    data.getOrElse(e).crossJoin(broadcast(cents))
-      .withColumn("ccos", expr("graft_cosine(v, cv)"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("cluster"), col("v"), col("ccos"))
+    if (k <= nCentroids) {
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cluster"), col("v").as("cv"))
+      data.getOrElse(e).crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("graft_cosine(v, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cluster"), col("v"), col("ccos")),
+          struct(col("ccos"), negate(col("cluster")))).as("best"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.v").as("v"), col("best.ccos").as("ccos"))
+    } else {
+      // ids carried separately so a sparse id space can't skew the
+      // position→centroid mapping; both literals sorted by vec_id, so
+      // lower position == lower centroid id (the tie-break)
+      val centRows = e.filter(col("vec_id") < k).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val m = centRows.length
+      data.getOrElse(e)
+        .withColumn("cents", typedLit(centRows.map(_._2).toSeq))
+        .withColumn("cids", typedLit(centRows.map(_._1).toSeq))
+        .withColumn("best", expr(
+          s"""aggregate(sequence(0, ${m - 1}),
+                struct(CAST(-1 AS INT) AS p, CAST(-1e308 AS DOUBLE) AS c),
+                (acc, i) -> CASE WHEN graft_cosine(v, cents[i]) > acc.c
+                  THEN struct(i AS p, graft_cosine(v, cents[i]) AS c)
+                  ELSE acc END)"""))
+        .select(col("vec_id"),
+          element_at(col("cids"), col("best.p") + 1).as("cluster"),
+          col("v"), col("best.c").as("ccos"))
+    }
   }
 
   /** emb_cluster_assign — nearest-centroid assignment, the primitive under
@@ -266,12 +327,16 @@ object Sim {
     * `embeddingNearDup`. Deterministic centroids keep it hash-checked.
     *
     * Scale shape: one broadcast argmax scan to assign, ONE shuffle on the
-    * cluster id, hash-join within cluster — cluster sizes are the skew
-    * knob (prod: k ≈ N/target-cluster-size, AQE skew-join for hot
-    * clusters).
+    * cluster id, hash-join within cluster — and the centroid count is
+    * CORPUS-DERIVED (`nCentroidsFor`: k = n/targetPop), holding expected
+    * cluster population constant so pair work stays O(n · targetPop),
+    * linear in n. AQE skew-join covers hot clusters. The oracle mirrors
+    * the same k via greatest(8, ceil(count(*)/targetPop)) in SQL.
     */
   def semanticDedup(t: Tables): DataFrame = {
-    val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))
+    val k = nCentroidsFor(t.embeddings.count())
+    val assigned = assignToCentroids(t, k = k)
+      .select(col("vec_id"), col("cluster"), col("v"))
     assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", expr("graft_cosine(a.v, b.v)"))
@@ -548,11 +613,12 @@ object Sim {
     * the whole graph is hash-checked.
     *
     * Scale shape: one broadcast-argmax scan to assign, ONE shuffle on the
-    * cluster id, per-cluster hash-join + per-vector rank — pair work is
-    * bounded by the largest cluster (prod: k ≈ N/target-cluster-size,
-    * AQE skew-join for hot clusters), never the corpus. Cross-cluster
-    * edges are missed by design; `cosineTopK` remains the exact
-    * small-query-set face.
+    * cluster id, per-cluster hash-join + per-vector rank — and the
+    * centroid count is CORPUS-DERIVED (`nCentroidsFor`, shared with
+    * `semanticDedup`), holding expected cluster population at
+    * `centroidTargetPop` so pair work is O(n · targetPop), linear in n;
+    * AQE skew-join covers hot clusters. Cross-cluster edges are missed
+    * by design; `cosineTopK` remains the exact small-query-set face.
     */
   /** Product-quantization geometry: 64 dims → `pqM` subspaces of
     * `pqSubDim` dims, each encoded as its nearest of `pqK` sub-centroids
@@ -1360,7 +1426,9 @@ object Sim {
 
   def knnGraph(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"), col("v"))
+    val k = nCentroidsFor(t.embeddings.count())
+    val assigned = assignToCentroids(t, k = k)
+      .select(col("vec_id"), col("cluster"), col("v"))
     val w = Window.partitionBy(col("a.vec_id"))
       .orderBy(col("cos").desc, col("b.vec_id"))
     assigned.as("a").join(assigned.as("b"),

@@ -1166,6 +1166,149 @@ object EventStreamPipeline {
         col("df"), col("bucket"))
   }
 
+  /** The vector-index data columns as stored (partition col `cluster`
+    * rides the directory layout).
+    */
+  private def vectorIndexDataSchema: String =
+    ("vec_id LONG" +: (0 until graft.operators.Sim.pqM).map(j => s"code$j LONG"))
+      .mkString(", ")
+
+  /** The lexical postings data columns as stored (partition col `bucket`
+    * rides the directory layout). dl is INT — size()'s type, the batch
+    * postings' parquet schema.
+    */
+  private def textIndexDataSchema: String =
+    "doc_id LONG, dl INT, term STRING, tf LONG, df LONG"
+
+  /** Live vector-index ingestion WITH the small-file loop closed — the
+    * sink face of `indexIngestStream`: each micro-batch lands under a
+    * batch-keyed subdirectory of the LIVE tier
+    * (`<dir>/ingest/batch=B/cluster=N/`, overwrite-own-subdir — the
+    * at-least-once idiom), and once more than `consolidateAfter` batch
+    * subdirs accumulate they fold into the COMPACT tier
+    * (`<dir>/compact/cluster=N/` — the batch stored index's exact
+    * partition layout), so the file count per inverted list stays
+    * BOUNDED across unbounded triggers instead of growing one file per
+    * touched list per trigger forever. Readers go through
+    * `storedVectorIngestRows` (compact ∪ ingest, distinct — code rows
+    * are deterministic functions of vec_id under the shipped model, so
+    * duplicates from a re-delivered batch collapse exactly).
+    */
+  def indexIngestMaintainSink(vectors: DataFrame, cents: Seq[Seq[Double]],
+      book: Seq[Seq[Double]], dir: String, checkpointDir: String,
+      consolidateAfter: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    ingestMaintainSink(indexIngestStream(vectors, cents, book), dir,
+      checkpointDir, "cluster", vectorIndexDataSchema, consolidateAfter)
+
+  /** Live lexical-index ingestion WITH the small-file loop closed — the
+    * `indexIngestMaintainSink` twin on the text axis: micro-batches of
+    * `textIngestStream` postings land batch-keyed, consolidation folds
+    * them into `<dir>/compact/bucket=N/` (the stored lexical index's
+    * partition layout; df stays the upsert contract's honest NULL — the
+    * weekly `sink_text_index_compact` rewrite restores stored df).
+    * Posting rows are deterministic per document, so the reader's
+    * distinct() collapses re-delivery duplicates exactly.
+    */
+  def textIngestMaintainSink(docs: DataFrame, dir: String,
+      checkpointDir: String, consolidateAfter: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestMaintainSink(textIngestStream(docs), dir, checkpointDir,
+      "bucket", textIndexDataSchema, consolidateAfter)
+
+  /** Current row set of a maintained ingest directory (vector axis). */
+  def storedVectorIngestRows(spark: SparkSession, dir: String): DataFrame =
+    storedIndexRows(spark, dir, "cluster", vectorIndexDataSchema)
+
+  /** Current row set of a maintained ingest directory (text axis). */
+  def storedTextIngestRows(spark: SparkSession, dir: String): DataFrame =
+    storedIndexRows(spark, dir, "bucket", textIndexDataSchema)
+
+  /** The shared consolidating sink: append batch-keyed, fold past the
+    * threshold. The consolidation rewrite is made CRASH-SAFE without a
+    * transactional table format by a `_SUCCESS`-gated swap directory:
+    *
+    *   1. recover any interrupted swap (a COMPLETE `compact_next` — its
+    *      `_SUCCESS` exists — always supersedes `compact` by
+    *      construction; a partial one is deleted),
+    *   2. write the materialized (compact ∪ ingest) union to
+    *      `compact_next` (one shuffle on the partition key ⇒ ~one file
+    *      per partition),
+    *   3. drop the folded ingest batch subdirs,
+    *   4. swap: delete `compact`, rename `compact_next` → `compact`.
+    *
+    * A crash between any two steps leaves every row reachable to
+    * `storedIndexRows` (which prefers a complete `compact_next`), and
+    * the next trigger's step 1 finishes the swap. All listing, deletion
+    * and rename go through the Hadoop FileSystem resolved from the path,
+    * so the bound holds on any store the stream can write to.
+    */
+  private def ingestMaintainSink(rows: DataFrame, dir: String,
+      checkpointDir: String, partCol: String, dataSchema: String,
+      consolidateAfter: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        import org.apache.hadoop.fs.Path
+        val spark = batch.sparkSession
+        val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+        // step 1: finish (or clear) any interrupted swap from a crash
+        if (fs.exists(new Path(s"$dir/compact_next"))) {
+          if (fs.exists(new Path(s"$dir/compact_next/_SUCCESS"))) {
+            fs.delete(new Path(s"$dir/compact"), true)
+            fs.rename(new Path(s"$dir/compact_next"), new Path(s"$dir/compact"))
+          } else fs.delete(new Path(s"$dir/compact_next"), true)
+        }
+        batch.write.mode("overwrite").partitionBy(partCol)
+          .parquet(s"$dir/ingest/batch=$bid")
+        val subs =
+          try fs.listStatus(new Path(s"$dir/ingest"))
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] }
+        if (subs.length > consolidateAfter) {
+          // materialize BEFORE the rewrite — the union reads the files
+          // the swap below deletes
+          val all = graft.engine.Reliability.planCheckpoint(
+            storedIndexRows(spark, dir, partCol, dataSchema))
+          all.repartition(col(partCol))
+            .write.mode("overwrite").partitionBy(partCol)
+            .parquet(s"$dir/compact_next")
+          subs.foreach(s => fs.delete(s.getPath, true))
+          fs.delete(new Path(s"$dir/compact"), true)
+          fs.rename(new Path(s"$dir/compact_next"), new Path(s"$dir/compact"))
+        }
+        ()
+      }
+      .start()
+
+  /** Union of a maintained ingest directory's tiers, duplicate-free:
+    * the compact tier (or a complete mid-swap `compact_next`, which
+    * supersedes it) plus every live batch subdir. Explicit schemas
+    * throughout — a tree of empty batches has nothing to infer from —
+    * and a partition-key filter prunes to `<tier>/<partCol>=k/`
+    * directories on both tiers.
+    */
+  private def storedIndexRows(spark: SparkSession, dir: String,
+      partCol: String, dataSchema: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = s"$dataSchema, $partCol LONG"
+    val compactPath =
+      if (fs.exists(new Path(s"$dir/compact_next/_SUCCESS")))
+        Some(s"$dir/compact_next")
+      else if (fs.exists(new Path(s"$dir/compact"))) Some(s"$dir/compact")
+      else None
+    val tiers =
+      compactPath.map(p => spark.read.schema(schema).parquet(p)).toSeq ++
+        (if (fs.exists(new Path(s"$dir/ingest")))
+          Seq(spark.read.schema(s"$schema, batch LONG")
+            .parquet(s"$dir/ingest").drop("batch"))
+        else Nil)
+    require(tiers.nonEmpty, s"no stored index tiers under $dir")
+    tiers.reduce(_.unionByName(_)).distinct()
+  }
+
   case class Bm25Serve(queryId: Long, docId: Long, rank: Int,
       nTerms: Long, scoreQ6: Long)
   case class Bm25Seen(seen: Boolean)
@@ -1557,6 +1700,14 @@ object EventStreamPipeline {
     * group table re-labels from the DISTINCT union pair set via the same
     * conf-selected CC engines as every batch face. Returns the started
     * query; the caller owns checkpointing and stop.
+    *
+    * Upgrade note: this face now projects the caller's pairs to
+    * (kind, da, db) and casts to LONG on write. A state directory written
+    * by the pre-tombstone signature from an int-typed pair stream holds
+    * INT32 `batch=N` parquet the explicit `da LONG, db LONG` read schema
+    * will reject — rewrite (or read with mergeSchema + cast once and
+    * consolidate into `batch=base`) such directories before resuming an
+    * old checkpoint on this code.
     */
   def dupGroupsMaintainStream(pairs: DataFrame, dir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -1637,28 +1788,44 @@ object EventStreamPipeline {
           .write.mode("overwrite").parquet(s"$dir/groups")
         // bound the subdirectory count: fold accumulated batch subdirs
         // into one base subdir (rawPairs/rawTomb are MATERIALIZED above —
-        // planCheckpoint — so rewriting their source files is safe)
-        def consolidate(root: String, df: DataFrame): Unit = {
-          val subs = Option(new java.io.File(root).listFiles())
-            .getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-          if (subs.length > consolidateAfter) {
-            df.write.mode("overwrite").parquet(s"$root/batch=base")
-            subs.filter(_.getName != "batch=base").foreach { d =>
-              def rec(f: java.io.File): Unit = {
-                if (f.isDirectory)
-                  Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-                f.delete(); ()
-              }
-              rec(d)
-            }
-          }
-        }
+        // planCheckpoint — so rewriting their source files is safe).
+        // Listing/deletion go through the Hadoop FileSystem resolved from
+        // the path — the data writes do, and a java.io.File walk would
+        // silently never run on hdfs://, s3a:// or even a file: URI,
+        // quietly reverting to unbounded per-trigger growth
+        def consolidate(root: String, df: DataFrame): Unit =
+          consolidateBatchSubdirs(spark, root, df, consolidateAfter)
         consolidate(s"$dir/pairs", rawPairs)
         consolidate(s"$dir/tombstones", rawTomb)
         ()
       }
       .start()
+
+  /** Fold past-threshold `batch=N` subdirectories under `root` into one
+    * `batch=base` subdir holding `df` (which the caller MUST have
+    * materialized — the rewrite deletes the frame's source files), then
+    * drop the per-batch subdirs. Set-idempotent under at-least-once
+    * re-delivery: a re-delivered batch re-creating its deleted subdir
+    * re-adds rows the base already holds, and every reader goes through
+    * `distinct()` / set semantics. All listing and deletion runs through
+    * the Hadoop FileSystem resolved from the path, so the bound holds on
+    * any store the stream can write to (local, hdfs://, s3a://).
+    */
+  private[graft] def consolidateBatchSubdirs(spark: SparkSession, root: String,
+      df: DataFrame, consolidateAfter: Int): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val subs =
+      try fs.listStatus(rootPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    if (subs.length > consolidateAfter) {
+      df.write.mode("overwrite").parquet(s"$root/batch=base")
+      subs.filter(_.getPath.getName != "batch=base")
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
 
   /** Streaming AllJob — the reference's full chain (AllJob.java:49-56,
     * GateJob→IdJob→DwJob with in-memory handoff) as ONE streaming query:

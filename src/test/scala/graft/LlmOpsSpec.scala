@@ -782,6 +782,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.subsetOf(brute))
   }
 
+  test("nCentroidsFor holds expected cluster population constant") {
+    // the lshPlanesFor precedent on the centroid axis: floor at the fixed
+    // count for every oracle SF, then k grows with n / targetPop
+    assert(Sim.nCentroidsFor(500) == Sim.nCentroids)
+    assert(Sim.nCentroidsFor(8L * Sim.centroidTargetPop) == Sim.nCentroids)
+    assert(Sim.nCentroidsFor(8L * Sim.centroidTargetPop + 1) == 9)
+    assert(Sim.nCentroidsFor(200000) ==
+      math.ceil(200000.0 / Sim.centroidTargetPop).toInt)
+  }
+
+  test("scaled centroid count: semantic dedup + knn graph match the " +
+      "window-rank reference above the 8-centroid floor") {
+    import org.apache.spark.sql.expressions.Window
+    // n > 8·targetPop ⇒ k = ceil(n/512) = 9 > the fixed floor: the two
+    // pair faces must derive k from the corpus, assign with the max_by
+    // argmax, and agree pair-for-pair / edge-for-edge with an independent
+    // window-rank assignment at the SAME k (the pre-scaling shape)
+    val n = 4200
+    val k = Sim.nCentroidsFor(n)
+    assert(k == 9, s"test geometry drifted: k=$k")
+    val embs = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), d -> " +
+        "CAST(sin((id % 37 + 1) * (d + 1)) AS FLOAT))").as("embedding"),
+      lit(0L).as("label"))
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = embs }
+    graft.functions.VectorExpressions.register(spark)
+    val e = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"), col("v")).cache()
+    val refPairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr("graft_cosine(a.v, b.v)"))
+      .filter(col("cos") >= Sim.nearDupTau)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = Sim.semanticDedup(t2).collect()
+    assert(gotPairs.map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+      == refPairs)
+    // anti-vacuity: clusters beyond the fixed floor actually hold pairs
+    assert(gotPairs.exists(_.getAs[Long]("cluster") >= Sim.nCentroids),
+      "no pair landed in a scaled (>floor) cluster — the knob is vacuous")
+    val wk = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("cos").desc, col("b.vec_id"))
+    val refEdges = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", expr("graft_cosine(a.v, b.v)"))
+      .withColumn("rank", row_number().over(wk)).filter(col("rank") <= Sim.knnK)
+      .select(col("a.vec_id"), col("b.vec_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gotEdges = Sim.knnGraph(t2).collect()
+    assert(gotEdges.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet == refEdges)
+    assert(gotEdges.exists(_.getAs[Long]("cluster") >= Sim.nCentroids))
+    assigned.unpersist()
+  }
+
   test("substring dedup: merged spans, full-copy drop, unique doc untouched") {
     import spark.implicits._
     val k = Dedup.substrK

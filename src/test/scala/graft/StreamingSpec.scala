@@ -1449,4 +1449,156 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT max(upd_seq) FROM udprof").collect()(0).getLong(0) >= 2L,
       "no user was updated across micro-batches — merge untested")
   }
+
+  /** Stage `df` as one single-parquet-file `name.parquet` under `dir`, so
+    * maxFilesPerTrigger=1 makes it exactly one micro-batch.
+    */
+  private def landFile(df: org.apache.spark.sql.DataFrame, dir: String,
+      name: String): Unit = {
+    df.coalesce(1).write.parquet(s"$dir/$name")
+    val f = new java.io.File(s"$dir/$name").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$dir/$name.parquet"))
+  }
+
+  private def parquetFilesUnder(root: String): Array[java.io.File] = {
+    def rec(f: java.io.File): Array[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(rec)
+      else if (f.getName.endsWith(".parquet") ||
+        f.getName.startsWith("part-")) Array(f)
+      else Array.empty
+    rec(new java.io.File(root))
+  }
+
+  test("maintained vector ingestion bounds files per list, stays batch-equal, " +
+      "and survives re-delivery + an interrupted swap") {
+    import graft.operators.Sim
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val byId = base.filter(col("vec_id") < math.max(Sim.nCentroids, Sim.pqK))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = (0 until Sim.nCentroids).map(k => byId(k.toLong))
+    val book = (0 until Sim.pqK).map(k => byId(k.toLong))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_vmaint_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_vmaint_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vmaint_ck").toString
+    // 8 slices -> 8 micro-batches; consolidateAfter=3 forces ≥1 fold
+    val nSlices = 8
+    (0 until nSlices).foreach(i =>
+      landFile(base.filter(pmod(col("vec_id"), lit(nSlices)) === i), inDir, s"s$i"))
+    def runOnce(): Unit = {
+      val vectors = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = EventStreamPipeline.indexIngestMaintainSink(
+        vectors, cents, book, outDir, ckpt, consolidateAfter = 3)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("vec_id") ->
+        ((0 until Sim.pqM).map(j => r.getAs[Long](s"code$j")),
+          r.getAs[Number]("cluster").longValue)
+    val bdir = java.nio.file.Files.createTempDirectory("graft_vmaint_b").toString
+    Sim.writeVectorIndex(t, bdir)
+    val batch = spark.read.parquet(bdir).collect().map(key).toMap
+    def gotRows() = EventStreamPipeline.storedVectorIngestRows(spark, outDir)
+    assert(gotRows().collect().map(key).toMap == batch,
+      "maintained rows diverged from the batch stored index")
+    // consolidation actually ran AND bounded the layout: the compact tier
+    // has the batch index's partition dirs with ONE file per list, and at
+    // most consolidateAfter live batch subdirs remain
+    val compactParts = new java.io.File(s"$outDir/compact").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+    val batchParts = new java.io.File(bdir).listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+    assert(compactParts == batchParts,
+      s"compact tier layout diverged: $compactParts vs $batchParts")
+    compactParts.foreach { p =>
+      val files = parquetFilesUnder(s"$outDir/compact/$p")
+      assert(files.length == 1, s"$p holds ${files.length} files after the fold")
+    }
+    val liveSubs = new java.io.File(s"$outDir/ingest").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(liveSubs.length <= 3,
+      s"live tier grew past the bound: ${liveSubs.length} batch subdirs")
+    // 8 triggers × touched lists would be ≥ 8 files/list unbounded; the
+    // whole maintained tree must hold fewer data files than that
+    assert(parquetFilesUnder(outDir).length <
+      nSlices * compactParts.size,
+      "total data file count is not bounded by the fold")
+    // at-least-once: a consolidated batch RE-DELIVERED (its subdir
+    // re-created after the fold dropped it) must not change the row set
+    spark.read.parquet(bdir)
+      .filter(pmod(col("vec_id"), lit(nSlices)) === 0)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/ingest/batch=0")
+    assert(gotRows().collect().map(key).toMap == batch,
+      "re-delivered consolidated batch changed the served row set")
+    // crash-safety: an interrupted swap (complete compact_next, compact
+    // already dropped) must stay fully readable...
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/compact"),
+      new org.apache.hadoop.fs.Path(s"$outDir/compact_next")))
+    assert(gotRows().collect().map(key).toMap == batch,
+      "mid-swap state lost rows")
+    // ...and the next trigger's recovery step must finish the swap (the
+    // trigger re-delivers one already-stored vector — set-idempotent)
+    landFile(base.limit(1), inDir, "s_tail")
+    runOnce()
+    assert(new java.io.File(s"$outDir/compact").exists &&
+      !new java.io.File(s"$outDir/compact_next").exists,
+      "recovery did not finish the interrupted swap")
+    assert(gotRows().collect().map(key).toMap == batch,
+      "post-recovery row set diverged")
+  }
+
+  test("maintained lexical ingestion folds postings batch-equal with df NULL") {
+    import graft.operators.TrainData
+    val maxId = t.documents.agg(max(col("doc_id"))).head.getLong(0)
+    val isDelta = col("doc_id") * 5 > lit(maxId) * 4
+    val delta = t.documents.filter(isDelta)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_tmaint_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_tmaint_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tmaint_ck").toString
+    val nSlices = 6
+    (0 until nSlices).foreach(i =>
+      landFile(delta.filter(pmod(col("doc_id"), lit(nSlices)) === i), inDir, s"s$i"))
+    val docs = spark.readStream.schema(t.documents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = EventStreamPipeline.textIngestMaintainSink(
+      docs, outDir, ckpt, consolidateAfter = 2)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        (r.getAs[Int]("dl"), r.getAs[Long]("tf"),
+          r.getAs[Number]("bucket").longValue)
+    val gotRows = EventStreamPipeline.storedTextIngestRows(spark, outDir).collect()
+    gotRows.foreach(r => assert(r.isNullAt(r.fieldIndex("df")),
+      "maintained posting carries a df value — the upsert contract is NULL"))
+    val got = gotRows.map(key).toMap
+    assert(gotRows.length == got.size, "duplicate postings after the fold")
+    val bdir = java.nio.file.Files.createTempDirectory("graft_tmaint_b")
+      .toString + "/idx"
+    TrainData.textIndexUpsert(t, Some(bdir))
+    val batch = spark.read.parquet(bdir).filter(isDelta).collect().map(key).toMap
+    assert(got.nonEmpty && got == batch,
+      "maintained postings diverged from the batch upsert's delta")
+    // the fold ran and the compact tier carries the stored-index layout
+    // with one file per touched bucket
+    val parts = new java.io.File(s"$outDir/compact").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    val wantParts = batch.values.map(_._3).toSet.map((b: Long) => s"bucket=$b")
+    assert(parts == wantParts, s"compact layout diverged: $parts vs $wantParts")
+    parts.foreach { p =>
+      val files = parquetFilesUnder(s"$outDir/compact/$p")
+      assert(files.length == 1, s"$p holds ${files.length} files after the fold")
+    }
+    assert(new java.io.File(s"$outDir/ingest").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) <= 2,
+      "live tier grew past the bound")
+  }
 }
