@@ -248,15 +248,25 @@ object Sim {
     *    pre-aggregated rows (a window rank here would shuffle all n·k).
     *  - k > `nCentroids` (the corpus-derived counts of `semanticDedup` /
     *    `knnGraph`): the n·k intermediate ROWS are the cost that made
-    *    the r11 probe superlinear (78M materialized rows at sf10 for
-    *    ~5 GFLOP of actual math), so the argmax folds INSIDE one codegen
-    *    expression over the centroid table shipped as a literal (the
-    *    streaming faces' nightly-model-as-literals move) — zero joins,
-    *    zero shuffle, one corpus scan. Strictly-greater comparison keeps
-    *    the FIRST (lowest-id) centroid on ties — the same (ccos desc,
-    *    cluster asc) rule. The literal is k×64 doubles (~200 KB at
-    *    sf10's k=391); at extreme corpus sizes raise `centroidTargetPop`
-    *    or swap the literal for a broadcast + two-stage routing.
+    *    the r11 probe superlinear (78M materialized rows at sf10 for a
+    *    few GFLOP of actual math), so the argmax evaluates INSIDE one
+    *    higher-order expression per row over the centroid table shipped
+    *    as a literal (the streaming ingest faces' nightly-model-as-
+    *    literals move) — zero joins, zero shuffle, one corpus scan.
+    *    Note the win is eliminating the row materialization + shuffle,
+    *    NOT codegen: Spark higher-order functions are CodegenFallback
+    *    and evaluate interpreted. An `aggregate` running-max fold beats
+    *    the streaming faces' `array_sort(transform(...))[0]` here
+    *    (measured ~2x at sf10): no k-element struct array allocation or
+    *    sort per row, and the CASE's second cosine evaluation fires
+    *    only on a new running max (~ln k times). Strictly-greater keeps
+    *    the FIRST (lowest-position = lowest-id) centroid on ties — the
+    *    same (ccos desc, cluster asc) rule. The
+    *    literal is k×64 doubles (~200 KB at sf10's k=391); the per-row
+    *    O(k) cosine work makes assignment O(n²/targetPop) overall — it
+    *    re-dominates around n≈10⁶ (see NOTES r12), where the knobs are
+    *    a larger `centroidTargetPop` or a broadcast + two-stage
+    *    super-centroid routing.
     */
   private def assignToCentroids(t: Tables, data: Option[DataFrame] = None,
       k: Int = nCentroids): DataFrame = {

@@ -1223,24 +1223,46 @@ object EventStreamPipeline {
   def storedTextIngestRows(spark: SparkSession, dir: String): DataFrame =
     storedIndexRows(spark, dir, "bucket", textIndexDataSchema)
 
+  /** Marker gating the consolidation swap: written explicitly AFTER the
+    * `compact_next` write action returns, so completeness never depends
+    * on the output committer's `_SUCCESS` (which
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` disables —
+    * a recovery keyed on `_SUCCESS` alone would then mistake every
+    * complete fold for a partial one and DELETE it).
+    */
+  private val swapReadyMarker = "_GRAFT_SWAP_READY"
+
+  private def listBatchSubdirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Array[org.apache.hadoop.fs.FileStatus] =
+    try fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    catch { case _: java.io.FileNotFoundException =>
+      Array.empty[org.apache.hadoop.fs.FileStatus] }
+
   /** The shared consolidating sink: append batch-keyed, fold past the
-    * threshold. The consolidation rewrite is made CRASH-SAFE without a
-    * transactional table format by a `_SUCCESS`-gated swap directory:
+    * threshold. The consolidation rewrite avoids needing a transactional
+    * table format via a marker-gated swap directory:
     *
     *   1. recover any interrupted swap (a COMPLETE `compact_next` — its
-    *      `_SUCCESS` exists — always supersedes `compact` by
+    *      `swapReadyMarker` exists — always supersedes `compact` by
     *      construction; a partial one is deleted),
-    *   2. write the materialized (compact ∪ ingest) union to
-    *      `compact_next` (one shuffle on the partition key ⇒ ~one file
-    *      per partition),
+    *   2. write the (compact ∪ ingest) union to `compact_next` (one
+    *      shuffle on the partition key ⇒ ~one file per partition), then
+    *      drop the marker in — no materialization needed: the write
+    *      target is disjoint from the source files and every deletion
+    *      below runs strictly after the write action returns,
     *   3. drop the folded ingest batch subdirs,
     *   4. swap: delete `compact`, rename `compact_next` → `compact`.
     *
-    * A crash between any two steps leaves every row reachable to
-    * `storedIndexRows` (which prefers a complete `compact_next`), and
-    * the next trigger's step 1 finishes the swap. All listing, deletion
-    * and rename go through the Hadoop FileSystem resolved from the path,
-    * so the bound holds on any store the stream can write to.
+    * Scope: crash-safe on stores with ATOMIC directory rename (local,
+    * HDFS) — a crash between any two steps leaves every row reachable
+    * to `storedIndexRows` (which prefers a complete `compact_next`),
+    * and the next trigger's step 1 finishes the swap. On object stores
+    * (s3a: rename = per-object copy+delete) a crash INSIDE step 4 can
+    * split files across the two directories — there, production fronts
+    * the layout with a committer/table format; a failed rename/delete
+    * is surfaced, not ignored. All listing, deletion and rename go
+    * through the Hadoop FileSystem resolved from the path.
     */
   private def ingestMaintainSink(rows: DataFrame, dir: String,
       checkpointDir: String, partCol: String, dataSchema: String,
@@ -1252,42 +1274,53 @@ object EventStreamPipeline {
         import org.apache.hadoop.fs.Path
         val spark = batch.sparkSession
         val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+        def swapIn(): Unit = {
+          if (!fs.delete(new Path(s"$dir/compact"), true) &&
+              fs.exists(new Path(s"$dir/compact")))
+            sys.error(s"could not delete $dir/compact for the swap")
+          if (!fs.rename(new Path(s"$dir/compact_next"),
+              new Path(s"$dir/compact")))
+            sys.error(s"rename $dir/compact_next -> $dir/compact failed")
+          fs.delete(new Path(s"$dir/compact/$swapReadyMarker"), false)
+          ()
+        }
         // step 1: finish (or clear) any interrupted swap from a crash
         if (fs.exists(new Path(s"$dir/compact_next"))) {
-          if (fs.exists(new Path(s"$dir/compact_next/_SUCCESS"))) {
-            fs.delete(new Path(s"$dir/compact"), true)
-            fs.rename(new Path(s"$dir/compact_next"), new Path(s"$dir/compact"))
-          } else fs.delete(new Path(s"$dir/compact_next"), true)
+          if (fs.exists(new Path(s"$dir/compact_next/$swapReadyMarker")))
+            swapIn()
+          else fs.delete(new Path(s"$dir/compact_next"), true)
         }
         batch.write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$dir/ingest/batch=$bid")
-        val subs =
-          try fs.listStatus(new Path(s"$dir/ingest"))
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-          catch { case _: java.io.FileNotFoundException =>
-            Array.empty[org.apache.hadoop.fs.FileStatus] }
+        val subs = listBatchSubdirs(fs, s"$dir/ingest")
         if (subs.length > consolidateAfter) {
-          // materialize BEFORE the rewrite — the union reads the files
-          // the swap below deletes
-          val all = graft.engine.Reliability.planCheckpoint(
-            storedIndexRows(spark, dir, partCol, dataSchema))
-          all.repartition(col(partCol))
+          storedIndexRows(spark, dir, partCol, dataSchema)
+            .repartition(col(partCol))
             .write.mode("overwrite").partitionBy(partCol)
             .parquet(s"$dir/compact_next")
+          if (!fs.createNewFile(new Path(s"$dir/compact_next/$swapReadyMarker")))
+            sys.error(s"could not mark $dir/compact_next complete")
           subs.foreach(s => fs.delete(s.getPath, true))
-          fs.delete(new Path(s"$dir/compact"), true)
-          fs.rename(new Path(s"$dir/compact_next"), new Path(s"$dir/compact"))
+          swapIn()
         }
         ()
       }
       .start()
 
   /** Union of a maintained ingest directory's tiers, duplicate-free:
-    * the compact tier (or a complete mid-swap `compact_next`, which
-    * supersedes it) plus every live batch subdir. Explicit schemas
-    * throughout — a tree of empty batches has nothing to infer from —
-    * and a partition-key filter prunes to `<tier>/<partCol>=k/`
-    * directories on both tiers.
+    * the compact tier (or a complete mid-swap `compact_next` — its
+    * `swapReadyMarker` present — which supersedes it) plus every live
+    * batch subdir. Explicit schemas throughout — a tree of empty
+    * batches has nothing to infer from — and a partition-key filter
+    * prunes to `<tier>/<partCol>=k/` directories on both tiers.
+    *
+    * Concurrency scope: the tier choice binds at CONSTRUCTION and the
+    * scan runs when the caller's action does — a fold/recovery swap
+    * racing an in-flight read can delete the bound directory under it
+    * (the ArtifactCache rebuild-vs-read posture). Same-JVM sequential
+    * execution (read between triggers, or inside the foreachBatch) is
+    * the supported scope; a deployment serving DURING folds puts the
+    * compact tier behind a snapshot/table format.
     */
   private def storedIndexRows(spark: SparkSession, dir: String,
       partCol: String, dataSchema: String): DataFrame = {
@@ -1295,7 +1328,7 @@ object EventStreamPipeline {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val schema = s"$dataSchema, $partCol LONG"
     val compactPath =
-      if (fs.exists(new Path(s"$dir/compact_next/_SUCCESS")))
+      if (fs.exists(new Path(s"$dir/compact_next/$swapReadyMarker")))
         Some(s"$dir/compact_next")
       else if (fs.exists(new Path(s"$dir/compact"))) Some(s"$dir/compact")
       else None
@@ -1815,11 +1848,7 @@ object EventStreamPipeline {
       df: DataFrame, consolidateAfter: Int): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val subs =
-      try fs.listStatus(rootPath)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      catch { case _: java.io.FileNotFoundException =>
-        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val subs = listBatchSubdirs(fs, root)
     if (subs.length > consolidateAfter) {
       df.write.mode("overwrite").parquet(s"$root/batch=base")
       subs.filter(_.getPath.getName != "batch=base")

@@ -1538,11 +1538,16 @@ class StreamingSpec extends SparkSpec {
     assert(gotRows().collect().map(key).toMap == batch,
       "re-delivered consolidated batch changed the served row set")
     // crash-safety: an interrupted swap (complete compact_next, compact
-    // already dropped) must stay fully readable...
+    // already dropped) must stay fully readable... — the real mid-swap
+    // state carries the swap-ready marker (it is created before any
+    // deletion and removed only AFTER the rename lands), so the
+    // simulation plants it too
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/compact"),
       new org.apache.hadoop.fs.Path(s"$outDir/compact_next")))
+    assert(fs.createNewFile(new org.apache.hadoop.fs.Path(
+      s"$outDir/compact_next/_GRAFT_SWAP_READY")))
     assert(gotRows().collect().map(key).toMap == batch,
       "mid-swap state lost rows")
     // ...and the next trigger's recovery step must finish the swap (the
