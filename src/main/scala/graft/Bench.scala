@@ -100,12 +100,28 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset (local spot timing)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset (local spot timing);
+    // SPARK_GRAFT_BENCH_SKIP=a,b drops names from a full run (the sf10
+    // full-suite probe excludes the by-contract O(N²) exact faces — running
+    // them would measure the contract, not the engine). Skipped names are
+    // flagged on stderr so a full-run log can't silently pass as complete.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(only).toMap
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected = {
+      val base =
+        if (only.isEmpty) SparkEntry.queries
+        else SparkEntry.queries.view.filterKeys(only).toMap
+      // report what is ACTUALLY dropped, not what the env claims: a typo'd
+      // skip name would otherwise log as skipped while the face runs
+      skip.diff(base.keySet).foreach(n =>
+        System.err.println(s"[bench] SKIP name matches no query (typo?): $n"))
+      skip.intersect(base.keySet).foreach(n =>
+        System.err.println(s"[bench] SKIPPED by env: $n"))
+      if (skip.isEmpty) base
+      else base.view.filterKeys(k => !skip(k)).toMap
+    }
     val ordered = {
       val fronted = heavyFirst.filter(selected.contains)
       fronted ++ selected.keys.filterNot(fronted.contains).toSeq.sorted

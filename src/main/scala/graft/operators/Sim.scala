@@ -293,7 +293,15 @@ object Sim {
       val centRows = e.filter(col("vec_id") < k).orderBy("vec_id")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       val m = centRows.length
-      data.getOrElse(e)
+      // degenerate corpus (no vec_id < k — a fully sparse/offset id
+      // space): the fold below would index an empty literal; return the
+      // same EMPTY assignment the fixed branch's crossJoin-with-empty-
+      // cents produces for the identical corpus
+      if (m == 0)
+        data.getOrElse(e).where(lit(false))
+          .select(col("vec_id"), lit(-1L).as("cluster"), col("v"),
+            lit(0d).as("ccos"))
+      else data.getOrElse(e)
         .withColumn("cents", typedLit(centRows.map(_._2).toSeq))
         .withColumn("cids", typedLit(centRows.map(_._1).toSeq))
         .withColumn("best", expr(

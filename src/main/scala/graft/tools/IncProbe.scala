@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
 object IncProbe {
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: IncProbe <bigDir> <smallDir>")
+      sys.exit(2)
+    }
     val Array(bigDir, smallDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.GraftSession

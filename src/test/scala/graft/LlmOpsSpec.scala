@@ -843,6 +843,24 @@ class LlmOpsSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("scaled centroid count: fully offset id space yields empty " +
+      "assignment, not a crash") {
+    // degenerate corpus above the scaling floor whose vec_ids are ALL
+    // >= k (no low-id vector can serve as a centroid): the scaled
+    // literal-argmax branch must return the same EMPTY result the fixed
+    // branch's crossJoin-with-empty-cents produces — not index an empty
+    // centroid literal (review finding r12)
+    val n = 4200
+    assert(Sim.nCentroidsFor(n) > Sim.nCentroids, "geometry drifted")
+    val embs = spark.range(n).select((col("id") + 100000L).as("vec_id"),
+      expr("transform(sequence(0, 7), d -> " +
+        "CAST(sin((id % 37 + 1) * (d + 1)) AS FLOAT))").as("embedding"),
+      lit(0L).as("label"))
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = embs }
+    assert(Sim.semanticDedup(t2).count() == 0)
+    assert(Sim.knnGraph(t2).count() == 0)
+  }
+
   test("substring dedup: merged spans, full-copy drop, unique doc untouched") {
     import spark.implicits._
     val k = Dedup.substrK
