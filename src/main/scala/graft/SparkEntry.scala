@@ -3433,27 +3433,36 @@ object SparkEntry {
          FROM f LEFT JOIN mn ON f.doc_id = mn.doc_id ORDER BY f.doc_id""",
     "sim_ann_lsh" -> {
       // banded multi-table signatures: per table tb, the band key is the
-      // sign pattern of planes p = tb*planesPerTable + j (same sin-derived
-      // planes as Sim.lshBandKey)
-      val bandExprs = (0 until Sim.lshTables).map { tb =>
-        (0 until Sim.lshPlanesPerTable).map { j =>
-          val p = tb * Sim.lshPlanesPerTable + j
-          s"""CASE WHEN list_dot_product(v,
-                list_transform(generate_series(0, 63), d -> sin(($p * 1009 + 31) * (d + 1)))) >= 0
-              THEN ${1 << j} ELSE 0 END"""
-        }.mkString(" + ")
-      }
+      // sign pattern of planes p = tb*planes + j (same sin-derived planes
+      // as Sim.lshBandKey). The plane count is CORPUS-DERIVED in SQL with
+      // the same integer-exact rule as Sim.lshPlanesFor — smallest p >= 4
+      // with targetPop<<p >= count(*) — never via floating log2, whose
+      // ceil can differ by one ulp between engines at power-of-two counts
       val tableVals = (0 until Sim.lshTables).map(tb => s"($tb)").mkString(", ")
-      val bandCase = "CASE tb.t " + bandExprs.zipWithIndex
-        .map { case (e, tb) => s"WHEN $tb THEN ($e)" }.mkString(" ") + " END"
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         b AS (SELECT vec_id, v, tb.t AS tbl, $bandCase AS band_key
-               FROM e CROSS JOIN (VALUES $tableVals) tb(t)),
+      s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+         np AS (SELECT greatest(4,
+                  (SELECT min(g.p) FROM generate_series(1, 40) g(p), cnt
+                   WHERE (CAST(${Sim.lshTargetBucketPop} AS BIGINT) << g.p) >= cnt.n))
+                  AS planes),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bj AS (SELECT e.vec_id, e.v, tb.t AS tbl, np.planes AS planes,
+                  unnest(range(np.planes)) AS j
+                FROM e CROSS JOIN (VALUES $tableVals) tb(t) CROSS JOIN np),
+         bits AS (SELECT vec_id, tbl,
+                    CASE WHEN list_dot_product(v,
+                      list_transform(generate_series(0, 63),
+                        d -> sin(((tbl * planes + j) * 1009 + 31) * (d + 1)))) >= 0
+                    THEN (1 << j) ELSE 0 END AS bit
+                  FROM bj),
+         b AS (SELECT vec_id, tbl, sum(bit) AS band_key
+               FROM bits GROUP BY vec_id, tbl),
          p AS (SELECT a.vec_id, b2.vec_id AS neighbor_id,
-                 list_dot_product(a.v, b2.v)
-                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+                 list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
                FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.band_key = b2.band_key
-                 AND a.vec_id <> b2.vec_id),
+                 AND a.vec_id <> b2.vec_id
+               JOIN e ea ON ea.vec_id = a.vec_id
+               JOIN e eb ON eb.vec_id = b2.vec_id),
          r AS (SELECT vec_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY vec_id
                    ORDER BY cos DESC, neighbor_id) AS rank
