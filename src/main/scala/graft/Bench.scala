@@ -114,14 +114,23 @@ object Bench {
         if (only.isEmpty) SparkEntry.queries
         else SparkEntry.queries.view.filterKeys(only).toMap
       // report what is ACTUALLY dropped, not what the env claims: a typo'd
-      // skip name would otherwise log as skipped while the face runs
-      skip.diff(base.keySet).foreach(n =>
+      // skip name would otherwise log as skipped while the face runs. The
+      // typo check diffs against the FULL registry — a valid name outside
+      // an ONLY subset is "outside the subset", not a typo.
+      skip.diff(SparkEntry.queries.keySet).foreach(n =>
         System.err.println(s"[bench] SKIP name matches no query (typo?): $n"))
+      skip.intersect(SparkEntry.queries.keySet).diff(base.keySet).foreach(n =>
+        System.err.println(s"[bench] SKIP name outside the ONLY subset (no-op): $n"))
       skip.intersect(base.keySet).foreach(n =>
         System.err.println(s"[bench] SKIPPED by env: $n"))
       if (skip.isEmpty) base
       else base.view.filterKeys(k => !skip(k)).toMap
     }
+    // the by-contract exclusions belong IN the artifact: a scale-gate JSON
+    // whose query list silently omits a face reads as "covered" when it
+    // wasn't — record what was actually dropped and why-shaped (env-named)
+    val skippedJson = skip.intersect(SparkEntry.queries.keySet).toSeq.sorted
+      .map(n => s"\"$n\"").mkString("[", ",", "]")
     val ordered = {
       val fronted = heavyFirst.filter(selected.contains)
       fronted ++ selected.keys.filterNot(fronted.contains).toSeq.sorted
@@ -196,6 +205,7 @@ object Bench {
            |  "n_queries": ${results.size},
            |  "n_failed": ${failed.size},
            |  "failed": $failedJson,
+           |  "skipped_by_env": $skippedJson,
            |  "gc_ms_total": $gcTotal,
            |  "sf": "$sfDir",
            |  "order": "heavies first, then sorted (co-run walls)",

@@ -58,7 +58,11 @@ def connect(sf_dir):
         pass
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
+        if Path(p).is_dir():
+            # Spark-written table (ScaleGen output): a directory of part
+            # files, not the driver's single-file parquet
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
