@@ -833,6 +833,93 @@ object SparkEntry {
              FROM p),
        a AS (SELECT vec_id, v, nrm, cluster, ccos FROM r WHERE rk = 1)"""
 
+  /** The TWO-STAGE mirror of `Sim.assignToCentroids`' corpus-derived
+    * branch (graft_centroid_best + Sim.centroidGroupSize), used by the
+    * two faces whose centroid count scales with the corpus. Same `a`
+    * shape as `centroidAssignCtes`. The group size replays
+    * `centroidGroupSize` integer-exactly: s = m at or below the
+    * two-stage threshold (one group ⇒ the chain COLLAPSES to the flat
+    * argmax, which is why every oracle-SF corpus hashes identically to
+    * the r12 chain), else floor(sqrt(m)) with an integer fix-up — never
+    * a bare float ceil, whose last-ulp behavior at a perfect square
+    * could differ between engines. Stage 1 ranks group REPRESENTATIVES
+    * (position r·s, the group's lowest-id centroid) by (ccos DESC, grp),
+    * stage 2 ranks within the winning group by (ccos DESC, cluster) —
+    * the first-kept strict-greater folds of the native expression.
+    */
+  private def centroidAssignTwoStageCtes(src: String = "embeddings",
+      kSql: String = scaledCentroidKSql()): String = {
+    val fs = "CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       c0 AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn,
+                row_number() OVER (ORDER BY vec_id) - 1 AS pos
+              FROM n WHERE vec_id < $kSql),
+       prm AS (SELECT CASE WHEN count(*) <= ${graft.operators.Sim.twoStageMinCentroids}
+                    THEN count(*)
+                    ELSE CASE WHEN $fs * $fs >= count(*) THEN $fs ELSE $fs + 1 END
+                  END AS s
+               FROM c0),
+       c AS (SELECT c0.cluster, c0.cv, c0.cn, c0.pos // prm.s AS grp
+             FROM c0, prm),
+       reps AS (SELECT c0.cluster, c0.cv, c0.cn, c0.pos // prm.s AS grp
+                FROM c0, prm WHERE c0.pos % prm.s = 0),
+       s1 AS (SELECT n.vec_id, reps.grp,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY list_dot_product(n.v, reps.cv) / (n.nrm * reps.cn) DESC,
+                           reps.grp) AS rk
+              FROM n CROSS JOIN reps),
+       g1 AS (SELECT vec_id, grp FROM s1 WHERE rk = 1),
+       p AS (SELECT n.vec_id, n.v, n.nrm, c.cluster,
+               list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS ccos
+             FROM n JOIN g1 ON n.vec_id = g1.vec_id JOIN c ON c.grp = g1.grp),
+       r AS (SELECT vec_id, v, nrm, cluster, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, cluster) AS rk
+             FROM p),
+       a AS (SELECT vec_id, v, nrm, cluster, ccos FROM r WHERE rk = 1)"""
+  }
+
+  /** The banded near-pair CTE tail shared by the dedup_simhash and
+    * mm_phash_dedup oracles — SQL mirror of `Dedup.bandedNearCandidates`
+    * (4 primary bands; buckets above the occupancy ceiling refined by 4
+    * sub-bands over the complementary bits; see the helper's contract
+    * for the preserved hamming-≤3 pigeonhole guarantee). Emits CTEs
+    * `bands` … `near`, where `near` = DISTINCT (da, db, sa, sb) with
+    * da < db. `docsRel` must provide (doc_id, `hashCol`).
+    */
+  private def bandedNearSql(docsRel: String, hashCol: String,
+      totalBits: Int): String = {
+    val cap = graft.operators.Dedup.bandBucketCap
+    val bandBits = totalBits / 4
+    val bandMask = (1L << bandBits) - 1
+    val subBits = (totalBits - bandBits + 3) / 4
+    val subMask = (1L << subBits) - 1
+    s"""bands AS MATERIALIZED (SELECT doc_id, $hashCol AS h, band,
+             ($hashCol >> (band * $bandBits)) & $bandMask AS band_val
+           FROM $docsRel, (SELECT unnest([0, 1, 2, 3]) AS band)),
+       bp AS (SELECT band, band_val, count(*) AS bn
+              FROM bands GROUP BY band, band_val),
+       bx AS (SELECT bands.*, bp.bn FROM bands JOIN bp USING (band, band_val)),
+       coldp AS (SELECT a.doc_id AS da, b.doc_id AS db, a.h AS sa, b.h AS sb
+                 FROM bx a JOIN bx b ON a.band = b.band
+                   AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+                 WHERE a.bn <= $cap),
+       hotb AS (SELECT doc_id, h, band, band_val,
+                  (h & ((CAST(1 AS BIGINT) << (band * $bandBits)) - 1))
+                    | ((h >> ((band + 1) * $bandBits)) << (band * $bandBits)) AS comp
+                FROM bx WHERE bn > $cap),
+       hots AS (SELECT doc_id, h, band, band_val, sub,
+                  (comp >> (sub * $subBits)) & $subMask AS sub_val
+                FROM hotb, (SELECT unnest([0, 1, 2, 3]) AS sub)),
+       hotp AS (SELECT a.doc_id AS da, b.doc_id AS db, a.h AS sa, b.h AS sb
+                FROM hots a JOIN hots b ON a.band = b.band
+                  AND a.band_val = b.band_val AND a.sub = b.sub
+                  AND a.sub_val = b.sub_val AND a.doc_id < b.doc_id),
+       near AS (SELECT DISTINCT da, db, sa, sb FROM
+                  (SELECT * FROM coldp UNION ALL SELECT * FROM hotp))"""
+  }
+
   /** dHash bit-sum SQL, generated from the SAME grid geometry as
     * `Multimodal.dhash56`: sample point (r, c) reads the padded text's
     * character code (the raster byte — the corpus is ASCII) at pixel
@@ -3384,11 +3471,6 @@ object SparkEntry {
       val sim = (0 until bits)
         .map(i => s"CASE WHEN b$i * 2 > n_tok THEN ${1L << i} ELSE 0 END")
         .mkString(" + ")
-      val bandBits = bits / 4
-      val mask = (1L << bandBits) - 1
-      val bandSelects = (0 until 4).map(k =>
-        s"SELECT doc_id, simhash, $k AS band, (simhash >> ${k * bandBits}) & $mask AS band_val FROM docs")
-        .mkString(" UNION ALL ")
       s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
                      FROM documents),
          tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
@@ -3397,12 +3479,7 @@ object SparkEntry {
                 FROM tk),
          agg AS (SELECT doc_id, count(*) AS n_tok, $bsum FROM hh GROUP BY doc_id),
          docs AS (SELECT doc_id, $sim AS simhash FROM agg),
-         bands AS ($bandSelects),
-         near AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-                    a.simhash AS sa, b.simhash AS sb
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.band_val = b.band_val
-                       AND a.doc_id < b.doc_id),
+         ${bandedNearSql("docs", "simhash", bits)},
          nf AS (SELECT da, db FROM near
                 WHERE bit_count(xor(sa, sb)) <= ${Dedup.simhashMaxHamming}),
          nn AS (SELECT doc_id, count(*) AS n FROM
@@ -3441,8 +3518,8 @@ object SparkEntry {
       val tableVals = (0 until Sim.lshTables).map(tb => s"($tb)").mkString(", ")
       s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
          np AS (SELECT greatest(4,
-                  (SELECT min(g.p) FROM generate_series(1, 40) g(p), cnt
-                   WHERE (CAST(${Sim.lshTargetBucketPop} AS BIGINT) << g.p) >= cnt.n))
+                  coalesce((SELECT min(g.p) FROM generate_series(1, 31) g(p), cnt
+                   WHERE (CAST(${Sim.lshTargetBucketPop} AS BIGINT) << g.p) >= cnt.n), 31))
                   AS planes),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          bj AS (SELECT e.vec_id, e.v, tb.t AS tbl, np.planes AS planes,
@@ -3452,7 +3529,7 @@ object SparkEntry {
                     CASE WHEN list_dot_product(v,
                       list_transform(generate_series(0, 63),
                         d -> sin(((tbl * planes + j) * 1009 + 31) * (d + 1)))) >= 0
-                    THEN (1 << j) ELSE 0 END AS bit
+                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
                   FROM bj),
          b AS (SELECT vec_id, tbl, sum(bit) AS band_key
                FROM bits GROUP BY vec_id, tbl),
@@ -3562,7 +3639,7 @@ object SparkEntry {
          SELECT vec_id, cluster, floor(ccos * 10000) / 10000 AS cos_sim
          FROM a ORDER BY vec_id""",
     "dedup_semantic" ->
-      s"""WITH ${centroidAssignCtes(kSql = scaledCentroidKSql())},
+      s"""WITH ${centroidAssignTwoStageCtes()},
          pr AS (SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
@@ -3994,7 +4071,7 @@ object SparkEntry {
          GROUP BY f.doc_id ORDER BY f.doc_id"""
     },
     "sim_knn_graph" ->
-      s"""WITH ${centroidAssignCtes(kSql = scaledCentroidKSql())},
+      s"""WITH ${centroidAssignTwoStageCtes()},
          pr AS (SELECT a.vec_id, a.cluster, b.vec_id AS neighbor_id,
                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
                 FROM a JOIN a b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
@@ -4013,13 +4090,7 @@ object SparkEntry {
          hs AS MATERIALIZED (SELECT doc_id,
              ($dhashSql) AS dhash
            FROM d),
-         bd AS MATERIALIZED (SELECT doc_id, dhash, band,
-             (dhash >> (band * 14)) & 16383 AS band_val
-           FROM hs, (SELECT unnest([0, 1, 2, 3]) AS band)),
-         near AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-                    a.dhash AS sa, b.dhash AS sb
-                  FROM bd a JOIN bd b ON a.band = b.band
-                    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         ${bandedNearSql("hs", "dhash", Multimodal.dhashBits)},
          hm AS (SELECT da, db FROM near
                 WHERE bit_count(xor(sa, sb)) <= ${Multimodal.dhashMaxHamming}),
          nn AS (SELECT doc_id, count(*) AS n_near FROM

@@ -1376,25 +1376,107 @@ object Dedup {
   /** Hamming threshold for "near" pairs. */
   val simhashMaxHamming = 10
 
+  /** Occupancy ceiling on a single (band, band_val) bucket in the
+    * fingerprint-banding faces (`simhash`, `Multimodal.phashDedup`). The
+    * band COUNT is pinned by the pigeonhole contract (4 bands ⇔ any pair
+    * within hamming 3 shares at least one band), so unlike the LSH plane
+    * count it cannot be corpus-derived away — but a fixed key space
+    * (2^15 resp. 2^14 values per band) means in-bucket population grows
+    * n/32k and in-bucket pair work goes quadratic with onset around
+    * 10⁷–10⁸ docs: the same structural family as the two fixed-constant
+    * quadratics this engine already killed (LSH planes r12, centroid
+    * count r11). The ceiling bounds what one bucket may contribute
+    * directly (≤ cap² pairs); hotter buckets fall to the REFINED pass in
+    * `bandedNearCandidates`, which preserves the hamming-≤3 pigeonhole
+    * guarantee exactly while cutting hot-bucket pair work by
+    * ~2^subBits/4 (the 4 sub-band rows buy a 2^subBits bucket split) —
+    * ≈1000× at simhash's 12 sub-band bits.
+    */
+  val bandBucketCap = 512
+
+  /** Banded near-duplicate candidate pairs with the occupancy ceiling —
+    * the ONE banding discipline `simhash` and `Multimodal.phashDedup`
+    * share (the df-cap move PPJoin applies on the shingle axis, applied
+    * to fingerprint band buckets). `hashed` = (doc_id, <hashName>) with
+    * the fingerprint in the low `totalBits` bits of a non-negative
+    * int64. Returns DISTINCT (da, db, sa, sb), da < db.
+    *
+    * Rule (the oracle replays it in SQL):
+    *  - 4 primary bands of totalBits/4 bits; bucket = (band, band_val);
+    *  - a bucket at or below `cap` contributes ALL its pairs (the r12
+    *    semantics);
+    *  - a bucket ABOVE `cap` is refined: its members' COMPLEMENTARY bits
+    *    (the fingerprint with the band's own bits excised, compacted)
+    *    are split into 4 sub-bands of ⌈(totalBits − bandBits)/4⌉ bits,
+    *    and only pairs agreeing on (band, band_val, sub, sub_val) for
+    *    at least one sub-band survive.
+    *
+    * Recall contract, preserved EXACTLY: a pair within hamming 3 agrees
+    * fully on some primary band (pigeonhole over 4 bands); if that
+    * bucket is hot, its ≤3 differing bits all live in the complementary
+    * mask, so pigeonhole over the 4 sub-bands finds a clean sub-band —
+    * the pair is still emitted. What the ceiling trades away is only
+    * hot-bucket pairs at hamming ≥ 4 whose differences touch all four
+    * sub-bands — the documented approximation, mirrored in the oracle.
+    *
+    * Scale shape: uniform growth turns every bucket hot around
+    * n ≈ 32k·cap ≈ 1.7·10⁷ docs; refined pair work is 4·n·pop/2^subBits
+    * per band, so the onset of the NEXT quadratic wall moves out
+    * ~2^(subBits/2 − 1) ≈ 22–32×, past 10⁹ docs. Beyond that the
+    * documented knobs are recursive
+    * refinement (each level spends more complementary bits, preserving
+    * the pigeonhole chain while bits remain) or the longer-fingerprint
+    * tier (128-bit simhash ⇒ 31-bit bands). Bucket populations come
+    * from ONE window count sharing the band shuffle — no extra join.
+    */
+  private[graft] def bandedNearCandidates(hashed: DataFrame, hashName: String,
+      totalBits: Int, cap: Int): DataFrame = {
+    val bandBits = totalBits / 4
+    val bandMask = (1L << bandBits) - 1
+    val subBits = (totalBits - bandBits + 3) / 4
+    val subMask = (1L << subBits) - 1
+    val bands = hashed.select(col("doc_id"), col(hashName).as("h"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col(hashName), k * bandBits).bitwiseAND(bandMask)): _*))
+        .as(Seq("band", "band_val")))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")
+    val withPop = bands.withColumn("bn", count(lit(1)).over(wb))
+    val cold = withPop.filter(col("bn") <= cap)
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.h").as("sa"), col("b.h").as("sb"))
+    val hot = withPop.filter(col("bn") > cap)
+      .withColumn("comp",
+        col("h").bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), band * $bandBits) - 1"))
+          .bitwiseOR(expr(
+            s"shiftleft(shiftrightunsigned(h, (band + 1) * $bandBits), band * $bandBits)")))
+      .select(col("doc_id"), col("h"), col("band"), col("band_val"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("comp"), j * subBits).bitwiseAND(subMask)): _*))
+          .as(Seq("sub", "sub_val")))
+    val hotPairs = hot.as("a").join(hot.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.sub") === col("b.sub") && col("a.sub_val") === col("b.sub_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.h").as("sa"), col("b.h").as("sb"))
+    coldPairs.unionByName(hotPairs).distinct()
+  }
+
   /** #39 dedup_simhash — band the 60-bit fingerprint into 4×15-bit chunks,
     * bucket-join, exact hamming (bit_count of xor) within buckets. Per-doc
     * output (fingerprint + near-pair count), hash-checked: the fingerprint
     * is plain bigint arithmetic over the portable hash on both sides.
+    * Candidate generation rides `bandedNearCandidates` — buckets above
+    * `bandBucketCap` take the sub-band-refined pass, which keeps the
+    * hamming-≤3 recall guarantee while bounding hot-bucket pair work
+    * (see the helper's contract; the oracle replays the full rule).
     */
-  def simhash(t: Tables): DataFrame = {
+  def simhash(t: Tables, cap: Int = bandBucketCap): DataFrame = {
     val docs = simhashDocs(t)
-    val bandBits = simhashBits / 4
-    val bandMask = (1L << bandBits) - 1
-    val bands = docs.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(k =>
-          shiftrightunsigned(col("simhash"), k * bandBits).bitwiseAND(bandMask)): _*))
-          .as(Seq("band", "band_val")))
-    val near = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
+    val near = bandedNearCandidates(docs, "simhash", simhashBits, cap)
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= simhashMaxHamming)
     val nNear = near.select(col("da").as("doc_id"))

@@ -370,28 +370,24 @@ object Multimodal {
     * dedup family: decode every image (real P5 parse), fingerprint with
     * dHash, band the 56-bit hash into 4×14-bit chunks, bucket-join, exact
     * hamming (bit_count of xor) within buckets — the same candidate
-    * discipline as `dedup_simhash`, so pair work is bounded by bucket
-    * occupancy, never N². Per-doc output (hash + near-pair count).
+    * discipline as `dedup_simhash` (shared `Dedup.bandedNearCandidates`,
+    * including the `bandBucketCap` occupancy ceiling + sub-band
+    * refinement over the complementary 42 bits), so pair work is bounded
+    * by bucket occupancy even when a degenerate image floods a band
+    * bucket, never N². Per-doc output (hash + near-pair count).
     *
     * HASH-CHECKED, not rows-only: the raster bytes are the padded ASCII
     * text, so the DuckDB oracle replays the decode+downsample+gradient
     * pipeline through character codes — the first mm operator whose full
     * output the oracle verifies bit-for-bit.
     */
-  def phashDedup(t: Tables): DataFrame = {
+  def phashDedup(t: Tables, cap: Int = Dedup.bandBucketCap): DataFrame = {
     val docs = dhashDocs(t)
-    val bandBits = 14
-    val bandMask = (1L << bandBits) - 1
-    val bands = docs.select(col("doc_id"), col("dhash"),
-      posexplode(array((0 until 4).map(k =>
-        shiftrightunsigned(col("dhash"), k * bandBits).bitwiseAND(bandMask)): _*))
-        .as(Seq("band", "band_val")))
-    val near = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.dhash").as("sa"), col("b.dhash").as("sb"))
-      .distinct()
+    // shared banding discipline with dedup_simhash: 4×14-bit bands,
+    // buckets above the occupancy ceiling refined by sub-bands over the
+    // complementary 42 bits (Dedup.bandedNearCandidates' contract — the
+    // hamming-≤3 pigeonhole guarantee survives the cap)
+    val near = Dedup.bandedNearCandidates(docs, "dhash", dhashBits, cap)
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= dhashMaxHamming)
     val nNear = near.select(col("da").as("doc_id"))

@@ -234,6 +234,33 @@ object Sim {
   def nCentroidsFor(n: Long, targetPop: Int = centroidTargetPop): Int =
     math.max(nCentroids, math.ceil(n.toDouble / targetPop).toInt)
 
+  /** Centroid counts at or below this assign with the flat argmax; above
+    * it, assignment routes through group representatives first (two-stage).
+    * 64 is where 2√m clearly beats m and every oracle-SF corpus (k = 8)
+    * plus the r12 scaled spec (k = 9) stays on the flat path bit-for-bit.
+    */
+  val twoStageMinCentroids = 64
+
+  /** Group size for the two-stage argmax: m (⇒ flat, one group) at or
+    * below the threshold, else ceil(√m) — INTEGER-EXACT like
+    * `lshPlanesFor` (floor(sqrt) + an integer fix-up, never a bare
+    * float ceil) so the SQL mirror can never land one apart at a perfect
+    * square. With s = ⌈√m⌉ there are g = ⌈m/s⌉ ≤ s groups, so per-row
+    * work is g + s ≈ 2√m cosines: corpus-derived-k assignment
+    * (k = n/targetPop) drops from O(n²/targetPop) total evaluations to
+    * O(n^1.5/√targetPop) — the sf30–100 cliff NOTES r12 quantified
+    * (7.8e9 evals at sf100 = 2M vectors, k≈3.9k) falls to ~2.5e8
+    * (g+s = 125 per row), and they are codegen'd evals now, not
+    * interpreted. Past ~10⁷ vectors the documented hand-off remains the
+    * trained-IVF face.
+    */
+  def centroidGroupSize(m: Int): Int =
+    if (m <= twoStageMinCentroids) m
+    else {
+      val s0 = math.sqrt(m.toDouble).toLong
+      (if (s0 * s0 >= m) s0 else s0 + 1).toInt
+    }
+
   /** The ONE nearest-centroid assignment definition `clusterAssign`,
     * `semanticDedup`, `knnGraph` and the index faces all build on
     * (centroid rule: the `k` lowest-id vectors; tie-break: higher cosine,
@@ -250,23 +277,24 @@ object Sim {
     *    `knnGraph`): the n·k intermediate ROWS are the cost that made
     *    the r11 probe superlinear (78M materialized rows at sf10 for a
     *    few GFLOP of actual math), so the argmax evaluates INSIDE one
-    *    higher-order expression per row over the centroid table shipped
-    *    as a literal (the streaming ingest faces' nightly-model-as-
+    *    native expression per row over the centroid matrix shipped as a
+    *    plan constant (the streaming ingest faces' nightly-model-as-
     *    literals move) — zero joins, zero shuffle, one corpus scan.
-    *    Note the win is eliminating the row materialization + shuffle,
-    *    NOT codegen: Spark higher-order functions are CodegenFallback
-    *    and evaluate interpreted. An `aggregate` running-max fold beats
-    *    the streaming faces' `array_sort(transform(...))[0]` here
-    *    (measured ~2x at sf10): no k-element struct array allocation or
-    *    sort per row, and the CASE's second cosine evaluation fires
-    *    only on a new running max (~ln k times). Strictly-greater keeps
-    *    the FIRST (lowest-position = lowest-id) centroid on ties — the
-    *    same (ccos desc, cluster asc) rule. The
-    *    literal is k×64 doubles (~200 KB at sf10's k=391); the per-row
-    *    O(k) cosine work makes assignment O(n²/targetPop) overall — it
-    *    re-dominates around n≈10⁶ (see NOTES r12), where the knobs are
-    *    a larger `centroidTargetPop` or a broadcast + two-stage
-    *    super-centroid routing.
+    *    Since r13 that expression is `graft_centroid_best`
+    *    (functions/VectorExpressions.scala), which (a) runs inside
+    *    whole-stage codegen — the r12 `aggregate(...)` fold was a
+    *    CodegenFallback higher-order chain evaluating interpreted — and
+    *    (b) routes TWO-STAGE through group representatives
+    *    (`centroidGroupSize`: s = ⌈√m⌉ above `twoStageMinCentroids`,
+    *    s = m ⇒ bit-identical flat argmax below it), cutting per-row
+    *    work from O(k) to O(2√k) cosines. That bounds total assignment
+    *    at O(n^1.5/√targetPop) — the term NOTES r12 measured
+    *    re-dominating in the sf30–100 range under the flat rule. Ties
+    *    keep the FIRST (lowest-position = lowest-id) centroid at both
+    *    stages — the same (ccos desc, cluster asc) rule the oracle's
+    *    rank mirrors replay. The matrix is k×64 doubles (~200 KB at
+    *    sf10's k=391, ~2 MB at sf100) — a plan constant, broadcast with
+    *    the task binary.
     */
   private def assignToCentroids(t: Tables, data: Option[DataFrame] = None,
       k: Int = nCentroids): DataFrame = {
@@ -302,14 +330,10 @@ object Sim {
           .select(col("vec_id"), lit(-1L).as("cluster"), col("v"),
             lit(0d).as("ccos"))
       else data.getOrElse(e)
-        .withColumn("cents", typedLit(centRows.map(_._2).toSeq))
+        .withColumn("best", call_function("graft_centroid_best",
+          col("v"), typedLit(centRows.map(_._2).toSeq),
+          lit(centroidGroupSize(m))))
         .withColumn("cids", typedLit(centRows.map(_._1).toSeq))
-        .withColumn("best", expr(
-          s"""aggregate(sequence(0, ${m - 1}),
-                struct(CAST(-1 AS INT) AS p, CAST(-1e308 AS DOUBLE) AS c),
-                (acc, i) -> CASE WHEN graft_cosine(v, cents[i]) > acc.c
-                  THEN struct(i AS p, graft_cosine(v, cents[i]) AS c)
-                  ELSE acc END)"""))
         .select(col("vec_id"),
           element_at(col("cids"), col("best.p") + 1).as("cluster"),
           col("v"), col("best.c").as("ccos"))
@@ -344,12 +368,18 @@ object Sim {
     * split by a centroid boundary) — the exact-pair operator remains
     * `embeddingNearDup`. Deterministic centroids keep it hash-checked.
     *
-    * Scale shape: one broadcast argmax scan to assign, ONE shuffle on the
+    * Scale shape: one argmax scan to assign, ONE shuffle on the
     * cluster id, hash-join within cluster — and the centroid count is
     * CORPUS-DERIVED (`nCentroidsFor`: k = n/targetPop), holding expected
     * cluster population constant so pair work stays O(n · targetPop),
-    * linear in n. AQE skew-join covers hot clusters. The oracle mirrors
-    * the same k via greatest(8, ceil(count(*)/targetPop)) in SQL.
+    * linear in n. Above `twoStageMinCentroids` the assignment itself
+    * routes two-stage through ⌈k/s⌉ group representatives
+    * (`graft_centroid_best`, s = ⌈√k⌉) so the argmax term is
+    * O(n·√k) = O(n^1.5/√targetPop), not the O(n²/targetPop) flat rule
+    * NOTES r12 measured re-dominating past sf30. AQE skew-join covers
+    * hot clusters. The oracle mirrors k via
+    * greatest(8, ceil(count(*)/targetPop)) and the full two-stage rule
+    * (`centroidAssignTwoStageCtes`) in SQL.
     */
   def semanticDedup(t: Tables): DataFrame = {
     val k = nCentroidsFor(t.embeddings.count())
@@ -395,12 +425,18 @@ object Sim {
     * i.e. ceil(log2(n/targetPop)) floored at 4, never via floating log):
     * the oracle mirrors the rule in SQL, and at a power-of-two boundary
     * a JVM log(n)/log(2) and a DuckDB log2(n) can ceil to DIFFERENT
-    * integers by one ulp — desyncing the whole banding. Capped at 40
-    * (a 10^13-vector corpus) to bound the SQL mirror's search range.
+    * integers by one ulp — desyncing the whole banding. Capped at 31 so
+    * every per-plane bit weight (1L << j, j ≤ 30) and the summed band
+    * key stay inside a positive 32-bit range on BOTH engines — beyond 31
+    * planes the band keys would silently alias (Int wrap here, INTEGER
+    * shift in the SQL mirror). 31 planes saturate at targetPop·2^31 ≈
+    * 6.9·10^10 vectors; past that the documented knob is a wider band-key
+    * type (Long bits + BIGINT shifts on the oracle side), not more of the
+    * same shift.
     */
   def lshPlanesFor(n: Long, targetPop: Int = lshTargetBucketPop): Int = {
     var p = 4
-    while (p < 40 && (targetPop.toLong << p) < n) p += 1
+    while (p < 31 && (targetPop.toLong << p) < n) p += 1
     p
   }
 
@@ -415,14 +451,13 @@ object Sim {
     * sign pattern of its `planes` projections.
     */
   def lshBandKey(v: Column, table: Int, planes: Int): Column =
-    (0 until planes).map { j =>
-      val p = table * planes + j
-      val proj = aggregate(
-        zip_with(v, expr(s"transform(sequence(0, 63), d -> sin(($p * 1009 + 31) * (d + 1)))"),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    // one fused codegen'd loop (graft_lsh_band) — bit-for-bit the
+    // composed `Σ_j when(aggregate(zip_with(v, sin-planes, *)) >= 0,
+    // 1<<j)` form it replaced, which was a CodegenFallback higher-order
+    // chain evaluating interpreted (VectorExpressionsSpec pins the
+    // equality against the composed form; callers must have
+    // VectorExpressions.register'd the session)
+    call_function("graft_lsh_band", v, lit(table), lit(planes))
 
   /** emb_quantize — int8 scalar quantization of the embedding column (the
     * 4× storage cut that makes a 100 TB vector corpus shippable): per
@@ -470,8 +505,9 @@ object Sim {
     * `lshTargetBucketPop` as n grows) — the registered face used the
     * fixed `lshPlanesPerTable` until the r12 full-suite sf10 run measured
     * the consequence: 2^5 buckets per table at 600k vectors ⇒ ~18.7k
-    * expected population ⇒ ~10^10 candidate pairs, 797 s (85× per 10×,
-    * the same fixed-constant quadratic the centroid axis had). The oracle
+    * expected population ⇒ ~10^10 candidate pairs, 797 s at sf10 (~62×
+    * per 10× vs the 12.9 s sf1 co-run — the same fixed-constant
+    * quadratic the centroid axis had). The oracle
     * mirrors the derivation from count(*) in SQL, so the two engines
     * always band on the same plane set at any SF.
     */
@@ -635,12 +671,20 @@ object Sim {
 
   /** Per-(table, band_key) populations for the registered LSH instance —
     * the bucket-balance audit surface (spec bounds the max population).
+    * Mirrors `lshTopK`: `planesPerTable` = 0 (the default) derives the
+    * plane count from corpus size via `lshPlanesFor`, so the audit sees
+    * the geometry the registered face actually runs; specs that pin a
+    * hand-built reference pass their fixed count explicitly.
     */
   def lshBucketPopulations(t: Tables, nTables: Int = lshTables,
-                           planesPerTable: Int = lshPlanesPerTable): DataFrame = {
+                           planesPerTable: Int = 0): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else lshPlanesFor(t.embeddings.count())
     val e = vecs(t).select(col("vec_id"),
       posexplode(array((0 until nTables).map(tb =>
-        lshBandKey(col("v"), tb, planesPerTable)): _*)).as(Seq("table", "band_key")))
+        lshBandKey(col("v"), tb, planes)): _*)).as(Seq("table", "band_key")))
     e.groupBy(col("table"), col("band_key")).agg(count(lit(1)).as("n"))
   }
 
@@ -655,13 +699,15 @@ object Sim {
     * deterministic centroid rule as `clusterAssign`/`semanticDedup`, so
     * the whole graph is hash-checked.
     *
-    * Scale shape: one broadcast-argmax scan to assign, ONE shuffle on the
-    * cluster id, per-cluster hash-join + per-vector rank — and the
-    * centroid count is CORPUS-DERIVED (`nCentroidsFor`, shared with
-    * `semanticDedup`), holding expected cluster population at
-    * `centroidTargetPop` so pair work is O(n · targetPop), linear in n;
-    * AQE skew-join covers hot clusters. Cross-cluster edges are missed
-    * by design; `cosineTopK` remains the exact small-query-set face.
+    * Scale shape: one argmax scan to assign (two-stage-routed above
+    * `twoStageMinCentroids` — `semanticDedup`'s rationale applies
+    * verbatim), ONE shuffle on the cluster id, per-cluster hash-join +
+    * per-vector rank — and the centroid count is CORPUS-DERIVED
+    * (`nCentroidsFor`, shared with `semanticDedup`), holding expected
+    * cluster population at `centroidTargetPop` so pair work is
+    * O(n · targetPop), linear in n; AQE skew-join covers hot clusters.
+    * Cross-cluster edges are missed by design; `cosineTopK` remains the
+    * exact small-query-set face.
     */
   /** Product-quantization geometry: 64 dims → `pqM` subspaces of
     * `pqSubDim` dims, each encoded as its nearest of `pqK` sub-centroids

@@ -362,6 +362,93 @@ class LlmOpsSpec extends SparkSpec {
     real.foreach(r => assert(r.getAs[Long]("n_near") >= 0))
   }
 
+  /** Independent brute-force replay of the capped banding rule
+    * (Dedup.bandedNearCandidates' contract) over collected fingerprints —
+    * plain Scala collections, no shared code with the operator.
+    */
+  private def cappedBandRule(hashes: Map[Long, Long], totalBits: Int,
+      cap: Int): Set[(Long, Long)] = {
+    val bandBits = totalBits / 4
+    val subBits = (totalBits - bandBits + 3) / 4
+    def pair(x: Long, y: Long) = if (x < y) (x, y) else (y, x)
+    val out = scala.collection.mutable.Set[(Long, Long)]()
+    for (b <- 0 until 4) {
+      val buckets = hashes.toSeq.groupBy { case (_, h) =>
+        (h >>> (b * bandBits)) & ((1L << bandBits) - 1)
+      }
+      for ((_, members) <- buckets) {
+        if (members.size <= cap) {
+          for (Seq((i1, _), (i2, _)) <- members.combinations(2))
+            out += pair(i1, i2)
+        } else {
+          val comps = members.map { case (id, h) =>
+            val low = h & ((1L << (b * bandBits)) - 1)
+            val high = (h >>> ((b + 1) * bandBits)) << (b * bandBits)
+            (id, low | high)
+          }
+          for (s <- 0 until 4) {
+            val subBuckets = comps.groupBy { case (_, c) =>
+              (c >>> (s * subBits)) & ((1L << subBits) - 1)
+            }
+            for ((_, ms) <- subBuckets; Seq((i1, _), (i2, _)) <- ms.combinations(2))
+              out += pair(i1, i2)
+          }
+        }
+      }
+    }
+    out.toSet
+  }
+
+  test("banded occupancy cap: hamming<=3 pairs survive a hot bucket via " +
+      "sub-band refinement, all-sub-band-divergent pairs are shed") {
+    import spark.implicits._
+    // hand-built 60-bit fingerprints — full bit control. Everything shares
+    // band 0 (bits 0-14) so that bucket is HOT at cap=4; bands 1-3 are
+    // distinct across docs so no cold bucket rescues a pair by accident.
+    val band0 = 0x1234L
+    def fp(b1: Long, b2: Long, b3: Long): Long =
+      band0 | (b1 << 15) | (b2 << 30) | (b3 << 45)
+    // A/B: hamming 3, one differing bit in each of bands 1..3 (bits 16,
+    // 32, 48) — the pigeonhole case the cap MUST NOT lose: band 0 is
+    // their only shared band and it is hot, but sub-band 3 of the
+    // complementary bits is clean.
+    val a = 1L -> fp(0x11, 0x22, 0x33)
+    val b = 2L -> fp(0x11 ^ 2, 0x22 ^ 4, 0x33 ^ 8)
+    // C/D: hamming 4 with one differing bit in EVERY sub-band of band 0's
+    // complement (bits 16, 28, 40, 52) — a candidate the uncapped rule
+    // kept and the cap documents away.
+    val c = 3L -> fp(0x55, 0x66, 0x77)
+    val d = 4L -> (c._2 ^ (1L << 16) ^ (1L << 28) ^ (1L << 40) ^ (1L << 52))
+    val filler = (0 until 6).map(i =>
+      (10L + i) -> fp(0x100 + i, 0x200 + i * 3, 0x300 + i * 5))
+    val all = (Seq(a, b, c, d) ++ filler).toMap
+    val df = all.toSeq.toDF("doc_id", "fp")
+    def got(cap: Int): Set[(Long, Long)] =
+      Dedup.bandedNearCandidates(df, "fp", 60, cap).collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val capped = got(4)
+    // full pair-set equality with the independent brute-force rule
+    assert(capped == cappedBandRule(all, 60, 4))
+    assert(capped.contains((1L, 2L)), "hamming-3 pair lost in a hot bucket")
+    assert(!capped.contains((3L, 4L)), "all-sub-band-divergent pair kept")
+    // anti-vacuity: the bucket really was hot, and the cap really binds —
+    // the uncapped rule keeps C/D
+    val uncapped = got(1000)
+    assert(uncapped == cappedBandRule(all, 60, 1000))
+    assert(uncapped.contains((3L, 4L)))
+    assert(uncapped != capped)
+  }
+
+  test("default-cap simhash and phash match the uncapped semantics on a " +
+      "cold corpus (no bucket near the ceiling at spec SF)") {
+    val cappedS = Dedup.simhash(t).collect().map(_.toSeq).toSet
+    val uncappedS = Dedup.simhash(t, Int.MaxValue).collect().map(_.toSeq).toSet
+    assert(cappedS == uncappedS)
+    val cappedP = Multimodal.phashDedup(t).collect().map(_.toSeq).toSet
+    val uncappedP = Multimodal.phashDedup(t, Int.MaxValue).collect().map(_.toSeq).toSet
+    assert(cappedP == uncappedP)
+  }
+
   test("minhash estimate is statistically close to true jaccard on candidates") {
     val est = Dedup.minhashCandidatePairs(t)
       .select(col("da"), col("db"), col("est_jaccard"))
@@ -840,6 +927,85 @@ class LlmOpsSpec extends SparkSpec {
     assert(gotEdges.map(r => (r.getAs[Long]("vec_id"),
       r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet == refEdges)
     assert(gotEdges.exists(_.getAs[Long]("cluster") >= Sim.nCentroids))
+    assigned.unpersist()
+  }
+
+  test("scaled centroid count above the two-stage threshold: semantic dedup " +
+      "+ knn graph match the rank-rank two-stage reference") {
+    import org.apache.spark.sql.expressions.Window
+    // n/targetPop > twoStageMinCentroids ⇒ the registered faces route
+    // through group representatives (graft_centroid_best with s = ⌈√k⌉);
+    // the reference replays the same rule with two independent window
+    // ranks. splitmix pseudo-noise (NOT a sin family — those live on a
+    // 2-D span and make the argmax degenerate) + 200 planted near-dup
+    // pairs so the pair faces have something to find.
+    def noise(i: Long, d: Int): Double = {
+      var h = i * 6364136223846793005L + (d + 1) * 1442695040888963407L
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 29
+      ((h & 0xffff).toDouble / 32768.0) - 1.0
+    }
+    val n = 36000
+    val k = Sim.nCentroidsFor(n)
+    val s = Sim.centroidGroupSize(k)
+    assert(k == 71 && s == 9, s"test geometry drifted: k=$k s=$s")
+    import spark.implicits._
+    val rows = (0L until n.toLong).map { i =>
+      val planted = i >= 18000 && i < 18200
+      val src = if (planted) i - 18000 else i
+      val delta = if (planted) 0.001 else 0.0
+      (i, (0 until 8).map(d => (noise(src, d) + delta * (d + 1)).toFloat), 0L)
+    }
+    val embs = rows.toDF("vec_id", "embedding", "label")
+    val t2 = new graft.sources.Tables(spark, sf) { override def embeddings = embs }
+    graft.functions.VectorExpressions.register(spark)
+    val e = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // dense ids 0..k-1 ⇒ position = centroid id
+    val centDf = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"),
+        expr(s"vec_id DIV $s").as("grp"))
+    val w1 = Window.partitionBy("vec_id").orderBy(col("rcos").desc, col("grp").asc)
+    val g1 = e.crossJoin(broadcast(centDf.filter(col("cluster") % s === 0)))
+      .withColumn("rcos", expr("graft_cosine(v, cv)"))
+      .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("grp"))
+    val w2 = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)
+    val assigned = e.join(g1, "vec_id").join(broadcast(centDf), "grp")
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"), col("v")).cache()
+    // anti-vacuity 1: the routing is genuinely two-stage — it must diverge
+    // from the FLAT argmax somewhere, or this spec can't tell them apart
+    val wf = Window.partitionBy("vec_id").orderBy(col("fcos").desc, col("cluster").asc)
+    val flat = e.crossJoin(broadcast(centDf.drop("grp")))
+      .withColumn("fcos", expr("graft_cosine(v, cv)"))
+      .withColumn("rk", row_number().over(wf)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster").as("fcluster"))
+    assert(assigned.join(flat, "vec_id")
+      .filter(col("cluster") =!= col("fcluster")).count() > 0,
+      "two-stage never diverged from flat — the routing is vacuous here")
+    val refPairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr("graft_cosine(a.v, b.v)"))
+      .filter(col("cos") >= Sim.nearDupTau)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = Sim.semanticDedup(t2).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    assert(gotPairs == refPairs)
+    // anti-vacuity 2: the planted near-dups were actually found
+    assert(gotPairs.nonEmpty, "no near-dup pair found — the pair face is vacuous here")
+    val wk = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("cos").desc, col("b.vec_id"))
+    val refEdges = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", expr("graft_cosine(a.v, b.v)"))
+      .withColumn("rank", row_number().over(wk)).filter(col("rank") <= Sim.knnK)
+      .select(col("a.vec_id"), col("b.vec_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gotEdges = Sim.knnGraph(t2).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    assert(gotEdges == refEdges)
     assigned.unpersist()
   }
 
