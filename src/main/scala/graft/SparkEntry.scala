@@ -834,18 +834,23 @@ object SparkEntry {
        a AS (SELECT vec_id, v, nrm, cluster, ccos FROM r WHERE rk = 1)"""
 
   /** The TWO-STAGE mirror of `Sim.assignToCentroids`' corpus-derived
-    * branch (graft_centroid_best + Sim.centroidGroupSize), used by the
+    * branch (graft_centroid_best + Sim.centroidSuperCount), used by the
     * two faces whose centroid count scales with the corpus. Same `a`
-    * shape as `centroidAssignCtes`. The group size replays
-    * `centroidGroupSize` integer-exactly: s = m at or below the
-    * two-stage threshold (one group ⇒ the chain COLLAPSES to the flat
-    * argmax, which is why every oracle-SF corpus hashes identically to
-    * the r12 chain), else floor(sqrt(m)) with an integer fix-up — never
-    * a bare float ceil, whose last-ulp behavior at a perfect square
-    * could differ between engines. Stage 1 ranks group REPRESENTATIVES
-    * (position r·s, the group's lowest-id centroid) by (ccos DESC, grp),
-    * stage 2 ranks within the winning group by (ccos DESC, cluster) —
-    * the first-kept strict-greater folds of the native expression.
+    * shape as `centroidAssignCtes`. The super count replays
+    * `centroidSuperCount` integer-exactly: g = 1 at or below the
+    * two-stage threshold (one cell holding every centroid ⇒ the chain
+    * COLLAPSES to the flat argmax, which is why every oracle-SF corpus
+    * hashes identically to the r12 chain), else floor(sqrt(m)) with an
+    * integer fix-up — never a bare float ceil, whose last-ulp behavior
+    * at a perfect square could differ between engines. Supers = the
+    * first g positions; a super owns its own cell, every other centroid
+    * ranks the supers by (ccos DESC, super pos) and joins the winner's
+    * cell; stage 1 ranks the supers the same way per vector and keeps
+    * the top `centroidRouteProbes` cells (IVF nprobe); stage 2 ranks
+    * within the union of the routed cells by (ccos DESC, cluster) —
+    * the first-kept strict-greater loops of the native expression
+    * (cells partition the centroids, so the union join can never
+    * duplicate a candidate row).
     */
   private def centroidAssignTwoStageCtes(src: String = "embeddings",
       kSql: String = scaledCentroidKSql()): String = {
@@ -856,23 +861,32 @@ object SparkEntry {
                 row_number() OVER (ORDER BY vec_id) - 1 AS pos
               FROM n WHERE vec_id < $kSql),
        prm AS (SELECT CASE WHEN count(*) <= ${graft.operators.Sim.twoStageMinCentroids}
-                    THEN count(*)
+                    THEN CAST(1 AS BIGINT)
                     ELSE CASE WHEN $fs * $fs >= count(*) THEN $fs ELSE $fs + 1 END
-                  END AS s
+                  END AS g
                FROM c0),
-       c AS (SELECT c0.cluster, c0.cv, c0.cn, c0.pos // prm.s AS grp
-             FROM c0, prm),
-       reps AS (SELECT c0.cluster, c0.cv, c0.cn, c0.pos // prm.s AS grp
-                FROM c0, prm WHERE c0.pos % prm.s = 0),
-       s1 AS (SELECT n.vec_id, reps.grp,
+       sup AS (SELECT c0.pos AS spos, c0.cv AS scv, c0.cn AS scn
+               FROM c0, prm WHERE c0.pos < prm.g),
+       ca AS (SELECT c0.pos, sup.spos,
+                row_number() OVER (PARTITION BY c0.pos
+                  ORDER BY list_dot_product(c0.cv, sup.scv) / (c0.cn * sup.scn) DESC,
+                           sup.spos) AS rk
+              FROM c0 CROSS JOIN sup, prm WHERE c0.pos >= prm.g),
+       cm AS (SELECT c0.cluster, c0.cv, c0.cn, ca.spos AS cell
+              FROM c0 JOIN ca ON c0.pos = ca.pos AND ca.rk = 1
+              UNION ALL
+              SELECT c0.cluster, c0.cv, c0.cn, c0.pos AS cell
+              FROM c0, prm WHERE c0.pos < prm.g),
+       s1 AS (SELECT n.vec_id, sup.spos AS cell,
                 row_number() OVER (PARTITION BY n.vec_id
-                  ORDER BY list_dot_product(n.v, reps.cv) / (n.nrm * reps.cn) DESC,
-                           reps.grp) AS rk
-              FROM n CROSS JOIN reps),
-       g1 AS (SELECT vec_id, grp FROM s1 WHERE rk = 1),
-       p AS (SELECT n.vec_id, n.v, n.nrm, c.cluster,
-               list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS ccos
-             FROM n JOIN g1 ON n.vec_id = g1.vec_id JOIN c ON c.grp = g1.grp),
+                  ORDER BY list_dot_product(n.v, sup.scv) / (n.nrm * sup.scn) DESC,
+                           sup.spos) AS rk
+              FROM n CROSS JOIN sup),
+       g1 AS (SELECT vec_id, cell FROM s1
+              WHERE rk <= ${graft.operators.Sim.centroidRouteProbes}),
+       p AS (SELECT n.vec_id, n.v, n.nrm, cm.cluster,
+               list_dot_product(n.v, cm.cv) / (n.nrm * cm.cn) AS ccos
+             FROM n JOIN g1 ON n.vec_id = g1.vec_id JOIN cm ON cm.cell = g1.cell),
        r AS (SELECT vec_id, v, nrm, cluster, ccos,
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY ccos DESC, cluster) AS rk

@@ -197,46 +197,69 @@ object VectorExpressions {
         planesExpr = newChildren(2))
   }
 
-  /** graft_centroid_best(v, cents, groupSize) — the nearest-centroid
-    * argmax over a plan-time centroid matrix, two-stage-routed, as ONE
-    * codegen'd expression. Returns struct(p INT, c DOUBLE): p = the
-    * winning centroid's POSITION in `cents` (callers map position →
-    * centroid id via their own id literal), c = its cosine.
+  /** graft_centroid_best(v, cents, nSupers) — the nearest-centroid
+    * argmax over a plan-time centroid matrix, two-stage-routed through
+    * VORONOI CELLS of super-centroids, as ONE codegen'd expression.
+    * Returns struct(p INT, c DOUBLE): p = the winning centroid's
+    * POSITION in `cents` (callers map position → centroid id via their
+    * own id literal), c = its cosine.
     *
-    * The rule (`Sim.centroidGroupSize` picks s; the oracle replays it in
-    * SQL):
-    *  - centroids live at positions 0..m-1 in ascending-id order, grouped
-    *    into runs of `s` consecutive positions; group r's REPRESENTATIVE
-    *    is the centroid at position r·s (its lowest-id member);
-    *  - stage 1 argmaxes the row's cosine over the representatives
-    *    (strictly-greater keeps the FIRST = lowest group on ties);
-    *  - stage 2 argmaxes within the winning group's positions
-    *    [r·s, min(r·s+s, m)) — same first-kept tie rule, which is the
-    *    (ccos desc, cluster asc) order both downstream rank mirrors use.
-    *  - s ≥ m collapses the whole thing to the flat argmax (one group,
-    *    stage 1 trivially picks it), bit-for-bit the old single-fold
+    * The rule (`Sim.centroidSuperCount` picks g; the oracle replays it
+    * in SQL):
+    *  - centroids live at positions 0..m-1 in ascending-id order; the
+    *    first g positions are the SUPER-centroids;
+    *  - each super owns its own cell; every other centroid belongs to
+    *    the cell of its nearest super (argmax cosine over the supers in
+    *    ascending position, strictly-greater keeps the first — the
+    *    (ccos desc, super asc) rank order). Computed ONCE at plan build
+    *    from the matrix itself — deterministic, no training;
+    *  - stage 1 ranks the g supers by the row's cosine (same first-kept
+    *    rule) and keeps the top `nProbes` cells — IVF's nprobe: probing
+    *    more than one cell is what keeps boundary vectors from
+    *    misrouting, and misroutes CONCENTRATE (single-probe measured
+    *    Σpop² at 1.76× flat on the 100× corpus); stage 2 argmaxes over
+    *    the UNION of the probed cells' members under the
+    *    (ccos desc, position asc) rule all downstream rank mirrors use
+    *    (cells partition the centroids, so the union has no duplicate
+    *    candidates and any iteration order agrees given the explicit
+    *    tie-on-position rule).
+    *  - g = 1 collapses the whole thing to the flat argmax (one cell
+    *    holding every centroid), bit-for-bit the old single-fold
     *    semantics — that is how corpora at or below the two-stage
     *    threshold keep their r12 assignments unchanged.
     *
-    * Per-row work is O(g + s) = O(2√m) cosines instead of O(m) — the knob
-    * that keeps corpus-derived-k assignment (k = n/targetPop) from
-    * re-dominating past n ≈ 10⁶ (NOTES r12 "scale shape beyond sf10"):
-    * total assignment work drops from O(n²/targetPop) to
-    * O(n^1.5/√targetPop). The routing is IVF-coarse-quantizer-shaped and
-    * therefore approximate (a vector may route to a group that does not
-    * hold its true nearest centroid) — exactly the documented SemDeDup /
-    * IVF trade, deterministic, and mirrored in the DuckDB oracle.
+    * WHY CELLS, NOT ID-RANGES: ids are semantically arbitrary, so
+    * routing through fixed id-blocks of √m centroids concentrates mass
+    * on each block's few "attractor" centroids — measured on the 100×
+    * corpus it multiplied Σpop² (the within-cluster pair-work proxy) by
+    * 4.6× and the hot cluster by 5×, trading the assignment cliff for a
+    * pair-work cliff. Voronoi cells of real supers are geometrically
+    * coherent (the textbook IVF coarse quantizer, deterministic
+    * edition): a vector's routed cell almost always holds its true
+    * nearest centroid, so the assignment — and the cluster balance the
+    * pair faces inherit — stays near-identical to the flat argmax.
+    *
+    * Per-row work is g + nProbes·E[|cell|] ≈ O((1+nProbes)·√m) cosines
+    * on balanced cells instead of O(m) — total assignment drops from
+    * O(n²/targetPop) to O(n^1.5/√targetPop); a degenerate corpus that
+    * collapses every centroid into one cell degrades back to the flat
+    * cost, never past it. Routing is approximate exactly like
+    * production IVF (a vector whose true nearest centroid sits outside
+    * every probed cell lands on the probed cells' best) —
+    * deterministic, and mirrored in the DuckDB oracle.
     *
     * Double comparisons use Spark's SQL ordering (SQLOrderingUtil: NaN
     * largest, -0 = 0) so the expression can never diverge from the
     * composed `CASE WHEN graft_cosine(…) > acc.c` fold it replaced or
     * from the oracle's ORDER BY ccos DESC. Cosine accumulation is the
-    * exact CosineSim loop. `cents` and `groupSize` must be foldable.
+    * exact CosineSim loop, shared by the plan-build cell assignment.
+    * `cents`, `nSupers` and `nProbes` must be foldable; nProbes is
+    * clamped to [1, g].
     */
   case class CentroidBest(vec: Expression, cents: Expression,
-      groupSize: Expression) extends Expression {
+      nSupers: Expression, nProbes: Expression) extends Expression {
 
-    override def children: Seq[Expression] = Seq(vec, cents, groupSize)
+    override def children: Seq[Expression] = Seq(vec, cents, nSupers, nProbes)
     override def dataType: DataType = StructType(Seq(
       StructField("p", IntegerType, nullable = false),
       StructField("c", DoubleType, nullable = false)))
@@ -247,20 +270,103 @@ object VectorExpressions {
       val arr = cents.eval(null).asInstanceOf[ArrayData]
       Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
     }
-    private lazy val s: Int = groupSize.eval(null).asInstanceOf[Int]
+    private lazy val g: Int =
+      math.min(nSupers.eval(null).asInstanceOf[Int], math.max(matrix.length, 1))
+    private lazy val probes: Int =
+      math.max(1, math.min(nProbes.eval(null).asInstanceOf[Int], g))
+
+    /** cell partition as (cellStart, members): members holds centroid
+      * positions grouped by cell, ascending position within a cell;
+      * cell j's members are members[cellStart(j) until cellStart(j+1)].
+      */
+    private lazy val cells: (Array[Int], Array[Int]) = {
+      val m = matrix.length
+      val cellOf = Array.tabulate(m) { p =>
+        if (p < g) p // supers own their cell — no cell is ever empty
+        else {
+          var bc = -1e308; var bp = 0; var j = 0
+          while (j < g) {
+            val c = cosineArr(matrix(p), matrix(j))
+            if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                .compareDoubles(c, bc) > 0) { bc = c; bp = j }
+            j += 1
+          }
+          bp
+        }
+      }
+      val counts = new Array[Int](g + 1)
+      cellOf.foreach(c => counts(c + 1) += 1)
+      for (j <- 1 to g) counts(j) += counts(j - 1)
+      val start = counts.clone()
+      val members = new Array[Int](m)
+      val fill = counts.clone()
+      var p = 0
+      while (p < m) { members(fill(cellOf(p))) = p; fill(cellOf(p)) += 1; p += 1 }
+      (start, members)
+    }
+
+    /** Driver-side twin of `cosine` for the plan-build cell assignment —
+      * same accumulation order, so the oracle's centroid×super rank
+      * replays it bit-for-bit.
+      */
+    private def cosineArr(a: Array[Double], c: Array[Double]): Double = {
+      val n = math.min(a.length, c.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = a(i); val yi = c(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      val d = math.sqrt(nx) * math.sqrt(ny)
+      if (d == 0.0) 0.0 else dot / d
+    }
 
     override def eval(input: InternalRow): Any = {
       val v = vec.eval(input)
       if (v == null) return null
       val a = v.asInstanceOf[ArrayData]
       val m = matrix.length
-      var grpStart = 0
-      if (s < m) {
-        grpStart = argmax(a, 0, m, s)
-        if (grpStart < 0) return new GenericInternalRow(Array[Any](-1, -1e308))
+      val (cellStart, members) = cells
+      var p = -1; var c = -1e308
+      if (g <= 1 || g >= m) {
+        p = argmaxRange(a, 0, m)
+      } else {
+        // top-`probes` supers by (cos desc, pos asc): `probes` selection
+        // passes over g cosines, excluding already-picked supers (a tiny
+        // picked array, not a bitset — g may exceed 64 at extreme k)
+        val picked = new Array[Int](probes)
+        var pr = 0
+        var bp2 = -1; var bc2 = -1e308
+        while (pr < probes) {
+          var bc = -1e308; var bs = -1; var j = 0
+          while (j < g) {
+            var dup = false; var q = 0
+            while (q < pr) { if (picked(q) == j) dup = true; q += 1 }
+            if (!dup) {
+              val cj = cosine(a, matrix(j))
+              if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                  .compareDoubles(cj, bc) > 0) { bc = cj; bs = j }
+            }
+            j += 1
+          }
+          if (bs >= 0) {
+            picked(pr) = bs
+            var i = cellStart(bs)
+            while (i < cellStart(bs + 1)) {
+              val cp = members(i)
+              val cc = cosine(a, matrix(cp))
+              val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                .compareDoubles(cc, bc2)
+              if (cmp > 0 || (cmp == 0 && (bp2 < 0 || cp < bp2))) {
+                bc2 = cc; bp2 = cp
+              }
+              i += 1
+            }
+            pr += 1
+          } else pr = probes
+        }
+        p = bp2
       }
-      val p = argmax(a, grpStart, math.min(grpStart + s, m), 1)
-      val c = if (p >= 0) cosine(a, matrix(p)) else -1e308
+      if (p >= 0) c = cosine(a, matrix(p))
       new GenericInternalRow(Array[Any](p, c))
     }
 
@@ -276,13 +382,13 @@ object VectorExpressions {
       if (d == 0.0) 0.0 else dot / d
     }
 
-    private def argmax(a: ArrayData, start: Int, end: Int, step: Int): Int = {
+    private def argmaxRange(a: ArrayData, start: Int, end: Int): Int = {
       var bc = -1e308; var bp = -1; var i = start
       while (i < end) {
         val c = cosine(a, matrix(i))
         if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
             .compareDoubles(c, bc) > 0) { bc = c; bp = i }
-        i += step
+        i += 1
       }
       bp
     }
@@ -290,6 +396,8 @@ object VectorExpressions {
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val vEval = vec.genCode(ctx)
       val mRef = ctx.addReferenceObj("centroids", matrix, "double[][]")
+      val startRef = ctx.addReferenceObj("cellStart", cells._1, "int[]")
+      val membersRef = ctx.addReferenceObj("cellMembers", cells._2, "int[]")
       val cosFn = ctx.freshName("graftCentCosine")
       ctx.addNewFunction(cosFn,
         s"""
@@ -304,13 +412,13 @@ object VectorExpressions {
            |  return (d == 0.0) ? 0.0 : dot / d;
            |}
          """.stripMargin)
-      val argFn = ctx.freshName("graftCentArgmax")
-      ctx.addNewFunction(argFn,
+      val rangeFn = ctx.freshName("graftCentArgmaxRange")
+      ctx.addNewFunction(rangeFn,
         s"""
-           |private int $argFn(org.apache.spark.sql.catalyst.util.ArrayData a,
-           |    double[][] m, int start, int end, int step) {
+           |private int $rangeFn(org.apache.spark.sql.catalyst.util.ArrayData a,
+           |    double[][] m, int start, int end) {
            |  double bc = -1e308; int bp = -1;
-           |  for (int i = start; i < end; i += step) {
+           |  for (int i = start; i < end; i++) {
            |    double c = $cosFn(a, m[i]);
            |    if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(c, bc) > 0) {
            |      bc = c; bp = i;
@@ -319,7 +427,40 @@ object VectorExpressions {
            |  return bp;
            |}
          """.stripMargin)
-      val m = ctx.freshName("m"); val grpStart = ctx.freshName("grpStart")
+      val probeFn = ctx.freshName("graftCentProbe")
+      ctx.addNewFunction(probeFn,
+        s"""
+           |private int $probeFn(org.apache.spark.sql.catalyst.util.ArrayData a,
+           |    double[][] m, int[] cellStart, int[] members, int g, int probes) {
+           |  int[] picked = new int[probes];
+           |  int bp2 = -1; double bc2 = -1e308;
+           |  for (int pr = 0; pr < probes; pr++) {
+           |    double bc = -1e308; int bs = -1;
+           |    for (int j = 0; j < g; j++) {
+           |      boolean dup = false;
+           |      for (int q = 0; q < pr; q++) { if (picked[q] == j) dup = true; }
+           |      if (!dup) {
+           |        double cj = $cosFn(a, m[j]);
+           |        if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(cj, bc) > 0) {
+           |          bc = cj; bs = j;
+           |        }
+           |      }
+           |    }
+           |    if (bs < 0) break;
+           |    picked[pr] = bs;
+           |    for (int i = cellStart[bs]; i < cellStart[bs + 1]; i++) {
+           |      int cp = members[i];
+           |      double cc = $cosFn(a, m[cp]);
+           |      int cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(cc, bc2);
+           |      if (cmp > 0 || (cmp == 0 && (bp2 < 0 || cp < bp2))) {
+           |        bc2 = cc; bp2 = cp;
+           |      }
+           |    }
+           |  }
+           |  return bp2;
+           |}
+         """.stripMargin)
+      val m = ctx.freshName("m")
       val p = ctx.freshName("p"); val c = ctx.freshName("c")
       val row = ctx.freshName("row")
       val code =
@@ -329,17 +470,14 @@ object VectorExpressions {
           |InternalRow ${ev.value} = null;
           |if (!${ev.isNull}) {
           |  double[][] $m = $mRef;
-          |  int $grpStart = 0;
           |  int $p = -1;
           |  double $c = -1e308;
-          |  if ($s < $m.length) {
-          |    $grpStart = $argFn(${vEval.value}, $m, 0, $m.length, $s);
+          |  if ($g <= 1 || $g >= $m.length) {
+          |    $p = $rangeFn(${vEval.value}, $m, 0, $m.length);
+          |  } else {
+          |    $p = $probeFn(${vEval.value}, $m, $startRef, $membersRef, $g, $probes);
           |  }
-          |  if ($grpStart >= 0) {
-          |    $p = $argFn(${vEval.value}, $m, $grpStart,
-          |      Math.min($grpStart + $s, $m.length), 1);
-          |    if ($p >= 0) $c = $cosFn(${vEval.value}, $m[$p]);
-          |  }
+          |  if ($p >= 0) $c = $cosFn(${vEval.value}, $m[$p]);
           |  Object[] $row = new Object[2];
           |  $row[0] = $p; $row[1] = $c;
           |  ${ev.value} =
@@ -352,7 +490,7 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
       copy(vec = newChildren(0), cents = newChildren(1),
-        groupSize = newChildren(2))
+        nSupers = newChildren(2), nProbes = newChildren(3))
   }
 
   /** Register the functions on an existing session (idempotent). Callable
@@ -377,6 +515,6 @@ object VectorExpressions {
       FunctionIdentifier("graft_centroid_best"),
       new ExpressionInfo(classOf[CentroidBest].getName, "graft_centroid_best"),
       (children: Seq[Expression]) =>
-        CentroidBest(children(0), children(1), children(2)))
+        CentroidBest(children(0), children(1), children(2), children(3)))
   }
 }

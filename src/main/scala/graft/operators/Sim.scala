@@ -235,31 +235,51 @@ object Sim {
     math.max(nCentroids, math.ceil(n.toDouble / targetPop).toInt)
 
   /** Centroid counts at or below this assign with the flat argmax; above
-    * it, assignment routes through group representatives first (two-stage).
-    * 64 is where 2√m clearly beats m and every oracle-SF corpus (k = 8)
-    * plus the r12 scaled spec (k = 9) stays on the flat path bit-for-bit.
+    * it, assignment routes two-stage through super-centroid Voronoi
+    * cells. 64 is where 2√m clearly beats m and every oracle-SF corpus
+    * (k = 8) plus the r12 scaled spec (k = 9) stays on the flat path
+    * bit-for-bit.
     */
   val twoStageMinCentroids = 64
 
-  /** Group size for the two-stage argmax: m (⇒ flat, one group) at or
-    * below the threshold, else ceil(√m) — INTEGER-EXACT like
-    * `lshPlanesFor` (floor(sqrt) + an integer fix-up, never a bare
-    * float ceil) so the SQL mirror can never land one apart at a perfect
-    * square. With s = ⌈√m⌉ there are g = ⌈m/s⌉ ≤ s groups, so per-row
-    * work is g + s ≈ 2√m cosines: corpus-derived-k assignment
-    * (k = n/targetPop) drops from O(n²/targetPop) total evaluations to
-    * O(n^1.5/√targetPop) — the sf30–100 cliff NOTES r12 quantified
-    * (7.8e9 evals at sf100 = 2M vectors, k≈3.9k) falls to ~2.5e8
-    * (g+s = 125 per row), and they are codegen'd evals now, not
-    * interpreted. Past ~10⁷ vectors the documented hand-off remains the
+  /** Super-centroid count for the two-stage argmax: 1 (⇒ flat — one
+    * cell holding every centroid) at or below the threshold, else
+    * ceil(√m) — INTEGER-EXACT like `lshPlanesFor` (floor(sqrt) + an
+    * integer fix-up, never a bare float ceil) so the SQL mirror can
+    * never land one apart at a perfect square. The supers are the first
+    * g centroids; every centroid joins its nearest super's cell
+    * (`graft_centroid_best` computes the partition at plan build), so
+    * per-row work is g + E[|cell|] ≈ 2√m cosines on balanced cells:
+    * corpus-derived-k assignment (k = n/targetPop) drops from
+    * O(n²/targetPop) total evaluations to O(n^1.5/√targetPop) — the
+    * sf30–100 cliff NOTES r12 quantified (7.8e9 evals at sf100 = 2M
+    * vectors, k≈3.9k) falls to ~2.5e8, codegen'd rather than
+    * interpreted. Cells (not id-blocks) because routing must be
+    * geometrically coherent to preserve cluster BALANCE — the measured
+    * id-block variant multiplied pair work 4.6× (see the expression's
+    * scaladoc). Past ~10⁷ vectors the documented hand-off remains the
     * trained-IVF face.
     */
-  def centroidGroupSize(m: Int): Int =
-    if (m <= twoStageMinCentroids) m
+  def centroidSuperCount(m: Int): Int =
+    if (m <= twoStageMinCentroids) 1
     else {
       val s0 = math.sqrt(m.toDouble).toLong
       (if (s0 * s0 >= m) s0 else s0 + 1).toInt
     }
+
+  /** Cells probed per row in the two-stage argmax (IVF's nprobe): the
+    * argmax runs over the UNION of the `centroidRouteProbes` nearest
+    * supers' cells. 1 probe minimizes per-row cost but lets boundary
+    * vectors misroute, and misroutes CONCENTRATE — measured at 100×
+    * (200k vectors, k=391), Σpop² (the downstream pair-work proxy) vs
+    * the flat argmax's: 1 probe 1.76×, 2 probes 1.21×, 3 probes 1.10×,
+    * 4 probes 1.05×. 3 is the knee: the pair faces (the dominant
+    * slice) stay within 10% of flat balance while assignment is still
+    * (1+3)√k per row ≈ 5× under the flat rule at sf10 and widening
+    * with √k. The oracle mirrors probes as `rk <= P` on the super
+    * rank.
+    */
+  val centroidRouteProbes = 3
 
   /** The ONE nearest-centroid assignment definition `clusterAssign`,
     * `semanticDedup`, `knnGraph` and the index faces all build on
@@ -284,17 +304,20 @@ object Sim {
     *    (functions/VectorExpressions.scala), which (a) runs inside
     *    whole-stage codegen — the r12 `aggregate(...)` fold was a
     *    CodegenFallback higher-order chain evaluating interpreted — and
-    *    (b) routes TWO-STAGE through group representatives
-    *    (`centroidGroupSize`: s = ⌈√m⌉ above `twoStageMinCentroids`,
-    *    s = m ⇒ bit-identical flat argmax below it), cutting per-row
-    *    work from O(k) to O(2√k) cosines. That bounds total assignment
-    *    at O(n^1.5/√targetPop) — the term NOTES r12 measured
-    *    re-dominating in the sf30–100 range under the flat rule. Ties
-    *    keep the FIRST (lowest-position = lowest-id) centroid at both
-    *    stages — the same (ccos desc, cluster asc) rule the oracle's
-    *    rank mirrors replay. The matrix is k×64 doubles (~200 KB at
-    *    sf10's k=391, ~2 MB at sf100) — a plan constant, broadcast with
-    *    the task binary.
+    *    (b) routes TWO-STAGE through super-centroid Voronoi cells
+    *    (`centroidSuperCount`: g = ⌈√m⌉ supers above
+    *    `twoStageMinCentroids`, g = 1 ⇒ bit-identical flat argmax below
+    *    it), cutting per-row work from O(k) to ≈O(2√k) cosines while
+    *    preserving cluster BALANCE (cells are geometrically coherent —
+    *    see the expression's scaladoc for the measured id-block
+    *    counterexample). That bounds total assignment at
+    *    O(n^1.5/√targetPop) — the term NOTES r12 measured re-dominating
+    *    in the sf30–100 range under the flat rule. Ties keep the FIRST
+    *    (lowest-position = lowest-id) centroid at both stages — the
+    *    same (ccos desc, cluster asc) rule the oracle's rank mirrors
+    *    replay. The matrix is k×64 doubles (~200 KB at sf10's k=391,
+    *    ~2 MB at sf100) — a plan constant, broadcast with the task
+    *    binary.
     */
   private def assignToCentroids(t: Tables, data: Option[DataFrame] = None,
       k: Int = nCentroids): DataFrame = {
@@ -332,7 +355,7 @@ object Sim {
       else data.getOrElse(e)
         .withColumn("best", call_function("graft_centroid_best",
           col("v"), typedLit(centRows.map(_._2).toSeq),
-          lit(centroidGroupSize(m))))
+          lit(centroidSuperCount(m)), lit(centroidRouteProbes)))
         .withColumn("cids", typedLit(centRows.map(_._1).toSeq))
         .select(col("vec_id"),
           element_at(col("cids"), col("best.p") + 1).as("cluster"),
@@ -373,8 +396,8 @@ object Sim {
     * CORPUS-DERIVED (`nCentroidsFor`: k = n/targetPop), holding expected
     * cluster population constant so pair work stays O(n · targetPop),
     * linear in n. Above `twoStageMinCentroids` the assignment itself
-    * routes two-stage through ⌈k/s⌉ group representatives
-    * (`graft_centroid_best`, s = ⌈√k⌉) so the argmax term is
+    * routes two-stage through ⌈√k⌉ super-centroid Voronoi cells
+    * (`graft_centroid_best`) so the argmax term is
     * O(n·√k) = O(n^1.5/√targetPop), not the O(n²/targetPop) flat rule
     * NOTES r12 measured re-dominating past sf30. AQE skew-join covers
     * hot clusters. The oracle mirrors k via

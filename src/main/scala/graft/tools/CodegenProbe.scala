@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * ASSIGNMENT slice from the pair work and prices the three
   * implementations of it at a given scale —
   *   (a) the r12 interpreted `aggregate(...)` flat fold (CodegenFallback),
-  *   (b) the native codegen'd flat argmax (graft_centroid_best, s = m),
-  *   (c) the native two-stage argmax (s = ⌈√m⌉) the registered faces run —
+  *   (b) the native codegen'd flat argmax (graft_centroid_best, g = 1),
+  *   (c) the native two-stage argmax (g = ⌈√m⌉ super-centroid cells,
+  *       `centroidRouteProbes` probes) the registered faces run —
   * then the two full faces built on it, then sim_ann_lsh with native vs
   * composed (interpreted higher-order) band keys. The assignment probes
   * aggregate `best.p` so column pruning cannot elide the argmax the way a
@@ -36,8 +37,8 @@ object CodegenProbe {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     val m = centRows.length
     val cents = centRows.map(_._2).toSeq
-    val s2 = Sim.centroidGroupSize(m)
-    println(s"[probe] dir=$sfDir n=$n k=$k m=$m s=$s2 planes=${Sim.lshPlanesFor(n)}")
+    val g2 = Sim.centroidSuperCount(m)
+    println(s"[probe] dir=$sfDir n=$n k=$k m=$m supers=$g2 planes=${Sim.lshPlanesFor(n)}")
 
     def time(name: String)(f: => Any): Unit = {
       spark.sqlContext.clearCache()
@@ -58,13 +59,13 @@ object CodegenProbe {
                 THEN struct(i AS p, graft_cosine(v, cents[i]) AS c)
                 ELSE acc END)""")))
     }
-    time("assign: native flat (s=m)") {
+    time("assign: native flat (g=1)") {
       sumP(e.withColumn("best", call_function("graft_centroid_best",
-        col("v"), typedLit(cents), lit(m))))
+        col("v"), typedLit(cents), lit(1), lit(1))))
     }
-    time("assign: native two-stage") {
+    time("assign: native two-stage (cells)") {
       sumP(e.withColumn("best", call_function("graft_centroid_best",
-        col("v"), typedLit(cents), lit(s2))))
+        col("v"), typedLit(cents), lit(g2), lit(Sim.centroidRouteProbes))))
     }
     time("dedup_semantic (full face)")(Sim.semanticDedup(t).count())
     time("sim_knn_graph (full face)")(Sim.knnGraph(t).count())

@@ -946,8 +946,8 @@ class LlmOpsSpec extends SparkSpec {
     }
     val n = 36000
     val k = Sim.nCentroidsFor(n)
-    val s = Sim.centroidGroupSize(k)
-    assert(k == 71 && s == 9, s"test geometry drifted: k=$k s=$s")
+    val g = Sim.centroidSuperCount(k)
+    assert(k == 71 && g == 9, s"test geometry drifted: k=$k g=$g")
     import spark.implicits._
     val rows = (0L until n.toLong).map { i =>
       val planted = i >= 18000 && i < 18200
@@ -961,22 +961,33 @@ class LlmOpsSpec extends SparkSpec {
     val e = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // dense ids 0..k-1 ⇒ position = centroid id
     val centDf = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cluster"), col("v").as("cv"),
-        expr(s"vec_id DIV $s").as("grp"))
-    val w1 = Window.partitionBy("vec_id").orderBy(col("rcos").desc, col("grp").asc)
-    val g1 = e.crossJoin(broadcast(centDf.filter(col("cluster") % s === 0)))
-      .withColumn("rcos", expr("graft_cosine(v, cv)"))
-      .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("grp"))
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    val supDf = centDf.filter(col("cluster") < g)
+      .select(col("cluster").as("scluster"), col("cv").as("scv"))
+    // cell assignment: supers own their cell, every other centroid joins
+    // its nearest super's cell (rank by ccos desc, super asc)
+    val wc = Window.partitionBy("cluster").orderBy(col("scos").desc, col("scluster").asc)
+    val cellCent = centDf.filter(col("cluster") >= g).crossJoin(broadcast(supDf))
+      .withColumn("scos", expr("graft_cosine(cv, scv)"))
+      .withColumn("rk", row_number().over(wc)).filter(col("rk") === 1)
+      .select(col("cluster"), col("cv"), col("scluster").as("cell"))
+      .unionByName(centDf.filter(col("cluster") < g)
+        .select(col("cluster"), col("cv"), col("cluster").as("cell")))
+    val w1 = Window.partitionBy("vec_id").orderBy(col("rcos").desc, col("scluster").asc)
+    val g1 = e.crossJoin(broadcast(supDf))
+      .withColumn("rcos", expr("graft_cosine(v, scv)"))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= Sim.centroidRouteProbes)
+      .select(col("vec_id"), col("scluster").as("cell"))
     val w2 = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)
-    val assigned = e.join(g1, "vec_id").join(broadcast(centDf), "grp")
+    val assigned = e.join(g1, "vec_id").join(broadcast(cellCent), "cell")
       .withColumn("ccos", expr("graft_cosine(v, cv)"))
       .withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
       .select(col("vec_id"), col("cluster"), col("v")).cache()
     // anti-vacuity 1: the routing is genuinely two-stage — it must diverge
     // from the FLAT argmax somewhere, or this spec can't tell them apart
     val wf = Window.partitionBy("vec_id").orderBy(col("fcos").desc, col("cluster").asc)
-    val flat = e.crossJoin(broadcast(centDf.drop("grp")))
+    val flat = e.crossJoin(broadcast(centDf))
       .withColumn("fcos", expr("graft_cosine(v, cv)"))
       .withColumn("rk", row_number().over(wf)).filter(col("rk") === 1)
       .select(col("vec_id"), col("cluster").as("fcluster"))

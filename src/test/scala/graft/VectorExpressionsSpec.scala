@@ -126,13 +126,13 @@ class VectorExpressionsSpec extends SparkSpec {
                 THEN struct(i AS p, graft_cosine(v, cents[i]) AS c)
                 ELSE acc END)"""))
       .withColumn("native", call_function("graft_centroid_best",
-        col("v"), col("cents"), lit(m)))
+        col("v"), col("cents"), lit(1), lit(1)))
     assert(both.filter(col("fold.p") =!= col("native.p")
       || col("fold.c") =!= col("native.c")).count() == 0)
   }
 
-  test("native centroid argmax two-stage: matches the rank-rank reference " +
-      "and genuinely routes (diverges from flat somewhere)") {
+  test("native centroid argmax two-stage: matches the Voronoi-cell " +
+      "rank-rank reference and genuinely routes (diverges from flat somewhere)") {
     VectorExpressions.register(spark)
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -148,38 +148,55 @@ class VectorExpressionsSpec extends SparkSpec {
       (i, (0 until 8).map(d => noise(i, d))))
     val df = rows.toDF("vec_id", "v")
     val cents = rows.take(m).map(_._2)
-    val s = Sim.centroidGroupSize(m)
-    assert(s == 10, s"geometry drifted: s=$s")
+    val g = Sim.centroidSuperCount(m)
+    assert(g == 10, s"geometry drifted: g=$g")
     val native = df.withColumn("best", call_function("graft_centroid_best",
-        col("v"), typedLit(cents), lit(s)))
+        col("v"), typedLit(cents), lit(g), lit(Sim.centroidRouteProbes)))
       .select(col("vec_id"), col("best.p").as("p"), col("best.c").as("c"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
-    // independent reference: rank representatives, then rank the winning
-    // group — pure DataFrame windows, no shared code with the expression
+    // independent reference: cell-assign the centroids against the supers
+    // with one rank, route vectors with another, rank the routed cell —
+    // pure DataFrame windows, no shared code with the expression
     val centDf = cents.zipWithIndex.map { case (v, pos) => (pos, v) }
-      .toDF("pos", "cv").withColumn("grp", expr(s"pos DIV $s"))
-    val w1 = Window.partitionBy("vec_id").orderBy(col("rcos").desc, col("grp").asc)
-    val g1 = df.crossJoin(centDf.filter(col("pos") % s === 0))
-      .withColumn("rcos", expr("graft_cosine(v, cv)"))
-      .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("grp"))
+      .toDF("pos", "cv")
+    val supDf = centDf.filter(col("pos") < g)
+      .select(col("pos").as("spos"), col("cv").as("scv"))
+    val wc = Window.partitionBy("pos").orderBy(col("scos").desc, col("spos").asc)
+    val cellOf = centDf.filter(col("pos") >= g).crossJoin(supDf)
+      .withColumn("scos", expr("graft_cosine(cv, scv)"))
+      .withColumn("rk", row_number().over(wc)).filter(col("rk") === 1)
+      .select(col("pos"), col("spos").as("cell"))
+      .unionByName(centDf.filter(col("pos") < g)
+        .select(col("pos"), col("pos").as("cell")))
+    val cellCent = centDf.join(cellOf, "pos")
+    val w1 = Window.partitionBy("vec_id").orderBy(col("rcos").desc, col("spos").asc)
+    val g1 = df.crossJoin(supDf)
+      .withColumn("rcos", expr("graft_cosine(v, scv)"))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= Sim.centroidRouteProbes)
+      .select(col("vec_id"), col("spos").as("cell"))
     val w2 = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("pos").asc)
-    val ref = df.join(g1, "vec_id").join(centDf, "grp")
+    val ref = df.join(g1, "vec_id").join(cellCent, "cell")
       .withColumn("ccos", expr("graft_cosine(v, cv)"))
       .withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
       .select(col("vec_id"), col("pos"), col("ccos"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(native == ref)
-    // anti-vacuity: the routing is genuinely two-stage — at least one
+    // anti-vacuity 1: the routing is genuinely two-stage — at least one
     // vector lands on a different centroid than the FLAT argmax picks
     // (otherwise this test could not tell the implementations apart)
     val flat = df.withColumn("best", call_function("graft_centroid_best",
-        col("v"), typedLit(cents), lit(m)))
+        col("v"), typedLit(cents), lit(1), lit(1)))
       .select(col("vec_id"), col("best.p")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     val routed = native.map { case (id, p, _) => (id, p) }.toMap
     assert(routed.exists { case (id, p) => flat(id) != p },
       "two-stage never diverged from flat — the routing is vacuous here")
+    // anti-vacuity 2: coherent cells keep the routing NEAR the flat truth
+    // (the balance property the id-block variant measurably lost)
+    val agree = routed.count { case (id, p) => flat(id) == p }
+    assert(agree * 10 >= routed.size * 8,
+      s"cell routing agrees with flat on only $agree/${routed.size}")
   }
 
   test("the new native expressions compile in one shared projection " +
@@ -198,9 +215,9 @@ class VectorExpressionsSpec extends SparkSpec {
     val b2 = VectorExpressions.LshBandKey(vec64(d => math.cos(d * 0.3)),
       Literal.create(1, IntegerType), Literal.create(5, IntegerType))
     val c1 = VectorExpressions.CentroidBest(vec64(d => math.sin(d + 1.0)),
-      cents, Literal.create(2, IntegerType))
+      cents, Literal.create(2, IntegerType), Literal.create(1, IntegerType))
     val c2 = VectorExpressions.CentroidBest(vec64(d => math.cos(d + 1.0)),
-      cents, Literal.create(2, IntegerType))
+      cents, Literal.create(2, IntegerType), Literal.create(1, IntegerType))
     val proj = GenerateUnsafeProjection.generate(Seq(b1, b2, c1, c2))
     val row = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
     // c1's vector IS centroid 0 -> cosine 1, position 0
@@ -216,7 +233,7 @@ class VectorExpressionsSpec extends SparkSpec {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("bk", Sim.lshBandKey(col("v"), 0, 5))
       .withColumn("best", call_function("graft_centroid_best", col("v"),
-        typedLit(Seq((0 until 64).map(d => math.sin(d + 1.0)))), lit(1)))
+        typedLit(Seq((0 until 64).map(d => math.sin(d + 1.0)))), lit(1), lit(1)))
       .select(col("vec_id"), col("bk"), col("best.p"))
     e.collect()
     val wsc = e.queryExecution.executedPlan.collect {
