@@ -109,7 +109,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val selected = {
+    val (selected, droppedByEnv) = {
       val base =
         if (only.isEmpty) SparkEntry.queries
         else SparkEntry.queries.view.filterKeys(only).toMap
@@ -121,15 +121,18 @@ object Bench {
         System.err.println(s"[bench] SKIP name matches no query (typo?): $n"))
       skip.intersect(SparkEntry.queries.keySet).diff(base.keySet).foreach(n =>
         System.err.println(s"[bench] SKIP name outside the ONLY subset (no-op): $n"))
-      skip.intersect(base.keySet).foreach(n =>
-        System.err.println(s"[bench] SKIPPED by env: $n"))
-      if (skip.isEmpty) base
-      else base.view.filterKeys(k => !skip(k)).toMap
+      val dropped = skip.intersect(base.keySet)
+      dropped.foreach(n => System.err.println(s"[bench] SKIPPED by env: $n"))
+      (if (skip.isEmpty) base
+       else base.view.filterKeys(k => !skip(k)).toMap,
+        dropped)
     }
     // the by-contract exclusions belong IN the artifact: a scale-gate JSON
     // whose query list silently omits a face reads as "covered" when it
-    // wasn't — record what was actually dropped and why-shaped (env-named)
-    val skippedJson = skip.intersect(SparkEntry.queries.keySet).toSeq.sorted
+    // wasn't — record what was ACTUALLY dropped (skip ∩ the run's base
+    // set: a valid skip name outside an ONLY subset is a no-op, and
+    // listing it here would claim a drop that never happened)
+    val skippedJson = droppedByEnv.toSeq.sorted
       .map(n => s"\"$n\"").mkString("[", ",", "]")
     val ordered = {
       val fronted = heavyFirst.filter(selected.contains)

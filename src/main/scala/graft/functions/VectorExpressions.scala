@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
@@ -113,6 +114,21 @@ object VectorExpressions {
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
     override def prettyName: String = "graft_lsh_band"
+
+    // the geometry args are read with eval(null) at plan build — a
+    // non-foldable or non-INT argument (possible from raw SQL since the
+    // function is session-registered) must fail ANALYSIS with a clear
+    // message, not throw an opaque NPE/ClassCastException at execution
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (!tableIdx.foldable || !planesExpr.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: table and planes must be foldable (plan-time constants)")
+      else if (tableIdx.dataType != IntegerType ||
+          planesExpr.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: table and planes must be INT, got " +
+            s"(${tableIdx.dataType.simpleString}, ${planesExpr.dataType.simpleString})")
+      else TypeCheckResult.TypeCheckSuccess
 
     private lazy val table: Int = tableIdx.eval(null).asInstanceOf[Int]
     private lazy val planes: Int = planesExpr.eval(null).asInstanceOf[Int]
@@ -266,8 +282,35 @@ object VectorExpressions {
     override def nullable: Boolean = vec.nullable
     override def prettyName: String = "graft_centroid_best"
 
+    // same analysis-time guard as LshBandKey for the SCALAR args (read
+    // with eval(null) at plan build — non-foldable or non-INT must fail
+    // analysis, not crash codegen). `cents` is deliberately NOT
+    // foldable-checked here: an aliased literal column (the spec's
+    // `.withColumn("cents", lit(...))` shape) is an AttributeReference
+    // at analysis — never foldable — yet becomes a plan-time constant
+    // once projection collapse inlines it; a genuinely non-constant
+    // cents gets the clear lazy error below instead.
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (!nSupers.foldable || !nProbes.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: nSupers and nProbes must be foldable " +
+            "(plan-time constants)")
+      else if (nSupers.dataType != IntegerType ||
+          nProbes.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: nSupers and nProbes must be INT, got " +
+            s"(${nSupers.dataType.simpleString}, ${nProbes.dataType.simpleString})")
+      else TypeCheckResult.TypeCheckSuccess
+
     private lazy val matrix: Array[Array[Double]] = {
-      val arr = cents.eval(null).asInstanceOf[ArrayData]
+      val evaluated =
+        try cents.eval(null)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"$prettyName: centroids must be a plan-time constant " +
+            "array<array<double>> (a literal, or a column that folds to " +
+            "one before execution)", e)
+        }
+      val arr = evaluated.asInstanceOf[ArrayData]
       Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
     }
     private lazy val g: Int =
@@ -330,30 +373,28 @@ object VectorExpressions {
       if (g <= 1 || g >= m) {
         p = argmaxRange(a, 0, m)
       } else {
-        // top-`probes` supers by (cos desc, pos asc): `probes` selection
-        // passes over g cosines, excluding already-picked supers (a tiny
-        // picked array, not a bitset — g may exceed 64 at extreme k)
-        val picked = new Array[Int](probes)
+        // top-`probes` supers by (cos desc, pos asc). Stage-1 cosines are
+        // computed ONCE (g evals) and the selection passes read the cache;
+        // a super is the only member of its own cell, so stage 2 reuses
+        // its cached value too — same numbers, ~1/3 the cosine work of
+        // re-deriving them per pass (mirrors the generated probeFn).
+        val superCos = Array.tabulate(g)(j => cosine(a, matrix(j)))
+        val picked = new Array[Boolean](g)
         var pr = 0
         var bp2 = -1; var bc2 = -1e308
         while (pr < probes) {
           var bc = -1e308; var bs = -1; var j = 0
           while (j < g) {
-            var dup = false; var q = 0
-            while (q < pr) { if (picked(q) == j) dup = true; q += 1 }
-            if (!dup) {
-              val cj = cosine(a, matrix(j))
-              if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
-                  .compareDoubles(cj, bc) > 0) { bc = cj; bs = j }
-            }
+            if (!picked(j) && org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                .compareDoubles(superCos(j), bc) > 0) { bc = superCos(j); bs = j }
             j += 1
           }
           if (bs >= 0) {
-            picked(pr) = bs
+            picked(bs) = true
             var i = cellStart(bs)
             while (i < cellStart(bs + 1)) {
               val cp = members(i)
-              val cc = cosine(a, matrix(cp))
+              val cc = if (cp < g) superCos(cp) else cosine(a, matrix(cp))
               val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
                 .compareDoubles(cc, bc2)
               if (cmp > 0 || (cmp == 0 && (bp2 < 0 || cp < bp2))) {
@@ -398,10 +439,16 @@ object VectorExpressions {
       val mRef = ctx.addReferenceObj("centroids", matrix, "double[][]")
       val startRef = ctx.addReferenceObj("cellStart", cells._1, "int[]")
       val membersRef = ctx.addReferenceObj("cellMembers", cells._2, "int[]")
-      val cosFn = ctx.freshName("graftCentCosine")
-      ctx.addNewFunction(cosFn,
+      // addNewFunction returns the name to CALL the helper by — possibly
+      // qualified with a nested-class instance when the generated outer
+      // class overflows and Spark spills functions into NestedClasses.
+      // Using the bare freshName instead would fail Janino compilation on
+      // exactly the wide plans this expression exists to speed up (and
+      // silently fall back to interpreted execution).
+      val cosFnRaw = ctx.freshName("graftCentCosine")
+      val cosFn = ctx.addNewFunction(cosFnRaw,
         s"""
-           |private double $cosFn(org.apache.spark.sql.catalyst.util.ArrayData a, double[] c) {
+           |private double $cosFnRaw(org.apache.spark.sql.catalyst.util.ArrayData a, double[] c) {
            |  int n = Math.min(a.numElements(), c.length);
            |  double dot = 0.0, nx = 0.0, ny = 0.0;
            |  for (int i = 0; i < n; i++) {
@@ -412,10 +459,10 @@ object VectorExpressions {
            |  return (d == 0.0) ? 0.0 : dot / d;
            |}
          """.stripMargin)
-      val rangeFn = ctx.freshName("graftCentArgmaxRange")
-      ctx.addNewFunction(rangeFn,
+      val rangeFnRaw = ctx.freshName("graftCentArgmaxRange")
+      val rangeFn = ctx.addNewFunction(rangeFnRaw,
         s"""
-           |private int $rangeFn(org.apache.spark.sql.catalyst.util.ArrayData a,
+           |private int $rangeFnRaw(org.apache.spark.sql.catalyst.util.ArrayData a,
            |    double[][] m, int start, int end) {
            |  double bc = -1e308; int bp = -1;
            |  for (int i = start; i < end; i++) {
@@ -427,30 +474,31 @@ object VectorExpressions {
            |  return bp;
            |}
          """.stripMargin)
-      val probeFn = ctx.freshName("graftCentProbe")
-      ctx.addNewFunction(probeFn,
+      val probeFnRaw = ctx.freshName("graftCentProbe")
+      val probeFn = ctx.addNewFunction(probeFnRaw,
         s"""
-           |private int $probeFn(org.apache.spark.sql.catalyst.util.ArrayData a,
+           |private int $probeFnRaw(org.apache.spark.sql.catalyst.util.ArrayData a,
            |    double[][] m, int[] cellStart, int[] members, int g, int probes) {
-           |  int[] picked = new int[probes];
+           |  // stage-1 cosines computed ONCE (g evals), not re-derived on
+           |  // every selection pass; a super is the only member of its own
+           |  // cell, so stage 2 reuses its cached value too
+           |  double[] superCos = new double[g];
+           |  for (int j = 0; j < g; j++) superCos[j] = $cosFn(a, m[j]);
+           |  boolean[] picked = new boolean[g];
            |  int bp2 = -1; double bc2 = -1e308;
            |  for (int pr = 0; pr < probes; pr++) {
            |    double bc = -1e308; int bs = -1;
            |    for (int j = 0; j < g; j++) {
-           |      boolean dup = false;
-           |      for (int q = 0; q < pr; q++) { if (picked[q] == j) dup = true; }
-           |      if (!dup) {
-           |        double cj = $cosFn(a, m[j]);
-           |        if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(cj, bc) > 0) {
-           |          bc = cj; bs = j;
-           |        }
+           |      if (!picked[j]
+           |          && org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(superCos[j], bc) > 0) {
+           |        bc = superCos[j]; bs = j;
            |      }
            |    }
            |    if (bs < 0) break;
-           |    picked[pr] = bs;
+           |    picked[bs] = true;
            |    for (int i = cellStart[bs]; i < cellStart[bs + 1]; i++) {
            |      int cp = members[i];
-           |      double cc = $cosFn(a, m[cp]);
+           |      double cc = (cp < g) ? superCos[cp] : $cosFn(a, m[cp]);
            |      int cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(cc, bc2);
            |      if (cmp > 0 || (cmp == 0 && (bp2 < 0 || cp < bp2))) {
            |        bc2 = cc; bp2 = cp;
