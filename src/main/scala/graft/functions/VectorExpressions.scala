@@ -128,6 +128,12 @@ object VectorExpressions {
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName: table and planes must be INT, got " +
             s"(${tableIdx.dataType.simpleString}, ${planesExpr.dataType.simpleString})")
+      // a typed NULL constant (CAST(NULL AS INT)) is foldable and INT but
+      // would unbox to 0 — planes=0 bands every row to key 0 SILENTLY,
+      // the opposite of what this guard exists for
+      else if (tableIdx.eval(null) == null || planesExpr.eval(null) == null)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: table and planes must not be NULL")
       else TypeCheckResult.TypeCheckSuccess
 
     private lazy val table: Int = tableIdx.eval(null).asInstanceOf[Int]
@@ -300,6 +306,10 @@ object VectorExpressions {
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName: nSupers and nProbes must be INT, got " +
             s"(${nSupers.dataType.simpleString}, ${nProbes.dataType.simpleString})")
+      // typed NULL INT constants unbox to 0 (g=0 ⇒ silent flat fallback)
+      else if (nSupers.eval(null) == null || nProbes.eval(null) == null)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: nSupers and nProbes must not be NULL")
       else TypeCheckResult.TypeCheckSuccess
 
     private lazy val matrix: Array[Array[Double]] = {
@@ -310,6 +320,10 @@ object VectorExpressions {
             "array<array<double>> (a literal, or a column that folds to " +
             "one before execution)", e)
         }
+      // a NULL constant evaluates without throwing — catch it here, not
+      // as a bare NPE on numElements below
+      if (evaluated == null) throw new IllegalArgumentException(
+        s"$prettyName: centroids must not be NULL")
       val arr = evaluated.asInstanceOf[ArrayData]
       Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
     }

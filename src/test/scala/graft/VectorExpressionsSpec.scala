@@ -226,6 +226,44 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.getStruct(3, 2).getInt(0) == 1)
   }
 
+  test("misuse from raw SQL fails with a clear message, never silently: " +
+      "non-foldable / non-INT / typed-NULL geometry args") {
+    VectorExpressions.register(spark)
+    val e = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def analysisFails(sqlExpr: String, fragment: String): Unit = {
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        e.selectExpr(sqlExpr).collect()
+      }
+      assert(err.getMessage.contains(fragment),
+        s"expected '$fragment' in: ${err.getMessage.take(300)}")
+    }
+    // non-foldable plane count (a column) — analysis error, not NPE
+    analysisFails("graft_lsh_band(v, 0, CAST(vec_id AS INT))",
+      "must be foldable")
+    // non-INT planes — analysis error naming the type
+    analysisFails("graft_lsh_band(v, 0, CAST(5 AS BIGINT))", "must be INT")
+    // typed NULL planes would unbox to 0 ⇒ every key 0 silently
+    analysisFails("graft_lsh_band(v, 0, CAST(NULL AS INT))",
+      "must not be NULL")
+    analysisFails(
+      "graft_centroid_best(v, array(array(1.0d)), CAST(NULL AS INT), 1)",
+      "must not be NULL")
+    // NULL centroid matrix: foldable, so analysis passes — must fail at
+    // plan build with the clear message, not a bare NPE on numElements
+    val err = intercept[Throwable] {
+      e.selectExpr(
+        "graft_centroid_best(v, CAST(NULL AS ARRAY<ARRAY<DOUBLE>>), 1, 1)")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(_.getMessage != null) &&
+      chain(err).exists(t => t.getMessage != null &&
+        t.getMessage.contains("centroids must not be NULL")),
+      s"expected the clear NULL-centroids message, got: ${err.getMessage}")
+  }
+
   test("lsh band key and centroid argmax execute inside whole-stage codegen") {
     VectorExpressions.register(spark)
     import org.apache.spark.sql.execution.WholeStageCodegenExec
