@@ -145,6 +145,25 @@ object Identity {
     */
   def zgidAxes(t: Tables): (DataFrame, DataFrame, DataFrame) = {
     val e = ev(t).persist() // five plan branches read the filtered envelope
+    val (uz, dz) = zgidAxesFrom(e)
+    (e, uz, dz)
+  }
+
+  /** The uz/dz axis frames over an (already persisted) identity envelope.
+    * BOTH are persisted: every transfer-row / rollup / archive plan joins
+    * uz and dz at least once, and the wide compositions (the dw profile
+    * tables, the archive router, the user-prop rows) reach them through
+    * SEVERAL branches — without the persist each branch re-runs the
+    * first-writer window chains (Exchange + Sort + WindowGroupLimit over
+    * the cached envelope, measured 10-24 Window executions per plan at
+    * r13; with it the chains run once per corpus and every later branch
+    * reads a key-axis-sized cache). Key-axis frames (|distinct users| /
+    * |distinct devices| rows), so the cache cost is the id maps', which
+    * already persist for the same reason. Equal plans collapse to one
+    * cache entry; release is the caller's (Bench/Verify clearCache), the
+    * deviceMapFrom contract.
+    */
+  private def zgidAxesFrom(e: DataFrame): (DataFrame, DataFrame) = {
     val byUser   = Window.partitionBy("appkey", "cuid").orderBy("ts", "event_id")
     val byDevice = Window.partitionBy("appkey", "did").orderBy("ts", "event_id")
 
@@ -172,6 +191,7 @@ object Identity {
       .select(col("appkey"), col("cuid"),
         coalesce(col("zgid"), concat(lit("z:u:"), col("appkey"), lit(":"), col("cuid")))
           .as("u_zgid"))
+      .persist()
 
     val allDevices = e.filter(col("did") =!= "")
       .select(col("appkey"), col("did")).distinct()
@@ -181,7 +201,7 @@ object Identity {
       .select(col("appkey"), col("did"),
         coalesce(col("u_zgid"), concat(lit("z:d:"), col("appkey"), lit(":"), col("did")))
           .as("d_zgid"))
-    (e, uz, dz)
+    (uz, dz)
   }
 
   /** id_incremental_assign — the id SERVICE semantics across batches

@@ -833,7 +833,14 @@ object Sim {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = vecs(t).persist()
-    val books = (0 until pqM).map { m =>
+    // subspaces are independent in PQ, so the pqM fits are independent
+    // Spark jobs — run them from a small driver thread pool (guide-§2.6
+    // job overlap): each fit's stages are short and leave most cores
+    // idle, and sequential fits serialized ~8× the training wall. Fit
+    // results are unchanged (fixed per-subspace seed; MLlib's aggregation
+    // is partition-deterministic and the input partitioning does not
+    // depend on the submitting thread).
+    val books = parJobs(0 until pqM) { m =>
       val off = m * pqSubDim
       val sub = e.select(
         array_to_vector(expr(s"slice(v, ${off + 1}, $pqSubDim)")).as("fv"))
@@ -846,6 +853,20 @@ object Sim {
     }
     e.unpersist()
     books
+  }
+
+  /** Run independent per-index Spark jobs concurrently from a bounded
+    * driver pool and return results in index order. 4 in flight is
+    * enough to fill a fit's scheduling gaps without starving the stages
+    * themselves.
+    */
+  private def parJobs[A](idx: Range)(body: Int => A): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.traverse(idx.toList)(m => Future(body(m))), Duration.Inf)
+    finally pool.shutdown()
   }
 
   def pqEncodeTrained(t: Tables): DataFrame = {
@@ -946,7 +967,7 @@ object Sim {
     * are exact on both engines. Shared by the ranked search face
     * (`adcRank`) and the refine shortlist (`adcRefineTopK`).
     */
-  private def adcScores(lookups: DataFrame): DataFrame = {
+  private[graft] def adcScores(lookups: DataFrame): DataFrame = {
     val parts = lookups
       .groupBy("query_id", "vec_id")
       .agg(
@@ -962,24 +983,40 @@ object Sim {
     * hybrid-retrieval vector leg (which takes a deeper shortlist) share,
     * so the two cannot drift on the ranking rule (adc asc, vec_id asc).
     */
-  private[graft] def adcRanked(lookups: DataFrame): DataFrame = {
+  private[graft] def adcRanked(lookups: DataFrame): DataFrame =
+    adcRankedFromScores(adcScores(lookups))
+
+  /** The ranking window over (already folded) per-candidate ADC scores —
+    * split out so a composition that needs BOTH the ranked face and the
+    * refine shortlist (retrieval_audit) can fold the scores once and rank
+    * them twice instead of re-running the whole code-table scan.
+    */
+  private[graft] def adcRankedFromScores(scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
-    adcScores(lookups).withColumn("rank", row_number().over(w))
+    scores.withColumn("rank", row_number().over(w))
   }
 
   /** Rank the ADC scores into the registered top-k face. */
   private def adcRank(lookups: DataFrame): DataFrame =
-    adcRanked(lookups)
+    adcRankFromScores(adcScores(lookups))
+
+  private[graft] def adcRankFromScores(scores: DataFrame): DataFrame =
+    adcRankedFromScores(scores)
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         (floor(col("adc") * 10000) / 10000).as("adc_dist"))
       .orderBy(col("query_id"), col("rank"))
 
-  def pqAdcTopK(t: Tables): DataFrame =
-    adcRank(
-      pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
-        .filter(col("vec_id") =!= col("query_id")))
+  /** The shared stage-1 ADC lookup rows (code table ⋈ broadcast distance
+    * tables, self-matches excluded) — `pqAdcTopK` and `adcRefineTopK` run
+    * the IDENTICAL scan, so the audit composition folds it once.
+    */
+  private[graft] def adcLookups(t: Tables): DataFrame =
+    pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+
+  def pqAdcTopK(t: Tables): DataFrame = adcRank(adcLookups(t))
 
   /** ADC shortlist size for the refine stage — candidates surviving the
     * compressed-domain pass that get exact distances recomputed.
@@ -1005,12 +1042,17 @@ object Sim {
     * replays bit-for-bit on both engines (the ADC sum is fixed-order,
     * cosine is IEEE /,*,sqrt) ⇒ hash-checked end-to-end.
     */
-  def adcRefineTopK(t: Tables): DataFrame = {
+  def adcRefineTopK(t: Tables): DataFrame =
+    adcRefineFromScores(t, adcScores(adcLookups(t)))
+
+  /** The refine stage over (already folded) stage-1 ADC scores — the
+    * composition seam `retrieval_audit` uses to pay the code-table scan
+    * once for the adc face AND this shortlist.
+    */
+  private[graft] def adcRefineFromScores(t: Tables, scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(t.spark)
-    val shortlist = adcScores(
-      pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
-        .filter(col("vec_id") =!= col("query_id")))
+    val shortlist = scores
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))))
       .filter(col("crank") <= refineShortlist)
@@ -1287,7 +1329,9 @@ object Sim {
       .select(col("vec_id"), col("cluster"),
         zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
       .persist()
-    val books = (0 until pqM).map { m =>
+    // independent per-subspace fits — same driver-pool overlap (and the
+    // same unchanged-results argument) as pqTrainedCenters
+    val books = parJobs(0 until pqM) { m =>
       val off = m * pqSubDim
       val sub = res.select(
         array_to_vector(expr(s"slice(rv, ${off + 1}, $pqSubDim)")).as("fv"))

@@ -31,15 +31,22 @@ object TextAnalysis {
     * by doc_id; the presentation sort stays on the registered face only
     * (the dsirScores discipline).
     */
-  private[operators] def langIdUnsorted(t: Tables): DataFrame = {
-    val scored = docsW(t).select(
-      col("doc_id") +: stopwords.map { case (lang, ws) => expr(hitExpr(ws)).as(s"${lang}_n") }: _*)
-    scored.withColumn("pred_lang",
+  /** Stage the word-model hit counts + prediction as ADDED columns on any
+    * frame carrying `w` — ONE scorer definition for the standalone face
+    * and the agreement matrix (which computes both models in one scan).
+    */
+  private def withWordPred(df: DataFrame): DataFrame =
+    df.select(df.columns.map(col) ++
+        stopwords.map { case (lang, ws) => expr(hitExpr(ws)).as(s"${lang}_n") }: _*)
+      .withColumn("pred_lang",
         when(col("en_n") + col("es_n") + col("de_n") === 0, "unknown")
           .when(col("en_n") >= col("es_n") && col("en_n") >= col("de_n"), "en")
           .when(col("es_n") >= col("de_n"), "es")
           .otherwise("de"))
-  }
+
+  private[operators] def langIdUnsorted(t: Tables): DataFrame =
+    withWordPred(docsW(t)).select(col("doc_id"),
+      col("en_n"), col("es_n"), col("de_n"), col("pred_lang"))
 
   def langId(t: Tables): DataFrame = langIdUnsorted(t).orderBy(col("doc_id"))
 
@@ -56,22 +63,35 @@ object TextAnalysis {
     * is a `transform(sequence(...))` expression — still zero-shuffle
     * codegen'd column work.
     */
-  private[operators] def langIdNgramUnsorted(t: Tables): DataFrame = {
+  /** Stage the bigram-model hit counts + prediction as ADDED columns on
+    * any frame carrying `text` — see [[withWordPred]].
+    */
+  private def withNgramPred(df: DataFrame): DataFrame = {
     def hits(profile: Seq[String]): String = {
       val list = profile.map(p => s"'$p'").mkString(", ")
-      "size(filter(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)), " +
-        s"x -> x IN ($list)))"
+      s"size(filter(__bg, x -> x IN ($list)))"
     }
-    val scored = t.documents.select(
-      col("doc_id") +: bigramProfiles.map { case (lang, ps) =>
-        expr(hits(ps)).as(s"${lang}_bg")
-      }: _*)
-    scored.withColumn("pred_lang_ngram",
+    // stage the bigram array ONCE: materializing a |text|-element substring
+    // array is the dominant per-row cost of this scorer, and inlining the
+    // transform into each profile's hit count built it three times per row
+    // (codegen does not CSE the higher-order fold across projections —
+    // measured 3× the per-row work on the agreement face, where the
+    // aggregate actually forces the scorer columns)
+    df.withColumn("__bg",
+        expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+      .transform(d => d.select(d.columns.map(col) ++
+        bigramProfiles.map { case (lang, ps) => expr(hits(ps)).as(s"${lang}_bg") }: _*))
+      .withColumn("pred_lang_ngram",
         when(col("en_bg") + col("es_bg") + col("de_bg") === 0, "unknown")
           .when(col("en_bg") >= col("es_bg") && col("en_bg") >= col("de_bg"), "en")
           .when(col("es_bg") >= col("de_bg"), "es")
           .otherwise("de"))
+      .drop("__bg")
   }
+
+  private[operators] def langIdNgramUnsorted(t: Tables): DataFrame =
+    withNgramPred(t.documents).select(col("doc_id"),
+      col("en_bg"), col("es_bg"), col("de_bg"), col("pred_lang_ngram"))
 
   def langIdNgram(t: Tables): DataFrame =
     langIdNgramUnsorted(t).orderBy(col("doc_id"))
@@ -564,10 +584,13 @@ object TextAnalysis {
     * groupBy over the two per-row scorers.
     */
   def langIdAgreement(t: Tables): DataFrame = {
-    val a = langIdUnsorted(t).select(col("doc_id"), col("pred_lang"))
-    val b = langIdNgramUnsorted(t).select(col("doc_id"), col("pred_lang_ngram"))
-    a.join(b, "doc_id")
-      .join(t.documents.select(col("doc_id"), col("lang")), "doc_id")
+    // both models are per-row column scorers (the staged builders above),
+    // so the matrix computes them SIDE BY SIDE on one documents scan —
+    // before r13-opt this face joined two separately-scanned scorer frames
+    // plus the lang column back on doc_id: three corpus scans and two
+    // doc_id-axis shuffles for what one zero-shuffle pass produces
+    withNgramPred(withWordPred(docsW(t)))
+      .select(col("lang"), col("pred_lang"), col("pred_lang_ngram"))
       .groupBy(col("pred_lang"), col("pred_lang_ngram"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))

@@ -310,9 +310,17 @@ object TrainData {
         Dedup.normalizedMd5.as("h"),
         size(col("w")).cast("long").as("tok"),
         TextAnalysis.qualityCol.as("quality"))
-    val deduped = docs.join(
-      docs.groupBy("h").agg(min(col("doc_id")).as("keep_id")),
-      "h").filter(col("doc_id") === col("keep_id"))
+    // keep rule as a WINDOW on the one frame (the former groupBy+self-join
+    // ran the scan+tokenize+score chain twice and shuffled both copies on
+    // h), then checkpoint: three branches (eval grams, the contamination
+    // probe, the clean gate) read the deduped frame and would otherwise
+    // each re-run the whole chain. Same exchange axis (h), same keep rule.
+    val deduped = graft.engine.Reliability.planCheckpoint {
+      import org.apache.spark.sql.expressions.Window
+      docs.withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy("h")))
+        .filter(col("doc_id") === col("keep_id"))
+    }
     val isEval = col("doc_id") % contamEvalMod === 0
     val grams = gramHashes(deduped)
     val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
@@ -361,9 +369,14 @@ object TrainData {
       .select(col("doc_id"), col("w"), Dedup.normalizedMd5.as("h"),
         size(col("w")).cast("long").as("tok"),
         TextAnalysis.gopherKeepCol.as("gkeep"))
-    val deduped = docs.join(
-      docs.groupBy("h").agg(min(col("doc_id")).as("keep_id")),
-      "h").filter(col("doc_id") === col("keep_id"))
+    // window keep rule + checkpoint — see `curation` (same three-branch
+    // reuse of the deduped frame)
+    val deduped = graft.engine.Reliability.planCheckpoint {
+      import org.apache.spark.sql.expressions.Window
+      docs.withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy("h")))
+        .filter(col("doc_id") === col("keep_id"))
+    }
     val isEval = col("doc_id") % contamEvalMod === 0
     val grams = gramHashes(deduped)
     val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
@@ -1415,13 +1428,39 @@ object TrainData {
     */
   private[graft] def retrievalAuditPlan(t: Tables)
       : (DataFrame, Seq[DataFrame]) = {
-    val exact5 = Sim.cosineRanked(t, Sim.nQueries)
-      .filter(col("rank") <= Sim.topK)
-      .select(col("query_id"), col("neighbor_id").as("nid")).persist()
-    val adc = Sim.pqAdcTopK(t)
-      .select(col("query_id"), col("neighbor_id").as("nid")).persist()
-    val hyb = hybridRrf(t)
+    // Fold each expensive leg ONCE per audit invocation (guide §1.2 "don't
+    // compute things twice"): before r13-opt the audit ran cosineRanked 3×
+    // (exact5, the hybrid vec leg, the refine exact leg's query frame),
+    // bm25Ranked 2× (the lex compare leg + the hybrid lex leg) and the
+    // stage-1 ADC code-table scan 2× (the adc face + the refine
+    // shortlist). Ranks are per-query (every ranking window partitions by
+    // query_id) and rank cuts nest, so the deepest-cut frame serves every
+    // shallower consumer by a plain filter — bit-identical rows.
+    // localCheckpoint, not persist: the shortlists are Q×depth rows, so
+    // the checkpoint is free, while a persist() here pays the columnar
+    // cache build and serializes concurrent branch reads on the cache
+    // locks (measured as run-time inflation at r13-opt)
+    val cosDeep = graft.engine.Reliability.planCheckpoint(
+      Sim.cosineRanked(t, Sim.nQueries)
+        .filter(col("rank") <= math.max(Sim.topK, rrfDepth)))
+    val bmDeep = graft.engine.Reliability.planCheckpoint(
+      bm25Ranked(t).filter(col("rank") <= math.max(bm25TopK, rrfDepth)))
+    val adcSc = graft.engine.Reliability.planCheckpoint(
+      Sim.adcScores(Sim.adcLookups(t)))
+    val exact5 = cosDeep.filter(col("rank") <= Sim.topK)
+      .select(col("query_id"), col("neighbor_id").as("nid"))
+    val adc = Sim.adcRankFromScores(adcSc)
+      .select(col("query_id"), col("neighbor_id").as("nid"))
+    val hyb = rrfFuse(
+        bmDeep.filter(col("rank") <= rrfDepth)
+          .select(col("query_id"), col("doc_id"),
+            col("rank").cast("long").as("lex_rank")),
+        cosDeep.filter(col("query_id") < bm25NQueries && col("rank") <= rrfDepth)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("vec_rank")))
       .select(col("query_id"), col("doc_id").as("nid")).persist()
+    // (hyb keeps the original persist: rrfFuse adds a window on top of the
+    // checkpointed legs and two overlap branches read the fused rows)
     // each comparison carries ITS OWN cut depth (the hybrid sets are cut
     // at rrfTopK, the lexical leg at bm25TopK — all 5 today, but a
     // constant drift must change the reported k and ratio, not silently
@@ -1440,16 +1479,16 @@ object TrainData {
         Sim.ivfPqTopK(t).select(col("query_id"), col("neighbor_id").as("nid")),
         adc),
       overlap("refine_vs_exact", Sim.nQueries, Sim.topK,
-        Sim.adcRefineTopK(t)
+        Sim.adcRefineFromScores(t, adcSc)
           .select(col("query_id"), col("neighbor_id").as("nid")),
         exact5),
       overlap("hybrid_vs_lex", bm25NQueries, math.min(rrfTopK, bm25TopK), hyb,
-        bm25Ranked(t).filter(col("rank") <= bm25TopK)
+        bmDeep.filter(col("rank") <= bm25TopK)
           .select(col("query_id"), col("doc_id").as("nid"))),
       overlap("hybrid_vs_vec", bm25NQueries, math.min(rrfTopK, Sim.topK), hyb,
         exact5.filter(col("query_id") < bm25NQueries)))
     (rows.reduce(_ unionByName _).orderBy(col("metric")),
-      Seq(exact5, adc, hyb))
+      Seq(hyb))
   }
 
   /** NDCG cut depth — matches every face's registered top-k, so the eval
@@ -1622,17 +1661,34 @@ object TrainData {
       .filter(col("irank") <= ndcgK)
       .groupBy(col("query_id"))
       .agg(sum(col("rel") * element_at(disc, col("irank"))).as("idcg_q6"))
+    // Fold the two shared legs ONCE (the retrievalAuditPlan discipline):
+    // the bm25 and cosine systems and the hybrid fusion's two legs are the
+    // same rankings at different cuts — ranks are per-query and cuts nest,
+    // so the deepest-cut persisted frame serves every consumer by a plain
+    // filter (bit-identical rows; before r13-opt each ranking built twice).
+    // localCheckpoint, not persist — Q×depth rows, see retrievalAuditPlan
+    val bmDeep = graft.engine.Reliability.planCheckpoint(
+      bm25Ranked(t).filter(col("rank") <= math.max(ndcgK, rrfDepth)))
+    val cosDeep = graft.engine.Reliability.planCheckpoint(
+      Sim.cosineRanked(t, bm25NQueries)
+        .filter(col("rank") <= math.max(ndcgK, rrfDepth)))
     val systems = Seq(
-      ("bm25", bm25Ranked(t).filter(col("rank") <= ndcgK)
+      ("bm25", bmDeep.filter(col("rank") <= ndcgK)
         .select(col("query_id"), col("doc_id"), col("rank"))),
-      ("cosine", Sim.cosineRanked(t, bm25NQueries)
+      ("cosine", cosDeep
         .filter(col("rank") <= ndcgK)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))),
       // cut every system frame to ndcgK EXPLICITLY (hybridRrf's rrfTopK
       // and ivfPqTopK's Sim.topK equal ndcgK today, but element_at(disc,
       // rank) indexes past the discount array under ANSI mode the day a
       // constant drifts — the cut must not be implicit)
-      ("hybrid_rrf", hybridRrf(t)
+      ("hybrid_rrf", rrfFuse(
+          bmDeep.filter(col("rank") <= rrfDepth)
+            .select(col("query_id"), col("doc_id"),
+              col("rank").cast("long").as("lex_rank")),
+          cosDeep.filter(col("rank") <= rrfDepth)
+            .select(col("query_id"), col("neighbor_id").as("doc_id"),
+              col("rank").cast("long").as("vec_rank")))
         .filter(col("rank") <= ndcgK)
         .select(col("query_id"), col("doc_id"), col("rank"))),
       // the COMPRESSED serving path: what the 4-byte-code index a 100 TB

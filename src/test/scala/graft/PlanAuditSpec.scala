@@ -319,9 +319,13 @@ class PlanAuditSpec extends SparkSpec {
     // join: every shuffle join left is a zgid identity-axis equi-join
     // (uz/dz construction + attaches — corpus-sized maps, so SMJ is the
     // CORRECT at-scale shape now that broadcast selection is runtime-only
-    // and mid-stage frames can't convert) — 13 today; a 14th would mean
-    // the asof decomposed into a join again
-    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 13,
+    // and mid-stage frames can't convert) — 18 today (r13-opt persisted
+    // the uz axis, so the attach joins read an InMemoryRelation, which
+    // AQE plans as SMJ where the inline chains could runtime-convert: a
+    // few more cheap key-axis joins bought one uz build instead of ten
+    // window-chain re-executions per plan); a 19th would mean the asof
+    // decomposed into a join again
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 18,
       s"asof decomposed into extra shuffle joins:\n$p")
   }
 
