@@ -23,7 +23,17 @@ object Bench {
     "dw_user_detail", "dw_user_all", "adv_deep_convert",
     "pipeline_all_job", "dw_user_detail_inc", "id_archive_route",
     "mm_audio_chunks", "sink_dynamic_route",
-    "dedup_keep_best", "dsir_importance", "emb_pq_encode", "sim_ann_ivfpq")
+    "dedup_keep_best", "dsir_importance", "emb_pq_encode", "sim_ann_ivfpq",
+    // r14 (VERDICT r13 item 2): the faces the r13 optimizations live on
+    // were invisible to the driver's headline comparison — every wall the
+    // driver can price must include the optimized heavies. Additions only
+    // (the driver diffs the common set; removing a name reads as a drop);
+    // the line stays under the tail budget by printing only the 8 slowest
+    // solo re-times in the stdout JSON (all 12 still go to the FULL file).
+    "retrieval_audit", "retrieval_eval_ndcg", "retrieval_eval_ndcg_planted",
+    "text_langid_agreement", "route_user_row", "emb_pq_encode_trained",
+    "sim_ann_ivfpq_residual_trained", "gate_resolve_stats",
+    "sink_dedup_groups", "dedup_audit")
 
   /** Known-heavy queries, run FIRST: in driver runs the heavy tail used to
     * execute after ~150 queries of allocator pressure, and its numbers
@@ -180,7 +190,10 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val solos = solo.map { case (k, v, _, _) => s"\"$k\":${r3(v)}" }
+    // stdout JSON carries only the 8 slowest solos (tail-budget: the 10
+    // r14 headline additions cost ~290 chars); the FULL file keeps all 12
+    val solos = solo.sortBy(-_._2).take(8)
+      .map { case (k, v, _, _) => s"\"$k\":${r3(v)}" }
       .mkString("{", ",", "}")
     val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -35,9 +35,17 @@ object TimeQ {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; give the bus a moment so the
-      // per-query attribution is honest
-      Thread.sleep(300)
+      // listener events drain asynchronously; poll until the counters are
+      // stable (two consecutive 100 ms reads unchanged, 3 s cap) instead of
+      // one fixed sleep — under load task-end events could land after a
+      // fixed window and bleed into the next query's delta, and these
+      // numbers drive optimization decisions
+      var stable = 0; var last = (-1L, -1L); var waited = 0
+      while (stable < 2 && waited < 3000) {
+        Thread.sleep(100); waited += 100
+        val cur = (runMs.get(), cpuNs.get())
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
       val run = (runMs.get() - r0) / 1e3
       val cpu = (cpuNs.get() - c0) / 1e9
       println(f"[timeq] $name%-28s $wall%8.3f s  run=$run%8.1f s  cpu=$cpu%8.1f s  ($n rows)")

@@ -28,6 +28,23 @@ object GraftSession {
       // known. (Static -1 = off; adaptive threshold = the real budget.)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Shuffled-hash over sort-merge (guide §3.1): the identity/dedup
+      // plans carry 10-22 key-axis equi-joins each, every one paying two
+      // per-partition sorts under SMJ. Conversion is RUNTIME-ONLY, like
+      // broadcast selection above: the static preference stays off-path
+      // (static size estimates are the thing this session distrusts), and
+      // AQE rewrites SMJ -> SHJ only when every post-shuffle partition of
+      // the build side measures under the local-map threshold, so the
+      // build can never outgrow task memory. 64 MB per partition is a
+      // per-task bound, not a scale knob — it holds at 100 TB exactly as
+      // at sf0.1 (bigger corpora mean more partitions, not bigger ones,
+      // under AQE's advisory sizing; skew splitting keeps outliers cut).
+      // Merge-hinted joins (the PPJoin candidate joins) are unaffected —
+      // hints outrank the preference. Equal to advisoryPartitionSizeInBytes
+      // (64 MB default) because the AQE rewrite requires advisory <= this.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // iterative jobs (dedup_groups) checkpoint per round; with the
       // reliable-checkpoint knob set, superseded rounds' files must be

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DW user rollup tables — the reference's DUPLICATE KEY Doris tables
@@ -253,14 +252,30 @@ object Dw {
     // built inline rather than over routeDeviceRow because that row (like
     // the per-app b_device_{appId} table it mirrors) does not carry the
     // app axis this cross-app join needs
-    val wD = Window.partitionBy("appkey", "zg_did").orderBy(col("event_id").desc)
     val (idEnv, _, _) = Identity.zgidAxes(t)
-    val dcur = Envelope.attach(t.events)
+    // latest-write-wins via a map-side-combined max_by groupBy instead of
+    // a row_number window (guide §2.3 "aggregate before you shuffle"): the
+    // groupBy partially aggregates on the scan side, so the (appkey, did)
+    // exchange carries one row per device instead of every pl event, and
+    // the Sort the window needed is gone. It also runs BEFORE the device
+    // map / platform joins, which now see device-grain rows. Row-identical
+    // to the old window: event_id is unique (max_by picks the same row as
+    // rn=1 over event_id desc), zg_did is 1:1 with (appkey, did) (the
+    // dense surrogate), and the inner device-map join drops the same
+    // unmapped devices whether it runs before or after the latest-row cut.
+    val latest = Envelope.attach(t.events)
       .filter(col("dt") === "pl" && col("did") =!= "" && col("appkey") =!= "")
+      .groupBy(col("appkey"), col("did"))
+      .agg(max_by(struct(col("rs"), col("pl"), col("dev_brand"),
+        col("dev_model")), col("event_id")).as("cur"))
+    val dcur = latest
       .join(Identity.deviceMapFrom(idEnv)
         .select(col("appkey"), col("did"), col("zg_did")), Seq("appkey", "did"))
+      .withColumn("pl", col("cur.pl"))
       .join(Route.platformId(t), Seq("pl"), "left")
-      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .withColumn("rs", col("cur.rs"))
+      .withColumn("dev_brand", col("cur.dev_brand"))
+      .withColumn("dev_model", col("cur.dev_model"))
       .withColumn("rs_runs", expr("filter(split(rs, '[^0-9]'), x -> x <> '')"))
       .select(col("appkey"), col("zg_did").as("cur_did"),
         when(size(col("rs_runs")) >= 2,

@@ -150,18 +150,23 @@ object Identity {
   }
 
   /** The uz/dz axis frames over an (already persisted) identity envelope.
-    * BOTH are persisted: every transfer-row / rollup / archive plan joins
-    * uz and dz at least once, and the wide compositions (the dw profile
-    * tables, the archive router, the user-prop rows) reach them through
-    * SEVERAL branches — without the persist each branch re-runs the
-    * first-writer window chains (Exchange + Sort + WindowGroupLimit over
-    * the cached envelope, measured 10-24 Window executions per plan at
-    * r13; with it the chains run once per corpus and every later branch
-    * reads a key-axis-sized cache). Key-axis frames (|distinct users| /
-    * |distinct devices| rows), so the cache cost is the id maps', which
-    * already persist for the same reason. Equal plans collapse to one
-    * cache entry; release is the caller's (Bench/Verify clearCache), the
-    * deviceMapFrom contract.
+    * Only uz is MATERIALIZED — via an eager planCheckpoint, not persist():
+    * every transfer-row / rollup / archive plan joins uz at least once and
+    * the wide compositions (the dw profile tables, the archive router, the
+    * user-prop rows, dz itself) reach it through SEVERAL branches — without
+    * the materialization each branch re-runs the first-writer window chains
+    * (Exchange + Sort + WindowGroupLimit over the cached envelope, measured
+    * 10-24 Window executions per plan at r13). r13 shipped this as a
+    * persist(), which kept the dw-family win but cost pipeline_all_job +64%
+    * in the driver bench (8-core scaling ratio 0.62 — 32 concurrent readers
+    * serializing on the InMemoryRelation cache locks); r14 re-measured all
+    * three variants and the checkpoint keeps the sharing without the lock
+    * contention (cpu 9.4→6.5 s on pipeline_all_job, dw faces flat). A
+    * dz-persist variant was measured and rejected at r13 (dz is consumed
+    * once by most plans; caching it cost dw_user_detail +20% wall). uz is
+    * key-axis-sized (|distinct users| rows) so the checkpoint is cheap;
+    * blocks release via ContextCleaner when the plan falls out of scope —
+    * the planCheckpoint contract everywhere else in this repo.
     */
   private def zgidAxesFrom(e: DataFrame): (DataFrame, DataFrame) = {
     val byUser   = Window.partitionBy("appkey", "cuid").orderBy("ts", "event_id")
@@ -187,11 +192,11 @@ object Identity {
     // users never seen with a device -> own zgid
     val allUsers = e.filter(col("cuid").isNotNull)
       .select(col("appkey"), col("cuid")).distinct()
-    val uz = allUsers.join(userZgid, Seq("appkey", "cuid"), "left")
-      .select(col("appkey"), col("cuid"),
-        coalesce(col("zgid"), concat(lit("z:u:"), col("appkey"), lit(":"), col("cuid")))
-          .as("u_zgid"))
-      .persist()
+    val uz = graft.engine.Reliability.planCheckpoint(
+      allUsers.join(userZgid, Seq("appkey", "cuid"), "left")
+        .select(col("appkey"), col("cuid"),
+          coalesce(col("zgid"), concat(lit("z:u:"), col("appkey"), lit(":"), col("cuid")))
+            .as("u_zgid")))
 
     val allDevices = e.filter(col("did") =!= "")
       .select(col("appkey"), col("did")).distinct()

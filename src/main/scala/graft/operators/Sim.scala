@@ -862,10 +862,15 @@ object Sim {
     */
   private def parJobs[A](idx: Range)(body: Int => A): Seq[A] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try Await.result(Future.traverse(idx.toList)(m => Future(body(m))), Duration.Inf)
+    // finite timeout + shutdownNow on ANY failure path: Duration.Inf would
+    // let one hung fit wedge the query forever, and a plain shutdown()
+    // lets sibling fits keep running (it only stops new submissions) after
+    // the first failure has already propagated
+    try Await.result(Future.traverse(idx.toList)(m => Future(body(m))), 30.minutes)
+    catch { case t: Throwable => pool.shutdownNow(); throw t }
     finally pool.shutdown()
   }
 
@@ -954,8 +959,13 @@ object Sim {
         posexplode(array(subspaceL2Dists: _*)).as(Seq("m", "d")))
   }
 
-  /** The corpus code table on its subspace axis: (vec_id, m, code). */
-  private def pqDataCodes(t: Tables): DataFrame =
+  /** The corpus code table on its subspace axis: (vec_id, m, code).
+    * private[graft] so retrieval_audit can fold it ONCE and feed both the
+    * ADC legs (`adcLookupsFrom`) and the IVF leg (`ivfPqTopKFrom`) — before
+    * r14 the audit's ivfpq leg re-ran the whole PQ encode pass even though
+    * the adc leg had just built the identical code table.
+    */
+  private[graft] def pqDataCodes(t: Tables): DataFrame =
     pqEncodeUnsorted(t)
       .select(col("vec_id"),
         posexplode(array((0 until pqM).map(m => col(s"code$m")): _*))
@@ -1013,7 +1023,13 @@ object Sim {
     * the IDENTICAL scan, so the audit composition folds it once.
     */
   private[graft] def adcLookups(t: Tables): DataFrame =
-    pqDataCodes(t).join(broadcast(adcDistTable(t)), Seq("m", "code"))
+    adcLookupsFrom(t, pqDataCodes(t))
+
+  /** The same lookup rows over an (already folded) code table — the
+    * audit's one-code-table-scan seam.
+    */
+  private[graft] def adcLookupsFrom(t: Tables, codes: DataFrame): DataFrame =
+    codes.join(broadcast(adcDistTable(t)), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
 
   def pqAdcTopK(t: Tables): DataFrame = adcRank(adcLookups(t))
@@ -1214,13 +1230,20 @@ object Sim {
       .select(col("vec_id").as("query_id"), col("cluster"))
   }
 
-  def ivfPqTopK(t: Tables): DataFrame = {
+  def ivfPqTopK(t: Tables): DataFrame = ivfPqTopKFrom(t, pqDataCodes(t))
+
+  /** IVF-PQ over an (already folded) code table — the audit composition
+    * seam: `retrieval_audit` checkpoints `pqDataCodes` once and feeds it
+    * to BOTH the full-ADC legs and this routed leg, so one invocation
+    * pays one PQ encode pass instead of two.
+    */
+  private[graft] def ivfPqTopKFrom(t: Tables, codes: DataFrame): DataFrame = {
     val assigned = assignToCentroids(t).select(col("vec_id"), col("cluster"))
     val cand = assigned.join(broadcast(queryProbes(t)), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     adcRank(
-      cand.join(pqDataCodes(t), "vec_id")
+      cand.join(codes, "vec_id")
         .join(broadcast(adcDistTable(t)), Seq("m", "code", "query_id")))
   }
 

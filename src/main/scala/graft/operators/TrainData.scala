@@ -1436,17 +1436,27 @@ object TrainData {
     // shortlist). Ranks are per-query (every ranking window partitions by
     // query_id) and rank cuts nest, so the deepest-cut frame serves every
     // shallower consumer by a plain filter — bit-identical rows.
-    // localCheckpoint, not persist: the shortlists are Q×depth rows, so
-    // the checkpoint is free, while a persist() here pays the columnar
+    // planCheckpoint, not persist: a persist() here pays the columnar
     // cache build and serializes concurrent branch reads on the cache
-    // locks (measured as run-time inflation at r13-opt)
+    // locks (measured as run-time inflation at r13-opt). Footprints:
+    // cosDeep/bmDeep are Q×depth rows (free); adcSc is Q×|corpus| rows —
+    // linear in the corpus and held in executor block stores until
+    // ContextCleaner GC, which is why the registered face eagerly
+    // materializes its 5-row summary and releases the caches. At 100 TB
+    // the audit runs on a sampled query set (the scale note below), so
+    // Q×|corpus| stays a bounded slice, and a reliable checkpoint dir
+    // (spark.graft.checkpointDir) moves the blocks off-executor.
     val cosDeep = graft.engine.Reliability.planCheckpoint(
       Sim.cosineRanked(t, Sim.nQueries)
         .filter(col("rank") <= math.max(Sim.topK, rrfDepth)))
     val bmDeep = graft.engine.Reliability.planCheckpoint(
       bm25Ranked(t).filter(col("rank") <= math.max(bm25TopK, rrfDepth)))
+    // ONE code-table scan per audit: the adc legs and the ivfpq leg share
+    // the checkpointed (vec_id, m, code) table (r14 — before, the ivfpq
+    // leg re-ran the whole PQ encode pass the adc leg had just done)
+    val codes = graft.engine.Reliability.planCheckpoint(Sim.pqDataCodes(t))
     val adcSc = graft.engine.Reliability.planCheckpoint(
-      Sim.adcScores(Sim.adcLookups(t)))
+      Sim.adcScores(Sim.adcLookupsFrom(t, codes)))
     val exact5 = cosDeep.filter(col("rank") <= Sim.topK)
       .select(col("query_id"), col("neighbor_id").as("nid"))
     val adc = Sim.adcRankFromScores(adcSc)
@@ -1476,7 +1486,8 @@ object TrainData {
     val rows = Seq(
       overlap("adc_vs_exact", Sim.nQueries, Sim.topK, adc, exact5),
       overlap("ivfpq_vs_adc", Sim.nQueries, Sim.topK,
-        Sim.ivfPqTopK(t).select(col("query_id"), col("neighbor_id").as("nid")),
+        Sim.ivfPqTopKFrom(t, codes)
+          .select(col("query_id"), col("neighbor_id").as("nid")),
         adc),
       overlap("refine_vs_exact", Sim.nQueries, Sim.topK,
         Sim.adcRefineFromScores(t, adcSc)

@@ -9,21 +9,29 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
+    // --final: execute each query first and dump the FINAL adaptive plan
+    // (AQE join selection — broadcast and shuffled-hash conversion — is
+    // runtime-only in this engine, so the initial plan shows the SMJ
+    // skeleton, not the joins that actually ran)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val runFinal = flags.contains("--final")
+    val sfDir = positional(0)
+    val outDir = positional(1)
     val names =
-      if (args.length > 2 && args(2) == "all")
+      if (positional.length > 2 && positional(2) == "all")
         graft.SparkEntry.queries.keys.toSeq.sorted
-      else args.drop(2).toSeq
+      else positional.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.engine.GraftSession
       .tune(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    var nFailed = 0
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        if (runFinal) df.write.format("noop").mode("overwrite").save()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         java.nio.file.Files.write(
@@ -31,10 +39,17 @@ object PlanDump {
         println(s"[plandump] $name ok")
       } catch {
         case t: Throwable =>
+          nFailed += 1
           println(s"[plandump] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
       }
       spark.sqlContext.clearCache()
     }
     spark.stop()
+    // a scripted plan-evidence run must not exit 0 with an incomplete
+    // plans/<round>/ directory — fail loudly when any dump failed
+    if (nFailed > 0) {
+      println(s"[plandump] $nFailed of ${names.size} dumps FAILED")
+      sys.exit(1)
+    }
   }
 }
