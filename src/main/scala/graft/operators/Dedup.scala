@@ -179,13 +179,16 @@ object Dedup {
     * would materialize a range exchange nothing reads.
     */
   private def ngramJaccardUnsorted(t: Tables): DataFrame = {
-    val docs = ppjoinDocs(t, withDelta = false).persist()
-    // materialize the (structurally bounded) verified pair list so the
-    // per-doc frame's cache is released HERE instead of leaking a cached
-    // corpus-sized frame per invocation
-    val out = graft.engine.Reliability.planCheckpoint(ppjoinPairs(docs))
-    docs.unpersist()
-    out
+    // planCheckpoint, not persist (r14, the uz/retrieval_audit lesson —
+    // guide §5): ppjoinPairs reads the per-doc frame through SEVERAL
+    // concurrent branches (probe prefixes, index prefixes, two
+    // verification attaches), and 32 readers of an InMemoryRelation
+    // serialize on the cache locks; checkpointed blocks don't. The pair
+    // list is still materialized so the doc frame's blocks release via
+    // ContextCleaner when this plan goes out of scope.
+    val docs = graft.engine.Reliability.planCheckpoint(
+      ppjoinDocs(t, withDelta = false))
+    graft.engine.Reliability.planCheckpoint(ppjoinPairs(docs))
   }
 
   /** The per-doc PPJoin frame — steps 1-2 of the chain documented on
@@ -436,7 +439,13 @@ object Dedup {
     * oracle since every hash is the portable md5-derived one.
     */
   def minhashLsh(t: Tables): DataFrame = {
-    val sig = minhashSignaturesWide(t).persist()
+    // planCheckpoint, not persist (r14, guide §5): the signature frame is
+    // read by the band self-join (two sides) AND the output projection —
+    // concurrent InMemoryRelation readers serialize on cache locks,
+    // checkpointed blocks don't. Output is still materialized so the
+    // signature blocks release via ContextCleaner with this plan.
+    val sig = graft.engine.Reliability.planCheckpoint(
+      minhashSignaturesWide(t))
     val cand = candidates(sig)
     val nCand = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id")))
@@ -447,11 +456,7 @@ object Dedup {
       .select(col("doc_id"), col("sig_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
       .orderBy(col("doc_id"))
-    // materialize now so the signature cache can be released instead of
-    // leaking for the session's lifetime (the minhashCandidatePairs move)
-    val res = graft.engine.Reliability.planCheckpoint(out)
-    sig.unpersist()
-    res
+    graft.engine.Reliability.planCheckpoint(out)
   }
 
   /** Estimated Jaccard between all LSH candidate pairs (used by the spec and
@@ -459,22 +464,22 @@ object Dedup {
     * that agree — a single wide-row expression, no re-join per slot.
     */
   def minhashCandidatePairs(t: Tables): DataFrame = {
-    val sig = minhashSignaturesWide(t).persist()
+    // planCheckpoint, not persist (r14, guide §5): four concurrent plan
+    // branches read the signatures (band self-join both sides + the two
+    // pair attaches) — checkpointed blocks skip the cache-lock
+    // serialization. The pair list is still materialized so the signature
+    // blocks release via ContextCleaner with this plan.
+    val sig = graft.engine.Reliability.planCheckpoint(
+      minhashSignaturesWide(t))
     val agree = (0 until minhashK)
       .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    // materialize the (band-bounded) pair list so the signature cache is
-    // released HERE instead of leaking for the session's lifetime — the
-    // minhashIncremental discipline, applied for dedupAudit and every
-    // other consumer of the pair list
-    val pairs = graft.engine.Reliability.planCheckpoint(
+    graft.engine.Reliability.planCheckpoint(
       candidates(sig).as("c")
         .join(sig.as("a"), col("c.da") === col("a.doc_id"))
         .join(sig.as("b"), col("c.db") === col("b.doc_id"))
         .select(col("c.da").as("da"), col("c.db").as("db"),
           (agree.cast("double") / minhashK).as("est_jaccard")))
-    sig.unpersist()
-    pairs
   }
 
   // ---- #64 incremental minhash dedup (delta vs stored index) ----
@@ -566,18 +571,18 @@ object Dedup {
     * produce identical output with ZERO corpus text scans.
     */
   def minhashIncremental(t: Tables): DataFrame = {
-    val sig = minhashSignaturesWide(t).persist()
+    // planCheckpoint, not persist (r14, guide §5): the max-id probe plus
+    // the index/delta splits read the signatures through three branches;
+    // checkpointed blocks skip the cache-lock serialization and release
+    // via ContextCleaner once minhashIncrementalFrom has materialized.
+    val sig = graft.engine.Reliability.planCheckpoint(
+      minhashSignaturesWide(t))
     val mx = sig.agg(max(col("doc_id")).as("max_id"))
     val s2 = sig.crossJoin(broadcast(mx))
     val sigCols = sig.columns.map(col)
-    val out = minhashIncrementalFrom(
+    minhashIncrementalFrom(
       s2.filter(!incIsDelta(col("doc_id"), col("max_id"))).select(sigCols: _*),
       s2.filter(incIsDelta(col("doc_id"), col("max_id"))).select(sigCols: _*))
-    // minhashIncrementalFrom materialized its result (planCheckpoint), so
-    // the signature cache can be released instead of leaking for the
-    // session's lifetime
-    sig.unpersist()
-    out
   }
 
   /** The production shape of #64: `index` is the STORED signature table
@@ -597,7 +602,12 @@ object Dedup {
   def minhashIncrementalFrom(index: DataFrame, delta: DataFrame): DataFrame = {
     def bandsOf(df: DataFrame) = df.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-    val db = bandsOf(delta).persist()
+    // planCheckpoint, not persist (r14, guide §5): three concurrent
+    // branches read the delta bands (the index probe + both sides of the
+    // prior self-join) — checkpointed blocks skip the cache-lock
+    // serialization; release via ContextCleaner with the materialized
+    // result below
+    val db = graft.engine.Reliability.planCheckpoint(bandsOf(delta))
     val ib = bandsOf(index)
     // a pair can collide in several bands — count DISTINCT partners
     val candIdx = db.join(
@@ -644,10 +654,8 @@ object Dedup {
         (floor(coalesce(col("max_est_raw"), lit(0.0)) * 10000) / 10000).as("max_est"),
         coalesce(col("max_est_raw") >= minhashVerifyTau, lit(false)).as("is_dup"))
       .orderBy(col("doc_id"))
-    // materialize now so the band cache can be released instead of leaking
-    val res = graft.engine.Reliability.planCheckpoint(out)
-    db.unpersist()
-    res
+    // materialize now so the band blocks can be reclaimed (ContextCleaner)
+    graft.engine.Reliability.planCheckpoint(out)
   }
 
   /** dedup_groups — transitive duplicate GROUPS: connected components over
@@ -901,10 +909,11 @@ object Dedup {
   def dupGroupsInc(t: Tables): DataFrame = {
     val basePairs = t.spark.read.parquet(s"${baseDupGroupsDir(t)}/pairs")
       .select(col("da"), col("db"))
-    val docs = ppjoinDocs(t, withDelta = true).persist()
+    // planCheckpoint, not persist (r14, guide §5 — the ngramJaccard move)
+    val docs = graft.engine.Reliability.planCheckpoint(
+      ppjoinDocs(t, withDelta = true))
     val newPairs = graft.engine.Reliability.planCheckpoint(
       ppjoinPairs(docs, touchingDelta = true).select(col("da"), col("db")))
-    docs.unpersist()
     groupsFromPairs(t.spark, basePairs.unionByName(newPairs))
       .orderBy(col("doc_id"))
   }

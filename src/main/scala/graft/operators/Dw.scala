@@ -36,7 +36,11 @@ object Dw {
     * ONE fact scan; each rollup then adds exactly its own key exchange.
     */
   private def factWide(t: Tables): DataFrame =
-    Route.eventAttrWithMeta(t)
+    factWideFrom(t, Identity.zgidAxes(t))
+
+  private def factWideFrom(t: Tables,
+      axes: (DataFrame, DataFrame, DataFrame)): DataFrame =
+    Route.eventAttrWithMetaFrom(t, axes)
       .withColumn("begin_day_id", col("day_id").cast("int"))
       .withColumn("yearweek",
         regexp_replace(col("year_week"), "-", "").cast("int"))
@@ -236,23 +240,29 @@ object Dw {
   /** The unordered t_user_detail rows — the detail aggregate plus the
     * current-device block; shared by `userDetail` and `userAll`.
     */
-  private def detailRows(t: Tables): DataFrame =
-    detailFinish(t, detailAgg(t))
+  private def detailRows(t: Tables): DataFrame = {
+    // ONE zgidAxes call feeds the fact build AND the device-current leg:
+    // uz is an eager planCheckpoint (r14), so two calls would materialize
+    // it twice (the persisted-cache equal-plan collapse no longer applies)
+    val axes = Identity.zgidAxes(t)
+    detailFinish(t, detailAggOf(
+      Route.eventAttrWithMetaFrom(t, axes).drop("ts")), axes._1)
+  }
 
   /** Attach the current-device block and project the detail row — takes
     * any frame with `detailAgg`'s columns, so the incremental fold
     * finishes through the SAME tail as the full rescan. `extra` columns
     * (the fused join-leg fields in `userAll`) ride through the projection.
     */
-  private def detailFinish(t: Tables, agg: DataFrame,
+  private def detailFinish(t: Tables, agg: DataFrame, idEnv: DataFrame,
       extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val n = lit("\\N")
     // the current device's b_device merge row (UNIQUE KEY(device_id):
     // latest write wins = max event_id, the arrival order Doris sees) —
     // built inline rather than over routeDeviceRow because that row (like
     // the per-app b_device_{appId} table it mirrors) does not carry the
-    // app axis this cross-app join needs
-    val (idEnv, _, _) = Identity.zgidAxes(t)
+    // app axis this cross-app join needs. idEnv arrives from the CALLER's
+    // zgidAxes call — the same one that fed the aggregate's fact build.
     // latest-write-wins via a map-side-combined max_by groupBy instead of
     // a row_number window (guide §2.3 "aggregate before you shuffle"): the
     // groupBy partially aggregates on the scan side, so the (appkey, did)
@@ -390,13 +400,16 @@ object Dw {
       firstJ(col("yearmonth")).as("yearmonth"),
       firstJ(col("platform")).as("platform_j"))
     val exprs = detailAggExprs ++ joinExprs
-    val fused = factWide(t)
+    // one zgidAxes call per face (the detailRows discipline — uz is an
+    // eager checkpoint, so a second call would materialize it twice)
+    val axes = Identity.zgidAxes(t)
+    val fused = factWideFrom(t, axes)
       .groupBy(col("zgid").as("zg_id")).agg(exprs.head, exprs.tail: _*)
       .withColumn("appkey", element_at(split(col("zg_id"), ":"), 3))
     val joinOut = Seq(
       col("device_id"), col("begin_date"), col("begin_day_id"),
       col("uuid"), col("yearweek"), col("yearmonth"), col("platform_j"))
-    val detail = detailFinish(t, fused, joinOut).drop("platform")
+    val detail = detailFinish(t, fused, axes._1, joinOut).drop("platform")
     // the detail-side platform was dropped above, so after the rename
     // col("platform") resolves to the join leg's value — the one the
     // composition and the display-name dim read
@@ -576,8 +589,11 @@ object Dw {
     * hash match PROVES incremental == full rescan on this corpus.
     */
   def userDetailInc(t: Tables): DataFrame = {
+    // one zgidAxes call per face (the detailRows discipline)
+    val axes = Identity.zgidAxes(t)
     val parts = detailPartial(
-      eaUnsorted(t).withColumn("inc_slice", incSliceIdx("day_id", identity)))
+      Route.eventAttrWithMetaFrom(t, axes).drop("ts")
+        .withColumn("inc_slice", incSliceIdx("day_id", identity)))
     val merged = mergePartials(parts).select(
       col("zg_id"),
       col("l.platform_id").as("platform"),
@@ -606,6 +622,6 @@ object Dw {
       col("l.zg_did").as("cur_did"),
       col("is_registered"))
       .withColumn("appkey", element_at(split(col("zg_id"), ":"), 3))
-    detailFinish(t, merged).orderBy(col("zg_id"))
+    detailFinish(t, merged, axes._1).orderBy(col("zg_id"))
   }
 }

@@ -108,7 +108,17 @@ object Route {
     * orders by the full-precision ts, not the epoch-second begin_date, so
     * the transfer projection alone is not enough.
     */
-  private[operators] def eventAttrWithMeta(t: Tables): DataFrame = {
+  private[operators] def eventAttrWithMeta(t: Tables): DataFrame =
+    eventAttrWithMetaFrom(t, Identity.zgidAxes(t))
+
+  /** The transfer row over ALREADY-DERIVED identity axes — the seam the Dw
+    * profile compositions use so ONE `zgidAxes` call per face feeds both
+    * the fact build and the device-current leg: uz is materialized via an
+    * eager planCheckpoint (r14), so unlike the persisted-cache days two
+    * zgidAxes calls would no longer collapse to one build.
+    */
+  private[operators] def eventAttrWithMetaFrom(t: Tables,
+      axes: (DataFrame, DataFrame, DataFrame)): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val n = lit("\\N")
@@ -121,7 +131,7 @@ object Route {
     // event-axis exchange this row build never needs). The surrogate maps
     // derive from zgidAxes' persisted envelope: one cached identity pass
     // feeds all four legs instead of three separate scans.
-    val (idEnv, uz, dz) = Identity.zgidAxes(t)
+    val (idEnv, uz, dz) = axes
     val dev = Identity.deviceMapFrom(idEnv)
     val usr = Identity.userMapFrom(idEnv)
     val reg = Derive.eventRegistryUnsorted(t)

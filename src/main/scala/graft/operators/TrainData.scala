@@ -1664,7 +1664,12 @@ object TrainData {
     */
   private def ndcgScored(t: Tables, judgments: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val judg = judgments.persist()
+    // planCheckpoint, not persist (r14, guide §5): FIVE branches read the
+    // judgments concurrently (the IDCG rank + four per-system DCG joins),
+    // and concurrent InMemoryRelation readers serialize on cache locks;
+    // checkpointed blocks don't. Blocks release via ContextCleaner once
+    // the (4×Q-row) result below has materialized.
+    val judg = graft.engine.Reliability.planCheckpoint(judgments)
     val disc = typedLit(ndcgDiscQ6)
     val idcg = judg
       .withColumn("irank", row_number().over(
@@ -1722,11 +1727,9 @@ object TrainData {
             floor(col("dcg_q6") * 10000.0 / col("idcg_q6")) / 10000)
             .as("ndcg_q4"))
     }.reduce(_ unionByName _).orderBy(col("system"), col("query_id"))
-    // materialize the (4×Q-row) result so the judgments cache is released
-    // instead of leaking blocks for the rest of the session
-    val res = graft.engine.Reliability.planCheckpoint(out)
-    judg.unpersist()
-    res
+    // materialize the (4×Q-row) result so the judgment blocks can be
+    // reclaimed instead of leaking for the rest of the session
+    graft.engine.Reliability.planCheckpoint(out)
   }
 
   /** The session's ensured lexical-index artifact for `t`'s corpus
