@@ -31,7 +31,11 @@ object PlanDump {
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
-        if (runFinal) df.write.format("noop").mode("overwrite").save()
+        // collect(), not a noop write: the write wraps df in a NEW
+        // QueryExecution, leaving df.queryExecution (the one printed
+        // below) unexecuted — collect() finalizes the same instance the
+        // explain reads (the PlanAuditSpec.finalPlan contract)
+        if (runFinal) df.collect()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         java.nio.file.Files.write(
