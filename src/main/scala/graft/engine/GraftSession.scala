@@ -12,6 +12,17 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Apply graft's standard configuration to any builder. */
+  /** Per-task-safe shuffled-hash build bound (bytes) — see the join
+    * block below. Heap stands in for executor memory in local mode; on a
+    * cluster, pass the executor's (memory, cores) shape through the same
+    * formula via --conf overrides of the two adaptive settings.
+    */
+  private[graft] def shjSafeBytes(concurrentTasks: Int): Long = {
+    val heap = Runtime.getRuntime.maxMemory
+    math.max(8L << 20,
+      math.min(64L << 20, heap * 3 / 10 / math.max(1, concurrentTasks) / 3))
+  }
+
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -34,17 +45,26 @@ object GraftSession {
       // broadcast selection above: the static preference stays off-path
       // (static size estimates are the thing this session distrusts), and
       // AQE rewrites SMJ -> SHJ only when every post-shuffle partition of
-      // the build side measures under the local-map threshold, so the
-      // build can never outgrow task memory. 64 MB per partition is a
-      // per-task bound, not a scale knob — it holds at 100 TB exactly as
-      // at sf0.1 (bigger corpora mean more partitions, not bigger ones,
-      // under AQE's advisory sizing; skew splitting keeps outliers cut).
-      // Merge-hinted joins (the PPJoin candidate joins) are unaffected —
-      // hints outrank the preference. Equal to advisoryPartitionSizeInBytes
-      // (64 MB default) because the AQE rewrite requires advisory <= this.
+      // the build side measures under the local-map threshold — which is
+      // therefore a MEMORY bound, and must be derived from the memory a
+      // concurrently-building task actually owns, not a flat constant: a
+      // flat 64 MB OOM'd the sf10 gate ("not enough memory to build hash
+      // map" — 32 tasks x ~3x-expanded 64 MB maps > the unified pool).
+      // Budget = heap x 0.3 (execution's protected half of the 0.6
+      // unified fraction) / concurrent tasks / 3 (UnsafeHashedRelation's
+      // measured bytes-to-map expansion), clamped to [8 MB, 64 MB]. The
+      // AQE rule additionally requires advisory <= threshold, so the
+      // advisory target is set to the same value (its 64 MB default only
+      // shrinks when task memory is genuinely scarce — at 8 GB/32 cores
+      // this yields ~25 MB; a production 64 GB/16-core executor computes
+      // back at the 64 MB cap, where the guide's partition-sizing advice
+      // resumes). Merge-hinted joins (the PPJoin candidate joins) are
+      // unaffected — hints outrank the preference.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        shjSafeBytes(shufflePartitions).toString)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        (64L << 20).toString)
+        shjSafeBytes(shufflePartitions).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // iterative jobs (dedup_groups) checkpoint per round; with the
       // reliable-checkpoint knob set, superseded rounds' files must be
