@@ -41,9 +41,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g is enough: Bench's per-query gc= column shows <0.5 s of GC even
-  // inside the occasional 15-25 s outlier, so the outliers are host
-  // scheduling noise, not heap pressure — and a larger heap lets the JVM
-  // hold RSS the driver's DuckDB compare stage then competes with.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g (was 8g through r13): the r14 shuffled-hash enablement sizes its
+  // per-task build bound from heap/cores (GraftSession.shjSafeBytes) — at
+  // 8g/32 cores that bound is ~25 MB and the advisory partition size it
+  // is coupled to shrinks with it, fragmenting the sinks at sf10; at 16g
+  // the bound computes to ~50 MB, next to the 64 MB advisory default, so
+  // the join conversion is memory-safe without perturbing partition
+  // sizing. GC stays <0.5 s/query (the gc= column), and the box has
+  // 125 GiB — the old 8g DuckDB-compare RSS concern does not bind (the
+  // compare runs in a separate process after the JVM exits).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -33,7 +33,13 @@ object Adv {
     val convs = e.filter(col("event_type") === "purchase")
       .select(col("appkey"), col("did"),
         col("event_id").as("conv_id"), col("ts").as("conv_ts"))
-    val joined = convs.join(clicks, Seq("appkey", "did"))
+    // MERGE-pinned (r14): this is an exploding join (every click x every
+    // conversion per device before the window filter) — the AQE
+    // shuffled-hash conversion regressed it 29 -> 50-60 s at the sf10
+    // gate (hash-probing duplicate-heavy keys where the sorted merge
+    // streams runs of equal keys); measured both ways at sf10, SMJ wins
+    // 35.4 vs 59.8 solo.
+    val joined = convs.join(clicks.hint("merge"), Seq("appkey", "did"))
       .filter(col("click_ts") <= col("conv_ts") &&
         unix_timestamp(col("conv_ts")) - unix_timestamp(col("click_ts")) <= lookbackSec)
     val lastTouch = Window.partitionBy("conv_id")

@@ -51,9 +51,23 @@ object Pipeline {
       .when(col("referrer") =!= "", host)
       .otherwise(Enrich.NullValue)
 
+    // the uz/dz attaches MERGE-pin ABOVE the corpus-size threshold (r14):
+    // the suite-wide AQE shuffled-hash conversion regressed exactly this
+    // face at the sf10 gate (pipeline_all_job 59 -> 85 s, gc 3.4 ->
+    // 4.4 s — per-partition hash maps of the corpus-scale key axes thrash
+    // where the sorted merge streams; measured both ways at sf10, SMJ
+    // wins 60.3 vs 86.4 solo), while at sf0.1 the converted join is ~1 s
+    // FASTER — so the pin derives from input size (Identity.bigCorpus)
+    // instead of hard-coding either scale's winner. Results are
+    // strategy-independent; the oracle checks both regimes (sf0.01
+    // unpinned, the sf10 gate pinned). Route's transfer row keeps the
+    // conversion at every scale — its uz/dz joins sit under different
+    // reuse and measured FASTER converted at sf10.
+    val pin = Identity.bigCorpus(t)
+    def axis(df: DataFrame) = if (pin) df.hint("merge") else df
     env
-      .join(uz, Seq("appkey", "cuid"), "left")
-      .join(dz, Seq("appkey", "did"), "left")
+      .join(axis(uz), Seq("appkey", "cuid"), "left")
+      .join(axis(dz), Seq("appkey", "did"), "left")
       .join(Route.platformId(t), Seq("pl"), "left")
       .select(
         col("event_id"),
